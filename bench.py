@@ -1,0 +1,58 @@
+"""Benchmark harness — runs the headline queries and prints ONE JSON line.
+
+Usage: python bench.py
+Env:   SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+       SPARK_GRAFT_CPUS   (default 32 -> local[32])
+
+Each query executes fully via the no-op sink (``format("noop")``) so the
+measured time is scan + shuffle + compute without driver-side collection,
+matching how a cluster job would be costed.  Reported metric is total
+seconds across the headline set after a warm-up of the session.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from procurement_system_bigdata_spark.queries.registry import REGISTRY  # noqa: E402
+from procurement_system_bigdata_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    bench_specs = {n: s for n, s in REGISTRY.items() if s.bench}
+
+    # Warm up the JVM / file-listing caches with the smallest query once.
+    first = next(iter(bench_specs.values()))
+    first.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    times: dict[str, float] = {}
+    for name, spec in bench_specs.items():
+        t0 = time.perf_counter()
+        spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 4)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(times.values()), 4),
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,27 @@
+"""Driver-gate rehearsal: every registry query with an oracle must match
+DuckDB exactly on the same parquet tables (mirrors CORRECTNESS_r{N}.json)."""
+
+from __future__ import annotations
+
+import pytest
+
+from procurement_system_bigdata_spark.queries.registry import REGISTRY
+
+from conftest import SF_DIR, assert_matches_oracle
+
+ORACLE_QUERIES = sorted(n for n, s in REGISTRY.items() if s.oracle)
+ROWS_ONLY_QUERIES = sorted(n for n, s in REGISTRY.items() if not s.oracle)
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_query_matches_oracle(spark, duck, name):
+    spec = REGISTRY[name]
+    assert_matches_oracle(spec.fn(spark, SF_DIR), duck, spec.oracle)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
+def test_rows_only_query_runs(spark, name):
+    spec = REGISTRY[name]
+    df = spec.fn(spark, SF_DIR)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
