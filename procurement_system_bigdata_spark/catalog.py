@@ -37,9 +37,24 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one named table from an sf directory."""
+    """Load one named table from an sf directory.
+
+    ``events.ts`` is stored as parquet TIMESTAMP(NANOS) which Spark's
+    vectorized reader rejects; it is read via the runtime-settable
+    ``nanosAsLong`` legacy conf and normalized to micro-precision
+    TimestampType with integer division (floor), matching how DuckDB
+    truncates nanos -> micros on read.
+    """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -1,0 +1,195 @@
+"""General analytics operators beyond strict reference parity.
+
+The reference's operator inventory has no DISTINCT aggregation, grouping
+sets, top-k or set-membership joins (SURVEY §2.4/§2.6) — Catalyst provides
+them natively, and a user switching from the reference gets them here as
+first-class, oracle-checked queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+# Exact-cents discipline for double sums (see queries/events.py docstring).
+def _cents(col):
+    return F.round(col * 100).cast("long")
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: multi-aggregate hash GROUP BY with
+    per-row arithmetic (A1/A2-shape at its widest).  Map-side partial
+    aggregation makes this a single small shuffle at any scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = revenue * (1 + F.col("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            (F.sum(_cents(F.col("l_extendedprice"))) / 100.0).alias("sum_base_price"),
+            (F.sum(_cents(revenue)) / 100.0).alias("sum_disc_price"),
+            (F.sum(_cents(charge)) / 100.0).alias("sum_charge"),
+            (F.sum(_cents(F.col("l_discount"))) / 100.0).alias("sum_discount"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+Q_PRICING_SUMMARY_SQL = """
+    SELECT
+        l_returnflag, l_linestatus,
+        CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 100.0
+            AS sum_base_price,
+        CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+            AS BIGINT) / 100.0 AS sum_disc_price,
+        CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100)
+            AS BIGINT)) AS BIGINT) / 100.0 AS sum_charge,
+        CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) AS BIGINT) / 100.0
+            AS sum_discount,
+        COUNT(*) AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_parts_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k: global ORDER BY + LIMIT with a deterministic tiebreak.
+
+    Spark executes this as TakeOrderedAndProject — per-partition top-k then a
+    driver-side merge of k-element heaps; no global sort materializes, so the
+    pattern is 100 TB-safe."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(F.col("l_partkey").cast("long").alias("part_id"))
+        .agg((F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))) / 100.0).alias("revenue"))
+        .orderBy(F.desc("revenue"), "part_id")
+        .limit(10)
+    )
+
+
+Q_TOP_PARTS_BY_REVENUE_SQL = """
+    SELECT CAST(l_partkey AS BIGINT) AS part_id,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+               AS BIGINT) / 100.0 AS revenue
+    FROM lineitem
+    GROUP BY 1
+    ORDER BY revenue DESC, part_id
+    LIMIT 10
+"""
+
+
+def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT aggregation (expand-based in Spark, two-phase at scale)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+Q_DISTINCT_COUNTS_SQL = """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_suppliers,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    GROUP BY 1
+"""
+
+
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (region, nation): subtotal + grand-total rows with NULL
+    group markers, matching ANSI ROLLUP semantics in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    joined = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("total_qty"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+Q_ROLLUP_REVENUE_SQL = """
+    SELECT r_name, n_name,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join (NOT EXISTS): broadcast-able at dim scale, null-safe by
+    construction (left_anti, not NOT IN).  Scoped to in-progress ('P')
+    orders so the result is non-empty in the testdata (every customer has
+    *some* order)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select(
+            F.col("c_custkey").cast("long").alias("c_custkey"),
+            "c_name",
+            "c_mktsegment",
+        )
+    )
+
+
+Q_CUSTOMERS_WITHOUT_ORDERS_SQL = """
+    SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+"""
+
+
+def q_suppliers_with_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join (EXISTS): suppliers having at least one returned line."""
+    supp = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    returned = li.filter(F.col("l_returnflag") == "R")
+    return (
+        supp.join(returned, supp.s_suppkey == returned.l_suppkey, "left_semi")
+        .select(F.col("s_suppkey").cast("long").alias("s_suppkey"), "s_name")
+    )
+
+
+Q_SUPPLIERS_WITH_RETURNS_SQL = """
+    SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name
+    FROM supplier s
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_suppkey = s.s_suppkey AND l.l_returnflag = 'R')
+"""
+
+
+def q_order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: semi join orders→lineitem + grouped count."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+Q_ORDER_PRIORITY_COUNTS_SQL = """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+    GROUP BY 1
+"""

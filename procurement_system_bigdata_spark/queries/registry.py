@@ -14,7 +14,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import procurement
+from . import analytics, events, procurement
 
 
 @dataclass(frozen=True)
@@ -68,5 +68,120 @@ _register(
         ops=("C2", "W1", "W2", "P3", "P5", "P6", "P7", "P8", "P9", "P10",
              "P11", "P12", "P13", "P14", "J7", "J8", "O3"),
         bench=True,
+    )
+)
+_register(
+    QuerySpec(
+        name="snapshot_upsert",
+        fn=events.q_snapshot_upsert,
+        oracle=events.Q_SNAPSHOT_UPSERT_SQL,
+        description="S4: last-write-wins upsert replayed as keyed dedup "
+        "(reference init.cql:15, pipeline.py:275-289)",
+        ops=("S4",),
+    )
+)
+_register(
+    QuerySpec(
+        name="events_date_filter",
+        fn=events.q_events_date_filter,
+        oracle=events.Q_EVENTS_DATE_FILTER_SQL,
+        description="S9/P8: date-literal predicate scan with pushdown "
+        "(reference pipeline.py:516-519)",
+        ops=("S9", "P8", "P10", "P11"),
+    )
+)
+_register(
+    QuerySpec(
+        name="events_hourly_rollup",
+        fn=events.q_events_hourly_rollup,
+        oracle=events.Q_EVENTS_HOURLY_ROLLUP_SQL,
+        description="Tumbling-window hourly aggregation (batch anchor for the "
+        "Structured Streaming path)",
+        ops=("A1", "A2", "A3"),
+        bench=True,
+    )
+)
+_register(
+    QuerySpec(
+        name="pipeline_summary",
+        fn=events.q_pipeline_summary,
+        oracle=events.q_pipeline_summary_sql(procurement.Q_SUPPLIER_ORDERS_SQL),
+        description="D3/D4 + A6-A8: run-summary metrics with exact-cents cost "
+        "sum (reference pipeline.py:738-774)",
+        ops=("A6", "A7", "A8", "D3", "D4"),
+    )
+)
+_register(
+    QuerySpec(
+        name="row_counts",
+        fn=events.q_row_counts,
+        oracle=events.Q_ROW_COUNTS_SQL,
+        description="S10/A5: post-load row-count validation "
+        "(reference pipeline.py:362-380)",
+        ops=("S10", "A5"),
+    )
+)
+_register(
+    QuerySpec(
+        name="pricing_summary",
+        fn=analytics.q_pricing_summary,
+        oracle=analytics.Q_PRICING_SUMMARY_SQL,
+        description="TPC-H Q1-shaped multi-aggregate GROUP BY",
+        ops=("A1", "A2", "A3", "P7"),
+        bench=True,
+    )
+)
+_register(
+    QuerySpec(
+        name="top_parts_by_revenue",
+        fn=analytics.q_top_parts_by_revenue,
+        oracle=analytics.Q_TOP_PARTS_BY_REVENUE_SQL,
+        description="Top-k via TakeOrderedAndProject with deterministic tiebreak",
+        ops=("O1",),
+    )
+)
+_register(
+    QuerySpec(
+        name="distinct_counts",
+        fn=analytics.q_distinct_counts,
+        oracle=analytics.Q_DISTINCT_COUNTS_SQL,
+        description="DISTINCT aggregation per group",
+        ops=("A1",),
+    )
+)
+_register(
+    QuerySpec(
+        name="rollup_revenue",
+        fn=analytics.q_rollup_revenue,
+        oracle=analytics.Q_ROLLUP_REVENUE_SQL,
+        description="ROLLUP grouping sets over region/nation",
+        ops=("A1", "J1"),
+    )
+)
+_register(
+    QuerySpec(
+        name="customers_without_orders",
+        fn=analytics.q_customers_without_orders,
+        oracle=analytics.Q_CUSTOMERS_WITHOUT_ORDERS_SQL,
+        description="Anti join (NOT EXISTS)",
+        ops=("J1",),
+    )
+)
+_register(
+    QuerySpec(
+        name="suppliers_with_returns",
+        fn=analytics.q_suppliers_with_returns,
+        oracle=analytics.Q_SUPPLIERS_WITH_RETURNS_SQL,
+        description="Semi join (EXISTS)",
+        ops=("J1",),
+    )
+)
+_register(
+    QuerySpec(
+        name="order_priority_counts",
+        fn=analytics.q_order_priority_counts,
+        oracle=analytics.Q_ORDER_PRIORITY_COUNTS_SQL,
+        description="Semi join + grouped count (TPC-H Q4 shape)",
+        ops=("J1", "A1", "A3"),
     )
 )
