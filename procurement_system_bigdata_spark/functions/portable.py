@@ -1,0 +1,112 @@
+"""Portable text/hash primitives with paired Spark + DuckDB definitions.
+
+Every function here exists twice: ``spark_*`` returns a pyspark Column and
+``duck_*`` returns the equivalent DuckDB SQL fragment, built from the SAME
+constants so results are bit-identical.  This is what makes the extension
+operators (dedup / similarity / text analysis) oracle-checkable: both engines
+compute the same deterministic integer hashes and the same IEEE double
+expression trees.
+
+Why not Spark's ``F.hash``/``F.xxhash64``: they are engine-specific (Murmur3
+with Spark's seeding) and unavailable in DuckDB; a 31-base polynomial char
+fold mod 2^31-1 is engine-neutral, overflow-safe in BIGINT, and fast enough
+inside whole-stage codegen (no Python UDF anywhere on this path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Polynomial string hash: fold (h*31 + codepoint) mod P over characters.
+HASH_P = 2_147_483_647  # 2^31 - 1
+HASH_SEED = 7
+
+# MinHash family h_i(x) = (A_i * x + B_i) mod P, i = 0..K-1.
+MINHASH_K = 6
+MINHASH_BANDS = 2  # bands of r = K // BANDS rows each
+MINHASH_A = [2 * i + 3 for i in range(MINHASH_K)]
+MINHASH_B = [(1_000_003 * i + 12_345) % HASH_P for i in range(MINHASH_K)]
+
+SIMHASH_BITS = 32
+
+
+# ---------------------------------------------------------------------------
+# Normalization: lower, strip non-alphanumerics to spaces, squeeze, trim.
+# ---------------------------------------------------------------------------
+
+
+def spark_norm_text(col: Column) -> Column:
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(col), "[^a-z0-9 ]", " "), " +", " "
+        )
+    )
+
+
+def duck_norm_text(expr: str) -> str:
+    # DuckDB regexp_replace needs the 'g' flag for replace-all (Spark's default).
+    return (
+        f"trim(regexp_replace(regexp_replace(lower({expr}), '[^a-z0-9 ]', ' ', 'g'),"
+        f" ' +', ' ', 'g'))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Polynomial char hash (string -> BIGINT in [0, P)).
+# ---------------------------------------------------------------------------
+
+
+def spark_str_hash(col: Column) -> Column:
+    return F.aggregate(
+        F.split(col, ""),
+        F.lit(HASH_SEED).cast("long"),
+        lambda acc, ch: (acc * 31 + F.ascii(ch)) % HASH_P,
+    )
+
+
+def duck_str_hash(expr: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST({HASH_SEED} AS BIGINT), "
+        f"list_transform(string_split({expr}, ''), ch -> CAST(ascii(ch) AS BIGINT))), "
+        f"(a, b) -> (a * 31 + b) % {HASH_P})"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Word arrays and shingles.
+# ---------------------------------------------------------------------------
+
+
+def spark_words(col: Column) -> Column:
+    """Words of the normalized text (assumes already-normalized input)."""
+    return F.split(col, " ")
+
+
+def duck_words(expr: str) -> str:
+    return f"string_split({expr}, ' ')"
+
+
+def spark_word_shingles(words: Column, n: int) -> Column:
+    """n-word shingles; empty array when the doc has fewer than n words.
+
+    Guarded with ``when`` because Spark's ``sequence(0, k)`` generates a
+    DESCENDING range for k < 0 instead of an empty one.
+    """
+    size = F.size(words)
+    idx = F.sequence(F.lit(0), size - n)
+    make = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(words, i + j + 1) for j in range(n)]
+        ),
+    )
+    return F.when(size >= n, make).otherwise(F.array().cast("array<string>"))
+
+
+def duck_word_shingles(words_expr: str, n: int) -> str:
+    """DuckDB n-word shingles.  ``words_expr`` should be a simple column
+    reference (it is inlined several times).  ``range(1, k)`` with k <= 1 is
+    empty in DuckDB, so short docs yield [] without a guard."""
+    parts = " || ' ' || ".join(f"{words_expr}[i + {j}]" for j in range(n))
+    return f"list_transform(range(1, len({words_expr}) - {n - 2}), i -> {parts})"

@@ -1,0 +1,317 @@
+"""Deduplication operators for large-scale document pipelines.
+
+Beyond reference parity (the reference has no document processing): exact
+dedup, word-set fingerprint dedup, MinHash+LSH near-dup pairs, SimHash
+fingerprints, and n-gram Jaccard pairs — the operator set a training-data
+pipeline runs before model consumption.
+
+All hashing uses the engine-neutral primitives in functions/portable.py so
+every operator is DuckDB-oracle-checkable; no Python UDFs anywhere (whole-
+stage codegen stays intact).
+
+Scale design (100 TB):
+- Exact/fingerprint dedup: hash-partitioned window over the fingerprint —
+  one shuffle, group sizes are duplicate-cluster sizes (small).
+- MinHash: explode-to-(doc, token-hash), single groupBy computing all K
+  minhashes as K min() aggregates (no k-way cross join), band keys from the
+  signature, self-join per band.  Shuffles are keyed by doc_id then band
+  key; no all-pairs product ever materializes.
+- The token-hash inverted-index join that confirms exact Jaccard has
+  multiplicity proportional to posting-list sizes; on real corpora hot
+  tokens should be dropped/stop-worded first (here the testdata vocabulary
+  is tiny, so the join is deliberately left exact).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import portable as P
+
+
+# ---------------------------------------------------------------------------
+# Exact + fingerprint dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Canonical assignment by md5 of normalized text; min doc_id wins."""
+    norm = P.spark_norm_text(F.col("text"))
+    base = docs.select(F.col("doc_id").cast("long").alias("doc_id"), F.md5(norm).alias("fingerprint"))
+    w = Window.partitionBy("fingerprint")
+    return (
+        base.withColumn("canonical_doc_id", F.min("doc_id").over(w))
+        .withColumn("is_duplicate", F.col("doc_id") != F.col("canonical_doc_id"))
+    )
+
+
+def exact_dedup_sql(table: str = "documents") -> str:
+    norm = P.duck_norm_text("text")
+    return f"""
+    SELECT doc_id, fingerprint,
+           MIN(doc_id) OVER (PARTITION BY fingerprint) AS canonical_doc_id,
+           doc_id != MIN(doc_id) OVER (PARTITION BY fingerprint) AS is_duplicate
+    FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id, md5({norm}) AS fingerprint
+          FROM {table})
+    """
+
+
+def fingerprint_dedup(docs: DataFrame) -> DataFrame:
+    """Word-set fingerprint dedup: order/multiplicity-insensitive duplicates
+    (md5 over the sorted distinct word set) — catches shuffled/repeated-word
+    variants that exact dedup misses."""
+    words = P.spark_words(P.spark_norm_text(F.col("text")))
+    fp = F.md5(F.array_join(F.array_sort(F.array_distinct(words)), " "))
+    base = docs.select(F.col("doc_id").cast("long").alias("doc_id"), fp.alias("fingerprint"))
+    w = Window.partitionBy("fingerprint")
+    return (
+        base.withColumn("canonical_doc_id", F.min("doc_id").over(w))
+        .withColumn("is_duplicate", F.col("doc_id") != F.col("canonical_doc_id"))
+    )
+
+
+def fingerprint_dedup_sql(table: str = "documents") -> str:
+    words = P.duck_words(P.duck_norm_text("text"))
+    return f"""
+    SELECT doc_id, fingerprint,
+           MIN(doc_id) OVER (PARTITION BY fingerprint) AS canonical_doc_id,
+           doc_id != MIN(doc_id) OVER (PARTITION BY fingerprint) AS is_duplicate
+    FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                 md5(array_to_string(list_sort(list_distinct({words})), ' ')) AS fingerprint
+          FROM {table})
+    """
+
+
+# ---------------------------------------------------------------------------
+# Token-hash inverted index (shared by MinHash confirm + Jaccard pairs)
+# ---------------------------------------------------------------------------
+
+
+def _doc_token_hashes(docs: DataFrame, shingle_n: int) -> DataFrame:
+    """(doc_id, h): distinct portable hashes of word n-gram shingles
+    (n=1 -> word set)."""
+    words = P.spark_words(P.spark_norm_text(F.col("text")))
+    tokens = words if shingle_n == 1 else P.spark_word_shingles(words, shingle_n)
+    return (
+        docs.select(F.col("doc_id").cast("long").alias("doc_id"), tokens.alias("tok"))
+        .select("doc_id", F.explode("tok").alias("t"))
+        .select("doc_id", P.spark_str_hash(F.col("t")).alias("h"))
+        .distinct()
+    )
+
+
+def _duck_doc_token_hashes(table: str, shingle_n: int) -> str:
+    words = P.duck_words(P.duck_norm_text("text"))
+    tokens = "ws" if shingle_n == 1 else P.duck_word_shingles("ws", shingle_n)
+    inner = (
+        f"SELECT CAST(doc_id AS BIGINT) AS doc_id, {words} AS ws FROM {table}"
+    )
+    return f"""
+    SELECT DISTINCT doc_id, {P.duck_str_hash("t")} AS h
+    FROM (SELECT doc_id, unnest({tokens}) AS t FROM ({inner}))
+    """
+
+
+def _jaccard_from_index(tok: str, cand_filter: str, threshold: float) -> str:
+    """DuckDB: exact Jaccard for pairs sharing >=1 token (inverted index)."""
+    return f"""
+    WITH tok AS ({tok}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM tok a JOIN tok b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= {threshold}
+          {cand_filter}
+    """
+
+
+def ngram_jaccard_pairs(docs: DataFrame, shingle_n: int = 3, threshold: float = 0.5) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via inverted-index join."""
+    tok = _doc_token_hashes(docs, shingle_n)
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = tok.alias("a"), tok.alias("b")
+    inter = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_pairs_sql(table: str = "documents", shingle_n: int = 3, threshold: float = 0.5) -> str:
+    return _jaccard_from_index(_duck_doc_token_hashes(table, shingle_n), "", threshold)
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(docs: DataFrame, shingle_n: int = 1) -> DataFrame:
+    """(doc_id, m0..m{K-1}): K minhashes computed as K min() aggregates over
+    the exploded token hashes — one shuffle, no per-hash-function pass."""
+    tok = _doc_token_hashes(docs, shingle_n)
+    aggs = [
+        F.min((F.lit(P.MINHASH_A[i]) * F.col("h") + F.lit(P.MINHASH_B[i])) % P.HASH_P).alias(f"m{i}")
+        for i in range(P.MINHASH_K)
+    ]
+    return tok.groupBy("doc_id").agg(*aggs)
+
+
+def _band_key_cols(r: int):
+    return [
+        F.concat_ws("-", *[F.col(f"m{b * r + j}") for j in range(r)]).alias(f"band{b}")
+        for b in range(P.MINHASH_BANDS)
+    ]
+
+
+def minhash_lsh_pairs(docs: DataFrame, shingle_n: int = 1, threshold: float = 0.9) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs, confirmed with exact Jaccard.
+
+    Candidates = pairs agreeing on at least one full band of the signature;
+    each candidate is then confirmed against the exact token-set Jaccard.
+    Identical banding runs in the oracle, so the (approximate) candidate set
+    is deterministic and the outputs match exactly.
+    """
+    r = P.MINHASH_K // P.MINHASH_BANDS
+    sigs = minhash_signatures(docs, shingle_n)
+    bands = sigs.select("doc_id", *_band_key_cols(r))
+    stacked = None
+    for b in range(P.MINHASH_BANDS):
+        part = bands.select(
+            "doc_id", F.lit(b).alias("band"), F.col(f"band{b}").alias("key")
+        )
+        stacked = part if stacked is None else stacked.unionAll(part)
+    a, b_ = stacked.alias("a"), stacked.alias("b")
+    cand = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # Confirm candidates against exact set Jaccard via per-doc token-set
+    # arrays + array_intersect: cost is |candidates| * O(set size), instead
+    # of an inverted-index pair explosion (which degenerates quadratically
+    # when the vocabulary is tiny / posting lists are hot).
+    tok = _doc_token_hashes(docs, shingle_n)
+    doc_sets = tok.groupBy("doc_id").agg(F.sort_array(F.collect_set("h")).alias("hs"))
+    sa = doc_sets.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
+    sb = doc_sets.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
+    n_common = F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b")))
+    jac = n_common.cast("double") / (
+        F.size(F.col("hs_a")) + F.size(F.col("hs_b")) - n_common
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_lsh_pairs_sql(table: str = "documents", shingle_n: int = 1, threshold: float = 0.9) -> str:
+    r = P.MINHASH_K // P.MINHASH_BANDS
+    tok = _duck_doc_token_hashes(table, shingle_n)
+    minhash_cols = ", ".join(
+        f"MIN(({P.MINHASH_A[i]} * h + {P.MINHASH_B[i]}) % {P.HASH_P}) AS m{i}"
+        for i in range(P.MINHASH_K)
+    )
+    band_cols = ", ".join(
+        " || '-' || ".join(f"CAST(m{b * r + j} AS VARCHAR)" for j in range(r))
+        + f" AS band{b}"
+        for b in range(P.MINHASH_BANDS)
+    )
+    band_union = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, band{b} AS key FROM bands"
+        for b in range(P.MINHASH_BANDS)
+    )
+    return f"""
+    WITH tok0 AS ({tok}),
+    sigs AS (SELECT doc_id, {minhash_cols} FROM tok0 GROUP BY doc_id),
+    bands AS (SELECT doc_id, {band_cols} FROM sigs),
+    stacked AS ({band_union}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM stacked a JOIN stacked b
+          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ),
+    doc_sets AS (SELECT doc_id, list_sort(list(DISTINCT h)) AS hs
+                 FROM tok0 GROUP BY doc_id)
+    SELECT cand.doc_a, cand.doc_b,
+           CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+               / (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))) AS jaccard
+    FROM cand
+    JOIN doc_sets a ON a.doc_id = cand.doc_a
+    JOIN doc_sets b ON b.doc_id = cand.doc_b
+    WHERE CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+              / (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)))
+          >= {threshold}
+    """
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_fingerprints(docs: DataFrame) -> DataFrame:
+    """32-bit SimHash over word occurrences (multiplicity-weighted)."""
+    words = P.spark_words(P.spark_norm_text(F.col("text")))
+    exploded = (
+        docs.select(F.col("doc_id").cast("long").alias("doc_id"), words.alias("ws"))
+        .select("doc_id", F.explode("ws").alias("w"))
+        .select("doc_id", P.spark_str_hash(F.col("w")).alias("h"))
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{j}")
+        for j in range(P.SIMHASH_BITS)
+    ]
+    agg = exploded.groupBy("doc_id").agg(*bit_sums)
+    sim = None
+    for j in range(P.SIMHASH_BITS):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+        sim = term if sim is None else sim + term
+    return agg.select("doc_id", sim.alias("simhash"))
+
+
+def simhash_fingerprints_sql(table: str = "documents") -> str:
+    words = P.duck_words(P.duck_norm_text("text"))
+    h = P.duck_str_hash("w")
+    bit_sums = ", ".join(
+        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(P.SIMHASH_BITS)
+    )
+    assemble = " + ".join(
+        f"CASE WHEN s{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END"
+        for j in range(P.SIMHASH_BITS)
+    )
+    return f"""
+    WITH exploded AS (
+        SELECT doc_id, {h} AS h
+        FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id, unnest({words}) AS w
+              FROM {table})
+    ),
+    bit_sums AS (SELECT doc_id, {bit_sums} FROM exploded GROUP BY doc_id)
+    SELECT doc_id, {assemble} AS simhash FROM bit_sums
+    """

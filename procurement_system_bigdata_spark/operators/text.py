@@ -1,0 +1,181 @@
+"""Text-analysis operators: language ID, quality scoring, token counting,
+document fingerprinting.
+
+All pure column expressions over the portable primitives (functions/
+portable.py) — no UDFs, fully codegen'd, and every operator has an exact
+DuckDB oracle.  At 100 TB these are embarrassingly parallel map-side
+operators: no shuffle at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import portable as P
+
+# Marker stopwords per language for the n-gram/stopword language heuristic.
+# Deterministic tie order: first language in this list wins ties; 'und'
+# (undetermined) when no marker hits at all.
+LANG_MARKERS: list[tuple[str, tuple[str, ...]]] = [
+    ("en", ("the", "a", "is", "of", "and", "to", "in")),
+    ("es", ("el", "la", "de", "que", "los", "una")),
+    ("de", ("der", "die", "das", "und", "ist", "ein")),
+    ("fr", ("le", "la", "les", "des", "est", "une")),
+    ("zh", ("de0", "shi4", "le0", "zai4")),  # romanized placeholders
+]
+
+STOPWORDS = LANG_MARKERS[0][1]
+
+# BPE-ish token regex: alpha runs, digit runs, or single non-space symbols.
+TOKEN_REGEX = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+
+def _spark_hits(words, markers) -> F.Column:
+    return F.size(F.filter(words, lambda w: w.isin(*markers)))
+
+
+def _duck_hits(words_expr: str, markers) -> str:
+    lst = ", ".join(f"'{m}'" for m in markers)
+    return f"len(list_filter({words_expr}, w -> w IN ({lst})))"
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Stopword-marker language ID with deterministic tie-breaking."""
+    words = P.spark_words(P.spark_norm_text(F.col("text")))
+    base = docs.select(F.col("doc_id").cast("long").alias("doc_id"), words.alias("ws"))
+    for lang, markers in LANG_MARKERS:
+        base = base.withColumn(f"hits_{lang}", _spark_hits(F.col("ws"), markers))
+    best = F.lit("und")
+    best_hits = F.lit(0)
+    # iterate reversed so earlier languages win ties (> replaces only when
+    # strictly greater, and later-applied checks are earlier in the list)
+    for lang, _ in reversed(LANG_MARKERS):
+        cond = F.col(f"hits_{lang}") > best_hits
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_hits = F.when(cond, F.col(f"hits_{lang}")).otherwise(best_hits)
+    return base.select(
+        "doc_id",
+        best.alias("predicted_lang"),
+        F.col("hits_en").alias("en_hits"),
+        F.size(F.col("ws")).alias("n_words"),
+    )
+
+
+def lang_id_sql(table: str = "documents") -> str:
+    words = P.duck_words(P.duck_norm_text("text"))
+    hit_cols = ", ".join(
+        f"{_duck_hits('ws', markers)} AS hits_{lang}" for lang, markers in LANG_MARKERS
+    )
+    # mirror the Spark fold exactly: reversed list, strict > replaces
+    best, best_hits = "'und'", "0"
+    for lang, _ in reversed(LANG_MARKERS):
+        best = f"CASE WHEN hits_{lang} > {best_hits} THEN '{lang}' ELSE {best} END"
+        best_hits = f"CASE WHEN hits_{lang} > {best_hits} THEN hits_{lang} ELSE {best_hits} END"
+    return f"""
+    SELECT doc_id, {best} AS predicted_lang, hits_en AS en_hits, len(ws) AS n_words
+    FROM (
+        SELECT doc_id, {hit_cols}, ws
+        FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id, {words} AS ws FROM {table})
+    )
+    """
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """Heuristic quality signals: length, word stats, punctuation and
+    stopword ratios, composite score.  All per-row double math with
+    identical expression trees in the oracle."""
+    text = F.col("text")
+    norm = P.spark_norm_text(text)
+    words = P.spark_words(norm)
+    n_chars = F.length(text).cast("long")
+    n_words = F.size(words).cast("long")
+    avg_word_len = F.length(norm).cast("double") / n_words.cast("double")
+    n_alnum_sp = F.length(F.regexp_replace(text, "[^a-zA-Z0-9 ]", ""))
+    punct_ratio = (n_chars - n_alnum_sp).cast("double") / n_chars.cast("double")
+    stop_ratio = _spark_hits(words, STOPWORDS).cast("double") / n_words.cast("double")
+    score = (
+        F.least(n_words.cast("double") / 100.0, F.lit(1.0)) * 0.5
+        + stop_ratio * 0.3
+        + (1.0 - punct_ratio) * 0.2
+    )
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        n_chars.alias("n_chars"),
+        n_words.alias("n_words"),
+        avg_word_len.alias("avg_word_len"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def quality_scores_sql(table: str = "documents") -> str:
+    norm = P.duck_norm_text("text")
+    words = P.duck_words(norm)
+    hits = _duck_hits(words, STOPWORDS)
+    return f"""
+    SELECT
+        CAST(doc_id AS BIGINT) AS doc_id,
+        CAST(length(text) AS BIGINT) AS n_chars,
+        CAST(len({words}) AS BIGINT) AS n_words,
+        CAST(length({norm}) AS DOUBLE) / CAST(len({words}) AS DOUBLE) AS avg_word_len,
+        CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))
+            AS DOUBLE) / CAST(length(text) AS DOUBLE) AS punct_ratio,
+        CAST({hits} AS DOUBLE) / CAST(len({words}) AS DOUBLE) AS stopword_ratio,
+        least(CAST(len({words}) AS DOUBLE) / 100.0, 1.0) * 0.5
+            + (CAST({hits} AS DOUBLE) / CAST(len({words}) AS DOUBLE)) * 0.3
+            + (1.0 - CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))
+                   AS DOUBLE) / CAST(length(text) AS DOUBLE)) * 0.2 AS quality_score
+    FROM {table}
+    """
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """Whitespace token count + BPE-ish regex token count + chars/token."""
+    text = F.col("text")
+    ws_tokens = F.size(F.split(F.trim(text), "\\s+")).cast("long")
+    re_tokens = F.size(F.regexp_extract_all(text, F.lit(TOKEN_REGEX), F.lit(0))).cast("long")
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        ws_tokens.alias("ws_tokens"),
+        re_tokens.alias("regex_tokens"),
+        (F.length(text).cast("double") / re_tokens.cast("double")).alias("chars_per_token"),
+    )
+
+
+def token_counts_sql(table: str = "documents") -> str:
+    return f"""
+    SELECT
+        CAST(doc_id AS BIGINT) AS doc_id,
+        CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS ws_tokens,
+        CAST(len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS BIGINT) AS regex_tokens,
+        CAST(length(text) AS DOUBLE)
+            / CAST(len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS BIGINT)
+            AS chars_per_token
+    FROM {table}
+    """
+
+
+def doc_fingerprints(docs: DataFrame) -> DataFrame:
+    """Stable document fingerprints: md5 of normalized text, the portable
+    rolling hash, and a prefix key for locality-based partitioning."""
+    norm = P.spark_norm_text(F.col("text"))
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.md5(norm).alias("md5_fp"),
+        P.spark_str_hash(norm).alias("poly_fp"),
+        F.substring(norm, 1, 16).alias("prefix_key"),
+    )
+
+
+def doc_fingerprints_sql(table: str = "documents") -> str:
+    norm = P.duck_norm_text("text")
+    return f"""
+    SELECT
+        CAST(doc_id AS BIGINT) AS doc_id,
+        md5({norm}) AS md5_fp,
+        {P.duck_str_hash(norm)} AS poly_fp,
+        substring({norm}, 1, 16) AS prefix_key
+    FROM {table}
+    """

@@ -1,0 +1,108 @@
+"""Driver-facing queries for the training-data-pipeline extension operators
+(dedup / similarity / text analysis) over the documents and embeddings
+tables."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import load_table
+from ..operators import dedup, similarity, text
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# --- dedup ---------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    return dedup.exact_dedup(_docs(spark, sf_dir))
+
+
+Q_DEDUP_EXACT_SQL = dedup.exact_dedup_sql()
+
+
+def q_dedup_fingerprint(spark, sf_dir):
+    return dedup.fingerprint_dedup(_docs(spark, sf_dir))
+
+
+Q_DEDUP_FINGERPRINT_SQL = dedup.fingerprint_dedup_sql()
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    return dedup.minhash_lsh_pairs(_docs(spark, sf_dir))
+
+
+Q_DEDUP_MINHASH_LSH_SQL = dedup.minhash_lsh_pairs_sql()
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir))
+
+
+Q_DEDUP_NGRAM_JACCARD_SQL = dedup.ngram_jaccard_pairs_sql()
+
+
+def q_simhash_fingerprints(spark, sf_dir):
+    return dedup.simhash_fingerprints(_docs(spark, sf_dir))
+
+
+Q_SIMHASH_FINGERPRINTS_SQL = dedup.simhash_fingerprints_sql()
+
+
+# --- similarity ----------------------------------------------------------
+
+def q_embedding_topk(spark, sf_dir):
+    return similarity.cosine_topk(_emb(spark, sf_dir))
+
+
+Q_EMBEDDING_TOPK_SQL = similarity.cosine_topk_sql()
+
+
+def q_embedding_neardup(spark, sf_dir):
+    return similarity.cosine_neardup_pairs(_emb(spark, sf_dir))
+
+
+Q_EMBEDDING_NEARDUP_SQL = similarity.cosine_neardup_pairs_sql()
+
+
+def q_embedding_ann_lsh(spark, sf_dir):
+    return similarity.lsh_ann_candidates(_emb(spark, sf_dir))
+
+
+# approximate by design -> rows-only check; tests assert candidates ⊆ exact.
+
+
+# --- text analysis -------------------------------------------------------
+
+def q_lang_id(spark, sf_dir):
+    return text.lang_id(_docs(spark, sf_dir))
+
+
+Q_LANG_ID_SQL = text.lang_id_sql()
+
+
+def q_text_quality(spark, sf_dir):
+    return text.quality_scores(_docs(spark, sf_dir))
+
+
+Q_TEXT_QUALITY_SQL = text.quality_scores_sql()
+
+
+def q_token_counts(spark, sf_dir):
+    return text.token_counts(_docs(spark, sf_dir))
+
+
+Q_TOKEN_COUNTS_SQL = text.token_counts_sql()
+
+
+def q_doc_fingerprints(spark, sf_dir):
+    return text.doc_fingerprints(_docs(spark, sf_dir))
+
+
+Q_DOC_FINGERPRINTS_SQL = text.doc_fingerprints_sql()

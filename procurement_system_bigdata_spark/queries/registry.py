@@ -14,7 +14,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import analytics, events, procurement
+from . import analytics, events, llmdata, procurement
 
 
 @dataclass(frozen=True)
@@ -183,5 +183,120 @@ _register(
         oracle=analytics.Q_ORDER_PRIORITY_COUNTS_SQL,
         description="Semi join + grouped count (TPC-H Q4 shape)",
         ops=("J1", "A1", "A3"),
+    )
+)
+
+# --- training-data-pipeline extensions (north_star) ----------------------
+_register(
+    QuerySpec(
+        name="dedup_exact",
+        fn=llmdata.q_dedup_exact,
+        oracle=llmdata.Q_DEDUP_EXACT_SQL,
+        description="Exact dedup: canonical doc per md5(normalized text)",
+        ops=("EXT-dedup",),
+    )
+)
+_register(
+    QuerySpec(
+        name="dedup_fingerprint",
+        fn=llmdata.q_dedup_fingerprint,
+        oracle=llmdata.Q_DEDUP_FINGERPRINT_SQL,
+        description="Word-set fingerprint dedup (order/multiplicity-insensitive)",
+        ops=("EXT-dedup",),
+        bench=True,
+    )
+)
+_register(
+    QuerySpec(
+        name="dedup_minhash_lsh",
+        fn=llmdata.q_dedup_minhash_lsh,
+        oracle=llmdata.Q_DEDUP_MINHASH_LSH_SQL,
+        description="MinHash+LSH near-dup pairs, Jaccard-confirmed",
+        # not a bench headline: the synthetic corpus has a 31-word vocabulary
+        # so the TRUE answer is near-quadratic (~900k pairs at sf0.1) and the
+        # timing measures output volume, not engine speed
+        ops=("EXT-dedup",),
+    )
+)
+_register(
+    QuerySpec(
+        name="dedup_ngram_jaccard",
+        fn=llmdata.q_dedup_ngram_jaccard,
+        oracle=llmdata.Q_DEDUP_NGRAM_JACCARD_SQL,
+        description="Exact 3-gram Jaccard pairs via inverted-index join",
+        ops=("EXT-dedup",),
+    )
+)
+_register(
+    QuerySpec(
+        name="simhash_fingerprints",
+        fn=llmdata.q_simhash_fingerprints,
+        oracle=llmdata.Q_SIMHASH_FINGERPRINTS_SQL,
+        description="32-bit SimHash fingerprints over word occurrences",
+        ops=("EXT-dedup",),
+    )
+)
+_register(
+    QuerySpec(
+        name="embedding_topk",
+        fn=llmdata.q_embedding_topk,
+        oracle=llmdata.Q_EMBEDDING_TOPK_SQL,
+        description="Brute-force cosine top-k neighbours (exact ANN baseline)",
+        ops=("EXT-similarity",),
+        bench=True,
+    )
+)
+_register(
+    QuerySpec(
+        name="embedding_neardup",
+        fn=llmdata.q_embedding_neardup,
+        oracle=llmdata.Q_EMBEDDING_NEARDUP_SQL,
+        description="Exact all-pairs cosine near-duplicate detection",
+        ops=("EXT-similarity",),
+    )
+)
+_register(
+    QuerySpec(
+        name="embedding_ann_lsh",
+        fn=llmdata.q_embedding_ann_lsh,
+        oracle=None,  # approximate by design; tests assert ⊆ exact pairs
+        description="LSH-bucketed ANN candidates (scale path; rows-only)",
+        ops=("EXT-similarity",),
+    )
+)
+_register(
+    QuerySpec(
+        name="lang_id",
+        fn=llmdata.q_lang_id,
+        oracle=llmdata.Q_LANG_ID_SQL,
+        description="Stopword-marker language ID with deterministic ties",
+        ops=("EXT-text",),
+    )
+)
+_register(
+    QuerySpec(
+        name="text_quality",
+        fn=llmdata.q_text_quality,
+        oracle=llmdata.Q_TEXT_QUALITY_SQL,
+        description="Quality scoring: length/punct/stopword signals",
+        ops=("EXT-text",),
+    )
+)
+_register(
+    QuerySpec(
+        name="token_counts",
+        fn=llmdata.q_token_counts,
+        oracle=llmdata.Q_TOKEN_COUNTS_SQL,
+        description="Whitespace + BPE-ish regex token counting",
+        ops=("EXT-text",),
+    )
+)
+_register(
+    QuerySpec(
+        name="doc_fingerprints",
+        fn=llmdata.q_doc_fingerprints,
+        oracle=llmdata.Q_DOC_FINGERPRINTS_SQL,
+        description="md5 + portable rolling-hash document fingerprints",
+        ops=("EXT-text",),
     )
 )
