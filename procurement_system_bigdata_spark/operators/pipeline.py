@@ -1,0 +1,231 @@
+"""The procurement pipeline on reference-shaped inputs.
+
+This is the engine a user of the reference would actually run: the 8-task
+Airflow DAG (reference dags/pipeline.py:813-885) collapsed into pure
+DataFrame stage functions plus a ``run_pipeline`` driver.  Data moves
+between stages in memory instead of via HDFS files; each analytic stage is
+a function so it can be recomputed (reference behavior — each Trino query
+re-derives its CTEs from raw, SURVEY §2.7) or cached for reuse.
+
+Query semantics are 1:1 with the three federated Trino queries:
+- aggregate_orders   -> pipeline.py:408-426 (Q1)
+- net_demand         -> pipeline.py:495-537 (Q2)
+- supplier_orders    -> pipeline.py:616-687 (Q3 + Python enrichment)
+with the documented determinism fixes (SURVEY §2.5): ROW_NUMBER tie-breaks
+on supplier_id / (sku_id, warehouse_id).
+"""
+
+from __future__ import annotations
+
+from datetime import date
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def aggregate_orders(
+    orders: DataFrame, products: DataFrame, warehouses: DataFrame, full: bool = True
+) -> DataFrame:
+    """Q1 (reference pipeline.py:408-426): orders ⋈ products ⋈ warehouses,
+    8-key GROUP BY, SUM/COUNT/MAX.  Dims are tiny -> broadcast; at scale the
+    fact side never shuffles for the joins, only for the aggregation."""
+    joined = (
+        orders.join(F.broadcast(products), orders.sku_id == products.sku_id)
+        .join(F.broadcast(warehouses), orders.warehouse_id == warehouses.warehouse_id)
+    )
+    keys = [
+        orders.sku_id.alias("sku_id"),
+        products.sku_code.alias("sku_code"),
+        products.name.alias("product_name"),
+        products.category.alias("category"),
+        orders.warehouse_id.alias("warehouse_id"),
+        warehouses.warehouse_code.alias("warehouse_code"),
+        warehouses.name.alias("warehouse_name"),
+        warehouses.city.alias("city"),
+    ]
+    aggs = [F.sum(orders.quantity).alias("total_quantity")]
+    if full:
+        aggs += [
+            F.count(F.lit(1)).alias("order_count"),
+            F.max(orders.order_date).alias("order_date"),  # string max on ISO dates (A4)
+        ]
+    out = joined.groupBy(*keys).agg(*aggs)
+    return out.orderBy(F.desc("total_quantity")) if full else out
+
+
+def safety_stock_combined(
+    safety_stock: DataFrame, warehouses: DataFrame, ss_by_warehouse: DataFrame
+) -> DataFrame:
+    """Q2 CTE (reference pipeline.py:506-515): global per-SKU safety stock
+    densified across all warehouses (CROSS JOIN), per-warehouse overrides
+    via LEFT JOIN + 3-arg COALESCE.  Keeps the reference quirk: SKUs present
+    only in the override table are dropped (the anchor is safety_stock)."""
+    dense = safety_stock.alias("ss").crossJoin(
+        F.broadcast(warehouses.select(F.col("warehouse_id")).alias("w"))
+    )
+    ssw = ss_by_warehouse.alias("ssw")
+    return dense.join(
+        F.broadcast(ssw),
+        (F.col("ss.sku_id") == F.col("ssw.sku_id"))
+        & (F.col("w.warehouse_id") == F.col("ssw.warehouse_id")),
+        "left",
+    ).select(
+        F.coalesce(F.col("ssw.sku_id"), F.col("ss.sku_id")).alias("sku_id"),
+        F.coalesce(F.col("ssw.warehouse_id"), F.col("w.warehouse_id")).alias("warehouse_id"),
+        F.coalesce(
+            F.col("ssw.safety_stock_qty"), F.col("ss.safety_stock_qty"), F.lit(0)
+        ).alias("safety_stock_qty"),
+    )
+
+
+def inventory_for_date(snapshots: DataFrame, run_date: date) -> DataFrame:
+    """Q2 CTE inventory_data (reference pipeline.py:516-519): one snapshot
+    day selected by date predicate (the Cassandra clustering-key read; with
+    a date-partitioned snapshot store this is pure partition pruning)."""
+    return snapshots.filter(F.col("snapshot_date") == F.lit(run_date)).select(
+        "sku_code", "warehouse_code", "available_qty", "reserved_qty"
+    )
+
+
+def net_demand(
+    agg_orders: DataFrame,
+    ss_combined: DataFrame,
+    inventory: DataFrame,
+    run_date: date,
+    full: bool = True,
+) -> DataFrame:
+    """Q2 final select (reference pipeline.py:521-537) + the Python-appended
+    calculation_date column (P13, pipeline.py:544-545, dd-MM-yyyy)."""
+    ss = ss_combined.withColumnRenamed("safety_stock_qty", "ss_qty")
+    joined = (
+        agg_orders.join(F.broadcast(ss), ["sku_id", "warehouse_id"], "left")
+        .join(inventory, ["sku_code", "warehouse_code"], "left")
+    )
+    avail = F.coalesce(F.col("available_qty"), F.lit(0))
+    resv = F.coalesce(F.col("reserved_qty"), F.lit(0))
+    net = F.greatest(
+        F.lit(0).cast("long"),
+        (F.col("total_quantity") + F.coalesce(F.col("ss_qty"), F.lit(0)) - (avail - resv)).cast(
+            "long"
+        ),
+    )
+    dims = ["sku_id", "sku_code", "product_name", "category", "warehouse_id",
+            "warehouse_code", "warehouse_name", "city"]
+    if not full:
+        return joined.select(*dims, net.alias("net_demand"))
+    return joined.select(
+        *dims,
+        F.col("total_quantity").alias("aggregated_orders"),
+        F.coalesce(F.col("ss_qty"), F.lit(0)).cast("long").alias("safety_stock"),
+        avail.cast("long").alias("available_stock"),
+        resv.cast("long").alias("reserved_stock"),
+        (avail - resv).cast("long").alias("effective_stock"),
+        net.alias("net_demand"),
+        F.lit(run_date.strftime("%d-%m-%Y")).alias("calculation_date"),
+    ).orderBy(F.desc("net_demand"))
+
+
+def ranked_suppliers(supplier_products: DataFrame, suppliers: DataFrame) -> DataFrame:
+    """Q3 CTE (reference pipeline.py:654-662): active offers ranked by
+    unit_price per SKU.  ROW_NUMBER with the deterministic supplier_id
+    tiebreak — the reference's ORDER BY unit_price alone is nondeterministic
+    on real price ties (SURVEY §2.5; e.g. sku 1 @45.00 from suppliers
+    1/18/30, init.sql:174,:229,:264)."""
+    sp = supplier_products.filter(F.col("is_active"))
+    s = suppliers.filter(F.col("is_active")).select(
+        F.col("supplier_id"), F.col("supplier_code"), F.col("name").alias("supplier_name")
+    )
+    w = Window.partitionBy("sku_id").orderBy(F.asc("unit_price"), F.asc("supplier_id"))
+    return (
+        sp.join(F.broadcast(s), "supplier_id")
+        .withColumn("price_rank", F.row_number().over(w))
+    )
+
+
+def supplier_orders(
+    nd: DataFrame, ranked: DataFrame, run_date: date
+) -> DataFrame:
+    """Q3 final select + Python enrichment (reference pipeline.py:663-687):
+    cheapest supplier (rank=1), pack-rounded order quantity with MOQ floor,
+    cost, delivery date, then PO ids minted in total_cost-DESC order with
+    deterministic tiebreak, order_date and status='PENDING'."""
+    rs = ranked.filter(F.col("price_rank") == 1).select(
+        "sku_id", "supplier_id", "supplier_code", "supplier_name",
+        "pack_size", "min_order_qty", "unit_price", "currency", "lead_time_days",
+    )
+    joined = nd.filter(F.col("net_demand") > 0).join(F.broadcast(rs), "sku_id")
+    # CEILING(CAST(net AS DOUBLE)/pack)*pack (pipeline.py:668): Trino CEILING
+    # on DOUBLE returns DOUBLE, hence the observed float order_quantity values
+    # (data/output/.../supplier_orders.csv: "79.0"); GREATEST(moq, ...) then
+    # promotes to DOUBLE too. Reproduced exactly, documented float quirk.
+    order_qty = F.greatest(
+        F.col("min_order_qty").cast("double"),
+        F.ceil(F.col("net_demand").cast("double") / F.col("pack_size")).cast("double")
+        * F.col("pack_size"),
+    )
+    enriched = joined.select(
+        "sku_id", "sku_code", "product_name", "category",
+        "warehouse_id", "warehouse_code", "warehouse_name", "city",
+        "supplier_id", "supplier_code", "supplier_name",
+        "net_demand", "pack_size", "min_order_qty", "unit_price", "currency",
+        "lead_time_days",
+        order_qty.alias("order_quantity"),
+        (order_qty * F.col("unit_price").cast("double")).alias("total_cost"),
+        F.date_add(F.lit(run_date), F.col("lead_time_days")).alias("expected_delivery_date"),
+    )
+    po_w = Window.orderBy(F.desc("total_cost"), "sku_id", "warehouse_id")
+    compact = run_date.strftime("%Y%m%d")
+    return (
+        enriched.withColumn("_seq", F.row_number().over(po_w))
+        .withColumn("order_id", F.format_string("PO-%s-%05d", F.lit(compact), F.col("_seq")))
+        .withColumn("order_date", F.lit(run_date.isoformat()))
+        .withColumn("status", F.lit("PENDING"))
+        .drop("_seq")
+        .orderBy(F.desc("total_cost"), "sku_id", "warehouse_id")
+    )
+
+
+def run_pipeline(
+    orders: DataFrame,
+    products: DataFrame,
+    warehouses: DataFrame,
+    suppliers: DataFrame,
+    supplier_products: DataFrame,
+    safety_stock: DataFrame,
+    ss_by_warehouse: DataFrame,
+    snapshots: DataFrame,
+    run_date: date,
+) -> dict:
+    """D1-D4 (reference pipeline.py:813-885): the sequential DAG as one
+    driver function.  Returns the three result DataFrames plus the summary
+    metrics dict (XCom replacement; 0-defaults like trigger_rule=all_done).
+
+    The reference re-derives the shared CTEs inside every query; here each
+    stage df is built once and reused — same results, one pass.  Callers
+    wanting byte-layout outputs use sources.sinks on the returned frames.
+    """
+    agg_full = aggregate_orders(orders, products, warehouses, full=True)
+    agg_slim = aggregate_orders(orders, products, warehouses, full=False)
+    ssc = safety_stock_combined(safety_stock, warehouses, ss_by_warehouse)
+    inv = inventory_for_date(snapshots, run_date)
+    nd_full = net_demand(agg_slim, ssc, inv, run_date, full=True)
+    rs = ranked_suppliers(supplier_products, suppliers)
+    so = supplier_orders(nd_full, rs, run_date)
+
+    summary = {
+        "run_date": run_date.isoformat(),
+        "orders_count": orders.count(),
+        "aggregated_count": agg_full.count(),
+        "net_demand_count": nd_full.count(),
+        "total_net_demand": (nd_full.agg(F.sum("net_demand")).first()[0] or 0),
+        "items_with_demand": nd_full.filter(F.col("net_demand") > 0).count(),
+        "supplier_orders_count": so.count(),
+        "total_cost": float(so.agg(F.sum("total_cost")).first()[0] or 0.0),
+    }
+    return {
+        "aggregated_orders": agg_full,
+        "net_demand": nd_full,
+        "supplier_orders": so,
+        "summary": summary,
+    }

@@ -1,0 +1,87 @@
+"""Reference-shaped sources: CSV facts, JSON array files, snapshot upserts.
+
+Replaces the reference's ingestion stack (WebHDFS uploads S1, Python
+JSON→CSV conversion S2/S3, per-row Cassandra inserts S4 — reference
+dags/pipeline.py:175-183, :222-229, :269-289) with direct Spark reads; the
+copy steps collapse into the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import schemas
+
+
+def read_orders_csv(
+    spark: SparkSession, path: str, permissive: bool = False
+) -> DataFrame:
+    """S7: header CSV read with the all-VARCHAR schema, then explicit CASTs
+    (P2) — mirrors the Hive external table + query-time CAST semantics
+    (reference pipeline.py:331-345, :410-418).
+
+    Under Spark's ANSI mode a malformed numeric FAILS the query at cast
+    time — the same surface as Trino, whose CAST failures the reference
+    recorded in production (data/logs/exceptions/.../TYPE_MISMATCH).
+    ``permissive=True`` switches to try_cast (malformed -> NULL) for
+    salvage-what-you-can loads.
+    """
+    raw = spark.read.option("header", True).schema(schemas.ORDERS_RAW).csv(path)
+    cast = (lambda c, t: F.col(c).try_cast(t)) if permissive else (
+        lambda c, t: F.col(c).cast(t)
+    )
+    return raw.select(
+        F.col("order_id"),
+        cast("supplier_id", "long").alias("supplier_id"),
+        cast("sku_id", "long").alias("sku_id"),
+        cast("quantity", "long").alias("quantity"),
+        cast("warehouse_id", "long").alias("warehouse_id"),
+        F.col("order_date"),
+    )
+
+
+def read_json_array(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """S3: a whole-file JSON array of flat objects (stock.json /
+    snapshot.json, reference generateData.py:183-191, :267-275)."""
+    reader = spark.read.option("multiLine", True)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_stock_json(spark: SparkSession, path: str) -> DataFrame:
+    """S2: stock.json → the 3-column stock relation (the reference converts
+    to CSV purely as an HDFS staging step; the relation is what matters)."""
+    return read_json_array(spark, path, schemas.STOCK).select(
+        "warehouse_id", "sku_id", "current_stock"
+    )
+
+
+def read_snapshots_json(spark: SparkSession, path: str) -> DataFrame:
+    """S3+S4: snapshot.json with Cassandra last-write-wins upsert semantics
+    replayed as dedup on the PK ((sku_code), snapshot_date, warehouse_code)
+    keeping the last occurrence (reference init.cql:15, pipeline.py:275-289:
+    rows are inserted in file order, so the file's last duplicate wins).
+    """
+    raw = read_json_array(spark, path).select(
+        "sku_code",
+        F.col("snapshot_date").cast("date").alias("snapshot_date"),
+        "warehouse_code",
+        F.col("available_qty").cast("int").alias("available_qty"),
+        F.col("reserved_qty").cast("int").alias("reserved_qty"),
+    )
+    # File order is the write order; monotonically_increasing_id preserves it
+    # per-partition and the window picks the last write per PK.
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("sku_code", "snapshot_date", "warehouse_code")
+        .orderBy(F.desc("_write_seq"))
+    )
+    return (
+        raw.withColumn("_write_seq", F.monotonically_increasing_id())
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_write_seq", "_rn")
+    )

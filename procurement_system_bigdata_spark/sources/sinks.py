@@ -1,0 +1,61 @@
+"""Result sinks: single-file CSV/JSON (byte-layout parity) and partitioned
+parquet (the 100 TB path).
+
+The reference writes one CSV + one pretty JSON per dataset per day under
+``<root>/<dataset>/<dd-MM-yyyy>/`` (S11-S13, reference dags/pipeline.py
+:440-457, :554-571, :696-713).  Single-file output requires coalesce(1) —
+acceptable at daily-batch scale, explicitly NOT the scale path.  At scale,
+``write_partitioned`` keeps the same logical layout (a run_date partition
+column) with parallel writers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from datetime import date
+
+from pyspark.sql import DataFrame
+
+DDMMYYYY = "%d-%m-%Y"  # the reference's directory date format (pipeline.py:39)
+
+
+def day_dir(root: str, dataset: str, run_date: date) -> str:
+    return os.path.join(root, dataset, run_date.strftime(DDMMYYYY))
+
+
+def write_single_csv(df: DataFrame, directory: str, filename: str) -> str:
+    """S12: one header CSV, column order = select order.  Spark writes a
+    part-file into a temp dir; we rename to the exact reference layout."""
+    tmp = directory + "_spark_tmp"
+    df.coalesce(1).write.mode("overwrite").option("header", True).csv(tmp)
+    os.makedirs(directory, exist_ok=True)
+    part = next(f for f in os.listdir(tmp) if f.startswith("part-") and f.endswith(".csv"))
+    final = os.path.join(directory, filename)
+    os.replace(os.path.join(tmp, part), final)
+    for leftover in os.listdir(tmp):
+        os.remove(os.path.join(tmp, leftover))
+    os.rmdir(tmp)
+    return final
+
+
+def write_single_json(df: DataFrame, directory: str, filename: str) -> str:
+    """S11: pretty-printed JSON array (json.dump indent=2 parity,
+    reference pipeline.py:440-442).  Collects — sized for daily-batch
+    result sets only, like the reference's own fetchall()."""
+    rows = [r.asDict(recursive=True) for r in df.collect()]
+    os.makedirs(directory, exist_ok=True)
+    final = os.path.join(directory, filename)
+    with open(final, "w") as f:
+        json.dump(rows, f, indent=2, default=str)
+    return final
+
+
+def write_partitioned(df: DataFrame, path: str, *partition_cols: str) -> None:
+    """The scale path: parquet partitioned by (e.g.) run_date — equivalent
+    logical layout to the reference's date directories (SURVEY §1.3), with
+    partition pruning on read and parallel writers."""
+    writer = df.write.mode("overwrite")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(path)

@@ -1,0 +1,80 @@
+"""Structured Streaming operators over the events stream.
+
+The reference has no streaming surface (SURVEY §2.8) — its only streaming-ish
+semantic is Cassandra's last-write-wins upsert, replayed here in batch
+(sources/readers.read_snapshots_json).  This module adds the Spark-native
+streaming path a production deployment would run:
+
+- hourly tumbling-window rollup with a watermark for late data
+- streaming exact dedup on event_id within the watermark
+
+Both are defined against the SAME aggregation semantics as the batch query
+``queries/events.q_events_hourly_rollup`` (window.start == date_trunc hour,
+exact-cents value sums), and the test suite proves stream(availableNow) ==
+batch on identical input — the Kappa-architecture equivalence that makes the
+operator trustworthy for backfill + live use.
+
+Scale: stateful aggregation state is keyed by (window, event_type) — bounded
+by cardinality, expired by the watermark; at 100 TB/day the state store
+shards across executors via the shuffle partitioning, and the parquet file
+source is replaced by Kafka without touching the aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_events_stream(spark: SparkSession, path: str, schema) -> DataFrame:
+    """File-based stream source (one file = one micro-batch replay unit)."""
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def hourly_rollup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Tumbling 1-hour windowed aggregation with late-data watermark.
+
+    Output columns match the batch q_events_hourly_rollup so results are
+    directly comparable: window_start_us, event_type, n_events, total_value,
+    n_users is omitted (distinct counts need approx_count_distinct in
+    streaming; exposed separately below).
+    """
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(cents) / 100.0).alias("total_value"),
+            F.approx_count_distinct("user_id").alias("approx_users"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "total_value",
+            "approx_users",
+        )
+    )
+
+
+def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup: drop replayed event_ids within the watermark
+    horizon (at-least-once source -> effectively-once sink)."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+def run_to_memory(
+    stream_df: DataFrame, query_name: str, checkpoint: str, mode: str = "append"
+):
+    """Drain a stream with availableNow into an in-memory table (test/backfill
+    harness): processes everything currently available, then stops.
+    mode='complete' for aggregations, 'append' for row streams."""
+    return (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,87 @@
+"""Streaming batch-equivalence and multimodal plumbing tests."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+
+from conftest import SF_DIR
+
+from procurement_system_bigdata_spark.catalog import load_table
+from procurement_system_bigdata_spark.operators import multimodal
+from procurement_system_bigdata_spark.streaming import events as se
+
+
+@pytest.fixture(scope="module")
+def events_parquet_dir(spark):
+    """Re-materialize events (nanos ts normalized to micros) as a stream
+    source directory."""
+    d = tempfile.mkdtemp(prefix="events_stream_")
+    load_table(spark, SF_DIR, "events").write.mode("overwrite").parquet(d)
+    return d
+
+
+def test_stream_equals_batch_hourly_rollup(spark, events_parquet_dir):
+    """Kappa equivalence: availableNow stream over the same files produces
+    the same (window, event_type) -> (count, sum) as the batch query."""
+    import pyspark.sql.functions as F
+
+    schema = spark.read.parquet(events_parquet_dir).schema
+    stream = se.read_events_stream(spark, events_parquet_dir, schema)
+    rollup = se.hourly_rollup_stream(stream)
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = se.run_to_memory(rollup, "rollup_test", ckpt, mode="complete")
+        q.awaitTermination()
+    got = {
+        (r.window_start_us, r.event_type): (r.n_events, r.total_value)
+        for r in spark.sql("select * from rollup_test").collect()
+    }
+
+    batch = (
+        spark.read.parquet(events_parquet_dir)
+        .groupBy(F.date_trunc("hour", "ts").alias("h"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias("tv"),
+        )
+        .select(F.unix_micros("h").alias("us"), "event_type", "n", "tv")
+    )
+    want = {(r.us, r.event_type): (r.n, r.tv) for r in batch.collect()}
+    assert got == want
+
+
+def test_stream_dedup_drops_replays(spark, events_parquet_dir):
+    schema = spark.read.parquet(events_parquet_dir).schema
+    stream = se.read_events_stream(spark, events_parquet_dir, schema)
+    dedup = se.dedup_stream(stream)
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = se.run_to_memory(dedup, "dedup_test", ckpt, mode="append")
+        q.awaitTermination()
+    n = spark.sql("select count(distinct event_id) c, count(*) n from dedup_test").first()
+    assert n.c == n.n  # no duplicate event_ids survive
+
+
+def test_multimodal_feature_extraction(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    media = multimodal.attach_binary_payloads(docs)
+    feats = multimodal.extract_features(media, bucket_partitions=4)
+    rows = feats.collect()
+    assert len(rows) == docs.count()
+    by_id = {r.media_id: r for r in rows}
+    # deterministic: sha of the utf-8 text bytes, head bytes of the text
+    import hashlib
+
+    sample = docs.limit(5).collect()
+    for r in sample:
+        got = by_id[r.doc_id]
+        raw = r.text.encode()
+        assert got.sha256_8 == hashlib.sha256(raw).hexdigest()[:8]
+        assert got.head_hex == raw[:4].hex()
+        assert got.n_bytes == len(raw)
+        assert 0 < got.byte_entropy_q <= 256
+
+
+def test_decode_stub_is_clearly_stubbed():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG...")
