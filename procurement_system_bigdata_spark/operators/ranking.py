@@ -1,0 +1,59 @@
+"""Scalable global sequence numbering (the W2 operator without the
+single-partition window).
+
+``ROW_NUMBER() OVER (ORDER BY ...)`` — the reference's PO-id minting pattern
+(reference dags/pipeline.py:682-684) — forces every row through ONE
+partition.  Fine for 348 purchase orders; a wall at billions of rows.  This
+operator produces the identical numbering with a two-phase plan:
+
+1. range-repartition by the sort key (parallel sort),
+2. per-partition local row numbers (window partitioned BY partition id —
+   parallel),
+3. per-partition counts -> cumulative offsets (a driver-side prefix sum over
+   ~#partitions integers — the only serial step, O(partitions) not O(rows)),
+4. global_seq = local_rn + offset(partition).
+
+The same technique backs zipWithIndex in the RDD world; here it stays in the
+DataFrame API so Catalyst keeps optimizing around it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def with_global_sequence(
+    df: DataFrame,
+    order_by: list[Column],
+    seq_col: str = "seq",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add a 1-based global sequence column ordered by ``order_by`` without a
+    single-partition sort.  ``order_by`` must be a deterministic total order
+    (include a unique tiebreaker) or the numbering is undefined — same
+    contract as ROW_NUMBER itself (SURVEY §2.5)."""
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    parted = df.repartitionByRange(n, *order_by)
+    w = Window.partitionBy("_pid").orderBy(*order_by)
+    local = (
+        parted.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_local_rn", F.row_number().over(w))
+    )
+    # Barrier: repartitionByRange SAMPLES its range boundaries, so two plan
+    # branches over `parted` could see different partitionings.  Persist
+    # pins one materialization for both the counts branch and the join.
+    local = local.persist()
+    counts = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    # prefix-sum over ~#partitions rows: the single-partition window here is
+    # over partition COUNTS, not data rows — O(partitions), always tiny
+    off_w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "_offset", F.coalesce(F.sum("_cnt").over(off_w), F.lit(0))
+    ).select("_pid", "_offset")
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(seq_col, (F.col("_local_rn") + F.col("_offset")).cast("long"))
+        .drop("_pid", "_local_rn", "_offset")
+    )

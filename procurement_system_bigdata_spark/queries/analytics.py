@@ -176,6 +176,33 @@ Q_SUPPLIERS_WITH_RETURNS_SQL = """
 """
 
 
+# NOTE: "/ CAST(100.0 AS DOUBLE)" — Spark SQL parses a bare 100.0 literal as
+# DECIMAL(4,1) (DuckDB as DOUBLE), which would silently change the division
+# type on one engine only; the cast pins both to double.
+ADHOC_SQL = """
+    SELECT n.n_name AS nation, o.o_orderpriority AS priority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               / CAST(100.0 AS DOUBLE) AS total_price
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1, 2
+"""
+
+
+def q_adhoc_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entry point 3 (SURVEY §3): the interactive SQL surface.  Every table
+    is registered as a temp view (the reference's Trino catalogs, reference
+    README.md:196-213) and the SAME ANSI SQL text runs on spark.sql and the
+    DuckDB oracle — S5-style namespace DDL collapses into view registration.
+    """
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(ADHOC_SQL)
+
+
 def q_order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 shape: semi join orders→lineitem + grouped count."""
     orders = load_table(spark, sf_dir, "orders")

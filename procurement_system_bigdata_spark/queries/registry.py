@@ -186,6 +186,17 @@ _register(
     )
 )
 
+_register(
+    QuerySpec(
+        name="adhoc_sql",
+        fn=analytics.q_adhoc_sql,
+        oracle=analytics.ADHOC_SQL,
+        description="Interactive SQL surface: identical ANSI SQL text through "
+        "spark.sql over registered views and the oracle (entry point 3)",
+        ops=("S5", "S8"),
+    )
+)
+
 # --- training-data-pipeline extensions (north_star) ----------------------
 _register(
     QuerySpec(

@@ -1,0 +1,64 @@
+"""Physical-plan regression tests: the plans that pass correctness must also
+be the plans we'd run at 100 TB (SURVEY §4 / build-plan §7 scale hygiene)."""
+
+from __future__ import annotations
+
+from conftest import SF_DIR
+
+from procurement_system_bigdata_spark.plans.explain import assert_scale_safe, plan_stats
+from procurement_system_bigdata_spark.queries.registry import REGISTRY
+
+
+def test_aggregate_orders_plan(spark):
+    stats = assert_scale_safe(
+        REGISTRY["aggregate_orders"].fn(spark, SF_DIR),
+        require_pushed_filter="l_shipdate",
+    )
+    # facts join three dims: all broadcast, no fact-side shuffle before agg
+    assert stats["broadcast_hash_joins"] >= 3
+
+
+def test_net_demand_plan(spark):
+    # The two aggregate⋈aggregate left joins (demand⋈safety-stock-grid and
+    # demand⋈inventory) are cardinality-bounded by |sku|×|warehouse| — too
+    # big to broadcast at 100 TB, so a shuffle join is the CORRECT static
+    # plan; AQE converts them to broadcast at runtime when actual sizes are
+    # small.  Every dim join must still be broadcast.
+    stats = assert_scale_safe(
+        REGISTRY["net_demand"].fn(spark, SF_DIR),
+        max_sort_merge_joins=2,
+        require_pushed_filter="l_shipdate",
+    )
+    assert stats["broadcast_hash_joins"] >= 6
+
+
+def test_supplier_orders_plan(spark):
+    # Same two aggregate-side shuffle joins as net_demand; W2 (global PO
+    # numbering) additionally forces one single-partition exchange at the
+    # very end (rows there = final purchase orders, dim-product bounded)
+    stats = assert_scale_safe(
+        REGISTRY["supplier_orders"].fn(spark, SF_DIR), max_sort_merge_joins=3
+    )
+    assert stats["broadcast_hash_joins"] >= 6
+
+
+def test_top_k_uses_take_ordered(spark):
+    stats = plan_stats(REGISTRY["top_parts_by_revenue"].fn(spark, SF_DIR))
+    assert stats["take_ordered"] >= 1, "LIMIT should compile to TakeOrderedAndProject"
+
+
+def test_events_scan_prunes_columns(spark):
+    stats = plan_stats(REGISTRY["events_date_filter"].fn(spark, SF_DIR))
+    # props (a wide JSON string column) must not be read
+    assert all("props" not in s for s in stats["read_schemas"])
+
+
+def test_extension_ops_stay_jvm_side(spark):
+    """Dedup/text/similarity operators are built from builtins only — no
+    Python UDF may appear in their plans (multimodal mapInPandas is the
+    single sanctioned Arrow boundary and is not in this set)."""
+    for name in ("dedup_fingerprint", "dedup_minhash_lsh", "simhash_fingerprints",
+                 "lang_id", "text_quality", "token_counts", "doc_fingerprints",
+                 "embedding_topk"):
+        stats = plan_stats(REGISTRY[name].fn(spark, SF_DIR))
+        assert stats["python_udfs"] == 0, f"{name} fell off codegen"

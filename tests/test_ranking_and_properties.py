@@ -1,0 +1,151 @@
+"""Scalable ranking equivalence + property-based pipeline invariants
+(SURVEY §5.2: Hypothesis over generated frames mirroring generateData.py)."""
+
+from __future__ import annotations
+
+from datetime import date
+
+import pyspark.sql.functions as F
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from conftest import SF_DIR
+
+from procurement_system_bigdata_spark.catalog import load_table
+from procurement_system_bigdata_spark.operators import pipeline as pl
+from procurement_system_bigdata_spark.operators.ranking import with_global_sequence
+from procurement_system_bigdata_spark import schemas
+
+
+def test_global_sequence_equals_row_number(spark):
+    """The two-phase numbering must be identical to the single-partition
+    ROW_NUMBER on a deterministic total order."""
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    # (orderkey, linenumber) alone is NOT unique in this data — the unique
+    # total order (and dict key) must be the full sort tuple
+    order = [F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber")]
+    key = lambda r: (r.l_extendedprice, r.l_orderkey, r.l_linenumber)  # noqa: E731
+    fast = {
+        key(r): r.seq for r in with_global_sequence(li, order, num_partitions=7).collect()
+    }
+    from pyspark.sql.window import Window
+
+    slow = {
+        key(r): r.seq
+        for r in li.withColumn(
+            "seq", F.row_number().over(Window.orderBy(*order))
+        ).collect()
+    }
+    assert len(fast) == li.count()
+    assert fast == slow
+
+
+# --- property-based pipeline invariants ----------------------------------
+
+order_rows = st.lists(
+    st.tuples(
+        st.integers(1, 8),    # sku_id
+        st.integers(1, 3),    # warehouse_id
+        st.integers(1, 500),  # quantity
+    ),
+    min_size=1,
+    max_size=60,
+)
+snapshot_rows = st.lists(
+    st.tuples(
+        st.integers(1, 8),    # sku index -> PROD00x
+        st.integers(1, 3),    # warehouse index -> WH00x
+        st.integers(0, 800),  # available
+        st.integers(0, 200),  # reserved
+    ),
+    max_size=20,
+    unique_by=lambda t: (t[0], t[1]),
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_master(spark):
+    from decimal import Decimal
+
+    products = spark.createDataFrame(
+        [(i, f"PROD00{i}", f"Product {i}", "Cat", "unit", True, None) for i in range(1, 9)],
+        schemas.PRODUCTS,
+    )
+    warehouses = spark.createDataFrame(
+        [(i, f"WH00{i}", f"Warehouse {i}", "City", True) for i in range(1, 4)],
+        schemas.WAREHOUSES,
+    )
+    suppliers = spark.createDataFrame(
+        [(i, f"SUP00{i}", f"Supplier {i}", "e", "p", i != 3, None) for i in range(1, 5)],
+        schemas.SUPPLIERS,
+    )
+    # sku i offered by suppliers (i%4)+1 and ((i+1)%4)+1; supplier 3 inactive
+    sp = []
+    for i in range(1, 9):
+        for s in {(i % 4) + 1, ((i + 1) % 4) + 1}:
+            sp.append((s, i, 5, 10, 3, Decimal(str(10 + ((s * 7 + i) % 5))), "MAD", True))
+    supplier_products = spark.createDataFrame(sp, schemas.SUPPLIER_PRODUCTS)
+    safety_stock = spark.createDataFrame(
+        [(i, 20 * i) for i in range(1, 9)], schemas.SAFETY_STOCK
+    )
+    ssw = spark.createDataFrame(
+        [(1, i, 5 * i) for i in range(1, 5)], schemas.SAFETY_STOCK_BY_WAREHOUSE
+    )
+    return dict(
+        products=products, warehouses=warehouses, suppliers=suppliers,
+        supplier_products=supplier_products, safety_stock=safety_stock,
+        ss_by_warehouse=ssw,
+    )
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(orders=order_rows, snaps=snapshot_rows)
+def test_pipeline_invariants(spark, tiny_master, orders, snaps):
+    run_date = date(2026, 2, 1)
+    odf = spark.createDataFrame(
+        [
+            (f"ORD-{i:05d}", 1, sku, qty, wh, run_date.isoformat())
+            for i, (sku, wh, qty) in enumerate(orders)
+        ],
+        schemas.ORDERS_TYPED,
+    )
+    sdf = spark.createDataFrame(
+        [
+            (f"PROD00{sku}", run_date, f"WH00{wh}", av, rv)
+            for (sku, wh, av, rv) in snaps
+        ],
+        schemas.INVENTORY_SNAPSHOTS,
+    )
+    out = pl.run_pipeline(
+        orders=odf, snapshots=sdf, run_date=run_date, **tiny_master
+    )
+    nd = [r.asDict() for r in out["net_demand"].collect()]
+    so = [r.asDict() for r in out["supplier_orders"].collect()]
+
+    # SURVEY §5.2 invariants
+    distinct_pairs = {(sku, wh) for (sku, wh, _q) in orders}
+    assert len(nd) == len(distinct_pairs)
+    for r in nd:
+        assert r["net_demand"] >= 0
+        assert r["effective_stock"] == r["available_stock"] - r["reserved_stock"]
+        assert r["net_demand"] == max(
+            0, r["aggregated_orders"] + r["safety_stock"] - r["effective_stock"]
+        )
+    pos = {(r["sku_id"], r["warehouse_id"]) for r in nd if r["net_demand"] > 0}
+    assert {(r["sku_id"], r["warehouse_id"]) for r in so} == pos
+    for r in so:
+        assert r["order_quantity"] >= r["min_order_qty"]
+        assert r["order_quantity"] >= r["net_demand"]
+        assert (
+            r["order_quantity"] % r["pack_size"] == 0
+            or r["order_quantity"] == r["min_order_qty"]
+        )
+        assert r["supplier_id"] != 3  # inactive supplier never chosen
+        assert abs(r["total_cost"] - r["order_quantity"] * float(r["unit_price"])) < 1e-6
