@@ -132,6 +132,35 @@ Q_ROLLUP_REVENUE_SQL = """
 """
 
 
+def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all 4 grouping sets."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("total_qty"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+Q_CUBE_REVENUE_SQL = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++): the sketch the reference's
+    Trino would use as approx_distinct.  Approximate and engine-specific ->
+    rows-only check; tests bound its error against the exact count."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
 def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anti join (NOT EXISTS): broadcast-able at dim scale, null-safe by
     construction (left_anti, not NOT IN).  Scoped to in-progress ('P')

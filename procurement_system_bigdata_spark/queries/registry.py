@@ -188,6 +188,24 @@ _register(
 
 _register(
     QuerySpec(
+        name="cube_revenue",
+        fn=analytics.q_cube_revenue,
+        oracle=analytics.Q_CUBE_REVENUE_SQL,
+        description="CUBE grouping sets over returnflag/linestatus",
+        ops=("A1",),
+    )
+)
+_register(
+    QuerySpec(
+        name="approx_distinct_users",
+        fn=analytics.q_approx_distinct_users,
+        oracle=None,  # HLL sketch values are engine-specific; error-bound tested
+        description="approx_count_distinct (HyperLogLog++) per event type",
+        ops=("A1",),
+    )
+)
+_register(
+    QuerySpec(
         name="adhoc_sql",
         fn=analytics.q_adhoc_sql,
         oracle=analytics.ADHOC_SQL,

@@ -14,6 +14,40 @@ from pyspark.sql import functions as F
 from .. import schemas
 
 
+def read_jdbc_table(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    num_partitions: int = 8,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    **options: str,
+) -> DataFrame:
+    """S8: JDBC master-data scan (the reference's Trino postgresql catalog,
+    reference trino/etc/catalog/postgresql.properties:1-4, queried at
+    pipeline.py:422-423 etc.).
+
+    For the correctness harness all master data comes from parquet stand-ins
+    (SURVEY §1.4); this is the production reader.  Filter/column pushdown to
+    the database is automatic; ``partition_column`` bounds enable parallel
+    range reads for large tables — dims this small are read in one partition
+    and broadcast anyway.  No database ships in this environment, so this
+    function is exercised in production deployments only.
+    """
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("numPartitions", str(num_partitions))
+            .option("lowerBound", str(lower_bound if lower_bound is not None else 0))
+            .option("upperBound", str(upper_bound if upper_bound is not None else 1))
+        )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
 def read_orders_csv(
     spark: SparkSession, path: str, permissive: bool = False
 ) -> DataFrame:

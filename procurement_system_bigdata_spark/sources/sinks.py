@@ -51,6 +51,34 @@ def write_single_json(df: DataFrame, directory: str, filename: str) -> str:
     return final
 
 
+def write_task_log(
+    root: str, task: str, run_date: date, status: str, details: dict
+) -> str:
+    """S14: per-task JSON audit record (reference pipeline.py:89-119 writes
+    one timestamped JSON per task to data/logs/tasks/<dd-MM-yyyy>/).  Run
+    metadata, not a query op — plain Python around the engine."""
+    from datetime import datetime, timezone
+
+    ts = datetime.now(timezone.utc).strftime("%Y%m%d_%H%M%S")
+    directory = day_dir(os.path.join(root, "logs", "tasks"), "", run_date).rstrip("/")
+    os.makedirs(directory, exist_ok=True)
+    final = os.path.join(directory, f"{task}_{ts}.json")
+    with open(final, "w") as f:
+        json.dump(
+            {
+                "task": task,
+                "run_date": run_date.isoformat(),
+                "timestamp": ts,
+                "status": status,
+                "details": details,
+            },
+            f,
+            indent=2,
+            default=str,
+        )
+    return final
+
+
 def write_partitioned(df: DataFrame, path: str, *partition_cols: str) -> None:
     """The scale path: parquet partitioned by (e.g.) run_date — equivalent
     logical layout to the reference's date directories (SURVEY §1.3), with

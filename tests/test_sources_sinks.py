@@ -1,0 +1,85 @@
+"""Source/sink coverage: approx-distinct error bound, task-log sink, and
+single-file sink round-trips."""
+
+from __future__ import annotations
+
+import csv
+import json
+import tempfile
+from datetime import date
+from pathlib import Path
+
+import pyspark.sql.functions as F
+
+from conftest import SF_DIR
+
+from procurement_system_bigdata_spark.catalog import load_table
+from procurement_system_bigdata_spark.queries.registry import REGISTRY
+from procurement_system_bigdata_spark.sources import sinks
+
+
+def test_approx_distinct_error_bound(spark):
+    approx = {
+        r.event_type: r.approx_users
+        for r in REGISTRY["approx_distinct_users"].fn(spark, SF_DIR).collect()
+    }
+    exact = {
+        r.event_type: r.exact
+        for r in load_table(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact"))
+        .collect()
+    }
+    assert approx.keys() == exact.keys()
+    for k in exact:
+        rel_err = abs(approx[k] - exact[k]) / max(exact[k], 1)
+        assert rel_err < 0.1, f"{k}: approx {approx[k]} vs exact {exact[k]}"
+
+
+def test_single_file_csv_roundtrip(spark):
+    df = load_table(spark, SF_DIR, "nation").orderBy("n_nationkey")
+    with tempfile.TemporaryDirectory() as d:
+        path = sinks.write_single_csv(df, d + "/out", "nation.csv")
+        with open(path) as f:
+            rows = list(csv.DictReader(f))
+        assert len(rows) == df.count()
+        assert set(rows[0].keys()) == {"n_nationkey", "n_name", "n_regionkey"}
+
+
+def test_single_file_json_roundtrip(spark):
+    df = load_table(spark, SF_DIR, "region")
+    with tempfile.TemporaryDirectory() as d:
+        path = sinks.write_single_json(df, d + "/out", "region.json")
+        data = json.load(open(path))
+        assert len(data) == 5
+        assert {"r_regionkey", "r_name"} <= set(data[0].keys())
+
+
+def test_partitioned_parquet_prunes(spark):
+    ev = load_table(spark, SF_DIR, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    with tempfile.TemporaryDirectory() as d:
+        sinks.write_partitioned(ev, d + "/events", "day")
+        # partition directories exist
+        days = [p.name for p in Path(d, "events").iterdir() if p.name.startswith("day=")]
+        assert len(days) >= 25
+        back = spark.read.parquet(d + "/events").filter(F.col("day") == "2024-01-05")
+        from procurement_system_bigdata_spark.plans.explain import plan_stats
+
+        stats = plan_stats(back)
+        assert back.count() > 0
+        # the date filter must prune partitions, not scan them
+        assert "PartitionFilters" in stats["plan"] or "day#" not in stats["plan"]
+
+
+def test_task_log_sink(tmp_path):
+    p = sinks.write_task_log(
+        str(tmp_path), "aggregate_orders", date(2026, 1, 14), "success",
+        {"rows": 348},
+    )
+    rec = json.load(open(p))
+    assert rec["task"] == "aggregate_orders"
+    assert rec["status"] == "success"
+    assert rec["details"]["rows"] == 348
+    assert "14-01-2026" in p
