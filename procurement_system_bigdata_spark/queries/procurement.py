@@ -61,40 +61,68 @@ def _facts_dims(spark: SparkSession, sf_dir: str):
     return li, part, supp, nat
 
 
+def _dim_attrs(part: DataFrame, nat: DataFrame):
+    """The dim attribute projections attached AFTER aggregation.
+
+    Aggregating on the narrow int keys (l_partkey, s_nationkey) and joining
+    the string attributes onto the (dim-product-bounded) aggregate is the
+    Spark-first shape: the shuffle carries two longs instead of five strings,
+    and the dim joins move from fact-cardinality to aggregate-cardinality.
+    Results are identical because every string column is functionally
+    dependent on its id (sku_code is synthesized 1:1 from the part row).
+    """
+    pdim = part.select(
+        F.col("p_partkey").cast("long").alias("sku_id"),
+        F.concat_ws("#", F.col("p_name"), F.col("p_partkey")).alias("sku_code"),
+        F.col("p_name").alias("product_name"),
+        F.col("p_brand").alias("category"),
+    )
+    ndim = nat.select(
+        F.col("n_nationkey").cast("long").alias("warehouse_id"),
+        F.col("n_name").alias("warehouse_code"),
+        F.col("n_name").alias("warehouse_name"),
+    )
+    return pdim, ndim
+
+
 def aggregated_orders_stage(
     li: DataFrame, part: DataFrame, supp: DataFrame, nat: DataFrame, full: bool
 ) -> DataFrame:
     """Reference Q1 CTE ``aggregated_orders`` (pipeline.py:408-426).
 
-    Fact ⋈ two broadcast dims, 8-key hash GROUP BY with SUM/COUNT/MAX
-    (operators J1 J2 A1-A4 P1 P2).  Dims are broadcast so at 100 TB the fact
-    table never shuffles for the joins; the only shuffle is the final
-    aggregation exchange (with map-side partial aggregation).
-    ``full=False`` is the re-computed CTE shape used inside Q2/Q3 which only
-    keeps total_quantity (pipeline.py:496-505).
+    Operators J1 J2 A1-A4 P1 P2, restructured Spark-first: the fact scan
+    joins only the 2-column supplier->nation mapping (broadcast), aggregates
+    on narrow int keys (one shuffle of two longs + measures), then broadcast-
+    joins the dim attribute strings onto the aggregate.  Equivalent to the
+    reference's 8-key GROUP BY because all attributes are functionally
+    dependent on the ids; verified hash-identical against the oracle, which
+    keeps the reference's original wide-key shape.
+    ``full=False`` is the re-computed CTE shape used inside Q2/Q3
+    (pipeline.py:496-505).
     """
     demand = li.filter(F.col("l_shipdate") < F.lit(SNAPSHOT_SPLIT).cast("timestamp"))
-    joined = (
-        demand.join(F.broadcast(part), demand.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), demand.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
-    )
-    keys = [
-        F.col("l_partkey").cast("long").alias("sku_id"),
-        F.concat_ws("#", F.col("p_name"), F.col("p_partkey")).alias("sku_code"),
-        F.col("p_name").alias("product_name"),
-        F.col("p_brand").alias("category"),
-        F.col("s_nationkey").cast("long").alias("warehouse_id"),
-        F.col("n_name").alias("warehouse_code"),
-        F.col("n_name").alias("warehouse_name"),
-    ]
+    smap = supp.select("s_suppkey", "s_nationkey")
+    joined = demand.join(F.broadcast(smap), demand.l_suppkey == smap.s_suppkey)
     aggs = [F.sum(F.col("l_quantity").cast("long")).alias("total_quantity")]
     if full:
         aggs += [
             F.count(F.lit(1)).alias("order_count"),
             F.max(F.col("l_shipdate").cast("date")).alias("last_order_date"),
         ]
-    return joined.groupBy(*keys).agg(*aggs)
+    agg = joined.groupBy(
+        F.col("l_partkey").cast("long").alias("sku_id"),
+        F.col("s_nationkey").cast("long").alias("warehouse_id"),
+    ).agg(*aggs)
+    pdim, ndim = _dim_attrs(part, nat)
+    cols = [
+        "sku_id", "sku_code", "product_name", "category",
+        "warehouse_id", "warehouse_code", "warehouse_name", "total_quantity",
+    ] + (["order_count", "last_order_date"] if full else [])
+    return (
+        agg.join(F.broadcast(pdim), "sku_id")
+        .join(F.broadcast(ndim), "warehouse_id")
+        .select(*cols)
+    )
 
 
 AGGREGATED_ORDERS_CTE_SQL = f"""
@@ -195,21 +223,29 @@ def inventory_stage(li: DataFrame, part: DataFrame, supp: DataFrame, nat: DataFr
     available = total shipped qty, reserved = returned ('R') qty.
     """
     snap = li.filter(F.col("l_shipdate") >= F.lit(SNAPSHOT_SPLIT).cast("timestamp"))
-    joined = (
-        snap.join(F.broadcast(part), snap.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), snap.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+    smap = supp.select("s_suppkey", "s_nationkey")
+    agg = (
+        snap.join(F.broadcast(smap), snap.l_suppkey == smap.s_suppkey)
+        .groupBy(
+            F.col("l_partkey").cast("long").alias("sku_id"),
+            F.col("s_nationkey").cast("long").alias("warehouse_id"),
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("available_qty"),
+            F.sum(
+                F.when(
+                    F.col("l_returnflag") == "R", F.col("l_quantity").cast("long")
+                ).otherwise(F.lit(0))
+            ).alias("reserved_qty"),
+        )
     )
-    return joined.groupBy(
-        F.concat_ws("#", F.col("p_name"), F.col("p_partkey")).alias("sku_code"),
-        F.col("n_name").alias("warehouse_code"),
-    ).agg(
-        F.sum(F.col("l_quantity").cast("long")).alias("available_qty"),
-        F.sum(
-            F.when(F.col("l_returnflag") == "R", F.col("l_quantity").cast("long")).otherwise(
-                F.lit(0)
-            )
-        ).alias("reserved_qty"),
+    # attach the string codes post-agg: the reference's inventory relation is
+    # keyed by codes (J6), so the join downstream stays a string-key join
+    pdim, ndim = _dim_attrs(part, nat)
+    return (
+        agg.join(F.broadcast(pdim.select("sku_id", "sku_code")), "sku_id")
+        .join(F.broadcast(ndim.select("warehouse_id", "warehouse_code")), "warehouse_id")
+        .select("sku_code", "warehouse_code", "available_qty", "reserved_qty")
     )
 
 
