@@ -1,0 +1,197 @@
+"""Common OLAP patterns Spark lacks as single operators, composed from
+built-ins: as-of join, sessionization, top-k per group, pivot.
+
+Each is exact, deterministic, and oracle-checked (DuckDB has native ASOF
+JOIN; the Spark side composes union+window — same semantics, shuffle-keyed,
+no UDFs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+
+SESSION_GAP_MIN = 30
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for every purchase event, the user's most recent signup or
+    login-like marker ('view' here) at-or-before it.
+
+    Spark has no native ASOF JOIN; the scalable composition is the
+    union+window trick: tag both streams, sort per user by (ts, tag), and
+    carry the last marker value forward with last_value(ignorenulls) — one
+    shuffle on user_id, no per-row lookups, no UDF.  (The alternative —
+    applyInPandas + pd.merge_asof per group — leaves codegen; unnecessary.)
+    DuckDB oracle uses its native ASOF JOIN.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"),
+        F.unix_micros("ts").alias("pts"),
+    )
+    markers = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("marker_id"),
+        F.unix_micros("ts").alias("mts"),
+    )
+    tagged = purchases.select(
+        "user_id", F.col("pts").alias("ts_us"), F.lit(1).alias("is_purchase"),
+        F.col("purchase_id"), F.lit(None).cast("long").alias("marker_id"),
+        F.lit(None).cast("long").alias("marker_ts"),
+    ).unionByName(
+        markers.select(
+            "user_id", F.col("mts").alias("ts_us"), F.lit(0).alias("is_purchase"),
+            F.lit(None).cast("long").alias("purchase_id"),
+            F.col("marker_id"), F.col("mts").alias("marker_ts"),
+        )
+    )
+    # markers sort before purchases at the same timestamp (is_purchase asc)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "is_purchase", "marker_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        tagged.withColumn("last_marker_id", F.last("marker_id", ignorenulls=True).over(w))
+        .withColumn("last_marker_ts", F.last("marker_ts", ignorenulls=True).over(w))
+        .filter(F.col("is_purchase") == 1)
+        .select(
+            "user_id",
+            "purchase_id",
+            F.col("ts_us").alias("purchase_ts_us"),
+            F.col("last_marker_id").alias("asof_view_id"),
+            F.col("last_marker_ts").alias("asof_view_ts_us"),
+        )
+    )
+
+
+Q_ASOF_JOIN_SQL = """
+    WITH purchases AS (
+        SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS pts
+        FROM events WHERE event_type = 'purchase'
+    ),
+    markers AS (
+        SELECT user_id, event_id AS marker_id, epoch_us(ts) AS mts
+        FROM events WHERE event_type = 'view'
+    )
+    SELECT p.user_id, p.purchase_id, p.pts AS purchase_ts_us,
+           m.marker_id AS asof_view_id, m.mts AS asof_view_ts_us
+    FROM purchases p
+    ASOF LEFT JOIN markers m
+      ON p.user_id = m.user_id AND p.pts >= m.mts
+"""
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: per-user sessions split on >30-minute gaps
+    (lag + conditional cumsum — the standard window composition; the
+    streaming equivalent is session_window, streaming/events.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select("user_id", F.unix_micros("ts").alias("ts_us"), "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap_us = SESSION_GAP_MIN * 60 * 1_000_000
+    with_new = base.withColumn(
+        "new_session",
+        F.when(
+            (F.col("ts_us") - F.lag("ts_us").over(w)) > gap_us, F.lit(1)
+        ).otherwise(F.lit(0)),
+    )
+    sess = with_new.withColumn(
+        "session_seq",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.min("ts_us").alias("session_start_us"),
+        F.max("ts_us").alias("session_end_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+Q_SESSIONIZE_SQL = f"""
+    WITH base AS (
+        SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events
+    ),
+    flagged AS (
+        SELECT *,
+            CASE WHEN ts_us - LAG(ts_us) OVER (PARTITION BY user_id
+                                               ORDER BY ts_us, event_id)
+                      > {SESSION_GAP_MIN * 60 * 1_000_000}
+                 THEN 1 ELSE 0 END AS new_session
+        FROM base
+    ),
+    sess AS (
+        SELECT *,
+            SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM flagged
+    )
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           MIN(ts_us) AS session_start_us, MAX(ts_us) AS session_end_us,
+           COUNT(*) AS n_events
+    FROM sess GROUP BY 1, 2
+"""
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 events by value per (user, event_type) — the rank-and-filter
+    pattern (same shape as W1/P12, generalized to k>1)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("value"), F.asc("event_id")
+    )
+    return (
+        ev.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("user_id", "event_type", F.col("rnk").cast("long").alias("rnk"),
+                "event_id", "value")
+    )
+
+
+Q_TOPK_PER_GROUP_SQL = """
+    SELECT user_id, event_type, CAST(rnk AS BIGINT) AS rnk, event_id, value
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                     ORDER BY value DESC, event_id ASC) AS rnk
+        FROM events
+    ) WHERE rnk <= 3
+"""
+
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_pivot_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user event-type value totals as columns (exact-cents).
+    Spark's .pivot() with an explicit value list compiles to the same
+    conditional-aggregation the oracle states explicitly."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg((F.sum(cents) / 100.0))
+    )
+    # absent (user, type) combos surface as NULL after pivot -> 0 like the
+    # oracle's COALESCE'd conditional aggregation
+    return out.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0.0)).alias(f"{t}_total") for t in EVENT_TYPES],
+    )
+
+
+Q_PIVOT_EVENT_VALUES_SQL = f"""
+    SELECT user_id,
+        {", ".join(
+            "CAST(COALESCE(SUM(CASE WHEN event_type = '" + t + "' "
+            "THEN CAST(ROUND(value * 100) AS BIGINT) END), 0) AS BIGINT)"
+            " / CAST(100.0 AS DOUBLE) AS " + t + "_total"
+            for t in EVENT_TYPES
+        )}
+    FROM events
+    GROUP BY user_id
+"""

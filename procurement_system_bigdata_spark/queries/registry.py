@@ -14,7 +14,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import analytics, events, llmdata, procurement
+from . import analytics, events, llmdata, patterns, procurement
 
 
 @dataclass(frozen=True)
@@ -212,6 +212,44 @@ _register(
         description="Interactive SQL surface: identical ANSI SQL text through "
         "spark.sql over registered views and the oracle (entry point 3)",
         ops=("S5", "S8"),
+    )
+)
+
+_register(
+    QuerySpec(
+        name="asof_join",
+        fn=patterns.q_asof_join,
+        oracle=patterns.Q_ASOF_JOIN_SQL,
+        description="As-of join via union+window carry-forward (DuckDB native "
+        "ASOF JOIN as oracle)",
+        ops=("EXT-pattern",),
+    )
+)
+_register(
+    QuerySpec(
+        name="sessionize",
+        fn=patterns.q_sessionize,
+        oracle=patterns.Q_SESSIONIZE_SQL,
+        description="Batch sessionization: lag + conditional cumsum over 30-min gaps",
+        ops=("EXT-pattern",),
+    )
+)
+_register(
+    QuerySpec(
+        name="topk_per_group",
+        fn=patterns.q_topk_per_group,
+        oracle=patterns.Q_TOPK_PER_GROUP_SQL,
+        description="Top-k per group via ranked window + filter",
+        ops=("EXT-pattern", "W1", "P12"),
+    )
+)
+_register(
+    QuerySpec(
+        name="pivot_event_values",
+        fn=patterns.q_pivot_event_values,
+        oracle=patterns.Q_PIVOT_EVENT_VALUES_SQL,
+        description="Pivot event-type totals to columns (exact-cents)",
+        ops=("EXT-pattern",),
     )
 )
 
