@@ -142,6 +142,119 @@ def lsh_bucket(vec: Column) -> Column:
     return out
 
 
+IVF_CLUSTERS = 16
+IVF_ITERS = 3
+IVF_NPROBE = 4
+
+
+def _sq_dist(a: Column, b: Column) -> Column:
+    diffs = F.zip_with(a, b, lambda x, y: x.cast("double") - y.cast("double"))
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, v: acc + v * v)
+
+
+def _assign_to_centroids(emb: DataFrame, centroids: list) -> DataFrame:
+    """Nearest-centroid assignment via broadcast join + struct-min argmin
+    (lowest cluster id wins ties).  One compact expression regardless of k —
+    unrolled per-centroid literal expressions blow up Catalyst analysis
+    time k-fold and are avoided deliberately."""
+    spark = emb.sparkSession
+    cent_df = spark.createDataFrame(
+        [(cid, vec) for cid, vec in centroids], ["cluster", "centroid"]
+    )
+    d = _sq_dist(F.col("embedding"), F.col("centroid"))
+    return (
+        emb.crossJoin(F.broadcast(cent_df))
+        .groupBy("vec_id")
+        .agg(
+            F.min(F.struct(d.alias("d"), F.col("cluster").alias("c"))).alias("best"),
+            F.first("embedding").alias("embedding"),
+        )
+        .select("vec_id", "embedding", F.col("best.c").alias("cluster"))
+    )
+
+
+def ivf_assignments(
+    emb: DataFrame, k: int = IVF_CLUSTERS, iters: int = IVF_ITERS
+) -> tuple[DataFrame, list]:
+    """IVF coarse quantizer: k-means with DETERMINISTIC init (the first k
+    vec_ids), a few Lloyd iterations.
+
+    Each iteration: broadcast-join the k centroids, argmin by struct-min,
+    then re-average per cluster via posexplode + (cluster, dim) mean.
+    Centroids are tiny (k × dim doubles) so the per-iteration collect is
+    O(k·d), not data-sized.  Returns (assignments df, final centroids list).
+    """
+    centroids = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
+    ]
+    centroids = [(i, vec) for i, (_vid, vec) in enumerate(centroids)]
+    assigned = None
+    for _ in range(iters):
+        assigned = _assign_to_centroids(emb, centroids)
+        new_cents = (
+            assigned.select("cluster", F.posexplode("embedding").alias("dim", "val"))
+            .groupBy("cluster", "dim")
+            .agg(F.avg(F.col("val").cast("double")).alias("mean"))
+            .groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "mean"))).alias("dm"))
+            .select("cluster", F.col("dm.mean").alias("centroid"))
+            .collect()
+        )
+        by_cluster = {r.cluster: list(r.centroid) for r in new_cents}
+        centroids = [
+            (cid, by_cluster.get(cid, vec)) for cid, vec in centroids
+        ]
+    return assigned, centroids
+
+
+def ivf_topk(
+    emb: DataFrame,
+    k: int = TOP_K,
+    n_queries: int = N_QUERY_VECS,
+    n_probe: int = IVF_NPROBE,
+) -> DataFrame:
+    """IVF-probed approximate top-k: score only vectors in the n_probe
+    clusters nearest to each query — the standard recall/compute dial.
+
+    At 100 TB the assignment table is bucketed by cluster so a probe reads
+    n_probe/k of the data; here the join is keyed the same way.  Approximate
+    (recall-tested against the exact baseline), so rows-only in the harness.
+    """
+    assigned, centroids = ivf_assignments(emb)
+    assigned = assigned.persist()
+    q = assigned.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    # per-query n_probe nearest clusters: broadcast-join centroids, rank
+    spark = emb.sparkSession
+    cent_df = spark.createDataFrame(list(centroids), ["cluster", "centroid"])
+    qd = q.crossJoin(F.broadcast(cent_df)).select(
+        "query_id", "qv", "cluster",
+        _sq_dist(F.col("qv"), F.col("centroid")).alias("cd"),
+    )
+    pw = Window.partitionBy("query_id").orderBy("cd", "cluster")
+    q_probed = (
+        qd.withColumn("prank", F.row_number().over(pw))
+        .filter(F.col("prank") <= n_probe)
+        .select("query_id", "qv", "cluster")
+    )
+    cand = q_probed.join(assigned, "cluster").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        cosine(F.col("qv"), F.col("embedding")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
 def lsh_ann_candidates(emb: DataFrame, tau: float = NEARDUP_TAU) -> DataFrame:
     """Approximate near-dup pairs: score only bucket-colliding pairs.
 

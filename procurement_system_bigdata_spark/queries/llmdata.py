@@ -75,7 +75,12 @@ def q_embedding_ann_lsh(spark, sf_dir):
     return similarity.lsh_ann_candidates(_emb(spark, sf_dir))
 
 
-# approximate by design -> rows-only check; tests assert candidates ⊆ exact.
+def q_embedding_ivf_topk(spark, sf_dir):
+    return similarity.ivf_topk(_emb(spark, sf_dir))
+
+
+# approximate by design -> rows-only checks; tests assert LSH candidates are
+# a subset of the exact pairs and IVF recall against the exact top-k.
 
 
 # --- text analysis -------------------------------------------------------

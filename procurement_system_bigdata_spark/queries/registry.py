@@ -333,6 +333,16 @@ _register(
 )
 _register(
     QuerySpec(
+        name="embedding_ivf_topk",
+        fn=llmdata.q_embedding_ivf_topk,
+        oracle=None,  # approximate (coarse-quantized probe); recall-tested
+        description="IVF-probed approximate top-k (k-means coarse quantizer, "
+        "n_probe clusters searched)",
+        ops=("EXT-similarity",),
+    )
+)
+_register(
+    QuerySpec(
         name="lang_id",
         fn=llmdata.q_lang_id,
         oracle=llmdata.Q_LANG_ID_SQL,

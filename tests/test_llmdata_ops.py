@@ -26,6 +26,32 @@ def test_lsh_candidates_subset_of_exact(spark):
         assert recall >= 0.3, f"LSH recall collapsed: {recall:.2f}"
 
 
+def test_ivf_topk_recall(spark):
+    """IVF-probed search must recover most of the exact top-k neighbours
+    (n_probe=4 of 16 clusters; recall well above the 25% data fraction
+    scanned if the quantizer is doing its job)."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk(emb).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ivf_topk(emb).collect()
+    }
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.5, f"IVF recall collapsed: {recall:.2f}"
+    # within-probe results must be exact: every approx hit that IS in the
+    # exact set must carry the identical cosine value
+    exact_sims = {
+        (r.query_id, r.neighbor_id): r.cos_sim
+        for r in similarity.cosine_topk(emb).collect()
+    }
+    for r in similarity.ivf_topk(emb).collect():
+        if (r.query_id, r.neighbor_id) in exact_sims:
+            assert r.cos_sim == exact_sims[(r.query_id, r.neighbor_id)]
+
+
 def test_fingerprint_dedup_clusters_are_consistent(spark):
     """Every duplicate points at a canonical with the same fingerprint and a
     smaller-or-equal doc_id; canonicals are not duplicates themselves."""
