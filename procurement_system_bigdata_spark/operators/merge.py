@@ -1,0 +1,70 @@
+"""Batch MERGE / CDC operators without a table format.
+
+The reference's only mutation semantic is Cassandra's last-write-wins upsert
+(reference init-scripts/cassandra/init.cql:15); these operators generalize it
+to the patterns a warehouse needs: keyed MERGE (upsert a changes batch into a
+base snapshot) and SCD2 history maintenance — emulated with anti-join +
+union + window, the standard approach when Delta/Iceberg jars are absent
+(they are not in this environment; with a table format these become
+``MERGE INTO`` against the same logical semantics).
+
+Scale: every step is keyed by the merge key — one shuffle each side, no
+driver-side state; SCD2's window is per-key (bounded partitions).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def merge_upsert(
+    base: DataFrame, changes: DataFrame, keys: Sequence[str]
+) -> DataFrame:
+    """Keyed MERGE: rows from ``changes`` replace same-key rows in ``base``;
+    unmatched change rows insert.  Column sets must match.  Equivalent to
+    ``MERGE INTO base USING changes WHEN MATCHED UPDATE * WHEN NOT MATCHED
+    INSERT *`` with last-write-wins inside the changes batch handled by the
+    caller (see sources.readers.read_snapshots_json)."""
+    keep = base.join(changes.select(*keys), list(keys), "left_anti")
+    return keep.unionByName(changes)
+
+
+def scd2_apply(
+    dim: DataFrame,
+    changes: DataFrame,
+    keys: Sequence[str],
+    effective_col: str = "effective_from",
+    end_col: str = "effective_to",
+    current_col: str = "is_current",
+) -> DataFrame:
+    """Slowly-changing-dimension type 2: close out current rows whose key
+    receives a change (end = the change's effective date) and append the new
+    versions as current.
+
+    ``dim`` carries (attrs..., effective_from, effective_to, is_current);
+    ``changes`` carries (attrs..., effective_from).  History rows pass
+    through untouched.
+    """
+    chg = changes.select(
+        *keys,
+        F.col(effective_col).alias("_new_from"),
+    ).dropDuplicates(list(keys))
+
+    current = dim.filter(F.col(current_col))
+    history = dim.filter(~F.col(current_col))
+
+    closed = (
+        current.join(F.broadcast(chg), list(keys), "inner")
+        .withColumn(end_col, F.col("_new_from"))
+        .withColumn(current_col, F.lit(False))
+        .drop("_new_from")
+    )
+    untouched = current.join(chg.select(*keys), list(keys), "left_anti")
+    new_rows = changes.withColumn(end_col, F.lit(None).cast(dim.schema[end_col].dataType)).withColumn(
+        current_col, F.lit(True)
+    )
+    return history.unionByName(closed).unionByName(untouched).unionByName(new_rows)
