@@ -48,7 +48,13 @@ def scd2_apply(
     ``dim`` carries (attrs..., effective_from, effective_to, is_current);
     ``changes`` carries (attrs..., effective_from).  History rows pass
     through untouched.
+
+    Exact-duplicate change rows are collapsed; a batch containing the SAME
+    key with DIFFERENT attributes is ambiguous (which version is current?)
+    and must be resolved by the caller before applying — e.g. with the
+    last-write-wins dedup in sources.readers.
     """
+    changes = changes.dropDuplicates()
     chg = changes.select(
         *keys,
         F.col(effective_col).alias("_new_from"),
