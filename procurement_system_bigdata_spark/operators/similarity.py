@@ -50,6 +50,34 @@ def duck_cosine(a: str, b: str) -> str:
     return f"({_duck_dot(a, b)} / (sqrt({_duck_dot(a, a)}) * sqrt({_duck_dot(b, b)})))"
 
 
+def cosine_pandas_udf(query_vec: list):
+    """Arrow-batched vectorized cosine against a fixed query vector — the
+    measured fast path for vector math (tools/bench_udf.py: ~3x faster than
+    the zip_with/aggregate builtins at 64 dims, because Catalyst higher-order
+    functions are interpreted per element while numpy fuses the batch).
+
+    Used by scale deployments; the oracle-checked queries keep the builtin
+    expression because only identical JVM expression trees are bit-exact
+    against DuckDB.  Returns a pandas_udf ready to apply to an array column.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType
+
+    qv = np.asarray(query_vec, dtype=np.float64)
+    qn = float(np.linalg.norm(qv))
+
+    # no pd.Series type hints: `from __future__ import annotations` turns
+    # them into strings PySpark's hint resolver can't evaluate here; the
+    # explicit returnType covers the signature
+    @F.pandas_udf(DoubleType())
+    def _cos(col):
+        mat = np.stack(col.map(lambda a: np.asarray(a, dtype=np.float64)))
+        return pd.Series((mat @ qv) / (np.linalg.norm(mat, axis=1) * qn))
+
+    return _cos
+
+
 def cosine_topk(emb: DataFrame, k: int = TOP_K, n_queries: int = N_QUERY_VECS) -> DataFrame:
     """Exact brute-force top-k neighbours for the query vectors.
 

@@ -64,6 +64,27 @@ def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
 
 
+def sessionize_stream(events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour") -> DataFrame:
+    """Streaming sessionization with ``session_window`` — merges events per
+    user into sessions separated by > gap, state expired by the watermark.
+
+    Semantically identical to the batch lag+cumsum sessionization
+    (queries/patterns.q_sessionize): session_window's [start, end) bound is
+    last-event + gap, so session_end_us here is max(ts) per session in the
+    batch form; the equivalence test compares on (user, start, n_events).
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            "n_events",
+        )
+    )
+
+
 def run_to_memory(
     stream_df: DataFrame, query_name: str, checkpoint: str, mode: str = "append"
 ):

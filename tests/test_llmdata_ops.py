@@ -26,6 +26,22 @@ def test_lsh_candidates_subset_of_exact(spark):
         assert recall >= 0.3, f"LSH recall collapsed: {recall:.2f}"
 
 
+def test_pandas_cosine_matches_builtin(spark):
+    """The vectorized fast path must agree with the builtin expression to
+    float tolerance (different summation order -> not bit-equal)."""
+    import pyspark.sql.functions as F
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).first().embedding
+    qlit = F.array(*[F.lit(float(x)) for x in q])
+    both = emb.select(
+        "vec_id",
+        similarity.cosine(F.col("embedding"), qlit).alias("builtin"),
+        similarity.cosine_pandas_udf(list(q))(F.col("embedding")).alias("fast"),
+    ).collect()
+    assert all(abs(r.builtin - r.fast) < 1e-9 for r in both)
+
+
 def test_ivf_topk_recall(spark):
     """IVF-probed search must recover most of the exact top-k neighbours
     (n_probe=4 of 16 clusters; recall well above the 25% data fraction

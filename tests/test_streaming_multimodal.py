@@ -62,6 +62,29 @@ def test_stream_dedup_drops_replays(spark, events_parquet_dir):
     assert n.c == n.n  # no duplicate event_ids survive
 
 
+def test_stream_sessionize_equals_batch(spark, events_parquet_dir):
+    """session_window (streaming) must produce the same sessions as the
+    batch lag+cumsum composition on identical input."""
+    schema = spark.read.parquet(events_parquet_dir).schema
+    stream = se.read_events_stream(spark, events_parquet_dir, schema)
+    sess = se.sessionize_stream(stream)
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = se.run_to_memory(sess, "sess_test", ckpt, mode="complete")
+        q.awaitTermination()
+    got = {
+        (r.user_id, r.session_start_us): r.n_events
+        for r in spark.sql("select * from sess_test").collect()
+    }
+
+    from procurement_system_bigdata_spark.queries.patterns import q_sessionize
+
+    want = {
+        (r.user_id, r.session_start_us): r.n_events
+        for r in q_sessionize(spark, SF_DIR).collect()
+    }
+    assert got == want
+
+
 def test_multimodal_feature_extraction(spark):
     docs = load_table(spark, SF_DIR, "documents")
     media = multimodal.attach_binary_payloads(docs)
