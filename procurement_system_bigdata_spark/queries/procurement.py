@@ -351,13 +351,76 @@ Q_AGGREGATE_ORDERS_SQL = f"""
 """
 
 
+def combined_demand_inventory(
+    li: DataFrame, part: DataFrame, supp: DataFrame, nat: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """One lineitem scan serving both the demand CTE and the inventory CTE.
+
+    Both aggregate the same fact on (partkey, nationkey) with complementary
+    date filters, so a single conditional aggregation covers them; deriving
+    the two relations from the SAME aggregate subtree lets Spark reuse the
+    exchange (visible as ReusedExchange in the plan) instead of scanning and
+    shuffling lineitem twice.  Row membership matches the separate stages
+    exactly: demand rows need >=1 pre-split line, inventory rows >=1
+    post-split line.
+
+    The aggregate is persisted: the two branches apply different filters and
+    column prunes, so Catalyst specializes (and would re-scan) each subtree
+    rather than reusing the exchange; caching the dim-product-bounded
+    aggregate (~|sku|x|warehouse| rows) pins one scan + one shuffle.
+    """
+    split = F.lit(SNAPSHOT_SPLIT).cast("timestamp")
+    smap = supp.select("s_suppkey", "s_nationkey")
+    is_demand = F.col("l_shipdate") < split
+    qty = F.col("l_quantity").cast("long")
+    combined = (
+        li.join(F.broadcast(smap), li.l_suppkey == smap.s_suppkey)
+        .groupBy(
+            F.col("l_partkey").cast("long").alias("sku_id"),
+            F.col("s_nationkey").cast("long").alias("warehouse_id"),
+        )
+        .agg(
+            F.sum(F.when(is_demand, qty).otherwise(F.lit(0))).alias("_demand_qty"),
+            F.count(F.when(is_demand, F.lit(1))).alias("_demand_cnt"),
+            F.sum(F.when(~is_demand, qty).otherwise(F.lit(0))).alias("_avail"),
+            F.count(F.when(~is_demand, F.lit(1))).alias("_snap_cnt"),
+            F.sum(
+                F.when(~is_demand & (F.col("l_returnflag") == "R"), qty).otherwise(
+                    F.lit(0)
+                )
+            ).alias("_resv"),
+        )
+    ).persist()
+    pdim, ndim = _dim_attrs(part, nat)
+    ao = (
+        combined.filter(F.col("_demand_cnt") > 0)
+        .join(F.broadcast(pdim), "sku_id")
+        .join(F.broadcast(ndim), "warehouse_id")
+        .select(
+            "sku_id", "sku_code", "product_name", "category",
+            "warehouse_id", "warehouse_code", "warehouse_name",
+            F.col("_demand_qty").alias("total_quantity"),
+        )
+    )
+    inv = (
+        combined.filter(F.col("_snap_cnt") > 0)
+        .join(F.broadcast(pdim.select("sku_id", "sku_code")), "sku_id")
+        .join(F.broadcast(ndim.select("warehouse_id", "warehouse_code")), "warehouse_id")
+        .select(
+            "sku_code", "warehouse_code",
+            F.col("_avail").alias("available_qty"),
+            F.col("_resv").alias("reserved_qty"),
+        )
+    )
+    return ao, inv
+
+
 def q_net_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q2: net demand with safety-stock densification + inventory offsets —
     reference pipeline.py:495-537 (CTEs C1, joins J3-J6, COALESCE/GREATEST)."""
     li, part, supp, nat = _facts_dims(spark, sf_dir)
-    ao = aggregated_orders_stage(li, part, supp, nat, full=False)
+    ao, inv = combined_demand_inventory(li, part, supp, nat)
     ssc = safety_stock_stage(part, nat)
-    inv = inventory_stage(li, part, supp, nat)
     return net_demand_stage(ao, ssc, inv, full=True).orderBy(
         F.desc("net_demand"), "sku_id", "warehouse_id"
     )
@@ -457,9 +520,8 @@ def q_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     into the plan as a window + format_string (W2 + P14).
     """
     li, part, supp, nat = _facts_dims(spark, sf_dir)
-    ao = aggregated_orders_stage(li, part, supp, nat, full=False)
+    ao, inv = combined_demand_inventory(li, part, supp, nat)
     ssc = safety_stock_stage(part, nat)
-    inv = inventory_stage(li, part, supp, nat)
     nd = net_demand_stage(ao, ssc, inv, full=False)
     rs = ranked_suppliers_stage(li, part, supp).filter(F.col("price_rank") == 1)
 

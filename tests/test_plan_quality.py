@@ -23,13 +23,15 @@ def test_net_demand_plan(spark):
     # demand⋈inventory) are cardinality-bounded by |sku|×|warehouse| — too
     # big to broadcast at 100 TB, so a shuffle join is the CORRECT static
     # plan; AQE converts them to broadcast at runtime when actual sizes are
-    # small.  Every dim join must still be broadcast.
+    # small.  Every dim join must still be broadcast.  No shipdate pushdown
+    # here BY DESIGN: demand+inventory come from ONE full-range scan with
+    # conditional aggregation (combined_demand_inventory) — assert the scan
+    # economy instead.
     stats = assert_scale_safe(
-        REGISTRY["net_demand"].fn(spark, SF_DIR),
-        max_sort_merge_joins=2,
-        require_pushed_filter="l_shipdate",
+        REGISTRY["net_demand"].fn(spark, SF_DIR), max_sort_merge_joins=2
     )
     assert stats["broadcast_hash_joins"] >= 6
+    assert stats["plan"].count("lineitem.parquet") == 1
 
 
 def test_supplier_orders_plan(spark):
