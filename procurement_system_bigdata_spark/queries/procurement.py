@@ -391,6 +391,14 @@ def combined_demand_inventory(
             ).alias("_resv"),
         )
     ).persist()
+    return _ao_inv_from_combined(combined, part, nat)
+
+
+def _ao_inv_from_combined(
+    combined: DataFrame, part: DataFrame, nat: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Split the conditional (sku, warehouse) aggregate into the demand and
+    inventory relations (membership = >=1 matching fact line on each side)."""
     pdim, ndim = _dim_attrs(part, nat)
     ao = (
         combined.filter(F.col("_demand_cnt") > 0)
@@ -413,6 +421,76 @@ def combined_demand_inventory(
         )
     )
     return ao, inv
+
+
+def demand_inventory_offers(
+    li: DataFrame, part: DataFrame, supp: DataFrame, nat: DataFrame
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """One lineitem scan serving ALL THREE of Q3's fact aggregations.
+
+    supplier_orders needs the demand and inventory aggregates (grouped on
+    (sku, warehouse)) plus the supplier-offer price aggregate (grouped on
+    (supplier, sku)).  GROUPING SETS computes both groupings in one scan and
+    one exchange: Expand emits each fact row once per set, the map-side
+    partial aggregate collapses each set to its dim-product-bounded group
+    count, so at 100 TB the shuffle carries |sku x warehouse| +
+    |supplier x sku| partial rows instead of re-scanning and re-shuffling
+    the fact table per aggregation.  Aggregate values are identical to the
+    separate-stage derivation (same input rows, same expression trees), so
+    oracle hashes are unchanged.
+
+    MEASURED (sf0.1, local[32], interleaved best-of-3): this variant runs
+    supplier_orders' core in 3.75s vs 2.91s for the two-scan path — Expand
+    pushes 2x fact rows through the 7-aggregate partial hash, which costs
+    more than the second columnar parquet scan here.  ``q_supplier_orders``
+    therefore keeps the two-scan derivation; prefer this single-scan shape
+    only when the fact scan dominates (wide rows, remote object storage,
+    no column pruning) — the tradeoff flips with scan cost, not data size.
+    """
+    split = F.lit(SNAPSHOT_SPLIT).cast("timestamp")
+    smap = supp.select("s_suppkey", "s_nationkey")
+    is_demand = F.col("l_shipdate") < split
+    qty = F.col("l_quantity").cast("long")
+    base = li.join(F.broadcast(smap), li.l_suppkey == smap.s_suppkey).select(
+        F.col("l_partkey").cast("long").alias("sku_id"),
+        F.col("s_nationkey").cast("long").alias("warehouse_id"),
+        F.col("l_suppkey").cast("long").alias("supplier_id"),
+        is_demand.alias("_is_demand"),
+        qty.alias("_qty"),
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("_unit_price"),
+        (F.col("l_returnflag") == "R").alias("_is_return"),
+    )
+    gsets = (
+        base.groupingSets(
+            [["sku_id", "warehouse_id"], ["supplier_id", "sku_id"]],
+            "sku_id", "warehouse_id", "supplier_id",
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("_is_demand"), F.col("_qty")).otherwise(F.lit(0))
+            ).alias("_demand_qty"),
+            F.count(F.when(F.col("_is_demand"), F.lit(1))).alias("_demand_cnt"),
+            F.sum(
+                F.when(~F.col("_is_demand"), F.col("_qty")).otherwise(F.lit(0))
+            ).alias("_avail"),
+            F.count(F.when(~F.col("_is_demand"), F.lit(1))).alias("_snap_cnt"),
+            F.sum(
+                F.when(
+                    ~F.col("_is_demand") & F.col("_is_return"), F.col("_qty")
+                ).otherwise(F.lit(0))
+            ).alias("_resv"),
+            F.min("_unit_price").alias("unit_price"),
+            F.grouping_id().alias("_gid"),
+        )
+        .persist()
+    )
+    # grouping_id bit per grouping column (sku_id, warehouse_id, supplier_id),
+    # 1 = aggregated away: (sku, warehouse) set -> 0b001, (supplier, sku) -> 0b010
+    ao, inv = _ao_inv_from_combined(gsets.filter(F.col("_gid") == 1), part, nat)
+    offers = gsets.filter(F.col("_gid") == 2).select(
+        "supplier_id", "sku_id", "unit_price"
+    )
+    return ao, inv, offers
 
 
 def q_net_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -470,6 +548,14 @@ def ranked_suppliers_stage(
         )
         .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"))
     )
+    return ranked_suppliers_from_offers(offers, part, supp)
+
+
+def ranked_suppliers_from_offers(
+    offers: DataFrame, part: DataFrame, supp: DataFrame
+) -> DataFrame:
+    """Rank pre-aggregated (supplier, sku, unit_price) offers — the join/window
+    tail of ``ranked_suppliers_stage``, reusable with grouping-sets offers."""
     dims = part.select(
         F.col("p_partkey").cast("long").alias("sku_id"),
         F.col("p_size").cast("int").alias("pack_size"),
