@@ -162,6 +162,76 @@ Q_TOPK_PER_GROUP_SQL = """
 """
 
 
+def q_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window frames over per-user event time: lag/lead deltas, a 3-row
+    ROWS-frame moving average, and a RANGE-frame trailing-1-hour sum.
+
+    The reference uses no frame specifications (SURVEY §2.5) — this is the
+    time-series extension surface.  Frame aggregates are computed in exact
+    cents (BIGINT) and divided once at the edge: windowed SUM(double) is
+    engine-order-dependent (DuckDB uses segment trees, Spark per-frame
+    accumulation), so only integer frame sums hash-match across engines.
+    One shuffle on user_id serves every window (same partition key).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        "value",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    rows3 = w.rowsBetween(-2, Window.currentRow)
+    hour_us = 3_600_000_000
+    trailing = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-hour_us, Window.currentRow)
+    )
+    return base.select(
+        "user_id",
+        "ts_us",
+        "event_id",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        (F.col("value") - F.coalesce(F.lag("value").over(w), F.lit(0.0))).alias(
+            "delta_value"
+        ),
+        (
+            F.sum("cents").over(rows3).cast("double")
+            / (F.count(F.lit(1)).over(rows3) * F.lit(100.0))
+        ).alias("moving_avg3"),
+        (F.sum("cents").over(trailing).cast("double") / F.lit(100.0)).alias(
+            "trailing_1h_sum"
+        ),
+    )
+
+
+Q_WINDOW_FRAMES_SQL = """
+    WITH base AS (
+        SELECT user_id, epoch_us(ts) AS ts_us, event_id, value,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events
+    )
+    SELECT user_id, ts_us, event_id, value,
+        LAG(value) OVER w AS prev_value,
+        LEAD(value) OVER w AS next_value,
+        value - COALESCE(LAG(value) OVER w, CAST(0.0 AS DOUBLE)) AS delta_value,
+        CAST(SUM(cents) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+          / (COUNT(*) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+             * CAST(100.0 AS DOUBLE)) AS moving_avg3,
+        CAST(SUM(cents) OVER (PARTITION BY user_id ORDER BY ts_us
+                              RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+             AS DOUBLE) / CAST(100.0 AS DOUBLE) AS trailing_1h_sum
+    FROM base
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+"""
+
+
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 

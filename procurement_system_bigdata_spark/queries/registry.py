@@ -245,6 +245,16 @@ _register(
 )
 _register(
     QuerySpec(
+        name="window_frames",
+        fn=patterns.q_window_frames,
+        oracle=patterns.Q_WINDOW_FRAMES_SQL,
+        description="Window frames: lag/lead deltas, ROWS moving average, "
+        "RANGE trailing-1h sum (exact-cents frame aggregation)",
+        ops=("EXT-pattern",),
+    )
+)
+_register(
+    QuerySpec(
         name="pivot_event_values",
         fn=patterns.q_pivot_event_values,
         oracle=patterns.Q_PIVOT_EVENT_VALUES_SQL,
