@@ -85,6 +85,54 @@ def sessionize_stream(events: DataFrame, gap: str = "30 minutes", watermark: str
     )
 
 
+SPEND_TOTALS_OUTPUT_SCHEMA = (
+    "user_id bigint, n_events bigint, total_cents bigint"
+)
+SPEND_TOTALS_STATE_SCHEMA = "n bigint, cents bigint"
+
+
+def spend_totals_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    lifetime event count + exact-cents spend, updated every micro-batch.
+
+    This is the shape for state machines the built-in windowed aggregates
+    can't express (per-key custom accumulators, timeouts, emit-on-change).
+    State is one (n, cents) pair per user — sharded across executors by the
+    groupBy shuffle, Arrow-batched per group.  Cents are accumulated with
+    explicit half-up rounding so the stream result is bit-identical to the
+    batch ``SUM(ROUND(value*100))`` (pandas' default round is half-even).
+    """
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        import math
+
+        def half_up(x: float) -> int:  # Spark ROUND semantics, sign-aware
+            return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            cents += sum(half_up(v * 100) for v in pdf["value"])
+        state.update((n, cents))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_cents": [cents]}
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            SPEND_TOTALS_OUTPUT_SCHEMA,
+            SPEND_TOTALS_STATE_SCHEMA,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def run_to_memory(
     stream_df: DataFrame, query_name: str, checkpoint: str, mode: str = "append"
 ):

@@ -85,6 +85,50 @@ def test_stream_sessionize_equals_batch(spark, events_parquet_dir):
     assert got == want
 
 
+def test_stateful_spend_totals_equal_batch(spark, events_parquet_dir):
+    """applyInPandasWithState custom accumulator: final per-user state must
+    equal the batch exact-cents aggregate.  The source is read with
+    maxFilesPerTrigger=1 to force MULTIPLE micro-batches, proving the state
+    actually carries across batches (a single-batch pass would also pass
+    with broken state handling)."""
+    import pyspark.sql.functions as F
+
+    # re-write as 4 files so maxFilesPerTrigger=1 yields 4 micro-batches
+    src = tempfile.mkdtemp(prefix="events_multibatch_")
+    spark.read.parquet(events_parquet_dir).repartition(4).write.mode(
+        "overwrite"
+    ).parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    totals = se.spend_totals_stream(stream)
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = se.run_to_memory(totals, "spend_test", ckpt, mode="update")
+        q.awaitTermination()
+    # update mode re-emits a user's row each batch it changes in; totals are
+    # monotonic so the final state is the max per user
+    got = {
+        r.user_id: (r.n, r.cents)
+        for r in spark.sql(
+            "select user_id, max(n_events) n, max(total_cents) cents "
+            "from spend_test group by user_id"
+        ).collect()
+    }
+    batch = (
+        spark.read.parquet(src)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+    )
+    want = {r.user_id: (r.n, r.cents) for r in batch.collect()}
+    assert got == want
+
+
 def test_multimodal_feature_extraction(spark):
     docs = load_table(spark, SF_DIR, "documents")
     media = multimodal.attach_binary_payloads(docs)
