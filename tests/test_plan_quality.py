@@ -76,6 +76,6 @@ def test_extension_ops_stay_jvm_side(spark):
     single sanctioned Arrow boundary and is not in this set)."""
     for name in ("dedup_fingerprint", "dedup_minhash_lsh", "simhash_fingerprints",
                  "lang_id", "text_quality", "token_counts", "doc_fingerprints",
-                 "embedding_topk"):
+                 "tf_idf", "embedding_topk"):
         stats = plan_stats(REGISTRY[name].fn(spark, SF_DIR))
         assert stats["python_udfs"] == 0, f"{name} fell off codegen"
