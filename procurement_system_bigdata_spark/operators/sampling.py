@@ -1,0 +1,69 @@
+"""Deterministic dataset sampling / splitting for training-data pipelines.
+
+A train/val/test split over a 100 TB corpus must be (a) reproducible across
+runs and engines, (b) computable without any shuffle (a pure per-row map),
+and (c) stable under repartitioning — which rules out ``df.sample`` /
+``randomSplit`` (seeded per-partition RNG: the assignment changes when the
+partitioning changes).  The standard practice is hash-splitting: bucket =
+H(stable_id) mod 100, then threshold the bucket.  We use the engine's
+portable polynomial hash so the DuckDB oracle reproduces the assignment
+bit-for-bit.
+
+The reference has no sampling operator (SURVEY §2.4 — no DISTINCT/sample);
+this is a training-data extension (EXT class), same family as dedup/text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import portable as P
+
+TRAIN_PCT = 80
+VAL_PCT = 10  # test gets the remaining 10
+
+
+def train_val_test_split(
+    docs: DataFrame, train_pct: int = TRAIN_PCT, val_pct: int = VAL_PCT
+) -> DataFrame:
+    """Assign every document to train/val/test by hashing its stable id.
+
+    Scale shape: narrow map only — no shuffle, no RNG state, no driver
+    collect; adding documents never reassigns existing ones.  The split is
+    stratification-friendly: downstream per-``source`` counts stay
+    proportional because the hash is independent of ``source``.
+    """
+    bucket = P.spark_str_hash(F.col("doc_id").cast("string")) % 100
+    return docs.select(
+        "doc_id",
+        "source",
+        bucket.alias("bucket"),
+        F.when(bucket < train_pct, F.lit("train"))
+        .when(bucket < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
+def train_val_test_split_sql(
+    table: str = "documents", train_pct: int = TRAIN_PCT, val_pct: int = VAL_PCT
+) -> str:
+    bucket = f"({P.duck_str_hash('CAST(doc_id AS VARCHAR)')}) % 100"
+    return f"""
+    SELECT doc_id, source, {bucket} AS bucket,
+           CASE WHEN {bucket} < {train_pct} THEN 'train'
+                WHEN {bucket} < {train_pct + val_pct} THEN 'val'
+                ELSE 'test' END AS split
+    FROM {table}
+    """
+
+
+def split_summary(docs: DataFrame) -> DataFrame:
+    """Per-(source, split) counts — the sanity report a pipeline emits to
+    confirm the hash split is proportional within every stratum."""
+    return (
+        train_val_test_split(docs)
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

@@ -249,3 +249,117 @@ Q_ORDER_PRIORITY_COUNTS_SQL = """
     WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
     GROUP BY 1
 """
+
+
+SPEND_CENTS_THRESHOLD = 250_000_000  # $2.5M ~ median per-customer spend
+FREQUENT_ORDER_THRESHOLD = 12
+
+
+def q_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation coverage (INTERSECT / EXCEPT / UNION ALL) — absent from
+    the reference inventory (SURVEY §2.6: no set ops anywhere), provided as
+    a first-class segmentation query: big spenders vs frequent buyers.
+
+    Scale shape: both input sets derive from ONE per-customer aggregation
+    (orders-cardinality shuffle, then one-row-per-customer — 3+ orders of
+    magnitude smaller than the fact table); the intersect/except joins run
+    at customer cardinality and AQE picks shuffle-free broadcast variants
+    once the filtered sets are observed small at runtime.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(_cents(F.col("o_totalprice"))).alias("spend_cents"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    spenders = per_cust.filter(
+        F.col("spend_cents") > SPEND_CENTS_THRESHOLD
+    ).select("o_custkey")
+    frequent = per_cust.filter(
+        F.col("n_orders") > FREQUENT_ORDER_THRESHOLD
+    ).select("o_custkey")
+    tag = lambda df, seg: df.select(F.lit(seg).alias("segment"), "o_custkey")
+    return (
+        tag(spenders.intersect(frequent), "both")
+        .unionAll(tag(spenders.subtract(frequent), "spender_only"))
+        .unionAll(tag(frequent.subtract(spenders), "frequent_only"))
+    )
+
+
+Q_CUSTOMER_SEGMENTS_SQL = f"""
+    WITH per_cust AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS spend_cents,
+               COUNT(*) AS n_orders
+        FROM orders GROUP BY 1
+    ),
+    spenders AS (
+        SELECT o_custkey FROM per_cust
+        WHERE spend_cents > {SPEND_CENTS_THRESHOLD}
+    ),
+    frequent AS (
+        SELECT o_custkey FROM per_cust
+        WHERE n_orders > {FREQUENT_ORDER_THRESHOLD}
+    )
+    SELECT 'both' AS segment, o_custkey FROM
+        (SELECT * FROM spenders INTERSECT SELECT * FROM frequent)
+    UNION ALL
+    SELECT 'spender_only', o_custkey FROM
+        (SELECT * FROM spenders EXCEPT SELECT * FROM frequent)
+    UNION ALL
+    SELECT 'frequent_only', o_custkey FROM
+        (SELECT * FROM frequent EXCEPT SELECT * FROM spenders)
+"""
+
+
+PRICE_BANDS = [
+    ("b900", 900.0, 925.0),
+    ("b925", 925.0, 950.0),
+    ("b950", 950.0, 975.0),
+    ("b975", 975.0, 1000.0),
+]
+
+
+def q_price_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded (non-equi range) join — a join class the reference never runs
+    (SURVEY §2.3: equi-joins only).  Facts land in a band via
+    ``lo <= price < hi`` against a literal band dimension.
+
+    Scale shape: the band table is tiny and broadcast, so Spark executes a
+    BroadcastNestedLoopJoin — O(rows × bands) with bands ~ O(10), i.e. a
+    constant-factor map over the fact table with NO shuffle.  (For uniform
+    band widths an equi-join on ``floor(price / width)`` is the
+    shuffle-free alternative that also scales in band count; the non-equi
+    form here is the general case for irregular bands.)
+    """
+    part = load_table(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        PRICE_BANDS, "band string, lo double, hi double"
+    )
+    return (
+        part.join(
+            F.broadcast(bands),
+            (F.col("p_retailprice") >= F.col("lo"))
+            & (F.col("p_retailprice") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            (F.sum(_cents(F.col("p_retailprice"))) / 100.0).alias("sum_price"),
+        )
+    )
+
+
+Q_PRICE_BAND_JOIN_SQL = f"""
+    WITH bands(band, lo, hi) AS (VALUES
+        {", ".join(f"('{b}', CAST({lo} AS DOUBLE), CAST({hi} AS DOUBLE))"
+                   for b, lo, hi in PRICE_BANDS)}
+    )
+    SELECT band,
+           COUNT(*) AS n_parts,
+           CAST(SUM(CAST(ROUND(p_retailprice * 100) AS BIGINT)) AS BIGINT)
+               / 100.0 AS sum_price
+    FROM part JOIN bands
+      ON p_retailprice >= lo AND p_retailprice < hi
+    GROUP BY band
+"""

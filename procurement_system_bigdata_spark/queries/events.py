@@ -185,3 +185,44 @@ Q_ROW_COUNTS_SQL = """
     UNION ALL SELECT 'part', COUNT(*) FROM part
     UNION ALL SELECT 'supplier', COUNT(*) FROM supplier
 """
+
+
+def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/S3 analog: semi-structured JSON column parsed in-query.
+
+    The reference ingests JSON sources by flattening them before query time
+    (reference dags/pipeline.py:222-229 JSON->CSV, :269-270 json.load); a
+    Spark-first engine instead parses the JSON string column lazily with
+    ``get_json_object`` — JVM-side, codegen-friendly, no pre-pass over the
+    data.  Scale shape: narrow map + one partial-aggregated groupBy on a
+    low-cardinality key; sums use the exact integer discipline.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            (F.sum("k").cast("double") / F.count(F.lit(1))).alias("avg_k"),
+        )
+    )
+
+
+Q_EVENTS_JSON_PROPS_SQL = """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           MIN(k) AS min_k,
+           MAX(k) AS max_k,
+           CAST(SUM(k) AS DOUBLE) / COUNT(*) AS avg_k
+    FROM (
+        SELECT event_type,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        FROM events
+    )
+    GROUP BY event_type
+"""

@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..catalog import load_table
-from ..operators import dedup, similarity, text
+from ..operators import dedup, sampling, similarity, text
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -118,3 +118,12 @@ def q_tf_idf(spark, sf_dir):
 
 
 Q_TF_IDF_SQL = text.tf_idf_sql()
+
+
+# --- sampling / splitting -------------------------------------------------
+
+def q_train_test_split(spark, sf_dir):
+    return sampling.train_val_test_split(_docs(spark, sf_dir))
+
+
+Q_TRAIN_TEST_SPLIT_SQL = sampling.train_val_test_split_sql()

@@ -103,6 +103,16 @@ _register(
 )
 _register(
     QuerySpec(
+        name="events_json_props",
+        fn=events.q_events_json_props,
+        oracle=events.Q_EVENTS_JSON_PROPS_SQL,
+        description="S2/S3 analog: JSON column parsed in-query "
+        "(get_json_object, codegen-side) + grouped exact aggregates",
+        ops=("S2", "S3"),
+    )
+)
+_register(
+    QuerySpec(
         name="pipeline_summary",
         fn=events.q_pipeline_summary,
         oracle=events.q_pipeline_summary_sql(procurement.Q_SUPPLIER_ORDERS_SQL),
@@ -193,6 +203,26 @@ _register(
         oracle=analytics.Q_CUBE_REVENUE_SQL,
         description="CUBE grouping sets over returnflag/linestatus",
         ops=("A1",),
+    )
+)
+_register(
+    QuerySpec(
+        name="customer_segments",
+        fn=analytics.q_customer_segments,
+        oracle=analytics.Q_CUSTOMER_SEGMENTS_SQL,
+        description="Set-op coverage: INTERSECT / EXCEPT / UNION ALL customer "
+        "segmentation from one per-customer aggregate",
+        ops=("EXT-setops",),
+    )
+)
+_register(
+    QuerySpec(
+        name="price_band_join",
+        fn=analytics.q_price_band_join,
+        oracle=analytics.Q_PRICE_BAND_JOIN_SQL,
+        description="Banded non-equi range join against a broadcast literal "
+        "band dimension (BroadcastNestedLoopJoin, shuffle-free)",
+        ops=("EXT-rangejoin",),
     )
 )
 _register(
@@ -386,6 +416,16 @@ _register(
         description="Per-doc top-5 terms by log-free TF-IDF "
         "(Robertson/Sparck-Jones idf core; bit-exact across engines)",
         ops=("EXT-text",),
+    )
+)
+_register(
+    QuerySpec(
+        name="train_test_split",
+        fn=llmdata.q_train_test_split,
+        oracle=llmdata.Q_TRAIN_TEST_SPLIT_SQL,
+        description="Deterministic hash-based train/val/test split "
+        "(shuffle-free, repartition-stable, engine-portable)",
+        ops=("EXT-sampling",),
     )
 )
 _register(

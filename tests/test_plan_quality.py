@@ -76,6 +76,18 @@ def test_extension_ops_stay_jvm_side(spark):
     single sanctioned Arrow boundary and is not in this set)."""
     for name in ("dedup_fingerprint", "dedup_minhash_lsh", "simhash_fingerprints",
                  "lang_id", "text_quality", "token_counts", "doc_fingerprints",
-                 "tf_idf", "embedding_topk"):
+                 "tf_idf", "train_test_split", "embedding_topk"):
         stats = plan_stats(REGISTRY[name].fn(spark, SF_DIR))
         assert stats["python_udfs"] == 0, f"{name} fell off codegen"
+
+
+def test_train_test_split_is_shuffle_free(spark):
+    """Hash-splitting is a pure per-row map — any Exchange in the plan means
+    the operator stopped being repartition-stable linear-scan work."""
+    stats = plan_stats(REGISTRY["train_test_split"].fn(spark, SF_DIR))
+    assert stats["shuffles"] == 0, "split must not shuffle"
+
+
+def test_price_band_join_broadcasts_bands(spark):
+    plan = plan_stats(REGISTRY["price_band_join"].fn(spark, SF_DIR))["plan"]
+    assert "BroadcastNestedLoopJoin" in plan, "band dim should broadcast"

@@ -1,0 +1,54 @@
+"""Semantic guarantees of the deterministic train/val/test split — the
+properties that make hash-splitting the right operator at 100 TB (stability
+under repartitioning, no RNG state, stratification-friendliness).  Oracle
+value parity is covered by test_oracle_parity via the registry."""
+
+from __future__ import annotations
+
+from conftest import SF_DIR
+
+from procurement_system_bigdata_spark.catalog import load_table
+from procurement_system_bigdata_spark.operators import sampling
+
+
+def test_split_stable_under_repartitioning(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    a = {r.doc_id: r.split for r in sampling.train_val_test_split(docs).collect()}
+    b = {
+        r.doc_id: r.split
+        for r in sampling.train_val_test_split(docs.repartition(7)).collect()
+    }
+    assert a == b, "assignment must not depend on partitioning"
+
+
+def test_split_covers_all_docs_disjointly(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    out = sampling.train_val_test_split(docs)
+    assert out.count() == docs.count()
+    assert out.select("doc_id").distinct().count() == docs.count()
+    splits = {r.split for r in out.select("split").distinct().collect()}
+    assert splits <= {"train", "val", "test"}
+
+
+def test_split_proportions_roughly_track_thresholds(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    counts = {
+        r.split: r.n
+        for r in sampling.train_val_test_split(docs)
+        .groupBy("split")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    total = sum(counts.values())
+    # 80/10/10 target; wide tolerance for small SF sample noise
+    assert counts.get("train", 0) / total > 0.6
+    assert counts.get("train", 0) / total < 0.95
+
+
+def test_split_summary_partitions_by_stratum(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    rows = sampling.split_summary(docs).collect()
+    n_sources = docs.select("source").distinct().count()
+    assert sum(r.n_docs for r in rows) == docs.count()
+    assert len({r.source for r in rows}) == n_sources
