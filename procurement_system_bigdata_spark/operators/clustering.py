@@ -1,0 +1,121 @@
+"""Duplicate-cluster construction: connected components over near-dup pairs.
+
+Pair-level dedup (minhash/LSH, n-gram Jaccard, embedding cosine) yields
+EDGES; a training-data pipeline needs the CLUSTERS — keep one canonical
+document per component, drop the rest.  Components are computed with
+iterative min-label propagation expressed in DataFrame ops: each round every
+node adopts the smallest label among itself and its neighbors, converging to
+min(doc_id in component) in O(graph diameter) rounds.  The result is fully
+deterministic, so a DuckDB recursive-CTE oracle checks it exactly.
+
+Scale notes: each round is one hash-shuffle join (edges x labels, keyed on
+node id) plus a min-aggregate — the classic Pregel step on a DataFrame.
+Lineage is truncated every round with an eager ``localCheckpoint`` (on a
+cluster: ``checkpoint`` to HDFS); without it the iterated plan grows
+exponentially and Catalyst re-optimizes the whole history each round.  For
+graphs whose components have huge diameter or heavy skew (one giant
+component), the alternating large-star/small-star algorithm (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14) halves round count
+and bounds per-round skew; min-label propagation is the right default for
+near-dup graphs, whose components are dense and shallow.
+
+The reference has no iterative operator of any kind (SURVEY §2 — straight
+SQL DAG); this is a training-data extension (EXT class).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+MAX_ROUNDS = 25
+
+
+def connected_components(
+    nodes: DataFrame, edges: DataFrame, max_rounds: int = MAX_ROUNDS
+) -> DataFrame:
+    """Label every node with min(node id) of its connected component.
+
+    ``nodes``: one column ``node`` (isolated nodes form singleton
+    components).  ``edges``: columns ``src``/``dst``, undirected, each pair
+    listed once in either direction.  Returns (node, component).
+    """
+    sym = edges.select("src", "dst").unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = nodes.select("node", F.col("node").alias("component"))
+    labels = labels.localCheckpoint()
+    for _ in range(max_rounds):
+        nbr_min = (
+            sym.join(labels, sym.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        proposed = (
+            labels.join(nbr_min, labels.node == nbr_min.src, "left")
+            .select(
+                "node",
+                "component",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nbr_component"), F.col("component")),
+                ).alias("new_component"),
+            )
+        ).localCheckpoint()
+        changed = proposed.filter(
+            F.col("new_component") < F.col("component")
+        ).count()
+        labels = proposed.select(
+            "node", F.col("new_component").alias("component")
+        )
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Cluster documents by near-dup pairs; canonical doc = min doc_id.
+
+    ``pairs`` must carry ``doc_a``/``doc_b`` (the schema of every pair-level
+    dedup operator in operators/dedup.py).  Output: one row per document
+    with its component id and component size — the keep/drop decision is
+    ``doc_id == component`` (keep canonicals only).
+    """
+    nodes = docs.select(F.col("doc_id").cast("long").alias("node"))
+    edges = pairs.select(
+        F.col("doc_a").cast("long").alias("src"),
+        F.col("doc_b").cast("long").alias("dst"),
+    )
+    comp = connected_components(nodes, edges)
+    w = Window.partitionBy("component")
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        "component",
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+    )
+
+
+def dedup_clusters_sql(pairs_sql: str, table: str = "documents") -> str:
+    """DuckDB oracle: transitive closure by recursive CTE, then min per node.
+
+    Tractable because the oracle runs at small SF only — closure size is
+    sum(component_size^2), which the Spark path never materializes.
+    """
+    return f"""
+    WITH RECURSIVE pairs AS ({pairs_sql}),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, r) AS (
+        SELECT CAST(doc_id AS BIGINT), CAST(doc_id AS BIGINT) FROM {table}
+        UNION
+        SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.node
+    ),
+    comp AS (SELECT node AS doc_id, MIN(r) AS component FROM reach GROUP BY node)
+    SELECT doc_id, component,
+           CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT) AS cluster_size
+    FROM comp
+    """

@@ -363,3 +363,77 @@ Q_PRICE_BAND_JOIN_SQL = f"""
       ON p_retailprice >= lo AND p_retailprice < hi
     GROUP BY band
 """
+
+
+def q_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped quantiles (median / p25 / p75 / IQR) — an aggregate
+    class the reference lacks entirely (SURVEY §2.4).
+
+    Exact percentiles need the full value multiset per group — Spark runs a
+    dedicated ObjectHashAggregate; at 100 TB prefer ``approx_percentile``
+    (bounded-memory KLL-style sketch, mergeable map-side) unless exactness
+    is contractual.  Probed bit-exact vs DuckDB ``quantile_cont`` on this
+    corpus (both interpolate linearly over IEEE doubles).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    med = F.median("value")
+    p25 = F.percentile("value", F.lit(0.25))
+    p75 = F.percentile("value", F.lit(0.75))
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        med.alias("median_value"),
+        p25.alias("p25_value"),
+        p75.alias("p75_value"),
+        (p75 - p25).alias("iqr_value"),
+    )
+
+
+Q_VALUE_QUANTILES_SQL = """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           median(value) AS median_value,
+           quantile_cont(value, 0.25) AS p25_value,
+           quantile_cont(value, 0.75) AS p75_value,
+           quantile_cont(value, 0.75) - quantile_cont(value, 0.25) AS iqr_value
+    FROM events
+    GROUP BY event_type
+"""
+
+
+def q_unpivot_order_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / melt — wide per-status aggregates to long (status, measure,
+    value) form.  Neither pivot nor unpivot exists in the reference
+    (SURVEY §2.4/§2.6); pivot_event_values covers the forward direction,
+    this covers the inverse with Spark's native ``DataFrame.unpivot``
+    (Expand under the hood: rows x measures emitted map-side, no shuffle
+    beyond the feeding aggregate).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    wide = orders.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+        (F.sum(_cents(F.col("o_totalprice"))) / 100.0).alias("total_value"),
+        F.countDistinct("o_custkey").cast("double").alias("n_customers"),
+    )
+    return wide.unpivot(
+        ["o_orderstatus"],
+        ["n_orders", "total_value", "n_customers"],
+        "measure",
+        "value",
+    )
+
+
+Q_UNPIVOT_ORDER_MEASURES_SQL = """
+    WITH wide AS (
+        SELECT o_orderstatus,
+               CAST(COUNT(*) AS DOUBLE) AS n_orders,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   / 100.0 AS total_value,
+               CAST(COUNT(DISTINCT o_custkey) AS DOUBLE) AS n_customers
+        FROM orders GROUP BY 1
+    )
+    SELECT o_orderstatus, 'n_orders' AS measure, n_orders AS value FROM wide
+    UNION ALL
+    SELECT o_orderstatus, 'total_value', total_value FROM wide
+    UNION ALL
+    SELECT o_orderstatus, 'n_customers', n_customers FROM wide
+"""

@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..catalog import load_table
-from ..operators import dedup, sampling, similarity, text
+from ..operators import clustering, dedup, sampling, similarity, text
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -118,6 +118,16 @@ def q_tf_idf(spark, sf_dir):
 
 
 Q_TF_IDF_SQL = text.tf_idf_sql()
+
+
+# --- clustering -----------------------------------------------------------
+
+def q_dedup_clusters(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return clustering.dedup_clusters(docs, dedup.minhash_lsh_pairs(docs))
+
+
+Q_DEDUP_CLUSTERS_SQL = clustering.dedup_clusters_sql(dedup.minhash_lsh_pairs_sql())
 
 
 # --- sampling / splitting -------------------------------------------------

@@ -265,3 +265,83 @@ Q_PIVOT_EVENT_VALUES_SQL = f"""
     FROM events
     GROUP BY user_id
 """
+
+
+def q_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap-fill (hypertable-style dense rollup): hourly per-type
+    aggregates densified onto a complete hour grid, missing hours get
+    n_events=0 and a LOCF (last-observation-carried-forward) value.
+
+    The reference has no time-series densification (its only densify is the
+    J3 cross-join grid, SURVEY §2.3); this is the standard TimescaleDB
+    ``time_bucket_gapfill``+``locf`` shape re-expressed in Spark builtins.
+
+    Scale shape: the fact aggregation is one partial-aggregated shuffle at
+    (hour x type) cardinality; the grid is sequence()-generated from a
+    1-row global bound aggregate (no driver collect) and cross-joined with
+    the tiny type dim — grid size is time-bounded, independent of fact
+    rows.  The LOCF window sorts grid rows only, partitioned by type.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    hr = F.date_trunc("hour", F.col("ts"))
+    hourly = ev.groupBy(hr.alias("hr"), F.col("event_type")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.sum(cents) / 100.0).alias("total_value"),
+    )
+    bounds = ev.agg(F.min(hr).alias("lo"), F.max(hr).alias("hi"))
+    grid = bounds.select(
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("interval 1 hour"))
+        ).alias("hr")
+    )
+    types = ev.select("event_type").distinct()
+    dense = grid.crossJoin(F.broadcast(types))
+    locf_w = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        dense.join(hourly, ["hr", "event_type"], "left")
+        .select(
+            F.unix_micros(F.col("hr")).alias("hour_us"),
+            "event_type",
+            F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+            F.last(F.col("total_value"), ignorenulls=True)
+            .over(locf_w)
+            .alias("filled_value"),
+        )
+    )
+
+
+Q_GAP_FILL_HOURLY_SQL = """
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS hr, event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) / 100.0
+                   AS total_value
+        FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+        SELECT MIN(date_trunc('hour', ts)) AS lo,
+               MAX(date_trunc('hour', ts)) AS hi
+        FROM events
+    ),
+    grid AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr
+        FROM bounds
+    ),
+    dense AS (
+        SELECT g.hr, t.event_type
+        FROM grid g CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+    )
+    SELECT epoch_us(d.hr) AS hour_us, d.event_type,
+           COALESCE(h.n_events, 0) AS n_events,
+           last_value(h.total_value IGNORE NULLS) OVER (
+               PARTITION BY d.event_type ORDER BY d.hr
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS filled_value
+    FROM dense d
+    LEFT JOIN hourly h ON d.hr = h.hr AND d.event_type = h.event_type
+"""

@@ -227,6 +227,26 @@ _register(
 )
 _register(
     QuerySpec(
+        name="value_quantiles",
+        fn=analytics.q_value_quantiles,
+        oracle=analytics.Q_VALUE_QUANTILES_SQL,
+        description="Exact grouped quantiles (median/p25/p75/IQR); "
+        "approx_percentile sketch is the 100 TB path",
+        ops=("EXT-quantiles",),
+    )
+)
+_register(
+    QuerySpec(
+        name="unpivot_order_measures",
+        fn=analytics.q_unpivot_order_measures,
+        oracle=analytics.Q_UNPIVOT_ORDER_MEASURES_SQL,
+        description="UNPIVOT/melt wide per-status aggregates to long form "
+        "(inverse of pivot_event_values)",
+        ops=("EXT-unpivot",),
+    )
+)
+_register(
+    QuerySpec(
         name="approx_distinct_users",
         fn=analytics.q_approx_distinct_users,
         oracle=None,  # HLL sketch values are engine-specific; error-bound tested
@@ -281,6 +301,16 @@ _register(
         description="Window frames: lag/lead deltas, ROWS moving average, "
         "RANGE trailing-1h sum (exact-cents frame aggregation)",
         ops=("EXT-pattern",),
+    )
+)
+_register(
+    QuerySpec(
+        name="gap_fill_hourly",
+        fn=patterns.q_gap_fill_hourly,
+        oracle=patterns.Q_GAP_FILL_HOURLY_SQL,
+        description="Time-series gap-fill: dense hour grid + zero-fill counts "
+        "+ LOCF value (TimescaleDB time_bucket_gapfill/locf shape)",
+        ops=("EXT-timeseries",),
     )
 )
 _register(
@@ -416,6 +446,17 @@ _register(
         description="Per-doc top-5 terms by log-free TF-IDF "
         "(Robertson/Sparck-Jones idf core; bit-exact across engines)",
         ops=("EXT-text",),
+    )
+)
+_register(
+    QuerySpec(
+        name="dedup_clusters",
+        fn=llmdata.q_dedup_clusters,
+        oracle=llmdata.Q_DEDUP_CLUSTERS_SQL,
+        description="Near-dup clusters: iterative min-label connected "
+        "components over minhash-LSH pairs (Pregel-style DataFrame loop; "
+        "oracle = recursive-CTE transitive closure)",
+        ops=("EXT-clustering",),
     )
 )
 _register(
