@@ -147,3 +147,59 @@ def run_to_memory(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def upsert_stream_foreachbatch(
+    events: DataFrame,
+    base_path: str,
+    keys: tuple[str, ...] = ("user_id", "event_type"),
+):
+    """Streaming last-write-wins upsert into a snapshot table — the
+    streaming twin of queries/events.q_snapshot_upsert (reference
+    init.cql:15 Cassandra PK upsert), built as writeStream.foreachBatch +
+    the batch MERGE operator.
+
+    Per micro-batch: collapse the batch to one row per key (latest ts,
+    event_id DESC tiebreak — identical ordering to the batch query), then
+    MERGE into the base snapshot.  With a transactional table format this
+    body is ``MERGE INTO`` on Delta/Iceberg; without one (this
+    environment), the snapshot is swapped via a versioned directory rename,
+    which is the same read-merge-rewrite data flow at test scale.
+
+    Exactly-once: foreachBatch may replay a batch after failure; the MERGE
+    is idempotent per (key, ts, event_id), so replays converge — the
+    standard idempotent-sink argument for foreachBatch.
+
+    Scale: the per-batch dedup and the anti-join both shuffle on the merge
+    key only; snapshot size is key-cardinality-bounded, independent of
+    stream volume.
+    """
+    import os
+    import shutil
+
+    from pyspark.sql.window import Window
+
+    from ..operators import merge as merge_ops
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        w = Window.partitionBy(*keys).orderBy(
+            F.desc("ts"), F.desc("event_id")
+        )
+        latest = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        if os.path.exists(base_path):
+            base = spark.read.parquet(base_path)
+            merged = merge_ops.merge_upsert(base, latest, list(keys))
+        else:
+            merged = latest
+        staged = f"{base_path}._staging_v{batch_id}"
+        merged.write.mode("overwrite").parquet(staged)
+        if os.path.exists(base_path):
+            shutil.rmtree(base_path)
+        os.rename(staged, base_path)
+
+    return events.writeStream.foreachBatch(apply_batch)

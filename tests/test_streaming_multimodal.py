@@ -152,3 +152,41 @@ def test_multimodal_feature_extraction(spark):
 def test_decode_stub_is_clearly_stubbed():
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\x89PNG...")
+
+
+def test_stream_foreachbatch_upsert_equals_batch(spark, events_parquet_dir):
+    """The foreachBatch MERGE sink, fed the events in multiple micro-batches,
+    must converge to exactly the batch snapshot_upsert relation."""
+    import os
+
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    schema = spark.read.parquet(events_parquet_dir).schema
+    with tempfile.TemporaryDirectory() as root:
+        base = os.path.join(root, "snapshot")
+        ckpt = os.path.join(root, "ckpt")
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(events_parquet_dir)
+        q = (
+            se.upsert_stream_foreachbatch(stream, base)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+        ev = spark.read.parquet(events_parquet_dir)
+        w = Window.partitionBy("user_id", "event_type").orderBy(
+            F.desc("ts"), F.desc("event_id")
+        )
+        expected = (
+            ev.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        got = spark.read.parquet(base)
+        assert got.count() == expected.count()
+        assert got.exceptAll(expected).count() == 0
+        assert expected.exceptAll(got).count() == 0
