@@ -437,3 +437,29 @@ Q_UNPIVOT_ORDER_MEASURES_SQL = """
     UNION ALL
     SELECT o_orderstatus, 'n_customers', n_customers FROM wide
 """
+
+
+APPROX_PCT_ACCURACY = 10_000
+
+
+def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB companion to ``value_quantiles``: grouped quantiles via
+    Spark's approx_percentile (Greenwald-Khanna sketch, bounded memory,
+    mergeable map-side — no per-group full multiset like the exact form).
+
+    Rank error is bounded by n/accuracy; sketch merge results depend on
+    partition boundaries, so this is checked by the rank-error-bound test
+    (tests/test_ranking_and_properties.py) rather than a value-hash oracle.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    pct = F.percentile_approx(
+        "value",
+        F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)),
+        F.lit(APPROX_PCT_ACCURACY),
+    )
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        pct[0].alias("p25_approx"),
+        pct[1].alias("p50_approx"),
+        pct[2].alias("p75_approx"),
+    )

@@ -5,6 +5,7 @@ tables."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..operators import clustering, dedup, sampling, similarity, text
@@ -137,3 +138,55 @@ def q_train_test_split(spark, sf_dir):
 
 
 Q_TRAIN_TEST_SPLIT_SQL = sampling.train_val_test_split_sql()
+
+
+# --- end-to-end corpus curation ------------------------------------------
+
+CURATION_MIN_QUALITY = 0.45
+
+
+def q_corpus_curation(spark, sf_dir):
+    """Flagship training-data pipeline: quality-filter -> near-dup dedup
+    (keep cluster canonicals) -> deterministic train/val/test split, as ONE
+    composed plan.
+
+    This is the end-to-end corpus-curation flow a 100 TB pretraining
+    pipeline runs nightly; every stage is an already-oracle-checked
+    operator, composed here with doc_id-keyed joins.  Scale shape: all
+    three operator outputs are keyed on doc_id, so the final joins share
+    one hash-partitioning (Catalyst reuses the exchange); the dominant
+    costs remain the operators themselves (minhash banding, component
+    iteration), not the composition.
+    """
+    docs = _docs(spark, sf_dir)
+    q = text.quality_scores(docs).select("doc_id", "n_words", "quality_score")
+    clusters = clustering.dedup_clusters(docs, dedup.minhash_lsh_pairs(docs))
+    canon = clusters.filter(F.col("doc_id") == F.col("component")).select(
+        "doc_id", "cluster_size"
+    )
+    split = sampling.train_val_test_split(docs).select("doc_id", "split")
+    return (
+        docs.select(F.col("doc_id").cast("long").alias("doc_id"), "lang", "source")
+        .join(q.filter(F.col("quality_score") >= CURATION_MIN_QUALITY), "doc_id")
+        .join(canon, "doc_id")
+        .join(split, "doc_id")
+    )
+
+
+def _corpus_curation_sql() -> str:
+    return f"""
+    WITH quality AS ({text.quality_scores_sql()}),
+    clusters AS ({clustering.dedup_clusters_sql(dedup.minhash_lsh_pairs_sql())}),
+    split AS ({sampling.train_val_test_split_sql()})
+    SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.lang, d.source,
+           q.n_words, q.quality_score, c.cluster_size, s.split
+    FROM documents d
+    JOIN quality q ON CAST(d.doc_id AS BIGINT) = q.doc_id
+        AND q.quality_score >= {CURATION_MIN_QUALITY}
+    JOIN clusters c ON CAST(d.doc_id AS BIGINT) = c.doc_id
+        AND c.doc_id = c.component
+    JOIN split s ON d.doc_id = s.doc_id
+    """
+
+
+Q_CORPUS_CURATION_SQL = _corpus_curation_sql()

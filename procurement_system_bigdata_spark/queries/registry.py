@@ -256,6 +256,16 @@ _register(
 )
 _register(
     QuerySpec(
+        name="approx_quantiles",
+        fn=analytics.q_approx_quantiles,
+        oracle=None,  # sketch output depends on partition merge order
+        description="Grouped approx_percentile sketch (GK, mergeable, "
+        "bounded memory — the 100 TB quantile path); rank-error-bound test",
+        ops=("EXT-quantiles",),
+    )
+)
+_register(
+    QuerySpec(
         name="adhoc_sql",
         fn=analytics.q_adhoc_sql,
         oracle=analytics.ADHOC_SQL,
@@ -467,6 +477,16 @@ _register(
         description="Deterministic hash-based train/val/test split "
         "(shuffle-free, repartition-stable, engine-portable)",
         ops=("EXT-sampling",),
+    )
+)
+_register(
+    QuerySpec(
+        name="corpus_curation",
+        fn=llmdata.q_corpus_curation,
+        oracle=llmdata.Q_CORPUS_CURATION_SQL,
+        description="End-to-end corpus curation: quality filter -> keep "
+        "near-dup cluster canonicals -> deterministic split (composed plan)",
+        ops=("EXT-pipeline",),
     )
 )
 _register(

@@ -149,3 +149,32 @@ def test_pipeline_invariants(spark, tiny_master, orders, snaps):
         )
         assert r["supplier_id"] != 3  # inactive supplier never chosen
         assert abs(r["total_cost"] - r["order_quantity"] * float(r["unit_price"])) < 1e-6
+
+
+def test_approx_quantiles_within_rank_error(spark, duck):
+    """GK-sketch guarantee: each approximate quantile must sit within the
+    exact value window [q - eps, q + eps] with eps = 1/accuracy rank error
+    (generous 10x slack for tiny-group edge effects)."""
+    from procurement_system_bigdata_spark.queries.analytics import (
+        APPROX_PCT_ACCURACY,
+        q_approx_quantiles,
+    )
+    from conftest import SF_DIR
+
+    got = {r.event_type: r for r in q_approx_quantiles(spark, SF_DIR).collect()}
+    for et, row in got.items():
+        for target, val in ((0.25, row.p25_approx), (0.5, row.p50_approx),
+                            (0.75, row.p75_approx)):
+            # the sketch returns an actual data value; its true rank fraction
+            # must be within the sketch's rank error (+ discreteness slack)
+            n, n_le = duck.execute(
+                f"""SELECT COUNT(*), COUNT(*) FILTER (value <= {val})
+                    FROM events WHERE event_type = '{et}'"""
+            ).fetchone()
+            eps = 10.0 / APPROX_PCT_ACCURACY + 1.5 / n
+            assert target - eps <= n_le / n, (et, target, val, n_le / n)
+            n_lt = duck.execute(
+                f"""SELECT COUNT(*) FILTER (value < {val})
+                    FROM events WHERE event_type = '{et}'"""
+            ).fetchone()[0]
+            assert n_lt / n <= target + eps, (et, target, val, n_lt / n)
