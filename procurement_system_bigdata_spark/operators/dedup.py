@@ -295,6 +295,96 @@ def simhash_fingerprints(docs: DataFrame) -> DataFrame:
     return agg.select("doc_id", sim.alias("simhash"))
 
 
+SIMHASH_MAX_HAMMING = 3
+SIMHASH_BANDS = 4  # pigeonhole: hamming <= BANDS-1 guarantees a shared band
+
+
+def simhash_neardup_pairs(
+    docs: DataFrame,
+    max_hamming: int = SIMHASH_MAX_HAMMING,
+    n_bands: int = SIMHASH_BANDS,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash hamming distance, found WITHOUT the
+    O(n^2) cross join: split each 32-bit fingerprint into ``n_bands``
+    equal-width bands; any pair within ``max_hamming <= n_bands - 1`` bit
+    flips must share at least one identical band (pigeonhole), so an
+    equi-join on (band_index, band_value) produces a complete candidate set,
+    then exact ``bit_count(xor)`` verifies.
+
+    Scale shape: the band explode is narrow (doc_id, simhash, 2 ints) and
+    the candidate join is a hash shuffle on (band, value) — at 100 TB the
+    only hazard is a hot band value (e.g. simhash 0 from boilerplate docs);
+    that is data skew on the join key, handled by AQE skew-join splitting.
+    Parity model: reference dedup stage (SURVEY §2 EXT); no simhash exists
+    in the reference — this is the training-data extension surface.
+    """
+    band_bits = P.SIMHASH_BITS // n_bands
+    mask = (1 << band_bits) - 1
+    fp = simhash_fingerprints(docs)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                F.shiftright(F.col("simhash"), j * band_bits)
+                .bitwiseAND(F.lit(mask))
+                .alias("band_val"),
+            )
+            for j in range(n_bands)
+        ]
+    )
+    bands = fp.select(
+        "doc_id", "simhash", F.explode(band_structs).alias("bv")
+    ).select("doc_id", "simhash", F.col("bv.band").alias("band"), F.col("bv.band_val").alias("band_val"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return cand.select(
+        "doc_a", "doc_b", hamming.cast("int").alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)
+
+
+def simhash_neardup_pairs_sql(
+    table: str = "documents",
+    max_hamming: int = SIMHASH_MAX_HAMMING,
+    n_bands: int = SIMHASH_BANDS,
+) -> str:
+    band_bits = P.SIMHASH_BITS // n_bands
+    mask = (1 << band_bits) - 1
+    band_list = ", ".join(str(j) for j in range(n_bands))
+    return f"""
+    WITH fp AS ({simhash_fingerprints_sql(table)}),
+    bands AS (
+        SELECT doc_id, simhash, j.band,
+               (simhash >> (j.band * {band_bits})) & {mask} AS band_val
+        FROM fp CROSS JOIN (SELECT unnest([{band_list}]) AS band) j
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.simhash AS sim_a, b.simhash AS sim_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.band_val = b.band_val
+                    AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sim_a, sim_b)) <= {max_hamming}
+    """
+
+
 def simhash_fingerprints_sql(table: str = "documents") -> str:
     words = P.duck_words(P.duck_norm_text("text"))
     h = P.duck_str_hash("w")

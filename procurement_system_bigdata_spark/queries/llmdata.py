@@ -56,6 +56,13 @@ def q_simhash_fingerprints(spark, sf_dir):
 Q_SIMHASH_FINGERPRINTS_SQL = dedup.simhash_fingerprints_sql()
 
 
+def q_simhash_neardup(spark, sf_dir):
+    return dedup.simhash_neardup_pairs(_docs(spark, sf_dir))
+
+
+Q_SIMHASH_NEARDUP_SQL = dedup.simhash_neardup_pairs_sql()
+
+
 # --- similarity ----------------------------------------------------------
 
 def q_embedding_topk(spark, sf_dir):

@@ -385,6 +385,16 @@ _register(
 )
 _register(
     QuerySpec(
+        name="simhash_neardup",
+        fn=llmdata.q_simhash_neardup,
+        oracle=llmdata.Q_SIMHASH_NEARDUP_SQL,
+        description="SimHash near-dup pairs via banded LSH (no cross join) "
+        "+ exact bit_count(xor) hamming verify",
+        ops=("EXT-dedup",),
+    )
+)
+_register(
+    QuerySpec(
         name="embedding_topk",
         fn=llmdata.q_embedding_topk,
         oracle=llmdata.Q_EMBEDDING_TOPK_SQL,

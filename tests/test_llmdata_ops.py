@@ -96,3 +96,25 @@ def test_topk_is_sorted_and_bounded(spark):
         sims = [r.cos_sim for r in rows]
         assert sims == sorted(sims, reverse=True)
         assert all(r.neighbor_id != q for r in rows)
+
+
+def test_simhash_banding_is_lossless(spark):
+    """Pigeonhole guarantee: with 4 bands over 32 bits, every pair at
+    hamming <= 3 shares a band, so the banded join must return EXACTLY the
+    pairs a brute-force O(n^2) scan finds — LSH here is an optimization,
+    not an approximation."""
+    docs = load_table(spark, SF_DIR, "documents")
+    fps = dedup.simhash_fingerprints(docs).collect()
+    brute = set()
+    for i, a in enumerate(fps):
+        for b in fps[i + 1:]:
+            lo, hi = sorted((a.doc_id, b.doc_id))
+            if bin(a.simhash ^ b.simhash).count("1") <= dedup.SIMHASH_MAX_HAMMING:
+                brute.add((lo, hi))
+    banded = {
+        (r.doc_a, r.doc_b) for r in dedup.simhash_neardup_pairs(docs).collect()
+    }
+    assert banded == brute
+    for r in dedup.simhash_neardup_pairs(docs).collect():
+        assert r.doc_a < r.doc_b
+        assert 0 <= r.hamming <= dedup.SIMHASH_MAX_HAMMING
