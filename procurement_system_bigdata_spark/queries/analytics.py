@@ -463,3 +463,176 @@ def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         pct[1].alias("p50_approx"),
         pct[2].alias("p75_approx"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Classic decision-support shapes (TPC-H-pattern).  The reference's users run
+# ad-hoc federated SQL against the same star schema (reference
+# README.md:196-213); these four cover the planner features that matter at
+# 100 TB and that the parity queries don't already exercise: a pure
+# scan+filter+global-agg (pushdown probe), HAVING over a large groupBy, a
+# scalar-aggregate anti-threshold join, and ordered top-k with a LIMIT.
+# Double sums use the exact-cents discipline so the oracle hash is
+# order-insensitive-stable (see _cents above).
+# ---------------------------------------------------------------------------
+
+
+def q_selective_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6-shape: selective filters + global aggregate, no join.  The whole
+    query should collapse to one WholeStageCodegen scan with every predicate
+    in PushedFilters — the canonical pushdown/codegen probe (asserted in
+    tests/test_plan_quality.py)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    f = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= F.lit(0.05).cast("double"))
+        & (F.col("l_discount") <= F.lit(0.07).cast("double"))
+        & (F.col("l_quantity") < F.lit(24.0).cast("double"))
+    )
+    basis_points = F.round(F.col("l_extendedprice") * F.col("l_discount") * 10000).cast("long")
+    return f.agg(
+        (F.sum(basis_points).cast("long") / F.lit(10000.0).cast("double")).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+Q_SELECTIVE_REVENUE_SQL = """
+    SELECT CAST(SUM(CAST(ROUND(l_extendedprice * l_discount * 10000) AS BIGINT)) AS BIGINT)
+               / CAST(10000.0 AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount >= CAST(0.05 AS DOUBLE) AND l_discount <= CAST(0.07 AS DOUBLE)
+      AND l_quantity < CAST(24.0 AS DOUBLE)
+"""
+
+
+BIG_ORDER_QTY = 300.0
+
+
+def q_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18-shape: HAVING over a high-cardinality groupBy, then join the
+    survivors back to orders/customer.  The aggregate shrinks the fact ~100x
+    before the joins, so the join probe side is tiny; quantities are
+    integer-valued doubles (exact under summation, well inside 2^53)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") >= F.lit(BIG_ORDER_QTY).cast("double"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            F.col("c_custkey").cast("long").alias("c_custkey"),
+            F.col("l_orderkey").cast("long").alias("o_orderkey"),
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            "o_totalprice",
+            "total_qty",
+        )
+    )
+
+
+Q_BIG_ORDERS_SQL = f"""
+    SELECT c_name, CAST(c_custkey AS BIGINT) AS c_custkey,
+           CAST(l_orderkey AS BIGINT) AS o_orderkey,
+           CAST(o_orderdate AS DATE) AS o_orderdate, o_totalprice, total_qty
+    FROM (SELECT l_orderkey, SUM(l_quantity) AS total_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING SUM(l_quantity) >= CAST({BIG_ORDER_QTY} AS DOUBLE)) big
+    JOIN orders ON big.l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+"""
+
+
+SMALL_QTY_BRAND = "Brand#19"
+
+
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17-shape: per-part average-quantity threshold (a correlated scalar
+    subquery, decorrelated into an aggregate + equi-join) gating a revenue
+    sum.  The per-part aggregate is small (one row per part) -> broadcast;
+    avg of integer-valued doubles is deterministic (exact sum / count)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == SMALL_QTY_BRAND)
+    thresholds = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (F.avg("l_quantity") * F.lit(0.2).cast("double")).alias("qty_threshold")
+    )
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(thresholds), li.l_partkey == F.col("t_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            (F.sum(cents).cast("long") / F.lit(100.0).cast("double") / F.lit(7.0).cast("double"))
+            .alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+Q_SMALL_QTY_REVENUE_SQL = f"""
+    SELECT CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               / CAST(100.0 AS DOUBLE) / CAST(7.0 AS DOUBLE) AS avg_yearly,
+           COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey AND p.p_brand = '{SMALL_QTY_BRAND}'
+    JOIN (SELECT l_partkey AS t_partkey,
+                 AVG(l_quantity) * CAST(0.2 AS DOUBLE) AS qty_threshold
+          FROM lineitem GROUP BY l_partkey) t ON l.l_partkey = t.t_partkey
+    WHERE l.l_quantity < t.qty_threshold
+"""
+
+
+SHIP_PRIORITY_CUTOFF = "1998-06-01"
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3-shape: 3-way join with anti-correlated date filters, grouped
+    revenue, ordered top-10.  orderBy+limit compiles to TakeOrdered (per
+    partition top-k + merge on the driver — no global sort shuffle); revenue
+    in exact basis points with an l_orderkey tiebreak so the top-10 boundary
+    is deterministic on both engines."""
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit(SHIP_PRIORITY_CUTOFF).cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit(SHIP_PRIORITY_CUTOFF).cast("timestamp")
+    )
+    bp = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000).cast("long")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            F.col("l_orderkey").cast("long").alias("l_orderkey"),
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            F.col("o_orderpriority").alias("o_orderpriority"),
+        )
+        .agg((F.sum(bp).cast("long") / F.lit(10000.0).cast("double")).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+Q_SHIPPING_PRIORITY_SQL = f"""
+    SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+           CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT)
+               / CAST(10000.0 AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '{SHIP_PRIORITY_CUTOFF} 00:00:00'
+      AND l_shipdate  > TIMESTAMP '{SHIP_PRIORITY_CUTOFF} 00:00:00'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, l_orderkey ASC
+    LIMIT 10
+"""

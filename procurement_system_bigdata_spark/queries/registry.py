@@ -508,3 +508,44 @@ _register(
         ops=("EXT-text",),
     )
 )
+_register(
+    QuerySpec(
+        name="selective_revenue",
+        fn=analytics.q_selective_revenue,
+        oracle=analytics.Q_SELECTIVE_REVENUE_SQL,
+        description="Q6-shape selective scan + global agg — pushdown/codegen "
+        "probe (every predicate reaches PushedFilters)",
+        ops=("P8", "P10", "P11", "EXT-dss"),
+        bench=True,
+    )
+)
+_register(
+    QuerySpec(
+        name="big_orders",
+        fn=analytics.q_big_orders,
+        oracle=analytics.Q_BIG_ORDERS_SQL,
+        description="Q18-shape HAVING over high-cardinality groupBy, "
+        "survivors joined back to orders/customer",
+        ops=("A1", "A2", "J1", "EXT-dss"),
+    )
+)
+_register(
+    QuerySpec(
+        name="small_qty_revenue",
+        fn=analytics.q_small_qty_revenue,
+        oracle=analytics.Q_SMALL_QTY_REVENUE_SQL,
+        description="Q17-shape decorrelated scalar-aggregate threshold join "
+        "(per-part avg qty gate, broadcast both small sides)",
+        ops=("A1", "J1", "EXT-dss"),
+    )
+)
+_register(
+    QuerySpec(
+        name="shipping_priority",
+        fn=analytics.q_shipping_priority,
+        oracle=analytics.Q_SHIPPING_PRIORITY_SQL,
+        description="Q3-shape 3-way join + grouped revenue + deterministic "
+        "top-10 via TakeOrdered (no global sort shuffle)",
+        ops=("A1", "J1", "O1", "EXT-dss"),
+    )
+)

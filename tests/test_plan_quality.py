@@ -91,3 +91,23 @@ def test_train_test_split_is_shuffle_free(spark):
 def test_price_band_join_broadcasts_bands(spark):
     plan = plan_stats(REGISTRY["price_band_join"].fn(spark, SF_DIR))["plan"]
     assert "BroadcastNestedLoopJoin" in plan, "band dim should broadcast"
+
+def test_selective_revenue_pushes_every_filter(spark):
+    """Q6-shape: all five predicates must reach the parquet scan, and the
+    aggregation must stay inside whole-stage codegen."""
+    stats = plan_stats(REGISTRY["selective_revenue"].fn(spark, SF_DIR))
+    pushed = " ".join(stats.get("pushed_filters", [])) or stats["plan"]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} predicate not pushed to the scan"
+    assert stats["python_udfs"] == 0
+    assert stats["shuffles"] <= 1  # only the 1-row final-agg exchange
+
+
+def test_shipping_priority_top10_is_take_ordered(spark):
+    stats = plan_stats(REGISTRY["shipping_priority"].fn(spark, SF_DIR))
+    assert stats["take_ordered"] >= 1, "top-10 should compile to TakeOrderedAndProject"
+
+
+def test_small_qty_revenue_broadcasts_thresholds(spark):
+    stats = plan_stats(REGISTRY["small_qty_revenue"].fn(spark, SF_DIR))
+    assert stats["broadcast_hash_joins"] >= 2, "part filter + per-part avgs should broadcast"
