@@ -196,22 +196,39 @@ def run_pipeline(
     ss_by_warehouse: DataFrame,
     snapshots: DataFrame,
     run_date: date,
+    reuse_stages: bool = True,
 ) -> dict:
     """D1-D4 (reference pipeline.py:813-885): the sequential DAG as one
     driver function.  Returns the three result DataFrames plus the summary
     metrics dict (XCom replacement; 0-defaults like trigger_rule=all_done).
 
     The reference re-derives the shared CTEs inside every query; here each
-    stage df is built once and reused — same results, one pass.  Callers
-    wanting byte-layout outputs use sources.sinks on the returned frames.
+    stage df is built once and — with ``reuse_stages`` — persisted, so the
+    summary's six actions and the downstream supplier-orders derivation hit
+    the materialized stage instead of re-running the whole lineage (the
+    reference pays this recompute three times per day, SURVEY §2.7).  At
+    scale the persisted frames are dim-product bounded (|sku|×|warehouse|
+    for net_demand, purchase-order count for supplier_orders), never
+    fact-sized, so MEMORY_AND_DISK stage caches stay small even at 100 TB
+    of raw orders.  ``release()`` in the returned dict unpersists them.
+    Callers wanting byte-layout outputs use sources.sinks on the frames.
     """
     agg_full = aggregate_orders(orders, products, warehouses, full=True)
     agg_slim = aggregate_orders(orders, products, warehouses, full=False)
     ssc = safety_stock_combined(safety_stock, warehouses, ss_by_warehouse)
     inv = inventory_for_date(snapshots, run_date)
     nd_full = net_demand(agg_slim, ssc, inv, run_date, full=True)
+    persisted: list[DataFrame] = []
+    if reuse_stages:
+        # agg_full feeds one count + the returned frame; nd_full feeds three
+        # summary actions + supplier_orders; so feeds two actions + return.
+        agg_full, nd_full = agg_full.persist(), nd_full.persist()
+        persisted += [agg_full, nd_full]
     rs = ranked_suppliers(supplier_products, suppliers)
     so = supplier_orders(nd_full, rs, run_date)
+    if reuse_stages:
+        so = so.persist()
+        persisted.append(so)
 
     summary = {
         "run_date": run_date.isoformat(),
@@ -223,9 +240,14 @@ def run_pipeline(
         "supplier_orders_count": so.count(),
         "total_cost": float(so.agg(F.sum("total_cost")).first()[0] or 0.0),
     }
+    def release() -> None:
+        for df in persisted:
+            df.unpersist()
+
     return {
         "aggregated_orders": agg_full,
         "net_demand": nd_full,
         "supplier_orders": so,
         "summary": summary,
+        "release": release,
     }
