@@ -67,3 +67,57 @@ def split_summary(docs: DataFrame) -> DataFrame:
         .groupBy("source", "split")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+# --- stratified deterministic sampling -------------------------------------
+
+# Per-language keep rates (percent): downsample dominant English, keep rare
+# languages whole — the standard corpus-rebalancing shape.
+LANG_RATES: dict[str, int] = {"en": 25, "de": 75, "es": 75, "fr": 75, "zh": 100}
+DEFAULT_RATE_PCT = 50
+SAMPLE_SALT = "sample:"  # decorrelates the sample hash from the split hash
+
+
+def stratified_sample(
+    docs: DataFrame,
+    strata_col: str = "lang",
+    rates: dict[str, int] = LANG_RATES,
+    default_pct: int = DEFAULT_RATE_PCT,
+) -> DataFrame:
+    """Per-stratum deterministic downsampling: keep a row iff
+    H(salt || doc_id) mod 100 < rate(stratum).
+
+    Same scale properties as the split (pure per-row map, shuffle-free,
+    repartition-stable, grows monotonically with the corpus), plus
+    per-stratum control: changing one stratum's rate never touches rows kept
+    in another, and raising a rate only ADDS rows (bucket thresholding), so
+    successive curation rounds are supersets — the property training-data
+    reruns rely on.  The salt decorrelates sampling from train/val/test
+    bucketing: P(keep AND train) = rate x train_pct.
+    """
+    bucket = (
+        P.spark_str_hash(F.concat(F.lit(SAMPLE_SALT), F.col("doc_id").cast("string"))) % 100
+    )
+    rate_map = F.create_map(*[F.lit(x) for kv in sorted(rates.items()) for x in kv])
+    rate = F.coalesce(rate_map[F.col(strata_col)], F.lit(default_pct))
+    return docs.withColumn("sample_bucket", bucket).filter(
+        F.col("sample_bucket") < rate
+    )
+
+
+def stratified_sample_sql(
+    table: str = "documents",
+    strata_col: str = "lang",
+    rates: dict[str, int] = LANG_RATES,
+    default_pct: int = DEFAULT_RATE_PCT,
+) -> str:
+    salted = f"'{SAMPLE_SALT}' || CAST(doc_id AS VARCHAR)"
+    bucket = f"({P.duck_str_hash(salted)}) % 100"
+    whens = " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in sorted(rates.items())
+    )
+    return f"""
+    SELECT *
+    FROM (SELECT doc_id, {strata_col}, source, {bucket} AS sample_bucket FROM {table})
+    WHERE sample_bucket < (CASE {strata_col} {whens} ELSE {default_pct} END)
+    """

@@ -147,6 +147,17 @@ def q_train_test_split(spark, sf_dir):
 Q_TRAIN_TEST_SPLIT_SQL = sampling.train_val_test_split_sql()
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Language-rebalancing deterministic sample: per-lang keep rates via
+    salted hash-bucket thresholding (operators/sampling.stratified_sample)."""
+    return sampling.stratified_sample(
+        _docs(spark, sf_dir).select("doc_id", "lang", "source")
+    )
+
+
+Q_STRATIFIED_SAMPLE_SQL = sampling.stratified_sample_sql()
+
+
 # --- end-to-end corpus curation ------------------------------------------
 
 CURATION_MIN_QUALITY = 0.45

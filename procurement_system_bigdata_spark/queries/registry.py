@@ -549,3 +549,14 @@ _register(
         ops=("A1", "J1", "O1", "EXT-dss"),
     )
 )
+_register(
+    QuerySpec(
+        name="stratified_sample",
+        fn=llmdata.q_stratified_sample,
+        oracle=llmdata.Q_STRATIFIED_SAMPLE_SQL,
+        description="Per-language deterministic stratified sample (salted "
+        "hash-bucket thresholding; shuffle-free, repartition-stable, "
+        "monotone under rate increases)",
+        ops=("EXT-sampling",),
+    )
+)

@@ -52,3 +52,27 @@ def test_split_summary_partitions_by_stratum(spark):
     n_sources = docs.select("source").distinct().count()
     assert sum(r.n_docs for r in rows) == docs.count()
     assert len({r.source for r in rows}) == n_sources
+
+
+def test_stratified_sample_properties(spark):
+    from pyspark.sql import functions as F
+
+    from procurement_system_bigdata_spark.operators import sampling as S
+
+    base = load_table(spark, SF_DIR, "documents").select("doc_id", "lang", "source")
+    sampled = S.stratified_sample(base).collect()
+    rates = S.LANG_RATES
+    by_lang_total = {r["lang"]: r["n"] for r in base.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    by_lang_kept: dict = {}
+    for r in sampled:
+        assert r["sample_bucket"] < rates.get(r["lang"], S.DEFAULT_RATE_PCT)
+        by_lang_kept[r["lang"]] = by_lang_kept.get(r["lang"], 0) + 1
+    # rate-100 strata keep everything; rate-25 keeps a strict subset
+    assert by_lang_kept.get("zh", 0) == by_lang_total.get("zh", 0)
+    assert 0 < by_lang_kept["en"] < by_lang_total["en"]
+    # monotone: raising every rate to 100 yields a superset of the sample
+    full = S.stratified_sample(base, rates={k: 100 for k in rates}, default_pct=100)
+    assert full.count() == base.count()
+    # repartition-stable (shuffle-free determinism)
+    again = {r["doc_id"] for r in S.stratified_sample(base.repartition(7)).collect()}
+    assert again == {r["doc_id"] for r in sampled}
