@@ -107,3 +107,82 @@ def extract_features(media: DataFrame, bucket_partitions: int = 0) -> DataFrame:
             yield out
 
     return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("content", BinaryType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame", BinaryType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+
+def resize_media(media: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
+    """Arrow-batched 1:1 resize stage (mapInPandas, same row count out).
+
+    Production body: decode_image -> Image.resize((w, h)) -> re-encode.  The
+    codec-free stand-in emits a deterministic fixed-size payload (truncate /
+    zero-pad to w*h bytes) so batch shape, output schema and size accounting
+    are all real and assertable.  Payloads never visit the driver."""
+    target = width * height
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            resized = [bytes(b[:target]).ljust(target, b"\0") for b in pdf["content"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": width,
+                    "height": height,
+                    "content": resized,
+                    "n_bytes": [len(b) for b in resized],
+                }
+            )
+
+    return media.mapInPandas(batches, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(
+    media: DataFrame, frame_bytes: int = 256, every_n: int = 4, max_frames: int = 8
+) -> DataFrame:
+    """Arrow-batched 1:N frame sampling (mapInPandas, MORE rows out than in —
+    the explode-shaped batch contract a video pipeline needs).
+
+    Production body: ffmpeg keyframe extraction every ``every_n`` frames.
+    The stand-in treats the payload as a sequence of ``frame_bytes`` chunks
+    and keeps every ``every_n``-th chunk up to ``max_frames`` — deterministic,
+    so tests can assert exact frame counts and content."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, frames = [], [], []
+            for mid, b in zip(pdf["media_id"], pdf["content"]):
+                n_chunks = max(1, (len(b) + frame_bytes - 1) // frame_bytes)
+                for k, chunk_i in enumerate(range(0, n_chunks, every_n)):
+                    if k >= max_frames:
+                        break
+                    ids.append(mid)
+                    idxs.append(chunk_i)
+                    frames.append(bytes(b[chunk_i * frame_bytes:(chunk_i + 1) * frame_bytes]))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "frame_idx": idxs,
+                    "frame": frames,
+                    "n_bytes": [len(f) for f in frames],
+                }
+            )
+
+    return media.mapInPandas(batches, schema=FRAME_SCHEMA)

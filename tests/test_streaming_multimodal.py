@@ -190,3 +190,31 @@ def test_stream_foreachbatch_upsert_equals_batch(spark, events_parquet_dir):
         assert got.count() == expected.count()
         assert got.exceptAll(expected).count() == 0
         assert expected.exceptAll(got).count() == 0
+
+
+def test_multimodal_resize_is_one_to_one(spark):
+    docs = load_table(spark, SF_DIR, "documents").limit(50)
+    media = multimodal.attach_binary_payloads(docs)
+    resized = multimodal.resize_media(media, width=16, height=8)
+    rows = resized.collect()
+    assert len(rows) == 50
+    assert all(r["n_bytes"] == 16 * 8 and len(r["content"]) == 128 for r in rows)
+    assert all(r["width"] == 16 and r["height"] == 8 for r in rows)
+
+
+def test_multimodal_frame_sampling_explodes_rows(spark):
+    docs = load_table(spark, SF_DIR, "documents").limit(20)
+    media = multimodal.attach_binary_payloads(docs)
+    frames = multimodal.sample_frames(media, frame_bytes=64, every_n=2, max_frames=5)
+    rows = frames.collect()
+    n_media = {r["media_id"] for r in rows}
+    assert len(n_media) == 20 and len(rows) >= 20
+    per = {}
+    for r in rows:
+        per.setdefault(r["media_id"], []).append(r)
+        assert r["frame_idx"] % 2 == 0
+        assert 0 < r["n_bytes"] <= 64
+    assert all(len(v) <= 5 for v in per.values())
+    # deterministic: rerun yields identical (media_id, frame_idx, frame) sets
+    again = {(r["media_id"], r["frame_idx"], bytes(r["frame"])) for r in frames.collect()}
+    assert again == {(r["media_id"], r["frame_idx"], bytes(r["frame"])) for r in rows}
