@@ -203,3 +203,14 @@ def upsert_stream_foreachbatch(
         os.rename(staged, base_path)
 
     return events.writeStream.foreachBatch(apply_batch)
+
+
+def enrich_stream(events: DataFrame, user_dims: DataFrame) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch left-joins the static
+    dimension snapshot (re-read per batch, so slowly-changing dims pick up
+    updates between batches).  The dim side is broadcast — no stream-side
+    shuffle, no state store: the one streaming join shape that costs the
+    same as a batch map.  Stateful stream-stream joins are a different
+    operator (watermark-bounded buffers) and deliberately not this one."""
+    dims = F.broadcast(user_dims)
+    return events.join(dims, events.user_id == dims.user_key, "left").drop("user_key")

@@ -218,3 +218,30 @@ def test_multimodal_frame_sampling_explodes_rows(spark):
     # deterministic: rerun yields identical (media_id, frame_idx, frame) sets
     again = {(r["media_id"], r["frame_idx"], bytes(r["frame"])) for r in frames.collect()}
     assert again == {(r["media_id"], r["frame_idx"], bytes(r["frame"])) for r in rows}
+
+
+def test_stream_static_enrichment_equals_batch(spark, events_parquet_dir):
+    import pyspark.sql.functions as F
+
+    dims = (
+        load_table(spark, SF_DIR, "customer")
+        .select(F.col("c_custkey").alias("user_key"), "c_mktsegment")
+    )
+    schema = spark.read.parquet(events_parquet_dir).schema
+    stream = se.enrich_stream(
+        se.read_events_stream(spark, events_parquet_dir, schema), dims
+    ).select("event_id", "user_id", "c_mktsegment")
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = se.run_to_memory(stream, "enrich_test", ckpt, mode="append")
+        q.awaitTermination()
+    got = {
+        (r.event_id, r.user_id, r.c_mktsegment)
+        for r in spark.sql("select * from enrich_test").collect()
+    }
+    batch = (
+        spark.read.parquet(events_parquet_dir)
+        .join(dims, F.col("user_id") == F.col("user_key"), "left")
+        .select("event_id", "user_id", "c_mktsegment")
+    )
+    assert got == {(r.event_id, r.user_id, r.c_mktsegment) for r in batch.collect()}
+    assert len(got) == spark.read.parquet(events_parquet_dir).count()
