@@ -636,3 +636,125 @@ Q_SHIPPING_PRIORITY_SQL = f"""
     ORDER BY revenue DESC, l_orderkey ASC
     LIMIT 10
 """
+
+
+def q_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag Pearson correlation of quantity vs extendedprice,
+    computed from EXACT integer aggregates (cents / unit counts) with the
+    closed-form identity applied identically on both engines — so the final
+    doubles are bit-identical, unlike a native corr() over doubles whose
+    partial-merge order varies.  Shape: one fact scan, map-side partial
+    aggs, 3-row output."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("long")
+    p = F.round(F.col("l_extendedprice") * 100).cast("long")
+    # Per-row products fit comfortably in long (q<=~50, p<=~1e7) but their
+    # SUMS overflow int64 around sf0.1 (sum of p*p ~ rows x 1e14) — and
+    # Spark ANSI throws while DuckDB widens to HUGEINT, so the engines would
+    # diverge exactly when it matters.  Summing in DECIMAL keeps every
+    # moment exact at any scale; the one cast to double at the end is
+    # deterministic (round-to-nearest of an exact value).
+    dec = "decimal(20,0)"
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).alias("sq"),
+        F.sum(p).alias("sp"),
+        F.sum((q * q).cast(dec)).alias("sqq"),
+        F.sum((p * p).cast(dec)).alias("spp"),
+        F.sum((q * p).cast(dec)).alias("sqp"),
+    )
+    n, sq, sp = F.col("n").cast("double"), F.col("sq").cast("double"), F.col("sp").cast("double")
+    sqq, spp, sqp = (F.col(c).cast("double") for c in ("sqq", "spp", "sqp"))
+    corr = (n * sqp - sq * sp) / F.sqrt((n * sqq - sq * sq) * (n * spp - sp * sp))
+    return agg.select(
+        "l_returnflag",
+        F.col("n").alias("n_lines"),
+        corr.alias("qty_price_corr"),
+        (sq / n).alias("avg_qty"),
+        (sp / n / F.lit(100.0).cast("double")).alias("avg_price"),
+    )
+
+
+Q_CORR_STATS_SQL = """
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n_lines,
+           (CAST(n AS DOUBLE) * CAST(sqp AS DOUBLE)
+              - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE))
+             / SQRT((CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE)
+                       - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(spp AS DOUBLE)
+                       - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE)))
+             AS qty_price_corr,
+           CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) AS avg_qty,
+           CAST(sp AS DOUBLE) / CAST(n AS DOUBLE) / CAST(100.0 AS DOUBLE) AS avg_price
+    FROM (
+        SELECT l_returnflag, COUNT(*) AS n,
+               CAST(SUM(q) AS BIGINT) AS sq, CAST(SUM(p) AS BIGINT) AS sp,
+               SUM(CAST(q * q AS DECIMAL(20,0))) AS sqq,
+               SUM(CAST(p * p AS DECIMAL(20,0))) AS spp,
+               SUM(CAST(q * p AS DECIMAL(20,0))) AS sqp
+        FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q,
+                     CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS p
+              FROM lineitem) t
+        GROUP BY l_returnflag
+    ) a
+"""
+
+
+def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profiling in ONE scan: per-column null count, distinct count
+    and min/max over orders, unpivoted to a (column, metric) grid — the
+    data-quality report a pipeline runs before trusting a new drop.  All
+    metrics are exact; one wide aggregate row is computed map-side then
+    exploded driver-free via stack()."""
+    o = load_table(spark, sf_dir, "orders")
+    wide = o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_custkey").isNull().cast("long")).alias("nulls_custkey"),
+        F.count_distinct(F.col("o_custkey")).alias("distinct_custkey"),
+        F.sum(F.col("o_orderstatus").isNull().cast("long")).alias("nulls_status"),
+        F.count_distinct(F.col("o_orderstatus")).alias("distinct_status"),
+        F.min(F.col("o_totalprice")).alias("min_totalprice"),
+        F.max(F.col("o_totalprice")).alias("max_totalprice"),
+        F.min(F.col("o_orderdate").cast("date")).cast("string").alias("min_orderdate"),
+        F.max(F.col("o_orderdate").cast("date")).cast("string").alias("max_orderdate"),
+    )
+    return wide.select(
+        F.expr(
+            "stack(4, "
+            "'o_custkey',    CAST(nulls_custkey AS STRING), CAST(distinct_custkey AS STRING), NULL, NULL, "
+            "'o_orderstatus',CAST(nulls_status AS STRING), CAST(distinct_status AS STRING), NULL, NULL, "
+            "'o_totalprice', '0', NULL, CAST(min_totalprice AS STRING), CAST(max_totalprice AS STRING), "
+            "'o_orderdate',  '0', NULL, min_orderdate, max_orderdate) "
+            "AS (column_name, n_nulls, n_distinct, min_value, max_value)"
+        ),
+        F.col("n_rows"),
+    )
+
+
+Q_PROFILE_ORDERS_SQL = """
+    WITH wide AS (
+        SELECT COUNT(*) AS n_rows,
+               CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_custkey,
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS distinct_custkey,
+               CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_status,
+               CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS distinct_status,
+               MIN(o_totalprice) AS min_totalprice, MAX(o_totalprice) AS max_totalprice,
+               CAST(MIN(CAST(o_orderdate AS DATE)) AS VARCHAR) AS min_orderdate,
+               CAST(MAX(CAST(o_orderdate AS DATE)) AS VARCHAR) AS max_orderdate
+        FROM orders
+    )
+    SELECT u.column_name, u.n_nulls, u.n_distinct, u.min_value, u.max_value, w.n_rows
+    FROM wide w, (
+        SELECT 'o_custkey' AS column_name, CAST(nulls_custkey AS VARCHAR) AS n_nulls,
+               CAST(distinct_custkey AS VARCHAR) AS n_distinct,
+               NULL AS min_value, NULL AS max_value FROM wide
+        UNION ALL
+        SELECT 'o_orderstatus', CAST(nulls_status AS VARCHAR), CAST(distinct_status AS VARCHAR),
+               NULL, NULL FROM wide
+        UNION ALL
+        SELECT 'o_totalprice', '0', NULL, CAST(min_totalprice AS VARCHAR),
+               CAST(max_totalprice AS VARCHAR) FROM wide
+        UNION ALL
+        SELECT 'o_orderdate', '0', NULL, min_orderdate, max_orderdate FROM wide
+    ) u
+"""

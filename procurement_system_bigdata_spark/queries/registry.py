@@ -560,3 +560,23 @@ _register(
         ops=("EXT-sampling",),
     )
 )
+_register(
+    QuerySpec(
+        name="corr_stats",
+        fn=analytics.q_corr_stats,
+        oracle=analytics.Q_CORR_STATS_SQL,
+        description="Grouped Pearson correlation from exact integer "
+        "aggregates (bit-identical doubles across engines, one scan)",
+        ops=("A1", "A2", "EXT-stats"),
+    )
+)
+_register(
+    QuerySpec(
+        name="profile_orders",
+        fn=analytics.q_profile_orders,
+        oracle=analytics.Q_PROFILE_ORDERS_SQL,
+        description="Single-scan column profiling (nulls / distincts / "
+        "min-max per column) unpivoted to a data-quality grid",
+        ops=("A5", "EXT-profiling",),
+    )
+)
