@@ -1,0 +1,117 @@
+"""Daily-run CLI — the reference's Airflow DAG surface as one command.
+
+A user of the reference runs its 8-task daily pipeline (reference
+dags/pipeline.py:813-885); here the same day runs as::
+
+    python -m procurement_system_bigdata_spark \
+        --date 2026-01-14 \
+        --raw-root  /root/reference/data/raw \
+        --out-root  /tmp/procurement_out \
+        --init-sql  /root/reference/init-scripts/postgres/init.sql
+
+reading the reference's raw layout (orders/<dd-MM-yyyy>/orders.csv,
+snapshots/<dd-MM-yyyy>/snapshot.json), resolving master data from the
+Postgres init script (or a live database via --jdbc-url, the production
+path), and writing the three result datasets plus the summary JSON in the
+reference's date-directory layout.  ``--partitioned`` switches the sinks to
+the scale path (parquet partitioned by run_date) instead of the
+single-file parity layout.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from datetime import date
+
+from .operators import pipeline as pl
+from .session import get_spark
+from .sources import master_sql, readers, sinks
+
+MASTER_TABLES = (
+    "suppliers",
+    "products",
+    "warehouses",
+    "supplier_products",
+    "safety_stock",
+    "safety_stock_by_warehouse",
+)
+
+
+def _day(run_date: date) -> str:
+    return run_date.strftime("%d-%m-%Y")  # reference dir convention (SURVEY §1.3)
+
+
+def main(argv: list[str] | None = None) -> dict:
+    ap = argparse.ArgumentParser(prog="procurement_system_bigdata_spark")
+    ap.add_argument("--date", required=True, help="run date, ISO yyyy-mm-dd")
+    ap.add_argument("--raw-root", required=True, help="raw input root (orders/, snapshots/)")
+    ap.add_argument("--out-root", required=True, help="output root (processed/, output/)")
+    ap.add_argument("--init-sql", default=None, help="Postgres init script for master data")
+    ap.add_argument("--jdbc-url", default=None, help="JDBC URL for live master data")
+    ap.add_argument(
+        "--partitioned", action="store_true",
+        help="write run_date-partitioned parquet instead of single-file CSV/JSON",
+    )
+    args = ap.parse_args(argv)
+    run_date = date.fromisoformat(args.date)
+    day = _day(run_date)
+
+    spark = get_spark(app_name=f"procurement-daily-{args.date}")
+    if args.jdbc_url:
+        master = {t: readers.read_jdbc_table(spark, args.jdbc_url, t) for t in MASTER_TABLES}
+    else:
+        master = master_sql.master_data_frames(
+            spark, **({"sql_path": args.init_sql} if args.init_sql else {})
+        )
+
+    orders = readers.read_orders_csv(spark, f"{args.raw_root}/orders/{day}/orders.csv")
+    snaps = readers.read_snapshots_json(spark, f"{args.raw_root}/snapshots/{day}/snapshot.json")
+
+    out = pl.run_pipeline(
+        orders=orders,
+        products=master["products"],
+        warehouses=master["warehouses"],
+        suppliers=master["suppliers"],
+        supplier_products=master["supplier_products"],
+        safety_stock=master["safety_stock"],
+        ss_by_warehouse=master["safety_stock_by_warehouse"],
+        snapshots=snaps,
+        run_date=run_date,
+    )
+
+    datasets = (
+        ("processed", "aggregated_orders"),
+        ("processed", "net_demand"),
+        ("output", "supplier_orders"),
+    )
+    from pyspark.sql import functions as F
+
+    for family, name in datasets:
+        df = out[name]
+        if args.partitioned:
+            sinks.write_partitioned(
+                df.withColumn("run_date", F.lit(args.date)),
+                f"{args.out_root}/{family}/{name}",
+                "run_date",
+            )
+        else:
+            directory = sinks.day_dir(f"{args.out_root}/{family}", name, run_date)
+            sinks.write_single_csv(df, directory, f"{name}.csv")
+            sinks.write_single_json(df, directory, f"{name}.json")
+
+    summary_dir = f"{args.out_root}/output/pipeline_summary"
+    sinks.write_task_log(args.out_root, "daily_pipeline", run_date, "success", out["summary"])
+    import os
+
+    os.makedirs(summary_dir, exist_ok=True)
+    with open(f"{summary_dir}/summary_{day}.json", "w") as f:
+        json.dump(out["summary"], f, indent=2, default=str)
+    out["release"]()
+    print(json.dumps(out["summary"], default=str))
+    return out["summary"]
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -1,0 +1,149 @@
+"""Postgres init-script master-data source.
+
+Production master data arrives via JDBC (``read_jdbc_table``, SURVEY §1.4);
+this loader reconstructs the same six tables from a Postgres init script
+(INSERT statements only — data values, no reference code) for environments
+without a live database: the golden-parity tests and the offline CLI run.
+Reference schema: init-scripts/postgres/init.sql:9-71, rows :78-352.
+"""
+
+
+from __future__ import annotations
+
+import re
+from datetime import datetime
+
+INIT_SQL = "/root/reference/init-scripts/postgres/init.sql"
+
+
+def _split_tuples(values_blob: str) -> list[list]:
+    """Split a VALUES blob into tuples, respecting quotes and nested parens
+    (product names contain parentheses, e.g. 'Office Paper A4 (500 sheets)')."""
+    tuples, cur, depth, in_str = [], "", 0, False
+    i = 0
+    while i < len(values_blob):
+        ch = values_blob[i]
+        if in_str:
+            if ch == "'" and i + 1 < len(values_blob) and values_blob[i + 1] == "'":
+                cur += "''"
+                i += 2
+                continue
+            if ch == "'":
+                in_str = False
+            cur += ch
+        else:
+            if ch == "'":
+                in_str = True
+                cur += ch
+            elif ch == "(":
+                depth += 1
+                if depth == 1:
+                    cur = ""
+                    i += 1
+                    continue
+                cur += ch
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    tuples.append(_split_fields(cur))
+                    cur = ""
+                else:
+                    cur += ch
+            elif depth >= 1:
+                cur += ch
+        i += 1
+    return tuples
+
+
+def _split_fields(tuple_body: str) -> list:
+    fields, cur, depth, in_str = [], "", 0, False
+    for i, ch in enumerate(tuple_body):
+        if in_str:
+            cur += ch
+            if ch == "'" and not (i + 1 < len(tuple_body) and tuple_body[i + 1] == "'"):
+                in_str = False
+        elif ch == "'":
+            in_str = True
+            cur += ch
+        elif ch == "(":
+            depth += 1
+            cur += ch
+        elif ch == ")":
+            depth -= 1
+            cur += ch
+        elif ch == "," and depth == 0:
+            fields.append(_coerce(cur.strip()))
+            cur = ""
+        else:
+            cur += ch
+    if cur.strip():
+        fields.append(_coerce(cur.strip()))
+    return fields
+
+
+def _coerce(token: str):
+    if token.startswith("'") and token.endswith("'"):
+        return token[1:-1].replace("''", "'")
+    if token.upper() == "TRUE":
+        return True
+    if token.upper() == "FALSE":
+        return False
+    if token.upper() in ("NOW()", "NULL"):
+        return None
+    if re.fullmatch(r"-?\d+", token):
+        return int(token)
+    if re.fullmatch(r"-?\d+\.\d+", token):
+        return float(token)
+    return token
+
+
+def parse_inserts(sql_path: str = INIT_SQL) -> dict[str, list[list]]:
+    """table name -> list of value tuples (comments stripped)."""
+    text = open(sql_path).read()
+    text = re.sub(r"--[^\n]*", "", text)
+    out: dict[str, list[list]] = {}
+    for m in re.finditer(
+        r"INSERT INTO\s+(\w+)\s*\(([^)]*)\)\s*VALUES\s*(.*?);", text, re.S | re.I
+    ):
+        table, _cols, blob = m.group(1), m.group(2), m.group(3)
+        out.setdefault(table, []).extend(_split_tuples(blob))
+    return out
+
+
+def master_data_frames(spark, sql_path: str = INIT_SQL):
+    """Build the six master-data DataFrames with BIGSERIAL ids assigned in
+    insert order (1-based), matching Postgres behavior."""
+    from decimal import Decimal
+
+    from procurement_system_bigdata_spark import schemas
+
+    ins = parse_inserts(sql_path)
+    now = datetime(2026, 1, 1)
+
+    suppliers = [
+        (i + 1, code, name, email, phone, active, now)
+        for i, (code, name, email, phone, active) in enumerate(ins["suppliers"])
+    ]
+    products = [
+        (i + 1, code, name, cat, uom, active, now)
+        for i, (code, name, cat, uom, active) in enumerate(ins["products"])
+    ]
+    warehouses = [
+        (i + 1, code, name, city, active)
+        for i, (code, name, city, active) in enumerate(ins["warehouses"])
+    ]
+    supplier_products = [
+        (sid, sku, pack, moq, lead, Decimal(str(price)), cur, active)
+        for (sid, sku, pack, moq, lead, price, cur, active) in ins["supplier_products"]
+    ]
+    safety_stock = [(sku, qty) for (sku, qty, _ts) in ins["safety_stock"]]
+    ssw = [(wh, sku, qty) for (wh, sku, qty, _ts) in ins["safety_stock_by_warehouse"]]
+
+    return {
+        "suppliers": spark.createDataFrame(suppliers, schemas.SUPPLIERS),
+        "products": spark.createDataFrame(products, schemas.PRODUCTS),
+        "warehouses": spark.createDataFrame(warehouses, schemas.WAREHOUSES),
+        "supplier_products": spark.createDataFrame(supplier_products, schemas.SUPPLIER_PRODUCTS),
+        "safety_stock": spark.createDataFrame(safety_stock, schemas.SAFETY_STOCK),
+        "safety_stock_by_warehouse": spark.createDataFrame(ssw, schemas.SAFETY_STOCK_BY_WAREHOUSE),
+    }
