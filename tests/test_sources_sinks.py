@@ -83,3 +83,27 @@ def test_task_log_sink(tmp_path):
     assert rec["status"] == "success"
     assert rec["details"]["rows"] == 348
     assert "14-01-2026" in p
+
+
+def test_dynamic_partition_pruning_through_join(spark):
+    """The 100 TB date-partition story must survive a JOIN: when the day
+    filter arrives via a dimension table instead of a literal, Spark's
+    dynamic partition pruning must inject the runtime partition filter.
+    Gotcha encoded here: the build side needs a literal-comparison predicate
+    — a bare boolean attribute filter fails isLikelySelective and silently
+    disables DPP (full fact scan)."""
+    ev = load_table(spark, SF_DIR, "events").withColumn("day", F.to_date("ts"))
+    with tempfile.TemporaryDirectory() as d:
+        sinks.write_partitioned(ev, d + "/events", "day")
+        days = (
+            ev.groupBy("day")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .withColumn("day_rank", F.dayofmonth("day"))
+        )
+        days.write.mode("overwrite").parquet(d + "/days")
+        facts = spark.read.parquet(d + "/events")
+        hot = spark.read.parquet(d + "/days").filter(F.col("day_rank") <= F.lit(3))
+        j = facts.join(hot, "day").agg(F.sum("value").alias("total"))
+        plan = j._jdf.queryExecution().optimizedPlan().toString().lower()
+        assert "dynamicpruning" in plan, "day-dim join must prune partitions at runtime"
+        assert j.collect()[0]["total"] is not None
