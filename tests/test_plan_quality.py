@@ -111,3 +111,41 @@ def test_shipping_priority_top10_is_take_ordered(spark):
 def test_small_qty_revenue_broadcasts_thresholds(spark):
     stats = plan_stats(REGISTRY["small_qty_revenue"].fn(spark, SF_DIR))
     assert stats["broadcast_hash_joins"] >= 2, "part filter + per-part avgs should broadcast"
+
+
+def test_runtime_bloom_filter_reduces_shuffle_join(spark):
+    """Semi-join reduction for fact⋈filtered-dim when the dim is too big to
+    broadcast: Spark injects a bloom_filter_agg on the build side and
+    filters the fact scan with it, cutting the shuffled fact rows to
+    ~matching keys.  Default size thresholds are cluster-scale (10 GB
+    application side), so the test lowers them to demonstrate the plan the
+    engine gets at 100 TB; the dim filter must be literal-comparison
+    selective (same subtlety as dynamic partition pruning)."""
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1KB"
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        from pyspark.sql import functions as F
+
+        from procurement_system_bigdata_spark.catalog import load_table
+
+        li = load_table(spark, SF_DIR, "lineitem")
+        part = load_table(spark, SF_DIR, "part").filter(F.col("p_size") < F.lit(5))
+        j = li.join(part, li.l_partkey == part.p_partkey).agg(F.sum("l_quantity").alias("q"))
+        opt = j._jdf.queryExecution().optimizedPlan().toString().lower()
+        assert "bloom_filter_agg" in opt, "runtime bloom filter not injected"
+        assert j.collect()[0]["q"] is not None
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
