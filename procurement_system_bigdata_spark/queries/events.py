@@ -226,3 +226,52 @@ Q_EVENTS_JSON_PROPS_SQL = """
     )
     GROUP BY event_type
 """
+
+
+def q_multi_grain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: hour AND day grains from ONE
+    fact scan and one exchange via GROUPING SETS (Expand emits each row
+    once per grain; map-side partial aggs collapse before the shuffle).
+    At 100 TB this replaces two full scans with one — the same economics as
+    demand_inventory_offers (queries/procurement.py) applied to time grains.
+    grouping_id() labels the grain; exact-cents sums keep hashes stable."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    base = ev.select(
+        F.unix_micros(F.date_trunc("hour", F.col("ts"))).alias("hour_us"),
+        F.unix_micros(F.date_trunc("day", F.col("ts"))).alias("day_us"),
+        F.col("event_type"),
+        cents.alias("cents"),
+    )
+    return (
+        base.groupingSets(
+            [["hour_us", "event_type"], ["day_us", "event_type"]],
+            "hour_us", "day_us", "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum("cents").cast("long") / F.lit(100.0).cast("double")).alias("total_value"),
+            F.when(F.grouping("hour_us") == 0, F.lit("hour")).otherwise(F.lit("day")).alias("grain"),
+        )
+        .select(
+            F.coalesce(F.col("hour_us"), F.col("day_us")).alias("window_start_us"),
+            "event_type", "grain", "n_events", "total_value",
+        )
+    )
+
+
+Q_MULTI_GRAIN_ROLLUP_SQL = """
+    WITH base AS (
+        SELECT epoch_us(date_trunc('hour', ts)) AS hour_us,
+               epoch_us(date_trunc('day', ts)) AS day_us,
+               event_type,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events
+    )
+    SELECT COALESCE(hour_us, day_us) AS window_start_us, event_type,
+           CASE WHEN GROUPING(hour_us) = 0 THEN 'hour' ELSE 'day' END AS grain,
+           COUNT(*) AS n_events,
+           CAST(SUM(cents) AS BIGINT) / CAST(100.0 AS DOUBLE) AS total_value
+    FROM base
+    GROUP BY GROUPING SETS ((hour_us, event_type), (day_us, event_type))
+"""

@@ -580,3 +580,13 @@ _register(
         ops=("A5", "EXT-profiling",),
     )
 )
+_register(
+    QuerySpec(
+        name="multi_grain_rollup",
+        fn=events.q_multi_grain_rollup,
+        oracle=events.Q_MULTI_GRAIN_ROLLUP_SQL,
+        description="Hypertable-style hour+day continuous aggregate in one "
+        "scan/exchange via GROUPING SETS (grain labeled by grouping_id)",
+        ops=("A1", "A2", "EXT-timeseries"),
+    )
+)
