@@ -758,3 +758,56 @@ Q_PROFILE_ORDERS_SQL = """
         SELECT 'o_orderdate', '0', NULL, min_orderdate, max_orderdate FROM wide
     ) u
 """
+
+
+def fk_violations(name, fact, key, dim, dim_key) -> DataFrame:
+    """One referential check: LEFT ANTI fact-vs-dim, returning a single
+    (constraint_name, n_violations) row.  The dim side is broadcast, so at
+    100 TB the fact scans once with no shuffle per constraint."""
+    bad = fact.join(
+        F.broadcast(dim.select(dim_key)), fact[key] == dim[dim_key], "left_anti"
+    )
+    return bad.agg(
+        F.lit(name).alias("constraint_name"),
+        F.count(F.lit(1)).alias("n_violations"),
+    )
+
+
+def q_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity validation as anti-join counts — the engine
+    form of the reference's operational 'Row Count Validation / Schema
+    Enforcement' claims (reference README.md:173-177; its enforcement was
+    CAST-time failure, SURVEY §5.1).  Each check is a LEFT ANTI join of a
+    fact key against its dimension: zero rows = constraint holds; the scan
+    of each dim is broadcast so facts never shuffle for validation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    checks = [
+        fk_violations("lineitem.l_partkey->part", li, "l_partkey", part, "p_partkey"),
+        fk_violations("lineitem.l_suppkey->supplier", li, "l_suppkey", supp, "s_suppkey"),
+        fk_violations("lineitem.l_orderkey->orders", li, "l_orderkey", orders, "o_orderkey"),
+        fk_violations("orders.o_custkey->customer", orders, "o_custkey", cust, "c_custkey"),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionAll(c)
+    return out
+
+
+Q_FK_INTEGRITY_SQL = """
+    SELECT 'lineitem.l_partkey->part' AS constraint_name,
+           COUNT(*) AS n_violations
+    FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+    UNION ALL
+    SELECT 'lineitem.l_suppkey->supplier', COUNT(*)
+    FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)
+    UNION ALL
+    SELECT 'lineitem.l_orderkey->orders', COUNT(*)
+    FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'orders.o_custkey->customer', COUNT(*)
+    FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+"""

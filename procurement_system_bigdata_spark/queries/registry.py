@@ -590,3 +590,14 @@ _register(
         ops=("A1", "A2", "EXT-timeseries"),
     )
 )
+_register(
+    QuerySpec(
+        name="fk_integrity",
+        fn=analytics.q_fk_integrity,
+        oracle=analytics.Q_FK_INTEGRITY_SQL,
+        description="Referential-integrity validation via broadcast "
+        "anti-joins (engine form of the reference's row-count/schema "
+        "validation claims)",
+        ops=("S10", "A5", "EXT-profiling"),
+    )
+)
