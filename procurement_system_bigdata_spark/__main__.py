@@ -22,8 +22,11 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 from datetime import date
+
+from pyspark.sql import functions as F
 
 from .operators import pipeline as pl
 from .session import get_spark
@@ -86,8 +89,6 @@ def main(argv: list[str] | None = None) -> dict:
         ("processed", "net_demand"),
         ("output", "supplier_orders"),
     )
-    from pyspark.sql import functions as F
-
     for family, name in datasets:
         df = out[name]
         if args.partitioned:
@@ -103,8 +104,6 @@ def main(argv: list[str] | None = None) -> dict:
 
     summary_dir = f"{args.out_root}/output/pipeline_summary"
     sinks.write_task_log(args.out_root, "daily_pipeline", run_date, "success", out["summary"])
-    import os
-
     os.makedirs(summary_dir, exist_ok=True)
     with open(f"{summary_dir}/summary_{day}.json", "w") as f:
         json.dump(out["summary"], f, indent=2, default=str)

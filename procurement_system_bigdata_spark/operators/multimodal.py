@@ -163,13 +163,15 @@ def sample_frames(
     Production body: ffmpeg keyframe extraction every ``every_n`` frames.
     The stand-in treats the payload as a sequence of ``frame_bytes`` chunks
     and keeps every ``every_n``-th chunk up to ``max_frames`` — deterministic,
-    so tests can assert exact frame counts and content."""
+    so tests can assert exact frame counts and content.  Empty payloads
+    yield ZERO rows (an un-decodable video has no frames), keeping the
+    every-frame ``n_bytes > 0`` invariant."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             ids, idxs, frames = [], [], []
             for mid, b in zip(pdf["media_id"], pdf["content"]):
-                n_chunks = max(1, (len(b) + frame_bytes - 1) // frame_bytes)
+                n_chunks = (len(b) + frame_bytes - 1) // frame_bytes
                 for k, chunk_i in enumerate(range(0, n_chunks, every_n)):
                     if k >= max_frames:
                         break

@@ -23,6 +23,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .ranking import with_global_sequence
+
 
 def aggregate_orders(
     orders: DataFrame, products: DataFrame, warehouses: DataFrame, full: bool = True
@@ -174,10 +176,14 @@ def supplier_orders(
         (order_qty * F.col("unit_price").cast("double")).alias("total_cost"),
         F.date_add(F.lit(run_date), F.col("lead_time_days")).alias("expected_delivery_date"),
     )
-    po_w = Window.orderBy(F.desc("total_cost"), "sku_id", "warehouse_id")
+    # Global PO numbering via the two-phase range-sort operator — identical
+    # sequence to ROW_NUMBER (the key is a deterministic total order since
+    # (sku_id, warehouse_id) is unique per row) without the single-partition
+    # wall; same swap as queries/procurement.q_supplier_orders.
+    po_keys = [F.desc("total_cost"), F.asc("sku_id"), F.asc("warehouse_id")]
     compact = run_date.strftime("%Y%m%d")
     return (
-        enriched.withColumn("_seq", F.row_number().over(po_w))
+        with_global_sequence(enriched, po_keys, seq_col="_seq")
         .withColumn("order_id", F.format_string("PO-%s-%05d", F.lit(compact), F.col("_seq")))
         .withColumn("order_date", F.lit(run_date.isoformat()))
         .withColumn("status", F.lit("PENDING"))

@@ -44,6 +44,10 @@ def with_global_sequence(
     # Barrier: repartitionByRange SAMPLES its range boundaries, so two plan
     # branches over `parted` could see different partitionings.  Persist
     # pins one materialization for both the counts branch and the join.
+    # Session-lifetime note: CacheManager keys entries by canonicalized plan,
+    # so repeated calls over the SAME input dedupe to one entry; only
+    # genuinely new inputs (e.g. a new day's data) add cache, and executors
+    # evict under memory pressure (MEMORY_AND_DISK default).
     local = local.persist()
     counts = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
     # prefix-sum over ~#partitions rows: the single-partition window here is

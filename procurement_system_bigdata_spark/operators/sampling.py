@@ -110,14 +110,19 @@ def stratified_sample_sql(
     strata_col: str = "lang",
     rates: dict[str, int] = LANG_RATES,
     default_pct: int = DEFAULT_RATE_PCT,
+    cols: tuple[str, ...] = ("doc_id", "lang", "source"),
 ) -> str:
+    """SQL twin of ``stratified_sample``.  ``cols`` must list exactly the
+    columns of the frame fed to the Spark side (which passes its input
+    through plus ``sample_bucket``) or the oracle compare diverges."""
     salted = f"'{SAMPLE_SALT}' || CAST(doc_id AS VARCHAR)"
     bucket = f"({P.duck_str_hash(salted)}) % 100"
     whens = " ".join(
         f"WHEN '{k}' THEN {v}" for k, v in sorted(rates.items())
     )
+    col_list = ", ".join(cols)
     return f"""
     SELECT *
-    FROM (SELECT doc_id, {strata_col}, source, {bucket} AS sample_bucket FROM {table})
+    FROM (SELECT {col_list}, {bucket} AS sample_bucket FROM {table})
     WHERE sample_bucket < (CASE {strata_col} {whens} ELSE {default_pct} END)
     """

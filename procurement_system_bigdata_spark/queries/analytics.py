@@ -557,17 +557,23 @@ SMALL_QTY_BRAND = "Brand#19"
 def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q17-shape: per-part average-quantity threshold (a correlated scalar
     subquery, decorrelated into an aggregate + equi-join) gating a revenue
-    sum.  The per-part aggregate is small (one row per part) -> broadcast;
-    avg of integer-valued doubles is deterministic (exact sum / count)."""
+    sum.  The brand filter shrinks part ~brand-count-fold, and the
+    thresholds aggregate runs over lineitem AFTER a semi-join to those
+    part keys — same per-part averages (the semi-join keeps every line of a
+    qualifying part), but the aggregate input and the broadcast are bounded
+    by the brand's parts, not |part| (which scales with the corpus); avg of
+    integer-valued doubles is deterministic (exact sum / count)."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == SMALL_QTY_BRAND)
-    thresholds = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+    li_brand = li.join(
+        F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"), "left_semi"
+    )
+    thresholds = li_brand.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
         (F.avg("l_quantity") * F.lit(0.2).cast("double")).alias("qty_threshold")
     )
     cents = F.round(F.col("l_extendedprice") * 100).cast("long")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(thresholds), li.l_partkey == F.col("t_partkey"))
+        li_brand.join(F.broadcast(thresholds), li_brand.l_partkey == F.col("t_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(
             (F.sum(cents).cast("long") / F.lit(100.0).cast("double") / F.lit(7.0).cast("double"))
@@ -774,27 +780,54 @@ def fk_violations(name, fact, key, dim, dim_key) -> DataFrame:
 
 
 def q_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Referential-integrity validation as anti-join counts — the engine
-    form of the reference's operational 'Row Count Validation / Schema
-    Enforcement' claims (reference README.md:173-177; its enforcement was
-    CAST-time failure, SURVEY §5.1).  Each check is a LEFT ANTI join of a
-    fact key against its dimension: zero rows = constraint holds; the scan
-    of each dim is broadcast so facts never shuffle for validation."""
+    """Referential-integrity validation — the engine form of the reference's
+    operational 'Row Count Validation / Schema Enforcement' claims
+    (reference README.md:173-177; its enforcement was CAST-time failure,
+    SURVEY §5.1).
+
+    All three lineitem constraints ride ONE fact scan: dim existence via
+    broadcast LEFT joins (part, supplier — facts never shuffle for these),
+    the fact-to-fact orders check via a key-shuffled LEFT join in the same
+    pass, then conditional null-counts unpivoted with stack().  The
+    orders->customer check is its own (small) scan.  Single-constraint form:
+    ``fk_violations`` above."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     part = load_table(spark, sf_dir, "part")
     cust = load_table(spark, sf_dir, "customer")
     supp = load_table(spark, sf_dir, "supplier")
-    checks = [
-        fk_violations("lineitem.l_partkey->part", li, "l_partkey", part, "p_partkey"),
-        fk_violations("lineitem.l_suppkey->supplier", li, "l_suppkey", supp, "s_suppkey"),
-        fk_violations("lineitem.l_orderkey->orders", li, "l_orderkey", orders, "o_orderkey"),
-        fk_violations("orders.o_custkey->customer", orders, "o_custkey", cust, "c_custkey"),
-    ]
-    out = checks[0]
-    for c in checks[1:]:
-        out = out.unionAll(c)
-    return out
+
+    marked = (
+        li.select("l_partkey", "l_suppkey", "l_orderkey")
+        .join(
+            F.broadcast(part.select(F.col("p_partkey").alias("_pk"))),
+            F.col("l_partkey") == F.col("_pk"), "left",
+        )
+        .join(
+            F.broadcast(supp.select(F.col("s_suppkey").alias("_sk"))),
+            F.col("l_suppkey") == F.col("_sk"), "left",
+        )
+        .join(
+            orders.select(F.col("o_orderkey").alias("_ok")),
+            F.col("l_orderkey") == F.col("_ok"), "left",
+        )
+    )
+    li_counts = marked.agg(
+        F.count(F.when(F.col("_pk").isNull(), F.lit(1))).alias("c_part"),
+        F.count(F.when(F.col("_sk").isNull(), F.lit(1))).alias("c_supp"),
+        F.count(F.when(F.col("_ok").isNull(), F.lit(1))).alias("c_ord"),
+    ).select(
+        F.expr(
+            "stack(3, "
+            "'lineitem.l_partkey->part', c_part, "
+            "'lineitem.l_suppkey->supplier', c_supp, "
+            "'lineitem.l_orderkey->orders', c_ord) "
+            "AS (constraint_name, n_violations)"
+        )
+    )
+    return li_counts.unionAll(
+        fk_violations("orders.o_custkey->customer", orders, "o_custkey", cust, "c_custkey")
+    )
 
 
 Q_FK_INTEGRITY_SQL = """

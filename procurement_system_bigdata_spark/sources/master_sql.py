@@ -97,16 +97,37 @@ def _coerce(token: str):
     return token
 
 
+def _statement_end(text: str, start: int) -> int:
+    """Index of the ';' terminating the statement beginning at ``start``,
+    honoring single-quoted strings ('' escapes) — a ';' inside a quoted
+    value (e.g. a supplier name 'Acme; GmbH') must not end the statement."""
+    i, in_str = start, False
+    while i < len(text):
+        ch = text[i]
+        if in_str:
+            if ch == "'" and i + 1 < len(text) and text[i + 1] == "'":
+                i += 2
+                continue
+            if ch == "'":
+                in_str = False
+        elif ch == "'":
+            in_str = True
+        elif ch == ";":
+            return i
+        i += 1
+    return len(text)
+
+
 def parse_inserts(sql_path: str = INIT_SQL) -> dict[str, list[list]]:
     """table name -> list of value tuples (comments stripped)."""
     text = open(sql_path).read()
     text = re.sub(r"--[^\n]*", "", text)
     out: dict[str, list[list]] = {}
     for m in re.finditer(
-        r"INSERT INTO\s+(\w+)\s*\(([^)]*)\)\s*VALUES\s*(.*?);", text, re.S | re.I
+        r"INSERT INTO\s+(\w+)\s*\(([^)]*)\)\s*VALUES\s*", text, re.I
     ):
-        table, _cols, blob = m.group(1), m.group(2), m.group(3)
-        out.setdefault(table, []).extend(_split_tuples(blob))
+        end = _statement_end(text, m.end())
+        out.setdefault(m.group(1), []).extend(_split_tuples(text[m.end():end]))
     return out
 
 

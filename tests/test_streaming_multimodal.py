@@ -220,6 +220,18 @@ def test_multimodal_frame_sampling_explodes_rows(spark):
     assert again == {(r["media_id"], r["frame_idx"], bytes(r["frame"])) for r in rows}
 
 
+def test_multimodal_empty_payload_yields_no_frames(spark):
+    import pyspark.sql.functions as F
+
+    empty = spark.createDataFrame(
+        [(1, b""), (2, b"x" * 100)], "media_id long, content binary"
+    ).withColumn("media_type", F.lit("video/mp4")).withColumn(
+        "n_bytes", F.length("content").cast("long")
+    )
+    rows = multimodal.sample_frames(empty, frame_bytes=64).collect()
+    assert {r["media_id"] for r in rows} == {2}, "empty payload must emit zero frames"
+
+
 def test_stream_static_enrichment_equals_batch(spark, events_parquet_dir):
     import pyspark.sql.functions as F
 
