@@ -33,19 +33,29 @@ MAX_ROUNDS = 25
 
 
 def connected_components(
-    nodes: DataFrame, edges: DataFrame, max_rounds: int = MAX_ROUNDS
+    nodes: DataFrame, edges: DataFrame, max_rounds: int = MAX_ROUNDS,
+    strict: bool = True,
 ) -> DataFrame:
     """Label every node with min(node id) of its connected component.
 
     ``nodes``: one column ``node`` (isolated nodes form singleton
     components).  ``edges``: columns ``src``/``dst``, undirected, each pair
     listed once in either direction.  Returns (node, component).
+
+    Convergence is CHECKED, not assumed: if labels are still changing after
+    ``max_rounds`` (component diameter > max_rounds), ``strict=True`` raises
+    instead of silently returning split components — a wrong dedup keep-list
+    is worse than a failed job.  ``strict=False`` downgrades to a warning
+    for exploratory runs.
     """
+    import warnings
+
     sym = edges.select("src", "dst").unionAll(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     labels = nodes.select("node", F.col("node").alias("component"))
     labels = labels.localCheckpoint()
+    changed = 0
     for _ in range(max_rounds):
         nbr_min = (
             sym.join(labels, sym.dst == labels.node)
@@ -71,6 +81,15 @@ def connected_components(
         )
         if changed == 0:
             break
+    if changed != 0:
+        msg = (
+            f"connected_components did not converge within {max_rounds} rounds "
+            f"({changed} labels still changing); component labels are split. "
+            "Raise max_rounds (rounds needed ~ graph diameter)."
+        )
+        if strict:
+            raise RuntimeError(msg)
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
     return labels
 
 

@@ -32,6 +32,10 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Dimensions up to 64 MiB are broadcast; facts never shuffle for dim joins.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Read tz-less parquet timestamps as TIMESTAMP (LTZ, session tz pinned to
+    # UTC above), not TIMESTAMP_NTZ: watermarks/windows require LTZ event
+    # time, and the DuckDB oracle compares naive-as-UTC either way.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
 }
 
 

@@ -56,13 +56,25 @@ def _split_tuples(values_blob: str) -> list[list]:
 
 
 def _split_fields(tuple_body: str) -> list:
+    """Split one tuple body into fields on top-level commas, honoring
+    single-quoted strings with '' escapes: an escaped quote pair is consumed
+    as a unit (same index-advance scheme as ``_statement_end``), so a value
+    like 'Acme''s, co' stays one field."""
     fields, cur, depth, in_str = [], "", 0, False
-    for i, ch in enumerate(tuple_body):
+    i = 0
+    while i < len(tuple_body):
+        ch = tuple_body[i]
         if in_str:
-            cur += ch
-            if ch == "'" and not (i + 1 < len(tuple_body) and tuple_body[i + 1] == "'"):
+            if ch == "'" and i + 1 < len(tuple_body) and tuple_body[i + 1] == "'":
+                cur += "''"
+                i += 2
+                continue
+            if ch == "'":
                 in_str = False
-        elif ch == "'":
+            cur += ch
+            i += 1
+            continue
+        if ch == "'":
             in_str = True
             cur += ch
         elif ch == "(":
@@ -76,6 +88,7 @@ def _split_fields(tuple_body: str) -> list:
             cur = ""
         else:
             cur += ch
+        i += 1
     if cur.strip():
         fields.append(_coerce(cur.strip()))
     return fields

@@ -27,8 +27,23 @@ from pyspark.sql import functions as F
 
 
 def read_events_stream(spark: SparkSession, path: str, schema) -> DataFrame:
-    """File-based stream source (one file = one micro-batch replay unit)."""
-    return spark.readStream.schema(schema).parquet(path)
+    """File-based stream source (one file = one micro-batch replay unit).
+
+    TIMESTAMP_NTZ fields in the caller's schema are coerced to TIMESTAMP:
+    watermarks/event-time windows reject NTZ, and a session that read the
+    batch schema with NTZ inference on would otherwise poison the stream.
+    """
+    from pyspark.sql.types import StructField, StructType, TimestampNTZType, TimestampType
+
+    coerced = StructType(
+        [
+            StructField(f.name, TimestampType(), f.nullable, f.metadata)
+            if isinstance(f.dataType, TimestampNTZType)
+            else f
+            for f in schema.fields
+        ]
+    )
+    return spark.readStream.schema(coerced).parquet(path)
 
 
 def hourly_rollup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
@@ -198,9 +213,19 @@ def upsert_stream_foreachbatch(
             merged = latest
         staged = f"{base_path}._staging_v{batch_id}"
         merged.write.mode("overwrite").parquet(staged)
+        # Crash-safe swap: rename the live snapshot ASIDE first, then the
+        # staged one INTO place, then drop the old copy — a valid snapshot
+        # exists on disk at every instant (a crash between the two renames
+        # leaves base_path.old to recover from, never zero copies; with a
+        # transactional table format this whole dance is a MERGE commit).
+        old = f"{base_path}.old"
+        if os.path.exists(old):
+            shutil.rmtree(old)
         if os.path.exists(base_path):
-            shutil.rmtree(base_path)
+            os.rename(base_path, old)
         os.rename(staged, base_path)
+        if os.path.exists(old):
+            shutil.rmtree(old)
 
     return events.writeStream.foreachBatch(apply_batch)
 

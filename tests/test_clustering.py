@@ -49,3 +49,20 @@ def test_dedup_clusters_partitions_docs(spark):
 
     sizes = Counter(comp.values())
     assert all(r.cluster_size == sizes[r.component] for r in out)
+
+
+def test_nonconvergence_raises_strict_warns_lenient(spark):
+    import warnings
+
+    import pytest
+
+    nodes = spark.range(6).select(F.col("id").alias("node"))
+    edges = spark.createDataFrame([(i, i + 1) for i in range(5)], "src long, dst long")
+    # diameter 5 chain cannot converge in 1 round
+    with pytest.raises(RuntimeError, match="did not converge"):
+        clustering.connected_components(nodes, edges, max_rounds=1)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = clustering.connected_components(nodes, edges, max_rounds=1, strict=False)
+        out.collect()
+        assert any("did not converge" in str(x.message) for x in w)

@@ -107,3 +107,19 @@ def test_dynamic_partition_pruning_through_join(spark):
         plan = j._jdf.queryExecution().optimizedPlan().toString().lower()
         assert "dynamicpruning" in plan, "day-dim join must prune partitions at runtime"
         assert j.collect()[0]["total"] is not None
+
+
+def test_split_fields_escaped_quotes():
+    """'' escapes must not terminate the string mid-value (an 'Acme''s, co'
+    style value is ONE field) — mirrors _statement_end's pair-consuming scan."""
+    from procurement_system_bigdata_spark.sources.master_sql import (
+        _split_fields,
+        _split_tuples,
+    )
+
+    assert _split_fields("'Acme''s, co', 5") == ["Acme's, co", 5]
+    assert _split_fields("'x', 'a''b''c', 2.5") == ["x", "a'b'c", 2.5]
+    assert _split_tuples("('Acme''s, co', 5), ('B', 6)") == [
+        ["Acme's, co", 5],
+        ["B", 6],
+    ]
