@@ -23,12 +23,38 @@ HASH_P = 2_147_483_647  # 2^31 - 1
 HASH_SEED = 7
 
 # MinHash family h_i(x) = (A_i * x + B_i) mod P, i = 0..K-1.
+# K/BANDS is the recall dial: the ORACLE default stays small (6/2) so the
+# DuckDB-mirrored CORRECTNESS query is cheap and bit-exact; production runs
+# pass k/bands explicitly (e.g. 128/32 -> r=4, ~(1/32)^(1/4)=0.42 threshold
+# knee).  minhash_params(k) builds the coefficient family for any K.
 MINHASH_K = 6
 MINHASH_BANDS = 2  # bands of r = K // BANDS rows each
-MINHASH_A = [2 * i + 3 for i in range(MINHASH_K)]
-MINHASH_B = [(1_000_003 * i + 12_345) % HASH_P for i in range(MINHASH_K)]
 
-SIMHASH_BITS = 32
+
+def minhash_params(k: int) -> tuple[list[int], list[int]]:
+    """(A, B) coefficient lists for a K-function MinHash family — the same
+    generator for every K, so oracle (K=6) and production (K=128) dials use
+    one code path."""
+    a = [2 * i + 3 for i in range(k)]
+    b = [(1_000_003 * i + 12_345) % HASH_P for i in range(k)]
+    return a, b
+
+
+MINHASH_A, MINHASH_B = minhash_params(MINHASH_K)
+
+# SimHash: 64-bit fingerprint assembled from four independent 16-bit chunks.
+# The base char-fold hash has only 31 bits of entropy, so chunk i takes the
+# low 16 bits of the affine transform g_i = (SIMHASH_A[i]*h + SIMHASH_B[i])
+# mod P — one char fold per word, then 4 cheap BIGINT transforms (no second
+# pass over the text).  Bit j of the fingerprint = bit (j mod 16) of chunk
+# (j div 16).  At 4 bands the band width is 16 bits -> 65,536 distinct
+# values per band (vs 256 at the old 32-bit/8-bit-band scheme): band-bucket
+# population at N documents is ~N/65536 per band, which keeps the
+# within-bucket candidate join linear-ish instead of quadratic.
+SIMHASH_BITS = 64
+SIMHASH_CHUNK_BITS = 16
+SIMHASH_N_CHUNKS = SIMHASH_BITS // SIMHASH_CHUNK_BITS
+SIMHASH_A, SIMHASH_B = minhash_params(SIMHASH_N_CHUNKS)
 
 
 # ---------------------------------------------------------------------------

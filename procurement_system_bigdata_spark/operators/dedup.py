@@ -273,24 +273,58 @@ def minhash_lsh_pairs_sql(table: str = "documents", shingle_n: int = 1, threshol
 # ---------------------------------------------------------------------------
 
 
+_I64_MIN = -(1 << 63)
+
+
+def _sim_bit_term(j: int):
+    """Spark column adding bit j to the assembled signed-64 fingerprint.
+
+    Bit 63 is the two's-complement sign bit: its term is -2^63 (the partial
+    sums never overflow — bits 0..62 total at most 2^63-1, and adding -2^63
+    lands in range)."""
+    weight = _I64_MIN if j == 63 else (1 << j)
+    return F.when(F.col(f"s{j}") > 0, F.lit(weight).cast("long")).otherwise(
+        F.lit(0).cast("long")
+    )
+
+
 def simhash_fingerprints(docs: DataFrame) -> DataFrame:
-    """32-bit SimHash over word occurrences (multiplicity-weighted)."""
+    """64-bit SimHash over word occurrences (multiplicity-weighted).
+
+    The engine-neutral char-fold hash carries 31 bits, so the 64 fingerprint
+    bits come from four affine chunk transforms g_i = (A_i*h + B_i) mod P
+    (functions/portable.py): bit j reads bit (j mod 16) of chunk (j div 16).
+    One groupBy computes all 64 bit-balance sums as plain SUM aggregates —
+    single shuffle, whole-stage codegen, no UDFs.
+    """
     words = P.spark_words(P.spark_norm_text(F.col("text")))
     exploded = (
         docs.select(F.col("doc_id").cast("long").alias("doc_id"), words.alias("ws"))
         .select("doc_id", F.explode("ws").alias("w"))
         .select("doc_id", P.spark_str_hash(F.col("w")).alias("h"))
+        .select(
+            "doc_id",
+            *[
+                ((F.lit(P.SIMHASH_A[i]) * F.col("h") + F.lit(P.SIMHASH_B[i])) % P.HASH_P).alias(f"g{i}")
+                for i in range(P.SIMHASH_N_CHUNKS)
+            ],
+        )
     )
     bit_sums = [
         F.sum(
-            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            F.when(
+                F.shiftright(F.col(f"g{j // P.SIMHASH_CHUNK_BITS}"), j % P.SIMHASH_CHUNK_BITS)
+                .bitwiseAND(F.lit(1))
+                == 1,
+                1,
+            ).otherwise(-1)
         ).alias(f"s{j}")
         for j in range(P.SIMHASH_BITS)
     ]
     agg = exploded.groupBy("doc_id").agg(*bit_sums)
     sim = None
     for j in range(P.SIMHASH_BITS):
-        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = _sim_bit_term(j)
         sim = term if sim is None else sim + term
     return agg.select("doc_id", sim.alias("simhash"))
 
@@ -305,19 +339,33 @@ def simhash_neardup_pairs(
     n_bands: int = SIMHASH_BANDS,
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash hamming distance, found WITHOUT the
-    O(n^2) cross join: split each 32-bit fingerprint into ``n_bands``
+    O(n^2) cross join: split each 64-bit fingerprint into ``n_bands``
     equal-width bands; any pair within ``max_hamming <= n_bands - 1`` bit
     flips must share at least one identical band (pigeonhole), so an
     equi-join on (band_index, band_value) produces a complete candidate set,
     then exact ``bit_count(xor)`` verifies.
 
-    Scale shape: the band explode is narrow (doc_id, simhash, 2 ints) and
-    the candidate join is a hash shuffle on (band, value) — at 100 TB the
-    only hazard is a hot band value (e.g. simhash 0 from boilerplate docs);
-    that is data skew on the join key, handled by AQE skew-join splitting.
+    Scale shape: at the default 4 bands the band width is 64/4 = 16 bits, so
+    each band hashes docs into 65,536 buckets; expected bucket population at
+    N docs is N/65536 per band and the within-bucket self-join stays
+    near-linear (at 10^9 docs: ~15k docs/bucket -> ~10^8 comparisons/bucket
+    worst-case uniform, spread over 65k parallel buckets).  A larger hamming
+    budget needs more bands (``n_bands=8`` -> 8-bit bands, hamming <= 7) and
+    pays with coarser buckets — the pigeonhole bound, not the bit width, is
+    the dial.  Remaining hazard is a HOT band value (boilerplate docs
+    sharing a chunk); that is join-key skew, handled by AQE skew-join
+    splitting, and the bucket-size test in tests/test_llmdata_ops.py bounds
+    it on real data.
     Parity model: reference dedup stage (SURVEY §2 EXT); no simhash exists
     in the reference — this is the training-data extension surface.
     """
+    if P.SIMHASH_BITS % n_bands:
+        raise ValueError(f"n_bands must divide {P.SIMHASH_BITS}")
+    if max_hamming > n_bands - 1:
+        raise ValueError(
+            f"pigeonhole guarantee broken: max_hamming={max_hamming} needs "
+            f">= {max_hamming + 1} bands, got {n_bands}"
+        )
     band_bits = P.SIMHASH_BITS // n_bands
     mask = (1 << band_bits) - 1
     fp = simhash_fingerprints(docs)
@@ -388,19 +436,33 @@ def simhash_neardup_pairs_sql(
 def simhash_fingerprints_sql(table: str = "documents") -> str:
     words = P.duck_words(P.duck_norm_text("text"))
     h = P.duck_str_hash("w")
+    chunks = ", ".join(
+        f"({P.SIMHASH_A[i]} * h + {P.SIMHASH_B[i]}) % {P.HASH_P} AS g{i}"
+        for i in range(P.SIMHASH_N_CHUNKS)
+    )
     bit_sums = ", ".join(
-        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
+        f"SUM(CASE WHEN (g{j // P.SIMHASH_CHUNK_BITS} >> {j % P.SIMHASH_CHUNK_BITS})"
+        f" & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
         for j in range(P.SIMHASH_BITS)
     )
+    # Bit 63's weight is -2^63 (two's-complement sign bit); spelled as
+    # min-bigint arithmetic because the bare literal parses as HUGEINT.
     assemble = " + ".join(
-        f"CASE WHEN s{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END"
+        f"CASE WHEN s{j} > 0 THEN "
+        + (
+            "(CAST(-9223372036854775807 AS BIGINT) - 1)"
+            if j == 63
+            else f"CAST({1 << j} AS BIGINT)"
+        )
+        + " ELSE CAST(0 AS BIGINT) END"
         for j in range(P.SIMHASH_BITS)
     )
     return f"""
     WITH exploded AS (
-        SELECT doc_id, {h} AS h
-        FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id, unnest({words}) AS w
-              FROM {table})
+        SELECT doc_id, {chunks}
+        FROM (SELECT doc_id, {h} AS h
+              FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id, unnest({words}) AS w
+                    FROM {table}))
     ),
     bit_sums AS (SELECT doc_id, {bit_sums} FROM exploded GROUP BY doc_id)
     SELECT doc_id, {assemble} AS simhash FROM bit_sums
