@@ -162,37 +162,56 @@ def ngram_jaccard_pairs_sql(table: str = "documents", shingle_n: int = 3, thresh
 # ---------------------------------------------------------------------------
 
 
-def minhash_signatures(docs: DataFrame, shingle_n: int = 1) -> DataFrame:
+def minhash_signatures(docs: DataFrame, shingle_n: int = 1, k: int = P.MINHASH_K) -> DataFrame:
     """(doc_id, m0..m{K-1}): K minhashes computed as K min() aggregates over
-    the exploded token hashes — one shuffle, no per-hash-function pass."""
+    the exploded token hashes — one shuffle, no per-hash-function pass.
+
+    ``k`` is the signature width: the default stays at the oracle-mirrored
+    constant; production dedup passes e.g. k=128 (with 32 bands of r=4 the
+    candidate-probability knee sits at Jaccard ~(1/32)^(1/4) = 0.42)."""
+    a_coef, b_coef = P.minhash_params(k)
     tok = _doc_token_hashes(docs, shingle_n)
     aggs = [
-        F.min((F.lit(P.MINHASH_A[i]) * F.col("h") + F.lit(P.MINHASH_B[i])) % P.HASH_P).alias(f"m{i}")
-        for i in range(P.MINHASH_K)
+        F.min((F.lit(a_coef[i]) * F.col("h") + F.lit(b_coef[i])) % P.HASH_P).alias(f"m{i}")
+        for i in range(k)
     ]
     return tok.groupBy("doc_id").agg(*aggs)
 
 
-def _band_key_cols(r: int):
+def _band_key_cols(r: int, n_bands: int):
     return [
         F.concat_ws("-", *[F.col(f"m{b * r + j}") for j in range(r)]).alias(f"band{b}")
-        for b in range(P.MINHASH_BANDS)
+        for b in range(n_bands)
     ]
 
 
-def minhash_lsh_pairs(docs: DataFrame, shingle_n: int = 1, threshold: float = 0.9) -> DataFrame:
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    shingle_n: int = 1,
+    threshold: float = 0.9,
+    k: int = P.MINHASH_K,
+    n_bands: int = P.MINHASH_BANDS,
+) -> DataFrame:
     """MinHash-LSH near-duplicate pairs, confirmed with exact Jaccard.
 
     Candidates = pairs agreeing on at least one full band of the signature;
     each candidate is then confirmed against the exact token-set Jaccard.
     Identical banding runs in the oracle, so the (approximate) candidate set
     is deterministic and the outputs match exactly.
+
+    (k, n_bands) is the recall/cost dial: candidate probability at Jaccard s
+    is 1 - (1 - s^r)^b with r = k/n_bands.  The oracle default (6, 2) keeps
+    the DuckDB mirror cheap; production corpora should run (128, 32) — see
+    tests/test_llmdata_ops.py::test_minhash_production_dial_recall for the
+    measured recall of both dials against exact Jaccard.
     """
-    r = P.MINHASH_K // P.MINHASH_BANDS
-    sigs = minhash_signatures(docs, shingle_n)
-    bands = sigs.select("doc_id", *_band_key_cols(r))
+    if k % n_bands:
+        raise ValueError(f"n_bands={n_bands} must divide k={k}")
+    r = k // n_bands
+    sigs = minhash_signatures(docs, shingle_n, k)
+    bands = sigs.select("doc_id", *_band_key_cols(r, n_bands))
     stacked = None
-    for b in range(P.MINHASH_BANDS):
+    for b in range(n_bands):
         part = bands.select(
             "doc_id", F.lit(b).alias("band"), F.col(f"band{b}").alias("key")
         )

