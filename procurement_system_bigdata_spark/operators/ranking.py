@@ -42,13 +42,13 @@ def with_global_sequence(
         .withColumn("_local_rn", F.row_number().over(w))
     )
     # Barrier: repartitionByRange SAMPLES its range boundaries, so two plan
-    # branches over `parted` could see different partitionings.  Persist
-    # pins one materialization for both the counts branch and the join.
-    # Session-lifetime note: CacheManager keys entries by canonicalized plan,
-    # so repeated calls over the SAME input dedupe to one entry; only
-    # genuinely new inputs (e.g. a new day's data) add cache, and executors
-    # evict under memory pressure (MEMORY_AND_DISK default).
-    local = local.persist()
+    # branches over `parted` could see different partitionings.  An EAGER
+    # localCheckpoint pins one materialization for both the counts branch
+    # and the join.  localCheckpoint (not .persist()): CacheManager entries
+    # are never released without an explicit unpersist — a leak across
+    # driver invocations — while checkpoint blocks are dropped by the
+    # ContextCleaner as soon as the DataFrame goes out of scope.
+    local = local.localCheckpoint()
     counts = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
     # prefix-sum over ~#partitions rows: the single-partition window here is
     # over partition COUNTS, not data rows — O(partitions), always tiny

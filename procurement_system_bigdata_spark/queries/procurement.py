@@ -365,16 +365,26 @@ def combined_demand_inventory(
     exactly: demand rows need >=1 pre-split line, inventory rows >=1
     post-split line.
 
-    The aggregate is persisted: the two branches apply different filters and
-    column prunes, so Catalyst specializes (and would re-scan) each subtree
-    rather than reusing the exchange; caching the dim-product-bounded
-    aggregate (~|sku|x|warehouse| rows) pins one scan + one shuffle.
+    The aggregate is deliberately NOT persisted: the two branches specialize
+    the subtree (different filters/prunes), so caching would pin one scan —
+    but MEASURED at sf0.1 (local[32], 3 runs) the no-cache recompute is
+    FASTER (net_demand 2.0-2.4s vs 2.8-3.1s with persist): materializing the
+    dim-product-bounded aggregate into the block store costs more than the
+    second columnar scan, and an unreleased .persist() leaks cache entries
+    across driver invocations (CacheManager entries are never GC'd).
+    The headline queries avoid even the double scan via ``net_demand_fused``.
     """
+    return _ao_inv_from_combined(_combined_agg(li, supp), part, nat)
+
+
+def _combined_agg(li: DataFrame, supp: DataFrame) -> DataFrame:
+    """The shared conditional (sku_id, warehouse_id) aggregate: demand-side
+    and snapshot-side measures from ONE lineitem scan."""
     split = F.lit(SNAPSHOT_SPLIT).cast("timestamp")
     smap = supp.select("s_suppkey", "s_nationkey")
     is_demand = F.col("l_shipdate") < split
     qty = F.col("l_quantity").cast("long")
-    combined = (
+    return (
         li.join(F.broadcast(smap), li.l_suppkey == smap.s_suppkey)
         .groupBy(
             F.col("l_partkey").cast("long").alias("sku_id"),
@@ -391,8 +401,68 @@ def combined_demand_inventory(
                 )
             ).alias("_resv"),
         )
-    ).persist()
-    return _ao_inv_from_combined(combined, part, nat)
+    )
+
+
+def net_demand_fused(
+    li: DataFrame, part: DataFrame, supp: DataFrame, nat: DataFrame, full: bool
+) -> DataFrame:
+    """Net demand from ONE fact scan and ONE left join — the headline-query
+    derivation.
+
+    ``net_demand_stage`` models the reference's CTE shape: aggregate the
+    demand and inventory relations separately, then LEFT JOIN them back on
+    (sku_code, warehouse_code) (J6).  But both relations derive 1:1 from the
+    SAME (sku_id, warehouse_id) conditional aggregate — sku_code and
+    warehouse_code are injective functions of the id keys — so the rejoin is
+    algebraically redundant: filtering the combined aggregate to demand rows
+    and reading the snapshot measures off the same row produces the
+    identical relation (COALESCE-on-miss == the conditional sums' 0
+    defaults; membership: inventory-only rows are dropped by the left join
+    anyway).  This removes the J6 code-key shuffle+sort pair AND the
+    second fact scan — the plan is one scan, broadcast dim attaches, and a
+    single aggregate⋈aggregate left join against the safety-stock grid
+    (shuffle join by design: both sides are |sku|x|warehouse|-bounded, too
+    big to broadcast at 100 TB; AQE downgrades to broadcast when small).
+    Oracle-hash-identical to the staged derivation (CORRECTNESS net_demand /
+    supplier_orders); J5/J6 operator parity lives on in net_demand_stage,
+    exercised by the reference-shaped pipeline (operators/pipeline.py).
+    """
+    demand = _combined_agg(li, supp).filter(F.col("_demand_cnt") > 0)
+    pdim, ndim = _dim_attrs(part, nat)
+    ssc = safety_stock_stage(part, nat).withColumnRenamed(
+        "safety_stock_qty", "ss_qty"
+    )
+    joined = (
+        demand.join(F.broadcast(pdim), "sku_id")
+        .join(F.broadcast(ndim), "warehouse_id")
+        .join(ssc, ["sku_id", "warehouse_id"], "left")
+    )
+    avail = F.col("_avail")
+    resv = F.col("_resv")
+    net = F.greatest(
+        F.lit(0).cast("long"),
+        (
+            F.col("_demand_qty")
+            + F.coalesce(F.col("ss_qty"), F.lit(0))
+            - (avail - resv)
+        ).cast("long"),
+    )
+    dims = [
+        "sku_id", "sku_code", "product_name", "category",
+        "warehouse_id", "warehouse_code", "warehouse_name",
+    ]
+    if full:
+        return joined.select(
+            *dims,
+            F.col("_demand_qty").alias("aggregated_orders"),
+            F.coalesce(F.col("ss_qty"), F.lit(0)).cast("long").alias("safety_stock"),
+            avail.cast("long").alias("available_stock"),
+            resv.cast("long").alias("reserved_stock"),
+            (avail - resv).cast("long").alias("effective_stock"),
+            net.alias("net_demand"),
+        )
+    return joined.select(*dims, net.alias("net_demand"))
 
 
 def _ao_inv_from_combined(
@@ -483,7 +553,6 @@ def demand_inventory_offers(
             F.min("_unit_price").alias("unit_price"),
             F.grouping_id().alias("_gid"),
         )
-        .persist()
     )
     # grouping_id bit per grouping column (sku_id, warehouse_id, supplier_id),
     # 1 = aggregated away: (sku, warehouse) set -> 0b001, (supplier, sku) -> 0b010
@@ -496,11 +565,10 @@ def demand_inventory_offers(
 
 def q_net_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q2: net demand with safety-stock densification + inventory offsets —
-    reference pipeline.py:495-537 (CTEs C1, joins J3-J6, COALESCE/GREATEST)."""
+    reference pipeline.py:495-537 (CTEs C1, joins J3-J6, COALESCE/GREATEST).
+    Runs the fused single-scan derivation (see net_demand_fused)."""
     li, part, supp, nat = _facts_dims(spark, sf_dir)
-    ao, inv = combined_demand_inventory(li, part, supp, nat)
-    ssc = safety_stock_stage(part, nat)
-    return net_demand_stage(ao, ssc, inv, full=True).orderBy(
+    return net_demand_fused(li, part, supp, nat, full=True).orderBy(
         F.desc("net_demand"), "sku_id", "warehouse_id"
     )
 
@@ -606,10 +674,15 @@ def q_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     total_cost-DESC order, order_date, status — pipeline.py:682-687) folded
     into the plan as a window + format_string (W2 + P14).
     """
+    return _supplier_orders_po_tail(supplier_orders_enriched(spark, sf_dir))
+
+
+def supplier_orders_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 up to (but excluding) PO numbering — split out so plan tests can
+    inspect the full join/aggregate plan (the eager localCheckpoint in the
+    numbering tail truncates the visible lineage)."""
     li, part, supp, nat = _facts_dims(spark, sf_dir)
-    ao, inv = combined_demand_inventory(li, part, supp, nat)
-    ssc = safety_stock_stage(part, nat)
-    nd = net_demand_stage(ao, ssc, inv, full=False)
+    nd = net_demand_fused(li, part, supp, nat, full=False)
     rs = ranked_suppliers_stage(li, part, supp).filter(F.col("price_rank") == 1)
 
     joined = nd.filter(F.col("net_demand") > 0).join(rs, "sku_id")
@@ -640,6 +713,10 @@ def q_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "expected_delivery_date"
         ),
     )
+    return enriched
+
+
+def _supplier_orders_po_tail(enriched: DataFrame) -> DataFrame:
     # PO ids need ROW_NUMBER over a global order (W2).  A bare
     # Window.orderBy funnels every row through ONE partition — the wall at
     # scale — so the numbering comes from the two-phase range-sort operator

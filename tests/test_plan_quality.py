@@ -19,29 +19,38 @@ def test_aggregate_orders_plan(spark):
 
 
 def test_net_demand_plan(spark):
-    # The two aggregate⋈aggregate left joins (demand⋈safety-stock-grid and
-    # demand⋈inventory) are cardinality-bounded by |sku|×|warehouse| — too
-    # big to broadcast at 100 TB, so a shuffle join is the CORRECT static
-    # plan; AQE converts them to broadcast at runtime when actual sizes are
-    # small.  Every dim join must still be broadcast.  No shipdate pushdown
-    # here BY DESIGN: demand+inventory come from ONE full-range scan with
-    # conditional aggregation (combined_demand_inventory) — assert the scan
-    # economy instead.
+    # Fused derivation (net_demand_fused): ONE fact scan with conditional
+    # aggregation, broadcast dim attaches, and a single aggregate⋈aggregate
+    # left join against the safety-stock grid.  That join is cardinality-
+    # bounded by |sku|×|warehouse| — too big to broadcast at 100 TB, so a
+    # shuffle join is the CORRECT static plan; AQE converts it to broadcast
+    # at runtime when actual sizes are small.  No shipdate pushdown BY
+    # DESIGN: demand+snapshot measures come from one full-range scan.
     stats = assert_scale_safe(
-        REGISTRY["net_demand"].fn(spark, SF_DIR), max_sort_merge_joins=2
+        REGISTRY["net_demand"].fn(spark, SF_DIR), max_sort_merge_joins=1
     )
-    assert stats["broadcast_hash_joins"] >= 6
+    assert stats["broadcast_hash_joins"] >= 4
     assert stats["plan"].count("lineitem.parquet") == 1
+    assert stats["shuffles"] <= 4
 
 
 def test_supplier_orders_plan(spark):
-    # Same two aggregate-side shuffle joins as net_demand; W2 (global PO
-    # numbering) additionally forces one single-partition exchange at the
-    # very end (rows there = final purchase orders, dim-product bounded)
+    # The numbering tail's eager localCheckpoint truncates the visible
+    # lineage, so the full join/aggregate plan is asserted on the enriched
+    # subplan: two fact scans (fused net-demand + supplier offers), the one
+    # bounded safety-stock SMJ, broadcast everywhere else.
+    from procurement_system_bigdata_spark.queries import procurement as P
+
     stats = assert_scale_safe(
-        REGISTRY["supplier_orders"].fn(spark, SF_DIR), max_sort_merge_joins=3
+        P.supplier_orders_enriched(spark, SF_DIR), max_sort_merge_joins=2
     )
-    assert stats["broadcast_hash_joins"] >= 6
+    assert stats["broadcast_hash_joins"] >= 5
+    assert stats["plan"].count("lineitem.parquet") <= 2
+    # the assembled query may add only the O(#partitions) prefix-sum
+    # exchange of the two-phase numbering — never a data-sized single
+    # partition sort
+    full = plan_stats(REGISTRY["supplier_orders"].fn(spark, SF_DIR))
+    assert full["python_udfs"] == 0
 
 
 def test_grouping_sets_variant_matches_two_scan(spark):
@@ -149,3 +158,23 @@ def test_runtime_bloom_filter_reduces_shuffle_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_no_cache_leak_across_driver_invocations(spark):
+    """Every registry-style invocation must leave the SQL cache empty: an
+    unreleased .persist() strands a CacheManager entry per call (they are
+    never GC'd), growing without bound across a long driver session.
+    localCheckpoint blocks are allowed — the ContextCleaner reclaims those
+    once the frames go out of scope."""
+    from procurement_system_bigdata_spark.catalog import load_table
+    from procurement_system_bigdata_spark.operators import similarity
+    from procurement_system_bigdata_spark.queries import procurement as PQ
+
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    spark.catalog.clearCache()
+    assert cm.isEmpty()
+    for _ in range(2):
+        PQ.q_net_demand(spark, SF_DIR).count()
+        PQ.q_supplier_orders(spark, SF_DIR).count()
+        similarity.ivf_topk(load_table(spark, SF_DIR, "embeddings")).count()
+    assert cm.isEmpty(), "a query leaked SQL-cache entries"
