@@ -14,6 +14,30 @@ from pyspark.sql import functions as F
 from .. import schemas
 
 
+def jdbc_scan_options(
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    num_partitions: int = 8,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    **options: str,
+) -> dict[str, str]:
+    """The complete option map for an S8 JDBC scan — a pure function so the
+    plumbing is contract-testable without a live database (the load path
+    itself needs a JDBC driver jar + server)."""
+    opts = {"url": url, "dbtable": table}
+    if partition_column is not None:
+        opts.update(
+            partitionColumn=partition_column,
+            numPartitions=str(num_partitions),
+            lowerBound=str(lower_bound if lower_bound is not None else 0),
+            upperBound=str(upper_bound if upper_bound is not None else 1),
+        )
+    opts.update({k: str(v) for k, v in options.items()})
+    return opts
+
+
 def read_jdbc_table(
     spark: SparkSession,
     url: str,
@@ -32,18 +56,15 @@ def read_jdbc_table(
     (SURVEY §1.4); this is the production reader.  Filter/column pushdown to
     the database is automatic; ``partition_column`` bounds enable parallel
     range reads for large tables — dims this small are read in one partition
-    and broadcast anyway.  No database ships in this environment, so this
-    function is exercised in production deployments only.
+    and broadcast anyway.  Option assembly is contract-tested
+    (tests/test_sources_sinks.py); the live load additionally needs the
+    driver jar on the classpath (spark.jars / --packages).
     """
-    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
-    if partition_column is not None:
-        reader = (
-            reader.option("partitionColumn", partition_column)
-            .option("numPartitions", str(num_partitions))
-            .option("lowerBound", str(lower_bound if lower_bound is not None else 0))
-            .option("upperBound", str(upper_bound if upper_bound is not None else 1))
-        )
-    for k, v in options.items():
+    reader = spark.read.format("jdbc")
+    for k, v in jdbc_scan_options(
+        url, table, partition_column, num_partitions, lower_bound, upper_bound,
+        **options,
+    ).items():
         reader = reader.option(k, v)
     return reader.load()
 

@@ -79,6 +79,38 @@ def write_task_log(
     return final
 
 
+CASSANDRA_FORMAT = "org.apache.spark.sql.cassandra"
+
+
+def cassandra_upsert_options(keyspace: str, table: str) -> dict[str, str]:
+    """Option map for the S4 Cassandra upsert sink — pure function for
+    contract tests (the live path needs the spark-cassandra-connector jar
+    and a cluster)."""
+    return {"keyspace": keyspace, "table": table, "confirm.truncate": "false"}
+
+
+def cassandra_upsert_writer(df: DataFrame, keyspace: str, table: str):
+    """S4: the production Cassandra sink the reference feeds row-by-row
+    (reference dags/pipeline.py:275-289 INSERTs each snapshot row; Cassandra
+    INSERT is an upsert, so replays are last-write-wins on the primary key —
+    init-scripts/cassandra/init.cql:7-17).
+
+    ``mode("append")`` reproduces exactly those semantics: every row becomes
+    an upsert by PK, idempotent under replay, no read-modify-write.  Returns
+    the CONFIGURED writer (caller invokes .save()) so deployments can add
+    consistency/TTL options.  Requires
+    ``com.datastax.spark:spark-cassandra-connector`` on the classpath; in
+    this environment .save() raises DATA_SOURCE_NOT_FOUND — asserted by the
+    contract test, which proves the wiring reaches Spark's DataSource
+    resolution rather than being dead code.  The harness replays the same
+    upsert semantics on parquet in sources/readers.read_snapshots_json.
+    """
+    writer = df.write.format(CASSANDRA_FORMAT).mode("append")
+    for k, v in cassandra_upsert_options(keyspace, table).items():
+        writer = writer.option(k, v)
+    return writer
+
+
 def write_partitioned(df: DataFrame, path: str, *partition_cols: str) -> None:
     """The scale path: parquet partitioned by (e.g.) run_date — equivalent
     logical layout to the reference's date directories (SURVEY §1.3), with

@@ -123,3 +123,54 @@ def test_split_fields_escaped_quotes():
         ["Acme's, co", 5],
         ["B", 6],
     ]
+
+
+def test_jdbc_scan_option_plumbing(spark):
+    """S8 contract: the option map must carry the parallel-range-read bounds
+    and pass-through options; the live load path must reach Spark's JDBC
+    source (failing on the missing driver, not on our plumbing)."""
+    from procurement_system_bigdata_spark.sources.readers import (
+        jdbc_scan_options,
+        read_jdbc_table,
+    )
+
+    opts = jdbc_scan_options(
+        "jdbc:postgresql://db:5432/master", "public.products",
+        partition_column="product_id", num_partitions=16,
+        lower_bound=1, upper_bound=100000, fetchsize=1000,
+    )
+    assert opts == {
+        "url": "jdbc:postgresql://db:5432/master",
+        "dbtable": "public.products",
+        "partitionColumn": "product_id",
+        "numPartitions": "16",
+        "lowerBound": "1",
+        "upperBound": "100000",
+        "fetchsize": "1000",
+    }
+    # no partitioning -> no bound options leak in
+    assert set(jdbc_scan_options("jdbc:h2:mem:x", "t")) == {"url", "dbtable"}
+    import pytest
+
+    with pytest.raises(Exception, match="(?i)driver|connection"):
+        read_jdbc_table(spark, "jdbc:postgresql://nohost:5432/x", "t")
+
+
+def test_cassandra_upsert_writer_wiring(spark):
+    """S4 contract: the writer must be configured with the connector format,
+    append (=Cassandra upsert) mode, and keyspace/table options; invoking it
+    without the connector jar must fail in Spark's DataSource resolution
+    (DATA_SOURCE_NOT_FOUND), proving the wiring is live, not dead code."""
+    import pytest
+
+    from procurement_system_bigdata_spark.sources import sinks
+
+    df = spark.range(3).selectExpr("id AS sku_id", "id * 2 AS available_qty")
+    writer = sinks.cassandra_upsert_writer(df, "procurement", "stock_snapshots")
+    assert sinks.cassandra_upsert_options("procurement", "stock_snapshots") == {
+        "keyspace": "procurement",
+        "table": "stock_snapshots",
+        "confirm.truncate": "false",
+    }
+    with pytest.raises(Exception, match="(?i)data.?source.*not.*found|failed to find"):
+        writer.save()
