@@ -22,6 +22,17 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from procurement_system_bigdata_spark.queries.registry import REGISTRY  # noqa: E402
 from procurement_system_bigdata_spark.session import get_spark  # noqa: E402
 
+# Reference-task pairing (BASELINE.md rows): task wall seconds from the
+# reference's own Airflow logs at SF-ref (~1,000 orders ~ sf0.001), 1 s log
+# resolution.  The 2x bar is per-query compute at the SAME scale, so the
+# ratio is only emitted when this run's SF matches the baseline's.
+BASELINE_SF = 0.001
+BASELINE_TASKS = {
+    "aggregate_orders": ("aggregate_orders", 1.0),
+    "net_demand": ("calculate_net_demand", 1.0),
+    "supplier_orders": ("generate_supplier_orders", 1.0),
+}
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -49,6 +60,18 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         times[name] = round(best, 4)
 
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    comparable = sf_val == BASELINE_SF
+    vs_baseline = {
+        name: {
+            "reference_task": task,
+            "reference_sec": ref_sec,
+            "engine_sec": times[name],
+            "ratio": round(times[name] / ref_sec, 2) if comparable else None,
+        }
+        for name, (task, ref_sec) in BASELINE_TASKS.items()
+        if name in times
+    }
     print(
         json.dumps(
             {
@@ -56,7 +79,9 @@ def main() -> None:
                 "value": round(sum(times.values()), 4),
                 "unit": "sec",
                 "queries": times,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": sf_val,
+                "vs_baseline": vs_baseline,
+                "baseline_sf": BASELINE_SF,
             }
         )
     )

@@ -42,13 +42,15 @@ def with_global_sequence(
         .withColumn("_local_rn", F.row_number().over(w))
     )
     # Barrier: repartitionByRange SAMPLES its range boundaries, so two plan
-    # branches over `parted` could see different partitionings.  An EAGER
+    # branches over `parted` could see different partitionings.  A LAZY
     # localCheckpoint pins one materialization for both the counts branch
-    # and the join.  localCheckpoint (not .persist()): CacheManager entries
-    # are never released without an explicit unpersist — a leak across
-    # driver invocations — while checkpoint blocks are dropped by the
-    # ContextCleaner as soon as the DataFrame goes out of scope.
-    local = local.localCheckpoint()
+    # and the join (partitions are computed once on first use and all
+    # readers hit the same blocks — the same mechanism persist relies on,
+    # without eager's extra up-front job).  localCheckpoint (not .persist()):
+    # CacheManager entries are never released without an explicit unpersist —
+    # a leak across driver invocations — while checkpoint blocks are dropped
+    # by the ContextCleaner as soon as the DataFrame goes out of scope.
+    local = local.localCheckpoint(eager=False)
     counts = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
     # prefix-sum over ~#partitions rows: the single-partition window here is
     # over partition COUNTS, not data rows — O(partitions), always tiny

@@ -342,11 +342,11 @@ def ivf_topk(
     (recall-tested against the exact baseline), so rows-only in the harness.
     """
     assigned, centroids = ivf_assignments(emb)
-    # eager localCheckpoint, not .persist(): both the query side and the
+    # lazy localCheckpoint, not .persist(): both the query side and the
     # probe join reuse the assignment, but an unreleased cache entry would
     # leak across driver invocations; checkpoint blocks are ContextCleaner-
     # collected once this frame is unreferenced
-    assigned = assigned.localCheckpoint()
+    assigned = assigned.localCheckpoint(eager=False)
     q = assigned.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
