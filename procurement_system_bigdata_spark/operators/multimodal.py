@@ -2,10 +2,11 @@
 
 Images / audio / video ride through the engine as ``binary`` columns with a
 typed metadata struct; decode / resize / frame-sample are Arrow-batched
-``mapInPandas`` stages.  The actual codecs (PIL / ffmpeg / torchaudio) are
-NOT in this container, so the decode step is stubbed — clearly marked —
-while everything Spark-side is real and tested: schema, partitioning, UDF
-signature, Arrow batch shape.
+``mapInPandas`` stages.  Uncompressed formats decode FOR REAL via the
+dependency-free codecs in ``operators/codecs.py`` (P6 PPM + 24-bit BMP
+pixels, PCM WAV samples); compressed formats (JPEG/PNG/MP4) raise
+``UnsupportedMediaError`` at the documented PIL/ffmpeg swap seam — that is
+the only part of the pipeline gated on external libs.
 
 Scale: mapInPandas streams Arrow record batches through one Python worker
 per core — the transfer is columnar and zero-copy on the JVM side; payloads
@@ -18,18 +19,32 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
     StructField,
     StructType,
 )
+
+from . import codecs
+
+# The mapInPandas closures below call codecs functions on EXECUTOR python
+# workers.  The driver contract imports this package via a bare
+# sys.path.insert, which workers do not inherit — so codecs must travel
+# INSIDE the pickled closures (by value), not as an import-by-reference.
+# codecs is dependency-free pure python/numpy, exactly the safe case for
+# by-value registration.
+from pyspark.cloudpickle import register_pickle_by_value
+
+register_pickle_by_value(codecs)
 
 MEDIA_SCHEMA = StructType(
     [
@@ -52,14 +67,11 @@ FEATURE_SCHEMA = StructType(
 )
 
 
-def decode_image(content: bytes) -> "object":
-    """STUB: real image decode requires PIL/libjpeg, absent in this
-    container.  The Spark plumbing around this function is real; swap this
-    body for ``PIL.Image.open(io.BytesIO(content))`` in production."""
-    raise NotImplementedError(
-        "image codecs are not available in this environment; "
-        "plug in PIL/ffmpeg here in production"
-    )
+def decode_image(content: bytes) -> np.ndarray:
+    """Decode an image payload to (h, w, 3) uint8 RGB — real pixels for
+    PPM/BMP (operators/codecs.py, numpy-only); JPEG/PNG raise
+    ``UnsupportedMediaError`` at the PIL swap seam."""
+    return codecs.decode_image(content)
 
 
 def attach_binary_payloads(docs: DataFrame) -> DataFrame:
@@ -152,6 +164,123 @@ def resize_media(media: DataFrame, width: int = 64, height: int = 64) -> DataFra
             )
 
     return media.mapInPandas(batches, schema=RESIZED_SCHEMA)
+
+
+IMAGE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("media_type", StringType()),
+        StructField("content", BinaryType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+AUDIO_FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("duration_sec", DoubleType()),
+        StructField("rms", DoubleType()),
+        StructField("peak", DoubleType()),
+        StructField("zero_crossings", LongType()),
+    ]
+)
+
+
+# re-exported for tests/backward-compat; defined in codecs so the pickled
+# executor closures carry them by value
+synthesize_image = codecs.synthesize_image
+synthesize_wav = codecs.synthesize_wav
+
+
+def attach_synthetic_media(docs: DataFrame, every_n_audio: int = 2) -> DataFrame:
+    """Media table with REAL decodable payloads (PPM images, WAV audio),
+    generated deterministically from doc_id inside an Arrow batch stage —
+    payloads are born on the executors, never on the driver."""
+    ids = docs.select(F.col("doc_id").cast("long").alias("media_id"))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            contents, types = [], []
+            for mid in pdf["media_id"]:
+                if mid % every_n_audio == 0:
+                    contents.append(codecs.synthesize_wav(int(mid)))
+                    types.append("audio/wav")
+                else:
+                    contents.append(codecs.synthesize_image(int(mid)))
+                    types.append("image/x-portable-pixmap")
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "content": contents,
+                    "media_type": types,
+                    "n_bytes": [len(c) for c in contents],
+                }
+            )
+
+    return ids.mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
+def resize_images(media: DataFrame, width: int = 16, height: int = 16) -> DataFrame:
+    """REAL image resize: decode PPM/BMP pixels, nearest-neighbor resample,
+    re-encode as P6 PPM (Arrow mapInPandas, 1:1).  Rows whose payload is not
+    a supported image (audio, compressed formats) are dropped — the
+    dead-letter pattern for codec gaps; count in/out to monitor.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, contents = [], []
+            for mid, b in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    arr = codecs.decode_image(b)
+                except codecs.UnsupportedMediaError:
+                    continue
+                contents.append(codecs.encode_ppm(codecs.resize_nearest(arr, width, height)))
+                ids.append(mid)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "width": width,
+                    "height": height,
+                    "media_type": "image/x-portable-pixmap",
+                    "content": contents,
+                    "n_bytes": [len(c) for c in contents],
+                }
+            )
+
+    return media.mapInPandas(batches, schema=IMAGE_SCHEMA)
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """REAL audio feature extraction: decode PCM WAV samples and compute
+    rate/duration/RMS/peak/zero-crossings (Arrow mapInPandas, 1:1 over
+    decodable rows; non-audio rows dropped like resize_images)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in (
+                "media_id", "sample_rate", "n_samples", "duration_sec",
+                "rms", "peak", "zero_crossings",
+            )}
+            for mid, b in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    x, rate = codecs.decode_wav(b)
+                except codecs.UnsupportedMediaError:
+                    continue
+                rows["media_id"].append(mid)
+                rows["sample_rate"].append(rate)
+                rows["n_samples"].append(len(x))
+                rows["duration_sec"].append(len(x) / rate if rate else 0.0)
+                rows["rms"].append(float(np.sqrt(np.mean(x**2))) if len(x) else 0.0)
+                rows["peak"].append(float(np.max(np.abs(x))) if len(x) else 0.0)
+                rows["zero_crossings"].append(int(np.sum(np.signbit(x[1:]) != np.signbit(x[:-1]))))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(batches, schema=AUDIO_FEATURE_SCHEMA)
 
 
 def sample_frames(

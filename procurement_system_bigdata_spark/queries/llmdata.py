@@ -208,3 +208,29 @@ def _corpus_curation_sql() -> str:
 
 
 Q_CORPUS_CURATION_SQL = _corpus_curation_sql()
+
+
+# --- multimodal (rows-only: binary payloads have no SQL oracle) ----------
+
+def q_media_resize(spark, sf_dir):
+    """Real-codec image pipeline: synthesize decodable PPM/WAV payloads from
+    doc ids, decode + nearest-neighbor-resize the images on executors, and
+    return the size-accounted metadata (content dropped so the driver's
+    collect stays payload-free)."""
+    from ..operators import multimodal
+
+    media = multimodal.attach_synthetic_media(_docs(spark, sf_dir))
+    return (
+        multimodal.resize_images(media, width=16, height=16)
+        .select("media_id", "width", "height", "media_type", "n_bytes")
+        .orderBy("media_id")
+    )
+
+
+def q_audio_features(spark, sf_dir):
+    """Real-codec audio pipeline: PCM WAV decode + rms/peak/zero-crossing
+    features, Arrow-batched on executors."""
+    from ..operators import multimodal
+
+    media = multimodal.attach_synthetic_media(_docs(spark, sf_dir))
+    return multimodal.audio_features(media).orderBy("media_id")

@@ -601,3 +601,24 @@ _register(
         ops=("S10", "A5", "EXT-profiling"),
     )
 )
+_register(
+    QuerySpec(
+        name="media_resize",
+        fn=llmdata.q_media_resize,
+        oracle=None,  # binary payload pipeline; semantics tested pixel-exact
+        description="Real-codec image decode + nearest-neighbor resize over "
+        "Arrow mapInPandas (PPM/BMP via numpy; JPEG/PNG gated at the PIL "
+        "seam); rows-only",
+        ops=("EXT-multimodal",),
+    )
+)
+_register(
+    QuerySpec(
+        name="audio_features",
+        fn=llmdata.q_audio_features,
+        oracle=None,  # binary payload pipeline; semantics tested vs closed forms
+        description="Real-codec PCM WAV decode + rms/peak/zero-crossing "
+        "features over Arrow mapInPandas; rows-only",
+        ops=("EXT-multimodal",),
+    )
+)

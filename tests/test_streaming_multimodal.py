@@ -149,9 +149,94 @@ def test_multimodal_feature_extraction(spark):
         assert 0 < got.byte_entropy_q <= 256
 
 
-def test_decode_stub_is_clearly_stubbed():
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"\x89PNG...")
+def test_compressed_formats_stay_gated():
+    """JPEG/PNG still need PIL — the gate must be explicit, not a crash."""
+    from procurement_system_bigdata_spark.operators.codecs import UnsupportedMediaError
+
+    with pytest.raises(UnsupportedMediaError):
+        multimodal.decode_image(b"\x89PNG\r\n\x1a\n....")
+    with pytest.raises(UnsupportedMediaError):
+        multimodal.decode_image(b"\xff\xd8\xff\xe0....")
+
+
+def test_ppm_and_bmp_roundtrip_decode():
+    """The numpy codecs must decode real pixels: PPM roundtrip is exact, and
+    a hand-assembled bottom-up BGR BMP decodes to the expected RGB."""
+    import struct
+
+    import numpy as np
+
+    from procurement_system_bigdata_spark.operators import codecs
+
+    arr = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    assert (codecs.decode_ppm(codecs.encode_ppm(arr)) == arr).all()
+
+    # 2x2 24-bit BMP: rows bottom-up, BGR, padded to 4 bytes (2*3=6 -> 8)
+    px = {  # (x, y) -> RGB
+        (0, 0): (255, 0, 0), (1, 0): (0, 255, 0),
+        (0, 1): (0, 0, 255), (1, 1): (10, 20, 30),
+    }
+    def row(y):
+        out = b""
+        for x in range(2):
+            r, g, b = px[(x, y)]
+            out += bytes([b, g, r])
+        return out + b"\0\0"
+    pixel_data = row(1) + row(0)  # bottom-up
+    header = b"BM" + struct.pack("<IHHI", 54 + len(pixel_data), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(pixel_data), 0, 0, 0, 0)
+    decoded = codecs.decode_bmp(header + info + pixel_data)
+    for (x, y), rgb in px.items():
+        assert tuple(decoded[y, x]) == rgb
+
+
+def test_wav_decode_features():
+    import numpy as np
+
+    from procurement_system_bigdata_spark.operators import codecs
+
+    rate = 8000
+    tone = 0.5 * np.sin(2 * np.pi * 200.0 * np.arange(1600) / rate)
+    x, r = codecs.decode_wav(codecs.encode_wav(tone, rate))
+    assert r == rate and len(x) == 1600
+    assert abs(float(np.sqrt(np.mean(x**2))) - 0.5 / np.sqrt(2)) < 1e-3
+
+
+def test_real_image_resize_stage(spark):
+    """End-to-end through Spark: synthetic PPM payloads decode on executors,
+    nearest-neighbor resize produces exact expected pixels, audio rows are
+    dropped (dead-letter pattern)."""
+    import numpy as np
+
+    from procurement_system_bigdata_spark.operators import codecs
+
+    docs = spark.range(20).selectExpr("id AS doc_id", "'x' AS text")
+    media = multimodal.attach_synthetic_media(docs)
+    resized = multimodal.resize_images(media, width=8, height=8).collect()
+    # every_n_audio=2 -> odd ids are images
+    assert {r.media_id for r in resized} == {i for i in range(20) if i % 2 == 1}
+    for r in resized:
+        got = codecs.decode_ppm(r.content)
+        expected = codecs.resize_nearest(
+            codecs.decode_ppm(multimodal.synthesize_image(r.media_id)), 8, 8
+        )
+        assert got.shape == (8, 8, 3) and (got == expected).all()
+
+
+def test_real_audio_features_stage(spark):
+    docs = spark.range(20).selectExpr("id AS doc_id", "'x' AS text")
+    media = multimodal.attach_synthetic_media(docs)
+    feats = multimodal.audio_features(media).collect()
+    assert {r.media_id for r in feats} == {i for i in range(20) if i % 2 == 0}
+    for r in feats:
+        assert r.sample_rate == 8000 and r.n_samples == 1600
+        assert abs(r.duration_sec - 0.2) < 1e-9
+        # pure tone at amplitude 0.5: rms ~ 0.5/sqrt(2), peak ~ 0.5
+        assert abs(r.rms - 0.3535) < 0.01
+        assert 0.49 <= r.peak <= 0.5
+        # zero crossings ~ 2 * freq * duration, freq = 100 + (id%32)*25
+        freq = 100.0 + (r.media_id % 32) * 25.0
+        assert abs(r.zero_crossings - 2 * freq * 0.2) <= 2
 
 
 def test_stream_foreachbatch_upsert_equals_batch(spark, events_parquet_dir):
