@@ -268,3 +268,156 @@ def doc_fingerprints_sql(table: str = "documents") -> str:
         substring({norm}, 1, 16) AS prefix_key
     FROM {table}
     """
+
+
+# ---------------------------------------------------------------------------
+# Repetition signals (Gopher-style quality filters)
+# ---------------------------------------------------------------------------
+
+# Flag thresholds (Rae et al. 2021 "Scaling Language Models" repetition
+# filters use 0.30 duplicate-line and ~0.18 top-2-gram fractions).  The
+# 2-gram gate only applies above a minimum length: in a short document even
+# an all-unique 2-gram multiset puts 1/n_grams over the threshold.
+DUP_LINE_FLAG = 0.30
+TOP_2GRAM_FLAG = 0.18
+MIN_WORDS_FOR_2GRAM_FLAG = 20
+
+
+def repetition_signals(docs: DataFrame) -> DataFrame:
+    """Per-document repetition fractions: duplicate lines, duplicate words,
+    and the most-frequent word-2-gram's share — the standard self-repetition
+    quality gates for LLM training corpora.
+
+    Pure array expressions (no shuffle, no UDF): the top-2-gram count is an
+    O(distinct^2) per-row fold — bounded by document length, embarrassingly
+    parallel, and identical in the DuckDB oracle.
+    """
+    text = F.col("text")
+    lines = F.split(text, "\n")
+    words = P.spark_words(P.spark_norm_text(text))
+    grams = P.spark_word_shingles(words, 2)
+    n_lines = F.size(lines).cast("long")
+    n_words = F.size(words).cast("long")
+    n_grams = F.size(grams).cast("long")
+
+    def dup_fraction(arr, n):
+        return F.when(
+            n > 0,
+            (n - F.size(F.array_distinct(arr))).cast("double") / n.cast("double"),
+        ).otherwise(F.lit(0.0))
+
+    top_gram_cnt = F.array_max(
+        F.transform(
+            F.array_distinct(grams),
+            lambda x: F.size(F.filter(grams, lambda y: y == x)),
+        )
+    )
+    top_gram_frac = F.when(
+        n_grams > 0, top_gram_cnt.cast("double") / n_grams.cast("double")
+    ).otherwise(F.lit(0.0))
+    dup_line_frac = dup_fraction(lines, n_lines)
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        n_lines.alias("n_lines"),
+        dup_line_frac.alias("dup_line_fraction"),
+        dup_fraction(words, n_words).alias("dup_word_fraction"),
+        top_gram_frac.alias("top_2gram_fraction"),
+        (
+            (dup_line_frac > DUP_LINE_FLAG)
+            | (
+                (n_words >= MIN_WORDS_FOR_2GRAM_FLAG)
+                & (top_gram_frac > TOP_2GRAM_FLAG)
+            )
+        ).alias("repetition_flag"),
+    )
+
+
+def repetition_signals_sql(table: str = "documents") -> str:
+    words = P.duck_words(P.duck_norm_text("text"))
+    grams = P.duck_word_shingles("ws", 2)
+    return f"""
+    WITH base AS (
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               string_split(text, chr(10)) AS lines,
+               {words} AS ws
+        FROM {table}
+    ),
+    g AS (SELECT doc_id, lines, ws, {grams} AS grams FROM base),
+    m AS (
+        SELECT doc_id,
+               CAST(len(lines) AS BIGINT) AS n_lines,
+               CAST(len(ws) AS BIGINT) AS n_words,
+               CASE WHEN len(lines) > 0 THEN
+                   CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)
+                       / CAST(len(lines) AS DOUBLE)
+               ELSE 0.0 END AS dup_line_fraction,
+               CASE WHEN len(ws) > 0 THEN
+                   CAST(len(ws) - len(list_distinct(ws)) AS DOUBLE)
+                       / CAST(len(ws) AS DOUBLE)
+               ELSE 0.0 END AS dup_word_fraction,
+               CASE WHEN len(grams) > 0 THEN
+                   CAST(list_max(list_transform(list_distinct(grams),
+                        x -> len(list_filter(grams, y -> y = x)))) AS DOUBLE)
+                       / CAST(len(grams) AS DOUBLE)
+               ELSE 0.0 END AS top_2gram_fraction
+        FROM g
+    )
+    SELECT doc_id, n_lines, dup_line_fraction, dup_word_fraction,
+           top_2gram_fraction,
+           (dup_line_fraction > {DUP_LINE_FLAG}
+            OR (n_words >= {MIN_WORDS_FOR_2GRAM_FLAG}
+                AND top_2gram_fraction > {TOP_2GRAM_FLAG}))
+               AS repetition_flag
+    FROM m
+    """
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+
+# Engine-portable regexes: no backreferences/lookarounds, valid in both
+# Java regex (Spark) and RE2 (DuckDB).
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+PII_PHONE = r"\+?[0-9][0-9()\- ]{7,}[0-9]"
+
+
+def pii_scrub(docs: DataFrame) -> DataFrame:
+    """Count and redact PII-shaped spans (emails, IPv4s, phone-like runs).
+
+    Replacement order matters and is fixed: emails, then IPv4 (before the
+    phone pattern can eat digit.dot runs), then phones — the redaction
+    tokens contain no digits so later patterns cannot re-match them.
+    Map-side only; counts are measured on the RAW text.
+    """
+    text = F.col("text")
+
+    def n(pat: str):
+        return F.size(F.regexp_extract_all(text, F.lit(pat), 0)).cast("long")
+
+    scrubbed = F.regexp_replace(text, PII_EMAIL, "[EMAIL]")
+    scrubbed = F.regexp_replace(scrubbed, PII_IPV4, "[IPV4]")
+    scrubbed = F.regexp_replace(scrubbed, PII_PHONE, "[PHONE]")
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        n(PII_EMAIL).alias("n_emails"),
+        n(PII_IPV4).alias("n_ipv4"),
+        n(PII_PHONE).alias("n_phones"),
+        scrubbed.alias("scrubbed_text"),
+    )
+
+
+def pii_scrub_sql(table: str = "documents") -> str:
+    return f"""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(len(regexp_extract_all(text, '{PII_EMAIL}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{PII_IPV4}')) AS BIGINT) AS n_ipv4,
+           CAST(len(regexp_extract_all(text, '{PII_PHONE}')) AS BIGINT) AS n_phones,
+           regexp_replace(
+               regexp_replace(
+                   regexp_replace(text, '{PII_EMAIL}', '[EMAIL]', 'g'),
+                   '{PII_IPV4}', '[IPV4]', 'g'),
+               '{PII_PHONE}', '[PHONE]', 'g') AS scrubbed_text
+    FROM {table}
+    """

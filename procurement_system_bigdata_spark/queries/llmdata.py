@@ -234,3 +234,15 @@ def q_audio_features(spark, sf_dir):
 
     media = multimodal.attach_synthetic_media(_docs(spark, sf_dir))
     return multimodal.audio_features(media).orderBy("media_id")
+
+
+def q_repetition_signals(spark, sf_dir):
+    from ..operators import text as text_ops
+
+    return text_ops.repetition_signals(_docs(spark, sf_dir))
+
+
+def q_pii_scrub(spark, sf_dir):
+    from ..operators import text as text_ops
+
+    return text_ops.pii_scrub(_docs(spark, sf_dir))

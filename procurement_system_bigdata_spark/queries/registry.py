@@ -622,3 +622,25 @@ _register(
         ops=("EXT-multimodal",),
     )
 )
+from ..operators import text as _text_ops  # noqa: E402
+
+_register(
+    QuerySpec(
+        name="repetition_signals",
+        fn=llmdata.q_repetition_signals,
+        oracle=_text_ops.repetition_signals_sql(),
+        description="Gopher-style self-repetition quality gates: duplicate-"
+        "line/word fractions and top-2-gram share, map-side only",
+        ops=("EXT-text",),
+    )
+)
+_register(
+    QuerySpec(
+        name="pii_scrub",
+        fn=llmdata.q_pii_scrub,
+        oracle=_text_ops.pii_scrub_sql(),
+        description="PII-shaped span counting + redaction (emails/IPv4/"
+        "phones) with engine-portable regexes, map-side only",
+        ops=("EXT-text",),
+    )
+)

@@ -270,3 +270,57 @@ def test_simhash_band_buckets_bounded(spark):
     assert max(sizes) <= max(256, n_docs * 0.10), (
         f"hot band bucket: max size {max(sizes)} of {n_docs} docs"
     )
+
+
+def test_repetition_signals_on_synthetic(spark):
+    from procurement_system_bigdata_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame(
+        [
+            (1, "same line\nsame line\nsame line\nother"),
+            (2, "the cat sat on the mat"),
+            (3, "buy now buy now buy now buy now"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in text_ops.repetition_signals(docs).collect()}
+    assert out[1].n_lines == 4 and abs(out[1].dup_line_fraction - 0.5) < 1e-12
+    assert out[1].repetition_flag  # 0.5 > 0.30 dup-line gate
+    assert out[2].dup_line_fraction == 0.0
+    # 'the' appears twice in 6 words -> dup_word 1/6; short doc is exempt
+    # from the 2-gram gate (all-unique 2-grams still give 1/5 = 0.2 > 0.18)
+    assert abs(out[2].dup_word_fraction - 1 / 6) < 1e-12
+    assert not out[2].repetition_flag
+    # 'buy now' 2-gram dominates: 4 of 7 grams, but 8 words < the min-length
+    # guard, so only the fraction reports — no flag
+    assert abs(out[3].top_2gram_fraction - 4 / 7) < 1e-12
+    assert not out[3].repetition_flag
+    assert out[4].top_2gram_fraction == 0.0 and not out[4].repetition_flag
+    # long repetitive doc: 2-gram gate applies past the length guard
+    long_doc = spark.createDataFrame(
+        [(5, "click here " * 15 + "for the best unique deals today friends")],
+        "doc_id long, text string",
+    )
+    r5 = text_ops.repetition_signals(long_doc).first()
+    assert r5.top_2gram_fraction > 0.18 and r5.repetition_flag
+
+
+def test_pii_scrub_on_synthetic(spark):
+    from procurement_system_bigdata_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame(
+        [
+            (1, "contact a.smith+x@corp-mail.co.uk or call +1 (555) 123-4567"),
+            (2, "server at 192.168.0.12 responded"),
+            (3, "no pii here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in text_ops.pii_scrub(docs).collect()}
+    assert out[1].n_emails == 1 and out[1].n_phones == 1
+    assert "[EMAIL]" in out[1].scrubbed_text and "[PHONE]" in out[1].scrubbed_text
+    assert "@" not in out[1].scrubbed_text
+    assert out[2].n_ipv4 == 1 and out[2].scrubbed_text == "server at [IPV4] responded"
+    assert out[3].scrubbed_text == "no pii here"
+    assert (out[3].n_emails, out[3].n_ipv4, out[3].n_phones) == (0, 0, 0)
