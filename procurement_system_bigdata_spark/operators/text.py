@@ -421,3 +421,183 @@ def pii_scrub_sql(table: str = "documents") -> str:
                '{PII_PHONE}', '[PHONE]', 'g') AS scrubbed_text
     FROM {table}
     """
+
+
+# ---------------------------------------------------------------------------
+# Cross-document boilerplate n-grams
+# ---------------------------------------------------------------------------
+
+BOILERPLATE_N = 5
+BOILERPLATE_MIN_DOCS = 3
+
+
+def boilerplate_ngrams(
+    docs: DataFrame, n: int = BOILERPLATE_N, min_docs: int = BOILERPLATE_MIN_DOCS
+) -> DataFrame:
+    """Word n-grams shared by >= min_docs documents — template/boilerplate
+    spans a curation pipeline strips before training (headers, footers,
+    licence blurbs surface exactly this way).
+
+    Shape: explode DISTINCT per-doc shingles -> one groupBy on the shingle
+    (shuffle keyed by n-gram text; partial map-side counts make the shuffle
+    carry at most one row per distinct (partition, shingle)).  At 100 TB
+    hash the shingle to a 64-bit key for the shuffle and keep one example
+    text per hash via ``min`` — same plan, narrower rows.
+    """
+    words = P.spark_words(P.spark_norm_text(F.col("text")))
+    grams = P.spark_word_shingles(words, n)
+    exploded = (
+        docs.select(F.col("doc_id").cast("long").alias("doc_id"), grams.alias("gs"))
+        .select("doc_id", F.explode(F.array_distinct("gs")).alias("gram"))
+    )
+    return (
+        exploded.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .orderBy(F.desc("n_docs"), F.asc("gram"))
+    )
+
+
+def boilerplate_ngrams_sql(
+    table: str = "documents", n: int = BOILERPLATE_N, min_docs: int = BOILERPLATE_MIN_DOCS
+) -> str:
+    words = P.duck_words(P.duck_norm_text("text"))
+    grams = P.duck_word_shingles("ws", n)
+    return f"""
+    SELECT gram, COUNT(*) AS n_docs
+    FROM (
+        SELECT DISTINCT doc_id, unnest({grams}) AS gram
+        FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id, {words} AS ws FROM {table})
+    )
+    GROUP BY gram
+    HAVING COUNT(*) >= {min_docs}
+    ORDER BY n_docs DESC, gram ASC
+    """
+
+
+# ---------------------------------------------------------------------------
+# BM25 keyword retrieval
+# ---------------------------------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_DEFAULT_QUERY = "procurement supplier order"
+BM25_TOP_K = 20
+
+
+def bm25_search(
+    docs: DataFrame,
+    query: str = BM25_DEFAULT_QUERY,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    top_k: int = BM25_TOP_K,
+) -> DataFrame:
+    """Okapi BM25 top-k keyword retrieval over the corpus.
+
+    Scale shape: query terms are filtered IMMEDIATELY after the explode, so
+    the tf aggregation shuffles only rows matching the (tiny) query
+    vocabulary — never the full posting list; df/idf is a per-term aggregate
+    over that same filtered set (broadcast back, |terms| rows); N and avgdl
+    are one global aggregate row broadcast via cross join.  Ties broken by
+    doc_id for determinism.
+    """
+    q_terms = sorted(set(query.lower().split()))
+    words = P.spark_words(P.spark_norm_text(F.col("text")))
+    base = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), words.alias("ws")
+    )
+    lengths = base.select("doc_id", F.size("ws").cast("long").alias("dl"))
+    stats = lengths.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+    )
+    hits = (
+        base.select("doc_id", F.explode("ws").alias("term"))
+        .filter(F.col("term").isin(*q_terms))
+    )
+    tf = hits.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = df_.crossJoin(F.broadcast(stats.select("n_docs"))).select(
+        "term",
+        F.log(
+            (F.col("n_docs").cast("double") - F.col("df") + 0.5)
+            / (F.col("df").cast("double") + 0.5)
+            + 1.0
+        ).alias("idf"),
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "term")
+        .join(lengths, "doc_id")
+        .crossJoin(F.broadcast(stats.select("avgdl")))
+        .select(
+            "doc_id",
+            (
+                F.col("idf")
+                * (F.col("tf").cast("double") * (k1 + 1.0))
+                / (
+                    F.col("tf").cast("double")
+                    + k1
+                    * (1.0 - b + b * F.col("dl").cast("double") / F.col("avgdl"))
+                )
+            ).alias("term_score"),
+        )
+    )
+    # ROUNDED to 6 decimals before ranking: idf uses ln(), which differs in
+    # the last ulp between the JVM and libm (see tf_idf_top_terms) — rounding
+    # makes score values AND the top-k cut identical across engines, with
+    # doc_id as the total-order tiebreak.
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.round(F.sum("term_score"), 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(top_k)
+    )
+
+
+def bm25_search_sql(
+    table: str = "documents",
+    query: str = BM25_DEFAULT_QUERY,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    top_k: int = BM25_TOP_K,
+) -> str:
+    q_terms = sorted(set(query.lower().split()))
+    terms = ", ".join(f"'{t}'" for t in q_terms)
+    words = P.duck_words(P.duck_norm_text("text"))
+    return f"""
+    WITH base AS (
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, {words} AS ws FROM {table}
+    ),
+    lengths AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl FROM base),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(CAST(dl AS DOUBLE)) AS avgdl
+              FROM lengths),
+    hits AS (
+        SELECT doc_id, term
+        FROM (SELECT doc_id, unnest(ws) AS term FROM base)
+        WHERE term IN ({terms})
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM hits GROUP BY 1, 2),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    idf AS (
+        SELECT term,
+               ln((CAST(n_docs AS DOUBLE) - df + 0.5)
+                  / (CAST(df AS DOUBLE) + 0.5) + 1.0) AS idf
+        FROM df CROSS JOIN stats
+    ),
+    scored AS (
+        SELECT tf.doc_id,
+               idf.idf * (CAST(tf.tf AS DOUBLE) * ({k1} + 1.0))
+               / (CAST(tf.tf AS DOUBLE)
+                  + {k1} * (1.0 - {b} + {b} * CAST(l.dl AS DOUBLE) / s.avgdl))
+                   AS term_score
+        FROM tf
+        JOIN idf ON tf.term = idf.term
+        JOIN lengths l ON tf.doc_id = l.doc_id
+        CROSS JOIN stats s
+    )
+    SELECT doc_id, ROUND(SUM(term_score), 6) AS bm25
+    FROM scored
+    GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id ASC
+    LIMIT {top_k}
+    """

@@ -246,3 +246,15 @@ def q_pii_scrub(spark, sf_dir):
     from ..operators import text as text_ops
 
     return text_ops.pii_scrub(_docs(spark, sf_dir))
+
+
+def q_boilerplate_ngrams(spark, sf_dir):
+    from ..operators import text as text_ops
+
+    return text_ops.boilerplate_ngrams(_docs(spark, sf_dir))
+
+
+def q_bm25_search(spark, sf_dir):
+    from ..operators import text as text_ops
+
+    return text_ops.bm25_search(_docs(spark, sf_dir))

@@ -644,3 +644,24 @@ _register(
         ops=("EXT-text",),
     )
 )
+_register(
+    QuerySpec(
+        name="boilerplate_ngrams",
+        fn=llmdata.q_boilerplate_ngrams,
+        oracle=_text_ops.boilerplate_ngrams_sql(),
+        description="Cross-document boilerplate 5-grams (shared by >=3 docs) "
+        "via distinct-shingle explode + one count shuffle",
+        ops=("EXT-text", "EXT-dedup"),
+    )
+)
+_register(
+    QuerySpec(
+        name="bm25_search",
+        fn=llmdata.q_bm25_search,
+        oracle=_text_ops.bm25_search_sql(),
+        description="Okapi BM25 top-k keyword retrieval; query-vocabulary "
+        "filter pushed below the tf aggregation so the shuffle never carries "
+        "the full posting list",
+        ops=("EXT-text", "EXT-search"),
+    )
+)

@@ -324,3 +324,44 @@ def test_pii_scrub_on_synthetic(spark):
     assert out[2].n_ipv4 == 1 and out[2].scrubbed_text == "server at [IPV4] responded"
     assert out[3].scrubbed_text == "no pii here"
     assert (out[3].n_emails, out[3].n_ipv4, out[3].n_phones) == (0, 0, 0)
+
+
+def test_boilerplate_ngrams_on_synthetic(spark):
+    from procurement_system_bigdata_spark.operators import text as text_ops
+
+    footer = "all rights reserved by acme corp"
+    docs = spark.createDataFrame(
+        [(i, f"unique body {i} text here. {footer}") for i in range(4)]
+        + [(9, "totally unrelated document")],
+        "doc_id long, text string",
+    )
+    out = text_ops.boilerplate_ngrams(docs, n=5, min_docs=3).collect()
+    grams = {r.gram: r.n_docs for r in out}
+    # every 5-gram inside the shared footer appears in all 4 docs
+    assert grams.get("all rights reserved by acme") == 4
+    assert grams.get("rights reserved by acme corp") == 4
+    # nothing from the unique bodies crosses the threshold
+    assert all("unique" not in g for g in grams)
+
+
+def test_bm25_ranks_term_frequency_and_rarity(spark):
+    from procurement_system_bigdata_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame(
+        [
+            (1, "supplier supplier supplier contract"),
+            (2, "supplier contract terms"),
+            (3, "weather report sunny"),
+            (4, "procurement procurement weather"),
+        ],
+        "doc_id long, text string",
+    )
+    out = text_ops.bm25_search(docs, query="procurement supplier", top_k=10).collect()
+    ranks = {r.doc_id: i for i, r in enumerate(out)}
+    scores = {r.doc_id: r.bm25 for r in out}
+    assert 3 not in ranks, "doc without query terms must not appear"
+    # rarer term (procurement: df=1) outweighs frequent-but-common supplier
+    # (df=2); within a term, higher tf scores higher
+    assert scores[4] == max(scores.values())
+    assert ranks[1] < ranks[2], "higher tf must rank higher for the same term"
+    assert all(out[i].bm25 >= out[i + 1].bm25 for i in range(len(out) - 1))
