@@ -35,6 +35,13 @@ def with_global_sequence(
     (include a unique tiebreaker) or the numbering is undefined — same
     contract as ROW_NUMBER itself (SURVEY §2.5)."""
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    # repartitionByRange launches a SAMPLING JOB that executes the input
+    # lineage once before the main job runs it again — on an expensive
+    # upstream (joins + aggregates) the numbering would pay ~2x the subtree.
+    # A lazy localCheckpoint makes the sampling job the one that computes
+    # and caches the input; every later pass (range shuffle, counts branch)
+    # reads the blocks.  Measured at sf0.1: supplier_orders 3.4-5.0s -> ~2.4s.
+    df = df.localCheckpoint(eager=False)
     parted = df.repartitionByRange(n, *order_by)
     w = Window.partitionBy("_pid").orderBy(*order_by)
     local = (

@@ -429,6 +429,15 @@ def net_demand_fused(
     exercised by the reference-shaped pipeline (operators/pipeline.py).
     """
     demand = _combined_agg(li, supp).filter(F.col("_demand_cnt") > 0)
+    return _net_demand_from_combined(demand, part, nat, full)
+
+
+def _net_demand_from_combined(
+    demand: DataFrame, part: DataFrame, nat: DataFrame, full: bool
+) -> DataFrame:
+    """The fused tail: attach dims + safety-stock grid to the filtered
+    conditional aggregate (shared by the single-scan and grouping-sets
+    derivations)."""
     pdim, ndim = _dim_attrs(part, nat)
     ssc = safety_stock_stage(part, nat).withColumnRenamed(
         "safety_stock_qty", "ss_qty"
@@ -510,14 +519,26 @@ def demand_inventory_offers(
     separate-stage derivation (same input rows, same expression trees), so
     oracle hashes are unchanged.
 
-    MEASURED (sf0.1, local[32], interleaved best-of-3): this variant runs
-    supplier_orders' core in 3.75s vs 2.91s for the two-scan path — Expand
-    pushes 2x fact rows through the 7-aggregate partial hash, which costs
-    more than the second columnar parquet scan here.  ``q_supplier_orders``
-    therefore keeps the two-scan derivation; prefer this single-scan shape
-    only when the fact scan dominates (wide rows, remote object storage,
-    no column pruning) — the tradeoff flips with scan cost, not data size.
+    MEASURED (sf0.1, local[32], interleaved): with the fused net-demand tail
+    the two shapes are within run noise of each other (~1.9s single-scan vs
+    ~1.7-2.2s two-scan enriched core; pre-fusion the Expand overhead lost
+    3.75s vs 2.91s).  ``q_supplier_orders`` keeps the two-scan derivation
+    for the simpler plan; ``supplier_orders_enriched(single_scan=True)`` is
+    the shape to prefer when the fact scan dominates (wide rows, remote
+    object storage, no column pruning) — the tradeoff moves with scan cost,
+    not data size.
     """
+    gsets = _gsets_agg(li, supp)
+    ao, inv = _ao_inv_from_combined(gsets.filter(F.col("_gid") == 1), part, nat)
+    offers = gsets.filter(F.col("_gid") == 2).select(
+        "supplier_id", "sku_id", "unit_price"
+    )
+    return ao, inv, offers
+
+
+def _gsets_agg(li: DataFrame, supp: DataFrame) -> DataFrame:
+    """The GROUPING SETS conditional aggregate feeding both Q3 groupings
+    ((sku, warehouse) -> _gid=1, (supplier, sku) -> _gid=2) from one scan."""
     split = F.lit(SNAPSHOT_SPLIT).cast("timestamp")
     smap = supp.select("s_suppkey", "s_nationkey")
     is_demand = F.col("l_shipdate") < split
@@ -551,16 +572,13 @@ def demand_inventory_offers(
                 ).otherwise(F.lit(0))
             ).alias("_resv"),
             F.min("_unit_price").alias("unit_price"),
+            # grouping_id bit per grouping column (sku_id, warehouse_id,
+            # supplier_id), 1 = aggregated away: (sku, warehouse) -> 0b001,
+            # (supplier, sku) -> 0b010
             F.grouping_id().alias("_gid"),
         )
     )
-    # grouping_id bit per grouping column (sku_id, warehouse_id, supplier_id),
-    # 1 = aggregated away: (sku, warehouse) set -> 0b001, (supplier, sku) -> 0b010
-    ao, inv = _ao_inv_from_combined(gsets.filter(F.col("_gid") == 1), part, nat)
-    offers = gsets.filter(F.col("_gid") == 2).select(
-        "supplier_id", "sku_id", "unit_price"
-    )
-    return ao, inv, offers
+    return gsets
 
 
 def q_net_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -677,13 +695,34 @@ def q_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _supplier_orders_po_tail(supplier_orders_enriched(spark, sf_dir))
 
 
-def supplier_orders_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+def supplier_orders_enriched(
+    spark: SparkSession, sf_dir: str, single_scan: bool = False
+) -> DataFrame:
     """Q3 up to (but excluding) PO numbering — split out so plan tests can
-    inspect the full join/aggregate plan (the eager localCheckpoint in the
-    numbering tail truncates the visible lineage)."""
+    inspect the full join/aggregate plan (the lazy localCheckpoint in the
+    numbering tail truncates the visible lineage).
+
+    ``single_scan=True`` derives BOTH the net-demand aggregate and the
+    supplier-offer aggregate from one GROUPING SETS scan (value-identical
+    per tests/test_plan_quality.py); default is the two-scan shape —
+    measured comparable at sf0.1 with the fused tail, and simpler plans.
+    """
     li, part, supp, nat = _facts_dims(spark, sf_dir)
-    nd = net_demand_fused(li, part, supp, nat, full=False)
-    rs = ranked_suppliers_stage(li, part, supp).filter(F.col("price_rank") == 1)
+    if single_scan:
+        gsets = _gsets_agg(li, supp)
+        demand = gsets.filter(
+            (F.col("_gid") == 1) & (F.col("_demand_cnt") > 0)
+        )
+        nd = _net_demand_from_combined(demand, part, nat, full=False)
+        offers = gsets.filter(F.col("_gid") == 2).select(
+            "supplier_id", "sku_id", "unit_price"
+        )
+        rs = ranked_suppliers_from_offers(offers, part, supp).filter(
+            F.col("price_rank") == 1
+        )
+    else:
+        nd = net_demand_fused(li, part, supp, nat, full=False)
+        rs = ranked_suppliers_stage(li, part, supp).filter(F.col("price_rank") == 1)
 
     joined = nd.filter(F.col("net_demand") > 0).join(rs, "sku_id")
     order_qty = F.greatest(
