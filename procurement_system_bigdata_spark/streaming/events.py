@@ -239,3 +239,56 @@ def enrich_stream(events: DataFrame, user_dims: DataFrame) -> DataFrame:
     operator (watermark-bounded buffers) and deliberately not this one."""
     dims = F.broadcast(user_dims)
     return events.join(dims, events.user_id == dims.user_key, "left").drop("user_key")
+
+
+def purchase_click_stream_join(
+    purchases: DataFrame,
+    clicks: DataFrame,
+    watermark: str = "1 hour",
+    within: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked STREAM-STREAM interval join: each purchase matched to the
+    same user's click events in the preceding ``within`` interval — the
+    attribution-join shape (click -> purchase conversion).
+
+    Both sides are watermarked so Spark can bound the join state: a buffered
+    click can be dropped once the watermark passes click_ts + within, a
+    purchase once its event-time horizon passes (Structured Streaming derives
+    the state-cleanup predicate from the time-bound join condition — without
+    BOTH the watermarks and the interval bounds the state grows forever; an
+    unbounded stream-stream equi-join is rejected for exactly that reason).
+
+    Inner join => rows emitted as soon as both sides arrive; batch-equivalence
+    is exact (tests/test_streaming_multimodal.py), since inner interval joins
+    emit the same set regardless of arrival order.
+    """
+    p = (
+        purchases.withWatermark("ts", watermark)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    c = (
+        clicks.withWatermark("ts", watermark)
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("click_user"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    return p.join(
+        c,
+        (F.col("user_id") == F.col("click_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {within}")),
+    ).select(
+        "purchase_id",
+        "user_id",
+        F.unix_micros("purchase_ts").alias("purchase_ts_us"),
+        "click_id",
+        F.unix_micros("click_ts").alias("click_ts_us"),
+        "purchase_value",
+    )

@@ -342,3 +342,44 @@ def test_stream_static_enrichment_equals_batch(spark, events_parquet_dir):
     )
     assert got == {(r.event_id, r.user_id, r.c_mktsegment) for r in batch.collect()}
     assert len(got) == spark.read.parquet(events_parquet_dir).count()
+
+
+def test_stream_stream_interval_join_equals_batch(spark, events_parquet_dir):
+    """The watermarked stream-stream interval join must emit exactly the
+    batch interval-join set (inner join + event-time bounds => arrival
+    order cannot change the result)."""
+    import pyspark.sql.functions as F
+
+    schema = spark.read.parquet(events_parquet_dir).schema
+    purchases = se.read_events_stream(spark, events_parquet_dir, schema).filter(
+        F.col("event_type") == "purchase"
+    )
+    clicks = se.read_events_stream(spark, events_parquet_dir, schema).filter(
+        F.col("event_type") == "click"
+    )
+    joined = se.purchase_click_stream_join(purchases, clicks)
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = se.run_to_memory(joined, "ssj_test", ckpt, mode="append")
+        q.awaitTermination()
+    got = {
+        (r.purchase_id, r.click_id)
+        for r in spark.sql("select * from ssj_test").collect()
+    }
+
+    ev = spark.read.parquet(events_parquet_dir)
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), "user_id", F.col("ts").alias("pts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("cid"), F.col("user_id").alias("cu"), F.col("ts").alias("cts")
+    )
+    want = {
+        (r.pid, r.cid)
+        for r in p.join(
+            c,
+            (F.col("user_id") == F.col("cu"))
+            & (F.col("cts") <= F.col("pts"))
+            & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 30 minutes")),
+        ).collect()
+    }
+    assert got == want and len(got) > 0
