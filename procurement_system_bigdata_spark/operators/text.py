@@ -601,3 +601,55 @@ def bm25_search_sql(
     ORDER BY bm25 DESC, doc_id ASC
     LIMIT {top_k}
     """
+
+
+# ---------------------------------------------------------------------------
+# Character-level entropy
+# ---------------------------------------------------------------------------
+
+
+def char_entropy(docs: DataFrame) -> DataFrame:
+    """Per-document Shannon entropy (bits/char) over the character
+    distribution — the cheap compressibility/perplexity proxy: ~0 for
+    degenerate repeated-char spam, ~4.2 for ordinary English, higher for
+    random/encoded blobs.
+
+    H = -sum p_c*log2(p_c), computed with array expressions (distinct chars
+    x filter count per row — bounded by alphabet size, map-side only).
+    ROUNDED to 6 decimals: log2 differs in the last ulp between the JVM and
+    libm (same story as tf_idf_top_terms), rounding restores cross-engine
+    equality.
+    """
+    chars = F.filter(F.split(F.col("text"), ""), lambda c: c != "")
+    n = F.size(chars)
+    probs = F.transform(
+        F.array_distinct(chars),
+        lambda x: F.size(F.filter(chars, lambda y: y == x)).cast("double")
+        / n.cast("double"),
+    )
+    h = -F.aggregate(
+        probs, F.lit(0.0), lambda acc, p: acc + p * F.log2(p)
+    )
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        n.cast("long").alias("n_chars"),
+        F.when(n > 0, F.round(h, 6)).otherwise(F.lit(0.0)).alias("entropy_bits"),
+    )
+
+
+def char_entropy_sql(table: str = "documents") -> str:
+    return f"""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(len(chars) AS BIGINT) AS n_chars,
+           CASE WHEN len(chars) > 0 THEN
+               ROUND(-list_reduce(list_prepend(0.0,
+                   list_transform(list_distinct(chars),
+                       x -> (CAST(len(list_filter(chars, y -> y = x)) AS DOUBLE)
+                             / CAST(len(chars) AS DOUBLE))
+                            * log2(CAST(len(list_filter(chars, y -> y = x)) AS DOUBLE)
+                                   / CAST(len(chars) AS DOUBLE)))),
+                   (a, b) -> a + b), 6)
+           ELSE 0.0 END AS entropy_bits
+    FROM (SELECT doc_id, list_filter(string_split(text, ''), c -> c != '') AS chars
+          FROM {table})
+    """

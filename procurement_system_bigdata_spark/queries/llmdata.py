@@ -258,3 +258,9 @@ def q_bm25_search(spark, sf_dir):
     from ..operators import text as text_ops
 
     return text_ops.bm25_search(_docs(spark, sf_dir))
+
+
+def q_char_entropy(spark, sf_dir):
+    from ..operators import text as text_ops
+
+    return text_ops.char_entropy(_docs(spark, sf_dir))

@@ -665,3 +665,13 @@ _register(
         ops=("EXT-text", "EXT-search"),
     )
 )
+_register(
+    QuerySpec(
+        name="char_entropy",
+        fn=llmdata.q_char_entropy,
+        oracle=_text_ops.char_entropy_sql(),
+        description="Per-document Shannon entropy (bits/char) — the cheap "
+        "compressibility/perplexity proxy, map-side array expressions",
+        ops=("EXT-text",),
+    )
+)

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 from datetime import date
 
 from pyspark.sql import DataFrame
@@ -119,3 +120,45 @@ def write_partitioned(df: DataFrame, path: str, *partition_cols: str) -> None:
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
     writer.parquet(path)
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    out_path: str | None = None,
+) -> int:
+    """Small-file compaction: rewrite a parquet dataset into
+    ceil(total_bytes / target_file_bytes) files (HDFS-block-sized by
+    default).  The operational fix for the many-small-files failure mode —
+    streaming sinks and over-partitioned writers produce thousands of
+    KB-sized files whose per-file open/footer cost dominates scans and
+    whose name-node/listing pressure grows unbounded.
+
+    Returns the output file count.  In-place compaction (out_path=None)
+    stages to a sibling directory then swaps with the same crash-safe
+    rename dance as the streaming upsert sink (old copy survives until the
+    new one is in place); with a transactional table format this is a
+    rewrite-files commit instead.
+    """
+    import math
+
+    df = spark.read.parquet(path)
+    total = sum(
+        f.stat().st_size
+        for f in os.scandir(path)
+        if f.name.endswith(".parquet") or f.name.startswith("part-")
+    )
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    in_place = out_path is None
+    dest = path + "._compact_staging" if in_place else out_path
+    # coalesce, not repartition: narrowing to n_files needs no shuffle
+    df.coalesce(n_files).write.mode("overwrite").parquet(dest)
+    if in_place:
+        old = path + ".old"
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        os.rename(path, old)
+        os.rename(dest, path)
+        shutil.rmtree(old)
+    return n_files

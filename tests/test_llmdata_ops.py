@@ -365,3 +365,20 @@ def test_bm25_ranks_term_frequency_and_rarity(spark):
     assert scores[4] == max(scores.values())
     assert ranks[1] < ranks[2], "higher tf must rank higher for the same term"
     assert all(out[i].bm25 >= out[i + 1].bm25 for i in range(len(out) - 1))
+
+
+def test_char_entropy_closed_forms(spark):
+    import math
+
+    from procurement_system_bigdata_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, "abcd"), (4, "")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in text_ops.char_entropy(docs).collect()}
+    assert out[1].entropy_bits == 0.0          # single symbol
+    assert abs(out[2].entropy_bits - 1.0) < 1e-6   # two equiprobable symbols
+    assert abs(out[3].entropy_bits - 2.0) < 1e-6   # four equiprobable symbols
+    assert out[4].entropy_bits == 0.0 and out[4].n_chars == 0
+    assert math.isfinite(out[3].entropy_bits)

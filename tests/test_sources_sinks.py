@@ -174,3 +174,29 @@ def test_cassandra_upsert_writer_wiring(spark):
     }
     with pytest.raises(Exception, match="(?i)data.?source.*not.*found|failed to find"):
         writer.save()
+
+
+def test_compact_parquet_reduces_files(spark, tmp_path):
+    """Compaction must cut the file count to the byte-target and preserve
+    the data exactly, both to a new path and in place."""
+    import os
+
+    from procurement_system_bigdata_spark.sources import sinks
+
+    src = str(tmp_path / "frag")
+    df = spark.range(10000).selectExpr("id", "id * 2 AS v")
+    df.repartition(64).write.parquet(src)  # 64 tiny files
+    n_before = sum(1 for f in os.listdir(src) if f.startswith("part-"))
+    assert n_before == 64
+
+    out = str(tmp_path / "compact")
+    n = sinks.compact_parquet(spark, src, target_file_bytes=1 << 30, out_path=out)
+    assert n == 1
+    assert sum(1 for f in os.listdir(out) if f.startswith("part-")) == 1
+    assert spark.read.parquet(out).exceptAll(df).count() == 0
+    assert df.exceptAll(spark.read.parquet(out)).count() == 0
+
+    # in place: staged + crash-safe swap, same contents at the same path
+    sinks.compact_parquet(spark, src, target_file_bytes=1 << 30)
+    assert sum(1 for f in os.listdir(src) if f.startswith("part-")) == 1
+    assert spark.read.parquet(src).exceptAll(df).count() == 0
