@@ -844,3 +844,32 @@ Q_FK_INTEGRITY_SQL = """
     SELECT 'orders.o_custkey->customer', COUNT(*)
     FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
 """
+
+
+def q_hll_mergeable_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE distinct-count sketches — the pattern that makes
+    distinct-counting incremental at 100 TB: build one Apache DataSketches
+    HLL per (day, event_type) partition (hll_sketch_agg), then roll days up
+    by UNIONING sketches (hll_union_agg) instead of rescanning raw events.
+    A day's sketch is built once when the partition lands; every later
+    rollup (weekly, monthly, all-time) is a byte-blob union over
+    #partitions rows.  approx_count_distinct can't do this — it fuses
+    sketch-build and estimate into one aggregate, so each new grain pays a
+    full rescan.
+
+    Approximate and engine-specific (DataSketches binary) -> rows-only;
+    tests bound the estimates against exact counts and prove
+    union-of-parts == whole-scan estimate.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date("ts").alias("day"), F.col("event_type")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"),
+            F.count(F.lit(1)).alias("n_daily_sketches"),
+        )
+        .orderBy("event_type")
+    )

@@ -675,3 +675,14 @@ _register(
         ops=("EXT-text",),
     )
 )
+_register(
+    QuerySpec(
+        name="hll_mergeable_users",
+        fn=analytics.q_hll_mergeable_users,
+        oracle=None,  # DataSketches binary sketches are engine-specific
+        description="Mergeable HLL sketch rollup: per-day sketches unioned "
+        "to per-type distinct estimates without rescanning raw events "
+        "(rows-only; error bounded + union==whole proven in tests)",
+        ops=("A5", "EXT-stats"),
+    )
+)

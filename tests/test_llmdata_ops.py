@@ -382,3 +382,36 @@ def test_char_entropy_closed_forms(spark):
     assert abs(out[3].entropy_bits - 2.0) < 1e-6   # four equiprobable symbols
     assert out[4].entropy_bits == 0.0 and out[4].n_chars == 0
     assert math.isfinite(out[3].entropy_bits)
+
+
+def test_hll_mergeable_union_equals_whole(spark):
+    """Union-of-daily-sketches must estimate the same as one whole-scan
+    sketch (lossless mergeability), and land within HLL error of exact."""
+    import pyspark.sql.functions as F
+
+    from procurement_system_bigdata_spark.catalog import load_table
+    from procurement_system_bigdata_spark.queries.analytics import (
+        q_hll_mergeable_users,
+    )
+
+    ev = load_table(spark, SF_DIR, "events")
+    merged = {
+        r.event_type: r.est_users
+        for r in q_hll_mergeable_users(spark, SF_DIR).collect()
+    }
+    whole = {
+        r.event_type: r.est
+        for r in ev.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est"))
+        .collect()
+    }
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert merged == whole, "sketch union must be lossless"
+    for et, est in merged.items():
+        rel_err = abs(est - exact[et]) / exact[et]
+        assert rel_err < 0.05, f"{et}: HLL error {rel_err:.3f}"
