@@ -873,3 +873,90 @@ def q_hll_mergeable_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: view -> click -> purchase, each stage's timestamp the
+    MIN event at-or-after the previous stage's, per user.
+
+    One scan + one (user) aggregation: stage timestamps are conditional-min
+    aggregates where stage N's condition references stage N-1's min — Spark
+    can't nest aggregates, so stage 1 collects the per-user (type, ts) pairs
+    cheaply as three independent conditional mins over a SORTED ts array
+    per (user, type): min_after(arr, t0) = the first element >= t0.  The
+    per-user event arrays are session-sized (bounded), so the collect_list
+    is safe; the whole funnel is one shuffle.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy(F.col("user_id")).agg(
+        F.sort_array(
+            F.collect_list(
+                F.when(F.col("event_type") == "view", F.unix_micros("ts"))
+            )
+        ).alias("views"),
+        F.sort_array(
+            F.collect_list(
+                F.when(F.col("event_type") == "click", F.unix_micros("ts"))
+            )
+        ).alias("clicks"),
+        F.sort_array(
+            F.collect_list(
+                F.when(F.col("event_type") == "purchase", F.unix_micros("ts"))
+            )
+        ).alias("purchases"),
+    )
+
+    def first_at_or_after(arr, t0):
+        hits = F.filter(arr, lambda x: x >= t0)
+        return F.when(F.size(hits) > 0, F.element_at(hits, 1))
+
+    t_view = F.when(F.size("views") > 0, F.element_at("views", 1))
+    staged = per_user.select(
+        "user_id", t_view.alias("t_view"), "clicks", "purchases"
+    )
+    t_click = first_at_or_after(F.col("clicks"), F.col("t_view"))
+    staged = staged.select("user_id", "t_view", t_click.alias("t_click"), "purchases")
+    t_purchase = first_at_or_after(F.col("purchases"), F.col("t_click"))
+    staged = staged.select("user_id", "t_view", "t_click", t_purchase.alias("t_purchase"))
+    return staged.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_view").alias("reached_view"),
+        F.count("t_click").alias("reached_click"),
+        F.count("t_purchase").alias("reached_purchase"),
+    )
+
+
+Q_FUNNEL_CONVERSION_SQL = """
+    WITH per_user AS (
+        SELECT user_id,
+               list_sort(list(epoch_us(ts)) FILTER (event_type = 'view')) AS views,
+               list_sort(list(epoch_us(ts)) FILTER (event_type = 'click')) AS clicks,
+               list_sort(list(epoch_us(ts)) FILTER (event_type = 'purchase')) AS purchases
+        FROM events
+        GROUP BY user_id
+    ),
+    staged AS (
+        SELECT user_id,
+               CASE WHEN len(views) > 0 THEN views[1] END AS t_view,
+               clicks, purchases
+        FROM per_user
+    ),
+    staged2 AS (
+        SELECT user_id, t_view,
+               CASE WHEN len(list_filter(clicks, x -> x >= t_view)) > 0
+                    THEN list_filter(clicks, x -> x >= t_view)[1] END AS t_click,
+               purchases
+        FROM staged
+    ),
+    staged3 AS (
+        SELECT user_id, t_view, t_click,
+               CASE WHEN len(list_filter(purchases, x -> x >= t_click)) > 0
+                    THEN list_filter(purchases, x -> x >= t_click)[1] END AS t_purchase
+        FROM staged2
+    )
+    SELECT COUNT(*) AS n_users,
+           COUNT(t_view) AS reached_view,
+           COUNT(t_click) AS reached_click,
+           COUNT(t_purchase) AS reached_purchase
+    FROM staged3
+"""

@@ -686,3 +686,13 @@ _register(
         ops=("A5", "EXT-stats"),
     )
 )
+_register(
+    QuerySpec(
+        name="funnel_conversion",
+        fn=analytics.q_funnel_conversion,
+        oracle=analytics.Q_FUNNEL_CONVERSION_SQL,
+        description="Ordered view->click->purchase funnel via per-user "
+        "sorted conditional-min arrays — one scan, one shuffle",
+        ops=("A1", "EXT-analytics"),
+    )
+)

@@ -415,3 +415,43 @@ def test_hll_mergeable_union_equals_whole(spark):
     for et, est in merged.items():
         rel_err = abs(est - exact[et]) / exact[et]
         assert rel_err < 0.05, f"{et}: HLL error {rel_err:.3f}"
+
+
+def test_funnel_stages_monotone(spark):
+    """Funnel stages can only lose users: view >= click >= purchase, and a
+    synthetic user clicking BEFORE any view must not count as converted."""
+    from procurement_system_bigdata_spark.queries.analytics import (
+        q_funnel_conversion,
+    )
+
+    r = q_funnel_conversion(spark, SF_DIR).first()
+    assert r.n_users >= r.reached_view >= r.reached_click >= r.reached_purchase
+
+    import pyspark.sql.functions as F
+    from procurement_system_bigdata_spark.catalog import load_table
+
+    ev = load_table(spark, SF_DIR, "events").limit(0)
+    rows = [
+        # user 1: click at t=1 BEFORE the first view at t=2 -> no click stage
+        (1, 1, "click"), (2, 1, "view"),
+        # user 2: proper view -> click -> purchase
+        (3, 2, "view"), (4, 2, "click"), (5, 2, "purchase"),
+        # user 3: purchase before click -> stops at click
+        (6, 3, "view"), (7, 3, "purchase"), (8, 3, "click"),
+    ]
+    synth = spark.createDataFrame(
+        [(eid, uid, et, f"2026-01-01 00:00:0{eid}") for eid, uid, et in rows],
+        "event_id long, user_id long, event_type string, ts_s string",
+    ).select("event_id", "user_id", "event_type", F.col("ts_s").cast("timestamp").alias("ts"))
+    import procurement_system_bigdata_spark.queries.analytics as A
+    import procurement_system_bigdata_spark.catalog as C
+
+    orig = C.load_table
+    try:
+        C.load_table = lambda spark_, sf_, name: synth
+        A.load_table = C.load_table
+        out = A.q_funnel_conversion(spark, SF_DIR).first()
+    finally:
+        C.load_table = orig
+        A.load_table = orig
+    assert (out.n_users, out.reached_view, out.reached_click, out.reached_purchase) == (3, 3, 2, 1)

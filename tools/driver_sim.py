@@ -1,0 +1,95 @@
+"""Driver simulation per .claude/skills/verify: vanilla session, oracle compare.
+
+Run FROM OUTSIDE the repo cwd (e.g. ``cd /tmp && python /root/repo/tools/
+driver_sim.py [query ...]``) so the import path matches the external
+driver's: a default SparkSession with none of the engine's confs, the
+package reachable only via the sys.path insert below.  With no args it
+sweeps every registry query; with args, only those names.  Exit 0 = all
+green."""
+import hashlib
+import json
+import sys
+from datetime import date, datetime
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import SparkSession
+
+spark = SparkSession.builder.master("local[8]").getOrCreate()
+spark.sparkContext.setLogLevel("ERROR")
+
+import __spark_entry__ as e
+
+SF = "/root/testdata/sf0.01"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+con = duckdb.connect()
+for t in TABLES:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+
+
+def norm(v):
+    if v is None:
+        return ""
+    if isinstance(v, float):
+        return repr(round(v, 9))
+    if isinstance(v, datetime):
+        if v.hour == v.minute == v.second == v.microsecond == 0:
+            return v.date().isoformat()
+        return v.isoformat()
+    if isinstance(v, date):
+        return v.isoformat()
+    if isinstance(v, list):
+        return json.dumps([norm(x) for x in v])
+    return str(v)
+
+
+def value_hash(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("|".join(norm(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256()
+    for ln in lines:
+        h.update(ln.encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+smoke = e.entry(spark)
+n = len(smoke.collect())
+print(f"entry() smoke: {n} rows", flush=True)
+assert n > 0
+
+qs = e.queries()
+oracles = e.oracle_sql()
+only = sys.argv[1:] if len(sys.argv) > 1 else None
+fails = []
+for name, fn in qs.items():
+    if only and name not in only:
+        continue
+    try:
+        sdf = fn(spark, SF)
+        srows = sdf.collect()
+        scols = sdf.columns
+        if name not in oracles:
+            print(f"{name}: rows-only {len(srows)} rows", flush=True)
+            continue
+        res = con.execute(oracles[name])
+        ocols = [d[0] for d in res.description]
+        orows = res.fetchall()
+        ok_rows = len(srows) == len(orows)
+        ok_schema = sorted(scols) == sorted(ocols)
+        ok_hash = value_hash(scols, [tuple(r) for r in srows]) == value_hash(ocols, orows)
+        status = "OK" if (ok_rows and ok_schema and ok_hash) else "FAIL"
+        if status == "FAIL":
+            fails.append(name)
+        print(
+            f"{name}: {status} rows={len(srows)}/{len(orows)} schema={ok_schema} hash={ok_hash}",
+            flush=True,
+        )
+    except Exception as ex:
+        fails.append(name)
+        print(f"{name}: ERROR {type(ex).__name__}: {ex}", flush=True)
+
+print("FAILURES:", fails)
+sys.exit(1 if fails else 0)
