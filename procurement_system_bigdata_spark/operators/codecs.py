@@ -46,6 +46,8 @@ def sniff_media_type(content: bytes) -> str:
         return "image/png"
     if head[:4] == b"RIFF" and bytes(content[8:12]) == b"WAVE":
         return "audio/wav"
+    if head[:4] == b"RAWV":
+        return "video/x-rawv"
     return "application/octet-stream"
 
 
@@ -207,3 +209,59 @@ def synthesize_wav(media_id: int, rate: int = 8000, n: int = 1600) -> bytes:
     freq = 100.0 + (media_id % 32) * 25.0
     t = np.arange(n, dtype=np.float64) / rate
     return encode_wav(0.5 * np.sin(2 * np.pi * freq * t), rate)
+
+
+# ---------------------------------------------------------------------------
+# RAWV: a minimal real video container (uncompressed RGB frames)
+# ---------------------------------------------------------------------------
+# Layout: b"RAWV" | uint16 width | uint16 height | uint32 n_frames |
+# n_frames contiguous (h, w, 3) uint8 RGB frames.  Deliberately trivial —
+# the point is that frame sampling PARSES A REAL CONTAINER (header, frame
+# geometry, offsets) rather than slicing arbitrary bytes; compressed video
+# (MP4/H.264) stays gated at the ffmpeg seam like JPEG does for images.
+
+
+def encode_rawv(frames: list[np.ndarray]) -> bytes:
+    h, w = frames[0].shape[:2]
+    out = [b"RAWV", struct.pack("<HHI", w, h, len(frames))]
+    for f in frames:
+        if f.shape != (h, w, 3):
+            raise ValueError("all RAWV frames must share one geometry")
+        out.append(np.ascontiguousarray(f, dtype=np.uint8).tobytes())
+    return b"".join(out)
+
+
+def decode_rawv(content: bytes) -> tuple[int, int, int]:
+    """Header only -> (width, height, n_frames); validates payload length."""
+    buf = bytes(content)
+    if buf[:4] != b"RAWV":
+        raise UnsupportedMediaError(
+            "not a RAWV payload — compressed video needs ffmpeg at this seam"
+        )
+    w, h, n = struct.unpack_from("<HHI", buf, 4)
+    if len(buf) != 12 + w * h * 3 * n:
+        raise UnsupportedMediaError("truncated RAWV payload")
+    return w, h, n
+
+
+def rawv_frame(content: bytes, idx: int) -> np.ndarray:
+    """Random access to frame ``idx`` without materializing the rest —
+    the property a frame SAMPLER needs (decode k of n frames, not all n)."""
+    w, h, n = decode_rawv(content)
+    if not 0 <= idx < n:
+        raise IndexError(f"frame {idx} of {n}")
+    off = 12 + w * h * 3 * idx
+    return (
+        np.frombuffer(bytes(content), dtype=np.uint8, count=w * h * 3, offset=off)
+        .reshape(h, w, 3)
+    )
+
+
+def synthesize_video(
+    media_id: int, width: int = 16, height: int = 12, n_frames: int = 12
+) -> bytes:
+    """Deterministic RAWV clip: the per-id gradient image, brightness-shifted
+    per frame (so every frame is distinct and index-identifiable)."""
+    base = decode_ppm(synthesize_image(media_id, width, height))
+    frames = [((base.astype(np.uint16) + 7 * k) % 256).astype(np.uint8) for k in range(n_frames)]
+    return encode_rawv(frames)

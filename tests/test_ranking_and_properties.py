@@ -178,3 +178,89 @@ def test_approx_quantiles_within_rank_error(spark, duck):
                     FROM events WHERE event_type = '{et}'"""
             ).fetchone()[0]
             assert n_lt / n <= target + eps, (et, target, val, n_lt / n)
+
+
+# ---------------------------------------------------------------------------
+# Property-based invariants for the text/codec extension operators.
+# Pure-Python properties run at full hypothesis throughput; Spark-backed
+# ones use few examples with batched rows (session round-trips are the cost).
+# ---------------------------------------------------------------------------
+
+_texts = st.text(
+    alphabet=st.characters(codec="ascii", exclude_characters="\x00"),
+    min_size=0,
+    max_size=200,
+)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(texts=st.lists(_texts, min_size=1, max_size=25))
+def test_pii_scrub_is_idempotent_and_entropy_bounded(spark, texts):
+    """scrub(scrub(x)) == scrub(x) (redaction tokens contain nothing the
+    patterns can re-match), and 0 <= H <= log2(distinct chars)."""
+    import math
+
+    from procurement_system_bigdata_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    once = text_ops.pii_scrub(docs).select(
+        "doc_id", F.col("scrubbed_text").alias("text")
+    )
+    twice = text_ops.pii_scrub(once).select("doc_id", "scrubbed_text")
+    joined = once.join(twice, "doc_id").collect()
+    for r in joined:
+        assert r.text == r.scrubbed_text, "scrub must be idempotent"
+
+    ent = {r.doc_id: r for r in text_ops.char_entropy(docs).collect()}
+    for i, t in enumerate(texts):
+        h = ent[i].entropy_bits
+        distinct = len(set(t))
+        assert h >= 0.0
+        if distinct > 0:
+            assert h <= math.log2(distinct) + 1e-6
+
+
+@given(
+    mid=st.integers(min_value=0, max_value=10**9),
+    w=st.integers(min_value=1, max_value=40),
+    h=st.integers(min_value=1, max_value=40),
+    out_w=st.integers(min_value=1, max_value=40),
+    out_h=st.integers(min_value=1, max_value=40),
+)
+@settings(max_examples=50, deadline=None)
+def test_codec_roundtrip_and_resize_properties(mid, w, h, out_w, out_h):
+    """PPM encode/decode is an exact roundtrip for any dims; nearest resize
+    hits the requested shape and only ever emits source pixels."""
+    import numpy as np
+
+    from procurement_system_bigdata_spark.operators import codecs
+
+    arr = codecs.decode_ppm(codecs.synthesize_image(mid, w, h))
+    assert arr.shape == (h, w, 3)
+    assert (codecs.decode_ppm(codecs.encode_ppm(arr)) == arr).all()
+    resized = codecs.resize_nearest(arr, out_w, out_h)
+    assert resized.shape == (out_h, out_w, 3)
+    src_px = {tuple(p) for p in arr.reshape(-1, 3)}
+    assert {tuple(p) for p in resized.reshape(-1, 3)} <= src_px
+
+
+@given(rate=st.sampled_from([4000, 8000, 16000]), n=st.integers(1, 4000))
+@settings(max_examples=25, deadline=None)
+def test_wav_roundtrip_tolerance(rate, n):
+    """16-bit PCM WAV roundtrip distorts by at most one quantization step."""
+    import numpy as np
+
+    from procurement_system_bigdata_spark.operators import codecs
+
+    x = 0.8 * np.sin(np.arange(n) * 0.37)
+    y, r = codecs.decode_wav(codecs.encode_wav(x, rate))
+    assert r == rate and len(y) == n
+    # error budget: half-step rounding plus the 32767-encode / 32768-decode
+    # scale asymmetry (|x| <= 1) -> under two quantization steps total
+    assert float(np.max(np.abs(x - y))) <= 2.0 / 32768.0

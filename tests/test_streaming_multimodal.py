@@ -383,3 +383,32 @@ def test_stream_stream_interval_join_equals_batch(spark, events_parquet_dir):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_real_video_frame_sampling(spark):
+    """RAWV clips decode on executors: sampled frame indices follow the
+    every_n/max_frames contract and each emitted frame's pixels equal the
+    synthesized source frame exactly; non-video payloads are dropped."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from procurement_system_bigdata_spark.operators import codecs
+
+    rows = [
+        (1, codecs.synthesize_video(1, 8, 6, 12), "video/x-rawv"),
+        (2, codecs.synthesize_video(2, 8, 6, 3), "video/x-rawv"),
+        (3, codecs.synthesize_image(3), "image/x-portable-pixmap"),  # dropped
+    ]
+    media = spark.createDataFrame(
+        [(mid, c, t, len(c)) for mid, c, t in rows],
+        "media_id long, content binary, media_type string, n_bytes long",
+    )
+    out = multimodal.sample_video_frames(media, every_n=4, max_frames=8).collect()
+    got = {(r.media_id, r.frame_idx) for r in out}
+    assert got == {(1, 0), (1, 4), (1, 8), (2, 0)}
+    by_key = {(r.media_id, r.frame_idx): r.frame for r in out}
+    for (mid, fi), frame in by_key.items():
+        src = codecs.rawv_frame(dict((m, c) for m, c, _ in rows)[mid], fi)
+        assert (codecs.decode_ppm(frame) == src).all()
+    # brightness shift makes frames distinct: frame 4 != frame 0
+    assert by_key[(1, 0)] != by_key[(1, 4)]
