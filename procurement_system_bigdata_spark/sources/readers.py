@@ -56,9 +56,11 @@ def read_jdbc_table(
     (SURVEY §1.4); this is the production reader.  Filter/column pushdown to
     the database is automatic; ``partition_column`` bounds enable parallel
     range reads for large tables — dims this small are read in one partition
-    and broadcast anyway.  Option assembly is contract-tested
-    (tests/test_sources_sinks.py); the live load additionally needs the
-    driver jar on the classpath (spark.jars / --packages).
+    and broadcast anyway.  LIVE-TESTED against embedded Derby (Spark ships
+    the jar for its metastore): write -> read-back, 4-partition parallel
+    range read, and predicate pushdown into the DB scan all asserted in
+    tests/test_sources_sinks.py; other databases only need their driver jar
+    on the classpath (spark.jars / --packages).
     """
     reader = spark.read.format("jdbc")
     for k, v in jdbc_scan_options(

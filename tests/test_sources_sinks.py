@@ -200,3 +200,38 @@ def test_compact_parquet_reduces_files(spark, tmp_path):
     sinks.compact_parquet(spark, src, target_file_bytes=1 << 30)
     assert sum(1 for f in os.listdir(src) if f.startswith("part-")) == 1
     assert spark.read.parquet(src).exceptAll(df).count() == 0
+
+
+def test_jdbc_live_roundtrip_via_embedded_derby(spark):
+    """S8 against a REAL database: Spark ships Derby for its metastore, so
+    the embedded driver gives a dependency-free live JDBC path — write,
+    read back (values exact), parallel range-partitioned read (4 input
+    partitions), and predicate pushdown INTO the database scan."""
+    from procurement_system_bigdata_spark.sources.readers import read_jdbc_table
+
+    url = "jdbc:derby:memory:s8test;create=true"
+    drv = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    df = spark.range(100).selectExpr("id", "id * 3 AS v")
+    (
+        df.write.format("jdbc")
+        .options(url=url, dbtable="MASTER_T", **drv)
+        .mode("overwrite")
+        .save()
+    )
+
+    back = read_jdbc_table(spark, url, "MASTER_T", **drv)
+    assert sorted(tuple(r) for r in back.collect()) == [(i, 3 * i) for i in range(100)]
+
+    part = read_jdbc_table(
+        spark, url, "MASTER_T", partition_column="ID",
+        num_partitions=4, lower_bound=0, upper_bound=100, **drv,
+    )
+    assert part.rdd.getNumPartitions() == 4
+    assert part.count() == 100
+
+    filtered = back.filter(back.id >= 90)
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "GreaterThanOrEqual(id,90)" in plan, (
+        "filter must reach the DB scan"
+    )
+    assert filtered.count() == 10
