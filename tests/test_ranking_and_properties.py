@@ -29,7 +29,10 @@ def test_global_sequence_equals_row_number(spark):
     order = [F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber")]
     key = lambda r: (r.l_extendedprice, r.l_orderkey, r.l_linenumber)  # noqa: E731
     fast = {
-        key(r): r.seq for r in with_global_sequence(li, order, num_partitions=7).collect()
+        key(r): r.seq
+        for r in with_global_sequence(
+            li, order, num_partitions=7, single_partition_max_rows=0
+        ).collect()
     }
     from pyspark.sql.window import Window
 
@@ -41,6 +44,11 @@ def test_global_sequence_equals_row_number(spark):
     }
     assert len(fast) == li.count()
     assert fast == slow
+    # the adaptive small-input path must give the identical sequence too
+    adaptive = {
+        key(r): r.seq for r in with_global_sequence(li, order).collect()
+    }
+    assert adaptive == slow
 
 
 # --- property-based pipeline invariants ----------------------------------
