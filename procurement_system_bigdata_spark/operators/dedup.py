@@ -486,3 +486,45 @@ def simhash_fingerprints_sql(table: str = "documents") -> str:
     bit_sums AS (SELECT doc_id, {bit_sums} FROM exploded GROUP BY doc_id)
     SELECT doc_id, {assemble} AS simhash FROM bit_sums
     """
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup (new batch vs. seen-corpus index)
+# ---------------------------------------------------------------------------
+
+
+def incremental_dedup(
+    new_docs: DataFrame, seen_index: DataFrame | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """Dedup a NEW batch against the accumulated corpus without rescanning
+    it: ``seen_index`` is the (fingerprint) relation of everything already
+    admitted; returns (admitted_docs, updated_index).
+
+    The daily-ingest shape at 100 TB: per batch, one fingerprint shuffle
+    within the batch (first doc_id wins) plus one anti-join against the
+    index — the index is fingerprints only (32-byte md5 per admitted doc),
+    so it stays orders of magnitude smaller than the corpus and can be
+    bucketed by fingerprint for a shuffle-free join.  The returned index is
+    the union (old + newly admitted); persist it as the next batch's input.
+    """
+    norm = P.spark_norm_text(F.col("text"))
+    fp = new_docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.md5(norm).alias("fingerprint"),
+    )
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    batch_first = (
+        fp.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    if seen_index is not None:
+        admitted = batch_first.join(seen_index, "fingerprint", "left_anti")
+    else:
+        admitted = batch_first
+    updated_index = (
+        admitted.select("fingerprint")
+        if seen_index is None
+        else seen_index.select("fingerprint").unionAll(admitted.select("fingerprint"))
+    )
+    return admitted.select("doc_id", "fingerprint"), updated_index

@@ -653,3 +653,72 @@ def char_entropy_sql(table: str = "documents") -> str:
     FROM (SELECT doc_id, list_filter(string_split(text, ''), c -> c != '') AS chars
           FROM {table})
     """
+
+
+# ---------------------------------------------------------------------------
+# Document chunking (context-window packing)
+# ---------------------------------------------------------------------------
+
+CHUNK_WORDS = 64
+CHUNK_OVERLAP = 16
+
+
+def chunk_documents(
+    docs: DataFrame, chunk_words: int = CHUNK_WORDS, overlap: int = CHUNK_OVERLAP
+) -> DataFrame:
+    """Split each document into fixed-size word windows with overlap — the
+    context-window packing step before tokenization: stride =
+    chunk_words - overlap, chunk k covers words [k*stride, k*stride +
+    chunk_words).  The final chunk may be short; every word lands in >= 1
+    chunk.
+
+    Pure array expressions: starts come from a stride sequence, each chunk
+    is a 1-based ``slice`` of the word array — explode is the only
+    row-multiplying op, so the stage is map-side (no shuffle), and output
+    size is input size x (1 + overlap/stride).
+    """
+    if not 0 <= overlap < chunk_words:
+        raise ValueError("need 0 <= overlap < chunk_words")
+    stride = chunk_words - overlap
+    words = P.spark_words(P.spark_norm_text(F.col("text")))
+    base = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), words.alias("ws")
+    )
+    n = F.size(F.col("ws"))
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
+    exploded = base.select(
+        "doc_id", "ws", n.alias("n_words"), F.explode(starts).alias("s")
+    ).filter(F.col("s") < F.col("n_words"))
+    return exploded.select(
+        "doc_id",
+        (F.col("s") / stride).cast("int").alias("chunk_idx"),
+        F.least(F.lit(chunk_words), F.col("n_words") - F.col("s")).cast("long").alias(
+            "n_chunk_words"
+        ),
+        F.concat_ws(" ", F.slice(F.col("ws"), F.col("s") + 1, chunk_words)).alias(
+            "chunk_text"
+        ),
+    )
+
+
+def chunk_documents_sql(
+    table: str = "documents", chunk_words: int = CHUNK_WORDS, overlap: int = CHUNK_OVERLAP
+) -> str:
+    stride = chunk_words - overlap
+    words = P.duck_words(P.duck_norm_text("text"))
+    return f"""
+    WITH base AS (
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, {words} AS ws FROM {table}
+    ),
+    exploded AS (
+        SELECT doc_id, ws, len(ws) AS n_words,
+               unnest(range(0, greatest(len(ws), 1), {stride})) AS s
+        FROM base
+    )
+    SELECT doc_id,
+           CAST(s // {stride} AS INT) AS chunk_idx,
+           CAST(least({chunk_words}, n_words - s) AS BIGINT) AS n_chunk_words,
+           array_to_string(ws[s + 1 : s + {chunk_words}], ' ') AS chunk_text
+    FROM exploded
+    WHERE s < n_words
+    """

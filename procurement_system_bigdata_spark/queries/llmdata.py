@@ -264,3 +264,9 @@ def q_char_entropy(spark, sf_dir):
     from ..operators import text as text_ops
 
     return text_ops.char_entropy(_docs(spark, sf_dir))
+
+
+def q_doc_chunks(spark, sf_dir):
+    from ..operators import text as text_ops
+
+    return text_ops.chunk_documents(_docs(spark, sf_dir))

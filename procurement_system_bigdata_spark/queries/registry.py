@@ -696,3 +696,13 @@ _register(
         ops=("A1", "EXT-analytics"),
     )
 )
+_register(
+    QuerySpec(
+        name="doc_chunks",
+        fn=llmdata.q_doc_chunks,
+        oracle=_text_ops.chunk_documents_sql(),
+        description="Context-window chunking: overlapping fixed-size word "
+        "windows via stride sequence + array slice, map-side only",
+        ops=("EXT-text",),
+    )
+)

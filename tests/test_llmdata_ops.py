@@ -455,3 +455,58 @@ def test_funnel_stages_monotone(spark):
         C.load_table = orig
         A.load_table = orig
     assert (out.n_users, out.reached_view, out.reached_click, out.reached_purchase) == (3, 3, 2, 1)
+
+
+def test_chunking_covers_every_word_with_overlap(spark):
+    from procurement_system_bigdata_spark.operators import text as text_ops
+
+    words = " ".join(f"w{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [(1, words), (2, "short doc"), (3, "")], "doc_id long, text string"
+    )
+    out = sorted(
+        text_ops.chunk_documents(docs, chunk_words=4, overlap=1).collect(),
+        key=lambda r: (r.doc_id, r.chunk_idx),
+    )
+    d1 = [r for r in out if r.doc_id == 1]
+    # stride 3: starts 0,3,6,9 -> overlap of 1 word between neighbors
+    assert [r.chunk_text for r in d1] == [
+        "w0 w1 w2 w3", "w3 w4 w5 w6", "w6 w7 w8 w9", "w9",
+    ]
+    assert [r.n_chunk_words for r in d1] == [4, 4, 4, 1]
+    # every word appears; adjacent chunks share exactly `overlap` words
+    for a, b in zip(d1, d1[1:]):
+        assert a.chunk_text.split()[-1:] == b.chunk_text.split()[:1]
+    d2 = [r for r in out if r.doc_id == 2]
+    assert len(d2) == 1 and d2[0].chunk_text == "short doc"
+    import pytest
+
+    with pytest.raises(ValueError):
+        text_ops.chunk_documents(docs, chunk_words=4, overlap=4)
+
+
+def test_incremental_dedup_across_batches(spark):
+    """Batch 2 must admit only content unseen in batch 1 OR earlier in
+    batch 2; the index accumulates admitted fingerprints only."""
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta"), (3, "alpha beta")],
+        "doc_id long, text string",
+    )
+    a1, idx1 = dedup.incremental_dedup(b1)
+    assert {r.doc_id for r in a1.collect()} == {1, 2}
+    assert idx1.count() == 2
+
+    b2 = spark.createDataFrame(
+        [
+            (10, "ALPHA   beta!"),   # normalizes to seen content -> dropped
+            (11, "epsilon zeta"),    # new -> admitted
+            (12, "epsilon zeta"),    # dup within batch -> dropped
+        ],
+        "doc_id long, text string",
+    )
+    a2, idx2 = dedup.incremental_dedup(b2, idx1)
+    assert {r.doc_id for r in a2.collect()} == {11}
+    assert idx2.count() == 3
+    # replaying batch 2 against the updated index admits nothing
+    a3, _ = dedup.incremental_dedup(b2, idx2)
+    assert a3.count() == 0
