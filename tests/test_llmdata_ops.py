@@ -510,3 +510,31 @@ def test_incremental_dedup_across_batches(spark):
     # replaying batch 2 against the updated index admits nothing
     a3, _ = dedup.incremental_dedup(b2, idx2)
     assert a3.count() == 0
+
+
+def test_sequence_packing_budget_and_order(spark):
+    """Greedy packing: budget respected (except single oversize chunks),
+    chunk order preserved inside sequences, nothing lost."""
+    from procurement_system_bigdata_spark.operators import packing
+    from procurement_system_bigdata_spark.operators import text as text_ops
+
+    words = " ".join(f"w{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [(1, words), (2, "tiny")], "doc_id long, text string"
+    )
+    chunks = text_ops.chunk_documents(docs, chunk_words=6, overlap=0)
+    packed = sorted(
+        packing.pack_chunks(chunks, budget_words=12).collect(),
+        key=lambda r: (r.doc_id, r.seq_idx),
+    )
+    d1 = [r for r in packed if r.doc_id == 1]
+    # doc 1: chunks of 6,6,6,2 words -> sequences (6+6), (6+2)
+    assert [(r.n_chunks, r.n_words) for r in d1] == [(2, 12), (2, 8)]
+    assert " ".join(r.seq_text for r in d1).split() == words.split()
+    d2 = [r for r in packed if r.doc_id == 2]
+    assert [(r.n_chunks, r.n_words) for r in d2] == [(1, 1)]
+
+    # oversize chunk (budget < chunk size) still emitted alone
+    over = packing.pack_chunks(chunks, budget_words=3).collect()
+    assert sum(r.n_words for r in over if r.doc_id == 1) == 20
+    assert all(r.n_chunks == 1 for r in over)
