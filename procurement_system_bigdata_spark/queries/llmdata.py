@@ -270,3 +270,11 @@ def q_doc_chunks(spark, sf_dir):
     from ..operators import text as text_ops
 
     return text_ops.chunk_documents(_docs(spark, sf_dir))
+
+
+def q_packed_sequences(spark, sf_dir):
+    from ..operators import packing
+    from ..operators import text as text_ops
+
+    chunks = text_ops.chunk_documents(_docs(spark, sf_dir))
+    return packing.pack_chunks(chunks).orderBy("doc_id", "seq_idx")

@@ -706,3 +706,14 @@ _register(
         ops=("EXT-text",),
     )
 )
+_register(
+    QuerySpec(
+        name="packed_sequences",
+        fn=llmdata.q_packed_sequences,
+        oracle=None,  # sequential greedy state; semantics closed-form tested
+        description="Greedy training-sequence packing of document chunks "
+        "into fixed word budgets (applyInPandas, state sharded per doc); "
+        "rows-only",
+        ops=("EXT-text",),
+    )
+)
