@@ -138,3 +138,60 @@ def dedup_clusters_sql(pairs_sql: str, table: str = "documents") -> str:
            CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT) AS cluster_size
     FROM comp
     """
+
+
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    damping: float = 0.85,
+    iters: int = 10,
+) -> DataFrame:
+    """PageRank over a directed edge list — corpus-quality weighting for
+    web-style document graphs (rank feeds sampling weights / quality
+    filters the way CommonCrawl pipelines use harmonic centrality).
+
+    ``nodes``: column ``node``; ``edges``: ``src``/``dst``.  Returns
+    (node, rank), sum(rank) ~ |nodes|.  Dangling nodes redistribute
+    uniformly each iteration (the standard correction, so mass is
+    conserved and ranks converge).
+
+    Same DataFrame-Pregel shape as connected_components: per iteration one
+    join (ranks -> out-edges) + one groupBy(dst) sum; lineage truncated
+    with localCheckpoint each round so the plan stays flat across
+    iterations.  Scale: both shuffles key on node ids; heavy-in-degree
+    nodes are AQE skew-split; the dangling-mass aggregate is one scalar
+    collect per iteration (O(1) rows).
+    """
+    out_deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    )
+    base = nodes.select("node").join(out_deg, "node", "left").select(
+        "node", F.coalesce("out_deg", F.lit(0)).alias("out_deg")
+    )
+    n_nodes = base.count()
+    ranks = base.select("node", "out_deg", F.lit(1.0).alias("rank"))
+    ranks = ranks.localCheckpoint(eager=False)
+    for _ in range(iters):
+        dangling = (
+            ranks.filter(F.col("out_deg") == 0).agg(F.sum("rank")).first()[0] or 0.0
+        )
+        contrib = (
+            edges.join(ranks, edges.src == ranks.node)
+            .select(F.col("dst").alias("node"), (F.col("rank") / F.col("out_deg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        ranks = (
+            ranks.select("node", "out_deg")
+            .join(contrib, "node", "left")
+            .select(
+                "node",
+                "out_deg",
+                (
+                    F.lit(1.0 - damping)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("in_sum"), F.lit(0.0)) + F.lit(dangling / n_nodes))
+                ).alias("rank"),
+            )
+        ).localCheckpoint(eager=False)
+    return ranks.select("node", "rank")

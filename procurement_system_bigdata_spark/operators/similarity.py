@@ -436,3 +436,31 @@ def lsh_ann_candidates(
         .filter(F.col("cos_sim") >= tau)
         .distinct()
     )
+
+
+def random_projection(
+    emb: DataFrame, out_dims: int = 16, in_dims: int | None = None, table: int = 7
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection: compress embeddings to
+    ``out_dims`` with pairwise distances approximately preserved — the
+    standard pre-ANN compression when 100 TB of float32 vectors won't fit
+    the candidate stage's working set.
+
+    Projection matrix entries reuse the deterministic ``_plane_weight``
+    family (a distinct ``table`` id keeps them independent of the LSH
+    planes); scaled by 1/sqrt(out_dims) so expected squared norms are
+    preserved.  Pure column math — one zip_with dot per output dim, no UDF,
+    no shuffle.
+    """
+    if in_dims is None:
+        in_dims = len(emb.select("embedding").first().embedding)
+    import math
+
+    scale = 1.0 / math.sqrt(out_dims)
+    dims = []
+    for j in range(out_dims):
+        w = _plane_weights(table, j, in_dims)
+        w_arr = F.array(*[F.lit(x * scale) for x in w])
+        prods = F.zip_with(F.col("embedding"), w_arr, lambda x, wx: x.cast("double") * wx)
+        dims.append(F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v))
+    return emb.select("vec_id", F.array(*dims).alias("projected"))

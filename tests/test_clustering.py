@@ -66,3 +66,23 @@ def test_nonconvergence_raises_strict_warns_lenient(spark):
         out = clustering.connected_components(nodes, edges, max_rounds=1, strict=False)
         out.collect()
         assert any("did not converge" in str(x.message) for x in w)
+
+
+def test_pagerank_known_graph_and_mass(spark):
+    """Closed-form check on a 3-node cycle (symmetric -> uniform ranks) and
+    a hub graph (sink accumulates rank); total mass ~ |nodes| with dangling
+    correction."""
+    import pyspark.sql.functions as F
+
+    nodes = spark.createDataFrame([(i,) for i in range(3)], "node long")
+    cycle = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0)], "src long, dst long"
+    )
+    out = {r.node: r.rank for r in clustering.pagerank(nodes, cycle).collect()}
+    assert all(abs(v - 1.0) < 1e-9 for v in out.values()), out
+
+    # star: 0 and 1 both point at 2; 2 is dangling
+    star = spark.createDataFrame([(0, 2), (1, 2)], "src long, dst long")
+    out = {r.node: r.rank for r in clustering.pagerank(nodes, star, iters=30).collect()}
+    assert out[2] > out[0] and abs(out[0] - out[1]) < 1e-9
+    assert abs(sum(out.values()) - 3.0) < 1e-6, "rank mass must be conserved"

@@ -538,3 +538,40 @@ def test_sequence_packing_budget_and_order(spark):
     over = packing.pack_chunks(chunks, budget_words=3).collect()
     assert sum(r.n_words for r in over if r.doc_id == 1) == 20
     assert all(r.n_chunks == 1 for r in over)
+
+
+def test_random_projection_preserves_geometry(spark):
+    """JL behavior, not a magic constant: similarity correlation with the
+    exact cosines must IMPROVE as output dims grow (distortion ~ 1/sqrt(k))
+    and clear a floor at k=64; norms stay in the analytic ballpark
+    (uniform [-1,1) entries scaled by 1/sqrt(k): E[entry^2]=1/3 ->
+    norm ratio ~ sqrt(1/3) = 0.577).  Measured: corr 0.38/0.56/0.72 at
+    k=16/32/64 on the sf0.01 corpus; ~0.25/0.56 at k=16/64 on the tiny
+    sf0.001 test corpus (fewer, noisier pairs)."""
+    import numpy as np
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    orig = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb.collect()}
+    ids = sorted(orig)[:100]
+    pairs = [(ids[i], ids[i + 1]) for i in range(0, len(ids), 2)]
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    exact = [cos(orig[a], orig[b]) for a, b in pairs]
+    corrs = {}
+    for k in (16, 64):
+        proj = {
+            r.vec_id: np.array(r.projected)
+            for r in similarity.random_projection(emb, out_dims=k).collect()
+        }
+        approx = [cos(proj[a], proj[b]) for a, b in pairs]
+        corrs[k] = float(np.corrcoef(exact, approx)[0, 1])
+        if k == 64:
+            ratios = [
+                float(np.linalg.norm(proj[i]) / np.linalg.norm(orig[i]))
+                for i in ids
+            ]
+            assert 0.4 < float(np.median(ratios)) < 0.8
+    assert corrs[64] > corrs[16], "more dims must reduce JL distortion"
+    assert corrs[64] > 0.45, f"geometry destroyed even at k=64: {corrs[64]:.2f}"
