@@ -278,3 +278,26 @@ def q_packed_sequences(spark, sf_dir):
 
     chunks = text_ops.chunk_documents(_docs(spark, sf_dir))
     return packing.pack_chunks(chunks).orderBy("doc_id", "seq_idx")
+
+
+def q_doc_pagerank(spark, sf_dir):
+    """PageRank over the near-duplicate graph (SimHash pairs as edges, both
+    directions): rank mass concentrates in large duplicate clusters, a
+    corpus-quality weighting signal.  Iterative double math -> rows-only."""
+    from pyspark.sql import functions as F
+
+    from ..operators import clustering
+
+    docs = _docs(spark, sf_dir)
+    nodes = docs.select(F.col("doc_id").cast("long").alias("node"))
+    pairs = dedup.simhash_neardup_pairs(docs).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    edges = pairs.unionAll(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return (
+        clustering.pagerank(nodes, edges, iters=5)
+        .select("node", F.round(F.col("rank"), 6).alias("rank"))
+        .orderBy(F.desc("rank"), "node")
+    )

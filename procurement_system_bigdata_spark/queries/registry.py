@@ -717,3 +717,13 @@ _register(
         ops=("EXT-text",),
     )
 )
+_register(
+    QuerySpec(
+        name="doc_pagerank",
+        fn=llmdata.q_doc_pagerank,
+        oracle=None,  # iterative double math; closed-form graph tests instead
+        description="PageRank over the SimHash near-dup graph (DataFrame-"
+        "Pregel, dangling-mass corrected); rows-only",
+        ops=("EXT-graph",),
+    )
+)
