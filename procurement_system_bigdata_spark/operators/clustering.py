@@ -169,6 +169,10 @@ def pagerank(
         "node", F.coalesce("out_deg", F.lit(0)).alias("out_deg")
     )
     n_nodes = base.count()
+    if n_nodes == 0:
+        # empty graph -> empty result (not a ZeroDivisionError in the
+        # dangling-mass term below)
+        return nodes.select("node", F.lit(0.0).alias("rank"))
     ranks = base.select("node", "out_deg", F.lit(1.0).alias("rank"))
     ranks = ranks.localCheckpoint(eager=False)
     for _ in range(iters):

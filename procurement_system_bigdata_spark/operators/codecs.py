@@ -22,11 +22,35 @@ import numpy as np
 
 
 class UnsupportedMediaError(NotImplementedError):
-    """Raised for formats that need external codecs (JPEG/PNG/MP4/...).
+    """Raised for formats that need external codecs (JPEG/PNG/MP4/...) AND
+    for corrupt/truncated payloads of supported formats.
 
     Production deployments register PIL / ffmpeg decoders at this exact
-    seam; the Spark-side plumbing is identical for all formats.
-    """
+    seam; the Spark-side plumbing is identical for all formats.  Folding
+    corruption into the same error type is deliberate: the multimodal
+    stages' dead-letter contract is "undecodable row -> dropped", and a
+    truncated PPM must not crash an executor task where a JPEG would be
+    skipped."""
+
+
+def _corrupt_guard(fn):
+    """Convert the parse-failure zoo (short buffers -> ValueError /
+    struct.error, stdlib wave -> EOFError, bad reshape -> ValueError) into
+    UnsupportedMediaError so decoders have ONE failure type."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        try:
+            return fn(*args, **kwargs)
+        except UnsupportedMediaError:
+            raise
+        except (ValueError, struct.error, EOFError, IndexError) as e:
+            raise UnsupportedMediaError(
+                f"corrupt {fn.__name__} payload: {type(e).__name__}: {e}"
+            ) from e
+
+    return wrapped
 
 
 # ---------------------------------------------------------------------------
@@ -51,6 +75,7 @@ def sniff_media_type(content: bytes) -> str:
     return "application/octet-stream"
 
 
+@_corrupt_guard
 def decode_ppm(content: bytes) -> np.ndarray:
     """P6 binary PPM -> (h, w, 3) uint8 array.  Handles comments and
     arbitrary whitespace in the header, maxval must be 255."""
@@ -87,6 +112,7 @@ def encode_ppm(arr: np.ndarray) -> bytes:
     ).tobytes()
 
 
+@_corrupt_guard
 def decode_bmp(content: bytes) -> np.ndarray:
     """Uncompressed 24-bit BMP (BITMAPINFOHEADER) -> (h, w, 3) uint8 RGB.
 
@@ -149,6 +175,7 @@ def resize_nearest(arr: np.ndarray, width: int, height: int) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
+@_corrupt_guard
 def decode_wav(content: bytes) -> tuple[np.ndarray, int]:
     """PCM WAV -> (samples float64 in [-1, 1] mono-mixed, sample_rate).
 
@@ -231,6 +258,7 @@ def encode_rawv(frames: list[np.ndarray]) -> bytes:
     return b"".join(out)
 
 
+@_corrupt_guard
 def decode_rawv(content: bytes) -> tuple[int, int, int]:
     """Header only -> (width, height, n_frames); validates payload length."""
     buf = bytes(content)
@@ -244,6 +272,7 @@ def decode_rawv(content: bytes) -> tuple[int, int, int]:
     return w, h, n
 
 
+@_corrupt_guard
 def rawv_frame(content: bytes, idx: int) -> np.ndarray:
     """Random access to frame ``idx`` without materializing the rest —
     the property a frame SAMPLER needs (decode k of n frames, not all n)."""

@@ -384,6 +384,7 @@ def lsh_ann_candidates(
     tau: float = NEARDUP_TAU,
     n_planes: int | None = None,
     n_tables: int | None = None,
+    center: list[float] | None = None,
 ) -> DataFrame:
     """Approximate near-dup pairs: score only bucket-colliding pairs, with
     OR-amplified multi-table LSH.
@@ -410,7 +411,11 @@ def lsh_ann_candidates(
         d_planes, d_tables = lsh_dial(tau)
         n_planes = n_planes if n_planes is not None else d_planes
         n_tables = n_tables if n_tables is not None else d_tables
-    center = corpus_center(emb)
+    # corpus_center is an ACTION (one distributed aggregate + O(dims)
+    # collect) that runs at construction time — pass a precomputed center
+    # to amortize it across calls on the same corpus snapshot
+    if center is None:
+        center = corpus_center(emb)
     buckets = F.array(
         *[
             F.struct(
@@ -453,7 +458,13 @@ def random_projection(
     no shuffle.
     """
     if in_dims is None:
-        in_dims = len(emb.select("embedding").first().embedding)
+        first = emb.select("embedding").first()
+        if first is None:
+            raise ValueError(
+                "random_projection on an empty DataFrame needs explicit "
+                "in_dims= (no row to infer the width from)"
+            )
+        in_dims = len(first.embedding)
     import math
 
     scale = 1.0 / math.sqrt(out_dims)

@@ -16,68 +16,66 @@ from datetime import datetime
 INIT_SQL = "/root/reference/init-scripts/postgres/init.sql"
 
 
+def _consume_quoted(s: str, i: int) -> int:
+    """Given ``s[i] == "'"``, return the index just past the closing quote,
+    consuming ``''`` escape pairs as a unit.  THE single quote-scanning
+    state machine — every parser below delegates here, so a quoting edge
+    case has exactly one place to be wrong (the round-1 bug existed because
+    three hand-rolled copies diverged).  Unterminated strings consume to
+    end-of-input."""
+    i += 1
+    while i < len(s):
+        if s[i] == "'":
+            if i + 1 < len(s) and s[i + 1] == "'":
+                i += 2
+                continue
+            return i + 1
+        i += 1
+    return len(s)
+
+
 def _split_tuples(values_blob: str) -> list[list]:
     """Split a VALUES blob into tuples, respecting quotes and nested parens
     (product names contain parentheses, e.g. 'Office Paper A4 (500 sheets)')."""
-    tuples, cur, depth, in_str = [], "", 0, False
+    tuples, cur, depth = [], "", 0
     i = 0
     while i < len(values_blob):
         ch = values_blob[i]
-        if in_str:
-            if ch == "'" and i + 1 < len(values_blob) and values_blob[i + 1] == "'":
-                cur += "''"
-                i += 2
-                continue
-            if ch == "'":
-                in_str = False
+        if ch == "'":
+            j = _consume_quoted(values_blob, i)
+            cur += values_blob[i:j]
+            i = j
+            continue
+        if ch == "(":
+            depth += 1
+            cur = "" if depth == 1 else cur + ch
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                tuples.append(_split_fields(cur))
+                cur = ""
+            else:
+                cur += ch
+        elif depth >= 1:
             cur += ch
-        else:
-            if ch == "'":
-                in_str = True
-                cur += ch
-            elif ch == "(":
-                depth += 1
-                if depth == 1:
-                    cur = ""
-                    i += 1
-                    continue
-                cur += ch
-            elif ch == ")":
-                depth -= 1
-                if depth == 0:
-                    tuples.append(_split_fields(cur))
-                    cur = ""
-                else:
-                    cur += ch
-            elif depth >= 1:
-                cur += ch
         i += 1
     return tuples
 
 
 def _split_fields(tuple_body: str) -> list:
-    """Split one tuple body into fields on top-level commas, honoring
-    single-quoted strings with '' escapes: an escaped quote pair is consumed
-    as a unit (same index-advance scheme as ``_statement_end``), so a value
-    like 'Acme''s, co' stays one field."""
-    fields, cur, depth, in_str = [], "", 0, False
+    """Split one tuple body into fields on top-level commas; quoted strings
+    (with '' escapes) pass through ``_consume_quoted`` so a value like
+    'Acme''s, co' stays one field."""
+    fields, cur, depth = [], "", 0
     i = 0
     while i < len(tuple_body):
         ch = tuple_body[i]
-        if in_str:
-            if ch == "'" and i + 1 < len(tuple_body) and tuple_body[i + 1] == "'":
-                cur += "''"
-                i += 2
-                continue
-            if ch == "'":
-                in_str = False
-            cur += ch
-            i += 1
-            continue
         if ch == "'":
-            in_str = True
-            cur += ch
-        elif ch == "(":
+            j = _consume_quoted(tuple_body, i)
+            cur += tuple_body[i:j]
+            i = j
+            continue
+        if ch == "(":
             depth += 1
             cur += ch
         elif ch == ")":
@@ -114,18 +112,13 @@ def _statement_end(text: str, start: int) -> int:
     """Index of the ';' terminating the statement beginning at ``start``,
     honoring single-quoted strings ('' escapes) — a ';' inside a quoted
     value (e.g. a supplier name 'Acme; GmbH') must not end the statement."""
-    i, in_str = start, False
+    i = start
     while i < len(text):
         ch = text[i]
-        if in_str:
-            if ch == "'" and i + 1 < len(text) and text[i + 1] == "'":
-                i += 2
-                continue
-            if ch == "'":
-                in_str = False
-        elif ch == "'":
-            in_str = True
-        elif ch == ";":
+        if ch == "'":
+            i = _consume_quoted(text, i)
+            continue
+        if ch == ";":
             return i
         i += 1
     return len(text)

@@ -140,14 +140,28 @@ def compact_parquet(
     rename dance as the streaming upsert sink (old copy survives until the
     new one is in place); with a transactional table format this is a
     rewrite-files commit instead.
+
+    Hive-partitioned layouts (key=value subdirectories) are REFUSED: a
+    whole-dataset coalesce would flatten the layout and lose partition
+    pruning — compact each partition directory separately (that is also
+    the parallelizable unit a table format's rewrite job uses).
     """
     import math
 
+    partition_dirs = [
+        e.name for e in os.scandir(path) if e.is_dir() and "=" in e.name
+    ]
+    if partition_dirs:
+        raise ValueError(
+            f"{path} is hive-partitioned ({partition_dirs[0]}, ...): compact "
+            "each partition directory separately to preserve the layout"
+        )
     df = spark.read.parquet(path)
     total = sum(
-        f.stat().st_size
-        for f in os.scandir(path)
-        if f.name.endswith(".parquet") or f.name.startswith("part-")
+        os.path.getsize(os.path.join(root, f))
+        for root, _dirs, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet") or f.startswith("part-")
     )
     n_files = max(1, math.ceil(total / target_file_bytes))
     in_place = out_path is None

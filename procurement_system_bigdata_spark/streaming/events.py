@@ -198,6 +198,14 @@ def upsert_stream_foreachbatch(
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        old = f"{base_path}.old"
+        # RECOVERY first: a crash between the two swap renames below leaves
+        # the only valid snapshot at base_path.old — restore it BEFORE
+        # merging (and before the pre-swap cleanup deletes it), otherwise
+        # the replayed batch would merge against nothing and then destroy
+        # the sole surviving copy.
+        if os.path.exists(old) and not os.path.exists(base_path):
+            os.rename(old, base_path)
         w = Window.partitionBy(*keys).orderBy(
             F.desc("ts"), F.desc("event_id")
         )
@@ -216,9 +224,9 @@ def upsert_stream_foreachbatch(
         # Crash-safe swap: rename the live snapshot ASIDE first, then the
         # staged one INTO place, then drop the old copy — a valid snapshot
         # exists on disk at every instant (a crash between the two renames
-        # leaves base_path.old to recover from, never zero copies; with a
-        # transactional table format this whole dance is a MERGE commit).
-        old = f"{base_path}.old"
+        # leaves base_path.old, restored by the recovery step above on
+        # replay; with a transactional table format this whole dance is a
+        # MERGE commit).
         if os.path.exists(old):
             shutil.rmtree(old)
         if os.path.exists(base_path):

@@ -235,3 +235,27 @@ def test_jdbc_live_roundtrip_via_embedded_derby(spark):
         "filter must reach the DB scan"
     )
     assert filtered.count() == 10
+
+
+def test_compact_parquet_refuses_partitioned_layout(spark, tmp_path):
+    """Compacting across a hive-partitioned layout would flatten it and
+    lose partition pruning — must refuse with guidance, and the
+    per-partition compaction it recommends must work."""
+    import os
+
+    import pytest
+
+    from procurement_system_bigdata_spark.sources import sinks
+
+    src = str(tmp_path / "parted")
+    df = spark.range(1000).selectExpr("id", "id % 3 AS day")
+    df.repartition(8).write.partitionBy("day").parquet(src)
+    with pytest.raises(ValueError, match="hive-partitioned"):
+        sinks.compact_parquet(spark, src)
+    # the recommended unit works: compact one partition dir in place
+    part_dir = os.path.join(src, "day=0")
+    sinks.compact_parquet(spark, part_dir, target_file_bytes=1 << 30)
+    n = sum(1 for f in os.listdir(part_dir) if f.startswith("part-"))
+    assert n == 1
+    back = spark.read.parquet(src)
+    assert back.count() == 1000

@@ -412,3 +412,25 @@ def test_real_video_frame_sampling(spark):
         assert (codecs.decode_ppm(frame) == src).all()
     # brightness shift makes frames distinct: frame 4 != frame 0
     assert by_key[(1, 0)] != by_key[(1, 4)]
+
+
+def test_corrupt_payloads_are_dead_lettered(spark):
+    """A truncated payload of a SUPPORTED format must be dropped like an
+    unsupported one — one corrupt file must never fail the Spark stage."""
+    from procurement_system_bigdata_spark.operators import codecs
+
+    rows = [
+        (1, codecs.synthesize_image(1), "image/x-portable-pixmap"),
+        (2, b"P6\n9 9\n255\nxx", "image/x-portable-pixmap"),  # truncated
+        (3, codecs.synthesize_wav(3), "audio/wav"),
+        (4, b"RIFF1234WAVExxxx", "audio/wav"),  # truncated
+        (5, codecs.synthesize_video(5, 8, 6, 4), "video/x-rawv"),
+        (6, b"RAWV\x01\x00", "video/x-rawv"),  # truncated header
+    ]
+    media = spark.createDataFrame(
+        [(mid, c, t, len(c)) for mid, c, t in rows],
+        "media_id long, content binary, media_type string, n_bytes long",
+    )
+    assert {r.media_id for r in multimodal.resize_images(media).collect()} == {1}
+    assert {r.media_id for r in multimodal.audio_features(media).collect()} == {3}
+    assert {r.media_id for r in multimodal.sample_video_frames(media).collect()} == {5}
