@@ -46,14 +46,17 @@ def main() -> None:
     first = next(iter(bench_specs.values()))
     first.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    # Best-of-2 per query with an explicit JVM GC between runs: accumulated
+    # Best-of-3 per query with an explicit JVM GC between runs: accumulated
     # broadcast/codegen garbage from earlier queries otherwise inflates later
     # timings by 2-4x on a long-lived local session (measured), which a real
-    # cluster's per-executor GC would absorb.
+    # cluster's per-executor GC would absorb.  Three runs (was two in r1)
+    # because box-level noise measured +-0.5-1s per run; best-of damps it
+    # toward the true plan cost.  Every run builds the plan cold.
+    BEST_OF = 3
     times: dict[str, float] = {}
     for name, spec in bench_specs.items():
         best = float("inf")
-        for _ in range(2):
+        for _ in range(BEST_OF):
             spark._jvm.System.gc()
             t0 = time.perf_counter()
             spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -82,6 +85,7 @@ def main() -> None:
                 "sf": sf_val,
                 "vs_baseline": vs_baseline,
                 "baseline_sf": BASELINE_SF,
+                "best_of": BEST_OF,
             }
         )
     )
