@@ -300,3 +300,51 @@ def purchase_click_stream_join(
         F.unix_micros("click_ts").alias("click_ts_us"),
         "purchase_value",
     )
+
+
+def dedup_ingest_foreachbatch(
+    docs: DataFrame, out_dir: str, index_dir: str
+):
+    """Streaming deduplicated ingest: each micro-batch of documents is
+    deduped against the ACCUMULATED corpus via the fingerprint index
+    (operators/dedup.incremental_dedup), admitted docs append to
+    ``out_dir`` and the index is swapped atomically (same crash-safe
+    recover-rename-swap dance as the upsert sink).
+
+    This is the end-to-end shape a continuously-ingesting training-data
+    pipeline runs: per batch one fingerprint shuffle + one anti-join
+    against an index that is fingerprints only — never a rescan of the
+    corpus.  Exactly-once-per-content: replaying a batch admits nothing
+    new (the index already contains its fingerprints), so at-least-once
+    delivery still yields a duplicate-free corpus.
+    """
+    import os
+    import shutil
+
+    from ..operators.dedup import incremental_dedup
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        old = f"{index_dir}.old"
+        if os.path.exists(old) and not os.path.exists(index_dir):
+            os.rename(old, index_dir)
+        seen = (
+            spark.read.parquet(index_dir) if os.path.exists(index_dir) else None
+        )
+        admitted, new_index = incremental_dedup(batch_df, seen)
+        admitted_docs = admitted.join(
+            batch_df.select(F.col("doc_id").cast("long").alias("doc_id"), "text"),
+            "doc_id",
+        )
+        admitted_docs.write.mode("append").parquet(out_dir)
+        staged = f"{index_dir}._staging_v{batch_id}"
+        new_index.write.mode("overwrite").parquet(staged)
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        if os.path.exists(index_dir):
+            os.rename(index_dir, old)
+        os.rename(staged, index_dir)
+        if os.path.exists(old):
+            shutil.rmtree(old)
+
+    return docs.writeStream.foreachBatch(apply_batch)

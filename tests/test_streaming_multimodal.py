@@ -434,3 +434,51 @@ def test_corrupt_payloads_are_dead_lettered(spark):
     assert {r.media_id for r in multimodal.resize_images(media).collect()} == {1}
     assert {r.media_id for r in multimodal.audio_features(media).collect()} == {3}
     assert {r.media_id for r in multimodal.sample_video_frames(media).collect()} == {5}
+
+
+def test_streaming_dedup_ingest_across_batches(spark, tmp_path):
+    """incremental_dedup in its streaming context: duplicates across
+    micro-batches are rejected by the index, the admitted corpus is
+    duplicate-free, and a full replay admits nothing new."""
+    import pyspark.sql.functions as F
+
+    src = str(tmp_path / "docs_src")
+    rows = [
+        (1, "alpha beta"), (2, "gamma delta"),
+        (3, "alpha beta"),       # dup of 1, later file
+        (4, "epsilon zeta"),
+        (5, "GAMMA delta!!"),    # normalizes to dup of 2
+        (6, "eta theta"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    docs.repartition(3).write.parquet(src)
+    out_dir, idx_dir = str(tmp_path / "corpus"), str(tmp_path / "index")
+
+    def run_ingest():
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        ckpt = str(tmp_path / f"ckpt_{len(list(tmp_path.iterdir()))}")
+        q = (
+            se.dedup_ingest_foreachbatch(stream, out_dir, idx_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_ingest()
+    corpus = spark.read.parquet(out_dir)
+    texts = [r.norm for r in corpus.select(
+        F.regexp_replace(F.lower("text"), "[^a-z ]", "").alias("norm")
+    ).collect()]
+    assert corpus.count() == 4
+    assert len(set(texts)) == 4, "admitted corpus must be duplicate-free"
+    assert spark.read.parquet(idx_dir).count() == 4
+
+    # full replay (fresh checkpoint, same files): nothing new admitted
+    run_ingest()
+    assert spark.read.parquet(out_dir).count() == 4
+    assert spark.read.parquet(idx_dir).count() == 4
