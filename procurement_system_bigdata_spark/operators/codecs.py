@@ -272,10 +272,15 @@ def decode_rawv(content: bytes) -> tuple[int, int, int]:
     return w, h, n
 
 
-@_corrupt_guard
 def rawv_frame(content: bytes, idx: int) -> np.ndarray:
     """Random access to frame ``idx`` without materializing the rest —
-    the property a frame SAMPLER needs (decode k of n frames, not all n)."""
+    the property a frame SAMPLER needs (decode k of n frames, not all n).
+
+    Deliberately NOT wrapped in _corrupt_guard: parse failures surface as
+    UnsupportedMediaError from the guarded decode_rawv, but an out-of-range
+    ``idx`` is a CALLER bug and raises IndexError unguarded — classifying
+    it as a corrupt payload would silently dead-letter the row instead of
+    surfacing the indexing error."""
     w, h, n = decode_rawv(content)
     if not 0 <= idx < n:
         raise IndexError(f"frame {idx} of {n}")

@@ -443,8 +443,19 @@ def lsh_ann_candidates(
     )
 
 
+#: random_projection's default seed-table id.  Deliberately far outside any
+#: table id lsh_ann_candidates can reach (lsh_dial tops out at a few dozen
+#: tables), so the default projection matrix is never bit-identical to an
+#: LSH table's hyperplanes — projecting then bucketing with defaults stays
+#: independent.
+_PROJECTION_TABLE = 1 << 20
+
+
 def random_projection(
-    emb: DataFrame, out_dims: int = 16, in_dims: int | None = None, table: int = 7
+    emb: DataFrame,
+    out_dims: int = 16,
+    in_dims: int | None = None,
+    table: int = _PROJECTION_TABLE,
 ) -> DataFrame:
     """Johnson-Lindenstrauss random projection: compress embeddings to
     ``out_dims`` with pairwise distances approximately preserved — the
@@ -452,10 +463,11 @@ def random_projection(
     the candidate stage's working set.
 
     Projection matrix entries reuse the deterministic ``_plane_weight``
-    family (a distinct ``table`` id keeps them independent of the LSH
-    planes); scaled by 1/sqrt(out_dims) so expected squared norms are
-    preserved.  Pure column math — one zip_with dot per output dim, no UDF,
-    no shuffle.
+    family; the default ``table`` id (``_PROJECTION_TABLE`` = 2**20) sits
+    far outside the LSH table-id range so the matrix is independent of
+    every reachable LSH table's hyperplanes; scaled by 1/sqrt(out_dims) so
+    expected squared norms are preserved.  Pure column math — one zip_with
+    dot per output dim, no UDF, no shuffle.
     """
     if in_dims is None:
         first = emb.select("embedding").first()

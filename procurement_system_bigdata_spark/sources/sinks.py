@@ -148,6 +148,16 @@ def compact_parquet(
     """
     import math
 
+    # crash recovery: a prior in-place compaction that died between the two
+    # renames leaves the dataset only at path+'.old' — restore it before
+    # compacting, and clear any stale staging dir from the aborted attempt
+    old = path + ".old"
+    staging = path + "._compact_staging"
+    if not os.path.exists(path) and os.path.exists(old):
+        os.rename(old, path)
+    if os.path.exists(staging):
+        shutil.rmtree(staging)
+
     partition_dirs = [
         e.name for e in os.scandir(path) if e.is_dir() and "=" in e.name
     ]
@@ -165,11 +175,10 @@ def compact_parquet(
     )
     n_files = max(1, math.ceil(total / target_file_bytes))
     in_place = out_path is None
-    dest = path + "._compact_staging" if in_place else out_path
+    dest = staging if in_place else out_path
     # coalesce, not repartition: narrowing to n_files needs no shuffle
     df.coalesce(n_files).write.mode("overwrite").parquet(dest)
     if in_place:
-        old = path + ".old"
         if os.path.exists(old):
             shutil.rmtree(old)
         os.rename(path, old)

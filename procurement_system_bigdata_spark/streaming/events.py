@@ -314,10 +314,38 @@ def dedup_ingest_foreachbatch(
     This is the end-to-end shape a continuously-ingesting training-data
     pipeline runs: per batch one fingerprint shuffle + one anti-join
     against an index that is fingerprints only — never a rescan of the
-    corpus.  Exactly-once-per-content: replaying a batch admits nothing
-    new (the index already contains its fingerprints), so at-least-once
-    delivery still yields a duplicate-free corpus.
+    corpus.  Exactly-once-per-content under at-least-once delivery, via
+    two mechanisms (the same txn-version discipline Delta's foreachBatch
+    idempotent-write recipe uses):
+
+    * the last committed batch_id is recorded in a ``_committed_batch``
+      marker INSIDE the index dir, so it swaps atomically with the index;
+      a replayed batch with ``batch_id <= committed`` is skipped outright
+      (its docs are already in the corpus);
+    * an uncommitted batch's docs land at the deterministic partition path
+      ``out_dir/batch=<batch_id>`` with mode("overwrite"), so a crash
+      AFTER the doc write but BEFORE the index swap replays against the
+      unchanged old index, recomputes the identical admitted set, and
+      overwrites the same directory — no duplicates in either window.
+
+    Batch-id idempotency follows Structured Streaming's contract that ids
+    are monotonic within one checkpoint lineage; pointing a FRESH
+    checkpoint at the same out/index dirs treats the restarted ids as
+    replays (nothing re-admitted), which is the desired semantic for
+    reprocessing the same source.  Reads of ``out_dir`` see an extra
+    ``batch`` partition column from the directory layout.
     """
+    return docs.writeStream.foreachBatch(
+        dedup_ingest_batch_fn(out_dir, index_dir)
+    )
+
+
+def dedup_ingest_batch_fn(out_dir: str, index_dir: str):
+    """The per-micro-batch commit function behind dedup_ingest_foreachbatch,
+    exposed so tests can drive individual (batch_df, batch_id) calls and
+    simulate the crash windows (doc-write-then-die, mid-swap-die) that the
+    marker + per-batch-overwrite protocol exists to survive."""
+    import json
     import os
     import shutil
 
@@ -328,6 +356,13 @@ def dedup_ingest_foreachbatch(
         old = f"{index_dir}.old"
         if os.path.exists(old) and not os.path.exists(index_dir):
             os.rename(old, index_dir)
+        marker = os.path.join(index_dir, "_committed_batch")
+        committed = -1
+        if os.path.exists(marker):
+            with open(marker) as f:
+                committed = json.load(f)["batch_id"]
+        if batch_id <= committed:
+            return  # fully-committed batch replayed: docs already admitted
         seen = (
             spark.read.parquet(index_dir) if os.path.exists(index_dir) else None
         )
@@ -336,9 +371,13 @@ def dedup_ingest_foreachbatch(
             batch_df.select(F.col("doc_id").cast("long").alias("doc_id"), "text"),
             "doc_id",
         )
-        admitted_docs.write.mode("append").parquet(out_dir)
+        admitted_docs.write.mode("overwrite").parquet(
+            f"{out_dir}/batch={batch_id}"
+        )
         staged = f"{index_dir}._staging_v{batch_id}"
         new_index.write.mode("overwrite").parquet(staged)
+        with open(os.path.join(staged, "_committed_batch"), "w") as f:
+            json.dump({"batch_id": batch_id}, f)
         if os.path.exists(old):
             shutil.rmtree(old)
         if os.path.exists(index_dir):
@@ -347,4 +386,4 @@ def dedup_ingest_foreachbatch(
         if os.path.exists(old):
             shutil.rmtree(old)
 
-    return docs.writeStream.foreachBatch(apply_batch)
+    return apply_batch

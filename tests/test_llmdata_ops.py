@@ -64,6 +64,22 @@ def test_lsh_plane_independence():
             assert abs(corr(planes[i], planes[j])) < 0.5
 
 
+def test_projection_table_outside_lsh_range():
+    """random_projection's default seed table must be independent of every
+    LSH table id lsh_ann_candidates can reach (lsh_dial tops out well under
+    64 tables) — table 7 used to collide, correlating projection and
+    bucketing despite the independence claim."""
+    assert similarity._PROJECTION_TABLE >= 1 << 16
+    proj = [
+        similarity._plane_weights(similarity._PROJECTION_TABLE, p, 64)
+        for p in range(4)
+    ]
+    lsh = [
+        similarity._plane_weights(t, p, 64) for t in range(64) for p in range(4)
+    ]
+    assert all(pw != lw for pw in proj for lw in lsh)
+
+
 def test_lsh_amplification_monotone(spark):
     """More tables must only ADD candidate pairs at a fixed plane count."""
     emb = load_table(spark, SF_DIR, "embeddings")

@@ -202,6 +202,33 @@ def test_compact_parquet_reduces_files(spark, tmp_path):
     assert spark.read.parquet(src).exceptAll(df).count() == 0
 
 
+def test_compact_parquet_recovers_from_crashed_swap(spark, tmp_path):
+    """A compaction that died between os.rename(path, old) and
+    os.rename(dest, path) leaves the dataset only at path+'.old'; the next
+    compact_parquet call must restore it (and clear stale staging) before
+    doing anything else, so no reader window is lost."""
+    import os
+
+    from procurement_system_bigdata_spark.sources import sinks
+
+    src = str(tmp_path / "data")
+    df = spark.range(1000).selectExpr("id", "id * 3 AS v")
+    df.repartition(8).write.parquet(src)
+
+    # simulate the mid-swap crash state: dataset at .old, stale staging dir
+    os.rename(src, src + ".old")
+    os.makedirs(src + "._compact_staging")
+    with open(os.path.join(src + "._compact_staging", "junk"), "w") as f:
+        f.write("stale")
+
+    n = sinks.compact_parquet(spark, src, target_file_bytes=1 << 30)
+    assert n == 1
+    assert not os.path.exists(src + ".old")
+    assert not os.path.exists(src + "._compact_staging")
+    assert spark.read.parquet(src).exceptAll(df).count() == 0
+    assert df.exceptAll(spark.read.parquet(src)).count() == 0
+
+
 def test_jdbc_live_roundtrip_via_embedded_derby(spark):
     """S8 against a REAL database: Spark ships Derby for its metastore, so
     the embedded driver gives a dependency-free live JDBC path — write,

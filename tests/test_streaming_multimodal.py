@@ -414,6 +414,21 @@ def test_real_video_frame_sampling(spark):
     assert by_key[(1, 0)] != by_key[(1, 4)]
 
 
+def test_rawv_frame_index_error_not_classified_corrupt():
+    """Out-of-range frame index is a CALLER bug and must surface as
+    IndexError, not get swallowed by the corrupt guard and dead-lettered as
+    an undecodable row; actual corruption still maps to the one type."""
+    from procurement_system_bigdata_spark.operators import codecs
+
+    clip = codecs.synthesize_video(1, 8, 6, 3)
+    with pytest.raises(IndexError):
+        codecs.rawv_frame(clip, 3)
+    with pytest.raises(IndexError):
+        codecs.rawv_frame(clip, -1)
+    with pytest.raises(codecs.UnsupportedMediaError):
+        codecs.rawv_frame(b"RAWV\x01\x02\x03", 0)  # truncated header
+
+
 def test_corrupt_payloads_are_dead_lettered(spark):
     """A truncated payload of a SUPPORTED format must be dropped like an
     unsupported one — one corrupt file must never fail the Spark stage."""
@@ -481,4 +496,53 @@ def test_streaming_dedup_ingest_across_batches(spark, tmp_path):
     # full replay (fresh checkpoint, same files): nothing new admitted
     run_ingest()
     assert spark.read.parquet(out_dir).count() == 4
+    assert spark.read.parquet(idx_dir).count() == 4
+
+
+def test_dedup_ingest_crash_between_doc_write_and_index_swap(spark, tmp_path):
+    """At-least-once torture: a batch whose doc write landed but whose index
+    swap did NOT (crash in the window) must not duplicate docs on replay,
+    and a fully-committed batch replayed with the same id must be a no-op."""
+    import os
+    import shutil
+
+    out_dir, idx_dir = str(tmp_path / "corpus"), str(tmp_path / "index")
+    fn = se.dedup_ingest_batch_fn(out_dir, idx_dir)
+    b0 = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta")], "doc_id long, text string"
+    )
+    b1 = spark.createDataFrame(
+        [(3, "alpha beta"), (4, "epsilon zeta")], "doc_id long, text string"
+    )
+
+    fn(b0, 0)
+    assert spark.read.parquet(out_dir).count() == 2
+
+    # simulate crash: run batch 1, then roll the index back to its pre-batch
+    # state (as if the process died after the doc write, before the swap)
+    pre = str(tmp_path / "index_pre_b1")
+    shutil.copytree(idx_dir, pre)
+    fn(b1, 1)
+    assert spark.read.parquet(out_dir).count() == 3  # doc 3 was a dup
+    shutil.rmtree(idx_dir)
+    os.rename(pre, idx_dir)
+
+    # replay batch 1: recomputes the same admitted set against the old
+    # index and overwrites the same batch=1 dir — still 3 docs, no dupes
+    fn(b1, 1)
+    assert spark.read.parquet(out_dir).count() == 3
+    assert spark.read.parquet(idx_dir).count() == 3
+
+    # replay a fully-committed batch (id <= committed marker): pure no-op
+    fn(b0, 0)
+    assert spark.read.parquet(out_dir).count() == 3
+    assert spark.read.parquet(idx_dir).count() == 3
+
+    # crash mid-swap: index at .old only — next batch recovers it first
+    os.rename(idx_dir, idx_dir + ".old")
+    b2 = spark.createDataFrame(
+        [(5, "GAMMA delta!!"), (6, "eta theta")], "doc_id long, text string"
+    )
+    fn(b2, 2)
+    assert spark.read.parquet(out_dir).count() == 4  # 5 normalizes to dup of 2
     assert spark.read.parquet(idx_dir).count() == 4

@@ -62,8 +62,15 @@ assert n > 0
 
 qs = e.queries()
 oracles = e.oracle_sql()
-only = sys.argv[1:] if len(sys.argv) > 1 else None
+argv = sys.argv[1:]
+out_path = None
+if "--out" in argv:
+    i = argv.index("--out")
+    out_path = argv[i + 1]
+    argv = argv[:i] + argv[i + 2 :]
+only = argv if argv else None
 fails = []
+results = {}
 for name, fn in qs.items():
     if only and name not in only:
         continue
@@ -73,6 +80,15 @@ for name, fn in qs.items():
         scols = sdf.columns
         if name not in oracles:
             print(f"{name}: rows-only {len(srows)} rows", flush=True)
+            results[name] = {
+                "rows_match": None,
+                "schema_match": None,
+                "hash_match": None,
+                "spark_rows": len(srows),
+                "oracle_rows": None,
+                "err": None,
+                "rows_only": True,
+            }
             continue
         res = con.execute(oracles[name])
         ocols = [d[0] for d in res.description]
@@ -83,13 +99,33 @@ for name, fn in qs.items():
         status = "OK" if (ok_rows and ok_schema and ok_hash) else "FAIL"
         if status == "FAIL":
             fails.append(name)
+        results[name] = {
+            "rows_match": ok_rows,
+            "schema_match": ok_schema,
+            "hash_match": ok_hash,
+            "spark_rows": len(srows),
+            "oracle_rows": len(orows),
+            "err": None,
+        }
         print(
             f"{name}: {status} rows={len(srows)}/{len(orows)} schema={ok_schema} hash={ok_hash}",
             flush=True,
         )
     except Exception as ex:
         fails.append(name)
+        results[name] = {
+            "rows_match": False,
+            "schema_match": False,
+            "hash_match": False,
+            "spark_rows": None,
+            "oracle_rows": None,
+            "err": f"{type(ex).__name__}: {ex}",
+        }
         print(f"{name}: ERROR {type(ex).__name__}: {ex}", flush=True)
 
+if out_path:
+    with open(out_path, "w") as f:
+        json.dump(results, f, indent=2)
+    print(f"wrote {out_path} ({len(results)} queries)", flush=True)
 print("FAILURES:", fails)
 sys.exit(1 if fails else 0)
