@@ -23,12 +23,16 @@ HASH_P = 2_147_483_647  # 2^31 - 1
 HASH_SEED = 7
 
 # MinHash family h_i(x) = (A_i * x + B_i) mod P, i = 0..K-1.
-# K/BANDS is the recall dial: the ORACLE default stays small (6/2) so the
-# DuckDB-mirrored CORRECTNESS query is cheap and bit-exact; production runs
-# pass k/bands explicitly (e.g. 128/32 -> r=4, ~(1/32)^(1/4)=0.42 threshold
-# knee).  minhash_params(k) builds the coefficient family for any K.
-MINHASH_K = 6
-MINHASH_BANDS = 2  # bands of r = K // BANDS rows each
+# K/BANDS is the recall dial.  The OPERATOR default is the production dial
+# (128/32 -> r=4, candidate-probability knee at Jaccard ~(1/32)^(1/4)=0.42):
+# minhash_lsh_pairs(docs) as a user calls it should have production-shaped
+# recall.  The small ORACLE dial (6/2) exists only so the DuckDB-mirrored
+# CORRECTNESS query stays cheap and bit-exact; the registry query passes it
+# explicitly.  minhash_params(k) builds the coefficient family for any K.
+MINHASH_K = 128
+MINHASH_BANDS = 32  # bands of r = K // BANDS rows each
+MINHASH_K_ORACLE = 6
+MINHASH_BANDS_ORACLE = 2
 
 
 def minhash_params(k: int) -> tuple[list[int], list[int]]:
@@ -40,7 +44,7 @@ def minhash_params(k: int) -> tuple[list[int], list[int]]:
     return a, b
 
 
-MINHASH_A, MINHASH_B = minhash_params(MINHASH_K)
+MINHASH_A_ORACLE, MINHASH_B_ORACLE = minhash_params(MINHASH_K_ORACLE)
 
 # SimHash: 64-bit fingerprint assembled from four independent 16-bit chunks.
 # The base char-fold hash has only 31 bits of entropy, so chunk i takes the

@@ -166,9 +166,10 @@ def minhash_signatures(docs: DataFrame, shingle_n: int = 1, k: int = P.MINHASH_K
     """(doc_id, m0..m{K-1}): K minhashes computed as K min() aggregates over
     the exploded token hashes — one shuffle, no per-hash-function pass.
 
-    ``k`` is the signature width: the default stays at the oracle-mirrored
-    constant; production dedup passes e.g. k=128 (with 32 bands of r=4 the
-    candidate-probability knee sits at Jaccard ~(1/32)^(1/4) = 0.42)."""
+    ``k`` is the signature width: the default is the production dial
+    (k=128; with 32 bands of r=4 the candidate-probability knee sits at
+    Jaccard ~(1/32)^(1/4) = 0.42); the oracle-mirrored registry query
+    passes the small P.MINHASH_K_ORACLE dial explicitly."""
     a_coef, b_coef = P.minhash_params(k)
     tok = _doc_token_hashes(docs, shingle_n)
     aggs = [
@@ -200,10 +201,12 @@ def minhash_lsh_pairs(
     is deterministic and the outputs match exactly.
 
     (k, n_bands) is the recall/cost dial: candidate probability at Jaccard s
-    is 1 - (1 - s^r)^b with r = k/n_bands.  The oracle default (6, 2) keeps
-    the DuckDB mirror cheap; production corpora should run (128, 32) — see
-    tests/test_llmdata_ops.py::test_minhash_production_dial_recall for the
-    measured recall of both dials against exact Jaccard.
+    is 1 - (1 - s^r)^b with r = k/n_bands.  The DEFAULT is the production
+    dial (128, 32) — recall knee ~0.42 Jaccard; the coarse oracle dial
+    (P.MINHASH_K_ORACLE=6, 2) exists to keep the DuckDB mirror cheap and is
+    passed explicitly by the registry query — see tests/test_llmdata_ops.py
+    ::test_minhash_production_dial_recall for the measured recall of both
+    dials against exact Jaccard.
     """
     if k % n_bands:
         raise ValueError(f"n_bands={n_bands} must divide k={k}")
@@ -248,20 +251,22 @@ def minhash_lsh_pairs(
 
 
 def minhash_lsh_pairs_sql(table: str = "documents", shingle_n: int = 1, threshold: float = 0.9) -> str:
-    r = P.MINHASH_K // P.MINHASH_BANDS
+    """DuckDB mirror at the ORACLE dial (K_ORACLE, BANDS_ORACLE) — the Spark
+    side of the registry query passes the same dial explicitly."""
+    r = P.MINHASH_K_ORACLE // P.MINHASH_BANDS_ORACLE
     tok = _duck_doc_token_hashes(table, shingle_n)
     minhash_cols = ", ".join(
-        f"MIN(({P.MINHASH_A[i]} * h + {P.MINHASH_B[i]}) % {P.HASH_P}) AS m{i}"
-        for i in range(P.MINHASH_K)
+        f"MIN(({P.MINHASH_A_ORACLE[i]} * h + {P.MINHASH_B_ORACLE[i]}) % {P.HASH_P}) AS m{i}"
+        for i in range(P.MINHASH_K_ORACLE)
     )
     band_cols = ", ".join(
         " || '-' || ".join(f"CAST(m{b * r + j} AS VARCHAR)" for j in range(r))
         + f" AS band{b}"
-        for b in range(P.MINHASH_BANDS)
+        for b in range(P.MINHASH_BANDS_ORACLE)
     )
     band_union = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band, band{b} AS key FROM bands"
-        for b in range(P.MINHASH_BANDS)
+        for b in range(P.MINHASH_BANDS_ORACLE)
     )
     return f"""
     WITH tok0 AS ({tok}),

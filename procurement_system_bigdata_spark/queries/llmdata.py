@@ -8,6 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions import portable as P
 from ..operators import clustering, dedup, sampling, similarity, text
 
 
@@ -36,7 +37,11 @@ Q_DEDUP_FINGERPRINT_SQL = dedup.fingerprint_dedup_sql()
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
-    return dedup.minhash_lsh_pairs(_docs(spark, sf_dir))
+    # oracle dial, explicitly: the operator DEFAULT is the production dial
+    # (128/32); the DuckDB mirror runs the cheap (6/2) banding
+    return dedup.minhash_lsh_pairs(
+        _docs(spark, sf_dir), k=P.MINHASH_K_ORACLE, n_bands=P.MINHASH_BANDS_ORACLE
+    )
 
 
 Q_DEDUP_MINHASH_LSH_SQL = dedup.minhash_lsh_pairs_sql()
@@ -132,7 +137,12 @@ Q_TF_IDF_SQL = text.tf_idf_sql()
 
 def q_dedup_clusters(spark, sf_dir):
     docs = _docs(spark, sf_dir)
-    return clustering.dedup_clusters(docs, dedup.minhash_lsh_pairs(docs))
+    return clustering.dedup_clusters(
+        docs,
+        dedup.minhash_lsh_pairs(
+            docs, k=P.MINHASH_K_ORACLE, n_bands=P.MINHASH_BANDS_ORACLE
+        ),
+    )
 
 
 Q_DEDUP_CLUSTERS_SQL = clustering.dedup_clusters_sql(dedup.minhash_lsh_pairs_sql())
@@ -178,7 +188,12 @@ def q_corpus_curation(spark, sf_dir):
     """
     docs = _docs(spark, sf_dir)
     q = text.quality_scores(docs).select("doc_id", "n_words", "quality_score")
-    clusters = clustering.dedup_clusters(docs, dedup.minhash_lsh_pairs(docs))
+    clusters = clustering.dedup_clusters(
+        docs,
+        dedup.minhash_lsh_pairs(
+            docs, k=P.MINHASH_K_ORACLE, n_bands=P.MINHASH_BANDS_ORACLE
+        ),
+    )
     canon = clusters.filter(F.col("doc_id") == F.col("component")).select(
         "doc_id", "cluster_size"
     )

@@ -183,22 +183,30 @@ def test_minhash_pairs_meet_threshold(spark):
 
 
 def test_minhash_production_dial_recall(spark):
-    """The production (k=128, bands=32) dial must recover essentially all
-    exact-Jaccard>=0.9 pairs (candidate probability at s=0.9 with r=4,b=32
-    is 1-(1-0.9^4)^32 ~ 1.0) and never fall below the coarse oracle dial.
-    Precision is exact by construction (candidates are confirmed against
-    exact Jaccard), so only recall needs measuring."""
+    """The production (k=128, bands=32) dial — now the OPERATOR DEFAULT —
+    must recover essentially all exact-Jaccard>=0.9 pairs (candidate
+    probability at s=0.9 with r=4,b=32 is 1-(1-0.9^4)^32 ~ 1.0) and never
+    fall below the coarse oracle dial (passed explicitly).  Precision is
+    exact by construction (candidates are confirmed against exact Jaccard),
+    so only recall needs measuring."""
+    from procurement_system_bigdata_spark.functions import portable as P
+
+    assert (P.MINHASH_K, P.MINHASH_BANDS) == (128, 32), (
+        "operator default must be the production dial"
+    )
     docs = load_table(spark, SF_DIR, "documents")
     exact = {
         (r.doc_a, r.doc_b)
         for r in dedup.ngram_jaccard_pairs(docs, shingle_n=1, threshold=0.9).collect()
     }
     prod = {
-        (r.doc_a, r.doc_b)
-        for r in dedup.minhash_lsh_pairs(docs, k=128, n_bands=32).collect()
+        (r.doc_a, r.doc_b) for r in dedup.minhash_lsh_pairs(docs).collect()
     }
     oracle_dial = {
-        (r.doc_a, r.doc_b) for r in dedup.minhash_lsh_pairs(docs).collect()
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_lsh_pairs(
+            docs, k=P.MINHASH_K_ORACLE, n_bands=P.MINHASH_BANDS_ORACLE
+        ).collect()
     }
     assert prod <= exact and oracle_dial <= exact
     if exact:
