@@ -90,7 +90,9 @@ def cassandra_upsert_options(keyspace: str, table: str) -> dict[str, str]:
     return {"keyspace": keyspace, "table": table, "confirm.truncate": "false"}
 
 
-def cassandra_upsert_writer(df: DataFrame, keyspace: str, table: str):
+def cassandra_upsert_writer(
+    df: DataFrame, keyspace: str, table: str, fmt: str = CASSANDRA_FORMAT, **extra
+):
     """S4: the production Cassandra sink the reference feeds row-by-row
     (reference dags/pipeline.py:275-289 INSERTs each snapshot row; Cassandra
     INSERT is an upsert, so replays are last-write-wins on the primary key —
@@ -105,10 +107,18 @@ def cassandra_upsert_writer(df: DataFrame, keyspace: str, table: str):
     contract test, which proves the wiring reaches Spark's DataSource
     resolution rather than being dead code.  The harness replays the same
     upsert semantics on parquet in sources/readers.read_snapshots_json.
+
+    ``fmt``/``extra`` swap the backing connector behind the SAME seam: the
+    contract test passes fmt=lww_store.FORMAT_NAME (a real registered
+    Python DataSource with Cassandra's LWW-by-PK semantics and a two-phase
+    commit) plus its path/writetime/pk options, so the write path —
+    DataSource resolution, task staging, driver commit — is exercised live
+    with replayed keys even though the sandbox has no Cassandra cluster.
     """
-    writer = df.write.format(CASSANDRA_FORMAT).mode("append")
-    for k, v in cassandra_upsert_options(keyspace, table).items():
-        writer = writer.option(k, v)
+    writer = df.write.format(fmt).mode("append")
+    opts = {**cassandra_upsert_options(keyspace, table), **extra}
+    for k, v in opts.items():
+        writer = writer.option(k, str(v))
     return writer
 
 

@@ -264,6 +264,73 @@ def test_jdbc_live_roundtrip_via_embedded_derby(spark):
     assert filtered.count() == 10
 
 
+def test_cassandra_writer_contract_via_lww_store(spark, tmp_path):
+    """S4 write-path contract, mirroring the Derby JDBC live test: the SAME
+    cassandra_upsert_writer seam drives a real registered Python DataSource
+    (lwwstore) that honors Cassandra's last-write-wins-by-PK semantics
+    (reference init-scripts/cassandra/init.cql:15-17) through Spark's full
+    DSv2 write path — task staging, WriterCommitMessages, driver commit."""
+    from procurement_system_bigdata_spark.sources import lww_store, sinks
+
+    lww_store.register(spark)
+    root = str(tmp_path / "store")
+    common = dict(fmt=lww_store.FORMAT_NAME, path=root, pk="sku,warehouse")
+
+    day1 = spark.createDataFrame(
+        [("S1", "W1", 100, "2024-01-01"), ("S2", "W1", 50, "2024-01-01")],
+        "sku string, warehouse string, qty long, snapshot_date string",
+    )
+    sinks.cassandra_upsert_writer(
+        day1, "procurement", "inventory", writetime=1000, **common
+    ).save()
+
+    # day 2 replays PK (S1, W1) with a newer writetime: upsert, not append
+    day2 = spark.createDataFrame(
+        [("S1", "W1", 75, "2024-01-02"), ("S3", "W2", 20, "2024-01-02")],
+        "sku string, warehouse string, qty long, snapshot_date string",
+    )
+    writer2 = sinks.cassandra_upsert_writer(
+        day2, "procurement", "inventory", writetime=2000, **common
+    )
+    writer2.save()
+    writer2.save()  # at-least-once replay, same writetime: idempotent
+
+    resolved = lww_store.read_lww_table(spark, root, "procurement", "inventory")
+    got = {(r.sku, r.warehouse): (r.qty, r.snapshot_date) for r in resolved.collect()}
+    assert got == {
+        ("S1", "W1"): (75, "2024-01-02"),  # last write won
+        ("S2", "W1"): (50, "2024-01-01"),
+        ("S3", "W2"): (20, "2024-01-02"),
+    }
+    # raw log retains every upsert (append-only, no read-modify-write);
+    # the replayed batch added log entries but not resolved rows
+    raw = (
+        spark.read.format(lww_store.FORMAT_NAME)
+        .options(path=root, keyspace="procurement", table="inventory")
+        .load()
+    )
+    assert raw.count() == 6 and resolved.count() == 3
+
+    # contract guards: PK/schema immutability, append-only mode, no
+    # leftover staging files after commit
+    import os
+
+    import pytest
+
+    with pytest.raises(Exception, match="pk mismatch"):
+        sinks.cassandra_upsert_writer(
+            day1, "procurement", "inventory",
+            fmt=lww_store.FORMAT_NAME, path=root, pk="sku", writetime=3000,
+        ).save()
+    with pytest.raises(Exception, match="append-only"):
+        day1.write.format(lww_store.FORMAT_NAME).mode("overwrite").options(
+            path=root, keyspace="procurement", table="inventory",
+            writetime=3000,
+        ).save()
+    staging = os.path.join(root, "procurement", "inventory", "_staging")
+    assert not os.path.isdir(staging) or not os.listdir(staging)
+
+
 def test_compact_parquet_refuses_partitioned_layout(spark, tmp_path):
     """Compacting across a hive-partitioned layout would flatten it and
     lose partition pruning — must refuse with guidance, and the
