@@ -564,6 +564,42 @@ def test_sequence_packing_budget_and_order(spark):
     assert all(r.n_chunks == 1 for r in over)
 
 
+def test_greedy_boundaries_equals_running_fill_scan():
+    """The searchsorted boundary probe must compute exactly the per-chunk
+    running-fill greedy scan it replaced, over adversarial word counts
+    (zeros, oversize chunks, exact fits)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from procurement_system_bigdata_spark.operators.packing import (
+        greedy_boundaries,
+    )
+
+    def naive(w, budget):
+        seqs, cur, cur_words = [], [], 0
+        for i, wi in enumerate(w):
+            if cur and cur_words + wi > budget:
+                seqs.append(cur)
+                cur, cur_words = [], 0
+            cur.append(i)
+            cur_words += wi
+        if cur:
+            seqs.append(cur)
+        return [(s[0], s[-1]) for s in seqs]
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=0, max_value=50), max_size=60),
+        st.integers(min_value=1, max_value=40),
+    )
+    def check(w, budget):
+        starts, ends = greedy_boundaries(np.cumsum(np.asarray(w, np.int64)), budget)
+        assert list(zip(starts.tolist(), ends.tolist())) == naive(w, budget)
+
+    check()
+
+
 def test_random_projection_preserves_geometry(spark):
     """JL behavior, not a magic constant: similarity correlation with the
     exact cosines must IMPROVE as output dims grow (distortion ~ 1/sqrt(k))
