@@ -211,14 +211,32 @@ def minhash_lsh_pairs(
     if k % n_bands:
         raise ValueError(f"n_bands={n_bands} must divide k={k}")
     r = k // n_bands
-    sigs = minhash_signatures(docs, shingle_n, k)
+    # Materialize the signature table once (lazy localCheckpoint — the
+    # engine's standard compute-once block, ContextCleaner-reclaimed): the
+    # band stack references it n_bands times and the candidate self-join
+    # twice more, so without pinning the whole tokenize+hash+K-agg subtree
+    # re-executes per reference (measured 3x wall on the production dial).
+    # At 100 TB this is also the right artifact shape — signatures are
+    # 100-1000x smaller than the corpus and production pipelines persist
+    # them; same for the per-doc token-set arrays used by the confirm step.
+    sigs = minhash_signatures(docs, shingle_n, k).localCheckpoint(eager=False)
     bands = sigs.select("doc_id", *_band_key_cols(r, n_bands))
-    stacked = None
-    for b in range(n_bands):
-        part = bands.select(
-            "doc_id", F.lit(b).alias("band"), F.col(f"band{b}").alias("key")
-        )
-        stacked = part if stacked is None else stacked.unionAll(part)
+    # one explode, not an n_bands-way union: a 32-branch union is 32 plan
+    # subtrees and 32 task sets; the exploded struct array is a single
+    # narrow pass emitting the same (doc_id, band, key) rows
+    stacked = bands.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"), F.col(f"band{b}").alias("key")
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     a, b_ = stacked.alias("a"), stacked.alias("b")
     cand = (
         a.join(
@@ -235,7 +253,11 @@ def minhash_lsh_pairs(
     # of an inverted-index pair explosion (which degenerates quadratically
     # when the vocabulary is tiny / posting lists are hot).
     tok = _doc_token_hashes(docs, shingle_n)
-    doc_sets = tok.groupBy("doc_id").agg(F.sort_array(F.collect_set("h")).alias("hs"))
+    doc_sets = (
+        tok.groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("h")).alias("hs"))
+        .localCheckpoint(eager=False)
+    )
     sa = doc_sets.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
     sb = doc_sets.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
     n_common = F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b")))
@@ -392,7 +414,11 @@ def simhash_neardup_pairs(
         )
     band_bits = P.SIMHASH_BITS // n_bands
     mask = (1 << band_bits) - 1
-    fp = simhash_fingerprints(docs)
+    # pin the fingerprint table (lazy localCheckpoint): both sides of the
+    # candidate self-join read it, and without pinning the tokenize + 64-sum
+    # subtree executes twice; fingerprints are 8 bytes/doc — the persisted-
+    # artifact shape a production near-dup pipeline uses anyway
+    fp = simhash_fingerprints(docs).localCheckpoint(eager=False)
     band_structs = F.array(
         *[
             F.struct(

@@ -173,10 +173,15 @@ Q_STRATIFIED_SAMPLE_SQL = sampling.stratified_sample_sql()
 CURATION_MIN_QUALITY = 0.45
 
 
-def q_corpus_curation(spark, sf_dir):
+def curate_corpus(
+    docs: DataFrame,
+    min_quality: float = CURATION_MIN_QUALITY,
+    k: int = P.MINHASH_K,
+    n_bands: int = P.MINHASH_BANDS,
+) -> DataFrame:
     """Flagship training-data pipeline: quality-filter -> near-dup dedup
     (keep cluster canonicals) -> deterministic train/val/test split, as ONE
-    composed plan.
+    composed plan over any (doc_id, text[, meta...]) corpus.
 
     This is the end-to-end corpus-curation flow a 100 TB pretraining
     pipeline runs nightly; every stage is an already-oracle-checked
@@ -184,25 +189,33 @@ def q_corpus_curation(spark, sf_dir):
     three operator outputs are keyed on doc_id, so the final joins share
     one hash-partitioning (Catalyst reuses the exchange); the dominant
     costs remain the operators themselves (minhash banding, component
-    iteration), not the composition.
+    iteration), not the composition.  The MinHash dial defaults to the
+    production (128, 32) setting; the oracle-mirrored registry query passes
+    the coarse oracle dial.
     """
-    docs = _docs(spark, sf_dir)
+    meta_cols = [c for c in ("lang", "source") if c in docs.columns]
     q = text.quality_scores(docs).select("doc_id", "n_words", "quality_score")
     clusters = clustering.dedup_clusters(
-        docs,
-        dedup.minhash_lsh_pairs(
-            docs, k=P.MINHASH_K_ORACLE, n_bands=P.MINHASH_BANDS_ORACLE
-        ),
+        docs, dedup.minhash_lsh_pairs(docs, k=k, n_bands=n_bands)
     )
     canon = clusters.filter(F.col("doc_id") == F.col("component")).select(
         "doc_id", "cluster_size"
     )
     split = sampling.train_val_test_split(docs).select("doc_id", "split")
     return (
-        docs.select(F.col("doc_id").cast("long").alias("doc_id"), "lang", "source")
-        .join(q.filter(F.col("quality_score") >= CURATION_MIN_QUALITY), "doc_id")
+        docs.select(F.col("doc_id").cast("long").alias("doc_id"), *meta_cols)
+        .join(q.filter(F.col("quality_score") >= min_quality), "doc_id")
         .join(canon, "doc_id")
         .join(split, "doc_id")
+    )
+
+
+def q_corpus_curation(spark, sf_dir):
+    """curate_corpus at the oracle MinHash dial (DuckDB mirror parity)."""
+    return curate_corpus(
+        _docs(spark, sf_dir),
+        k=P.MINHASH_K_ORACLE,
+        n_bands=P.MINHASH_BANDS_ORACLE,
     )
 
 

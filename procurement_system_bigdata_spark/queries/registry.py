@@ -391,6 +391,8 @@ _register(
         description="SimHash near-dup pairs via banded LSH (no cross join) "
         "+ exact bit_count(xor) hamming verify",
         ops=("EXT-dedup",),
+        bench=True,  # banding-path regression guard (hamming<=3 output is
+        # small even on the toy vocabulary, so timing measures the engine)
     )
 )
 _register(
@@ -497,6 +499,11 @@ _register(
         description="End-to-end corpus curation: quality filter -> keep "
         "near-dup cluster canonicals -> deterministic split (composed plan)",
         ops=("EXT-pipeline",),
+        # not a bench headline for the same reason as dedup_minhash_lsh:
+        # on the 31-word-vocabulary corpus the near-dup graph is dense
+        # (output-volume-bound, 86s at sf0.1); bench.py times the SAME
+        # composition on the realistic-vocabulary derived corpus instead
+        # (curation_prod_realvocab)
     )
 )
 _register(
