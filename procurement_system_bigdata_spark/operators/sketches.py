@@ -1,0 +1,194 @@
+"""Count-min sketch over token streams, as a mergeable DataFrame table.
+
+The second mergeable sketch in the engine (HLL distinct-count rollup lives
+in queries/analytics.py): a CMS answers "how often does token t appear in
+this 100 TB corpus?" from a d x w counter grid that is thousands of times
+smaller than the token stream, with one-sided error
+(estimate >= truth, estimate <= truth + eps*N with probability 1 - delta,
+eps = e/w, delta = e^-d).
+
+Spark-native design choice: the sketch is a (hash_idx, bucket, cnt)
+DataFrame — d*w rows — rather than an opaque binary blob.  That makes the
+three sketch operations plain relational algebra:
+
+* BUILD  = explode tokens -> d affine bucket hashes -> one groupBy count
+  (map-side partial aggregation does the heavy lifting; the shuffle carries
+  at most d*w rows per map partition, regardless of corpus size);
+* MERGE  = unionByName + groupBy sum — associative, commutative, exactly
+  the property that lets per-day/per-shard sketches roll up without
+  rescanning raw data (tested: merge(sketch(A), sketch(B)) == sketch(A|B)
+  EXACTLY, since counters are additive);
+* QUERY  = join candidate tokens against the d (hash_idx, bucket) cells,
+  take MIN over the d estimates.
+
+Hash family: the engine-portable affine transforms over the char-fold
+token hash (functions/portable.py), so the whole sketch is deterministic
+and DuckDB-mirrored — the ORACLE covers the sketch bits, not just row
+counts.  No UDFs anywhere.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import portable as P
+
+CMS_DEPTH = 4
+CMS_WIDTH = 512
+# dedicated seed family: offset the affine params away from the minhash /
+# simhash tables so sketch buckets are independent of dedup banding
+_CMS_A, _CMS_B = P.minhash_params(64)
+_CMS_A = _CMS_A[32 : 32 + CMS_DEPTH]
+_CMS_B = _CMS_B[32 : 32 + CMS_DEPTH]
+
+
+def _tokens(docs: DataFrame) -> DataFrame:
+    words = P.spark_words(P.spark_norm_text(F.col("text")))
+    return docs.select(F.explode(words).alias("w")).filter(F.col("w") != "")
+
+
+def token_cms(docs: DataFrame, depth: int = CMS_DEPTH, width: int = CMS_WIDTH) -> DataFrame:
+    """(hash_idx, bucket, cnt): the CMS counter grid for the corpus token
+    stream (occurrences, not distinct).  One explode + one groupBy."""
+    tok = _tokens(docs).select(P.spark_str_hash(F.col("w")).alias("h"))
+    cells = tok.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("hash_idx"),
+                        (
+                            (F.lit(_CMS_A[i]) * F.col("h") + F.lit(_CMS_B[i]))
+                            % P.HASH_P
+                            % width
+                        ).alias("bucket"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("c")
+    ).select("c.hash_idx", "c.bucket")
+    return cells.groupBy("hash_idx", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Additive union: merge(sketch(A), sketch(B)) == sketch(A ++ B) exactly."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("hash_idx", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate_tokens(
+    sketch: DataFrame,
+    tokens: DataFrame,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """(token, est): point estimates for a candidate token column ``w`` —
+    min over the d cells each token hashes to.  The sketch side is d*w rows
+    and broadcast; candidates stream."""
+    cand = tokens.select(
+        "w",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("hash_idx"),
+                        (
+                            (
+                                F.lit(_CMS_A[i]) * P.spark_str_hash(F.col("w"))
+                                + F.lit(_CMS_B[i])
+                            )
+                            % P.HASH_P
+                            % width
+                        ).alias("bucket"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("c"),
+    ).select("w", "c.hash_idx", "c.bucket")
+    return (
+        cand.join(F.broadcast(sketch), ["hash_idx", "bucket"])
+        .groupBy("w")
+        .agg(F.min("cnt").alias("est"))
+        .select(F.col("w").alias("token"), "est")
+    )
+
+
+def cms_heavy_hitters(
+    docs: DataFrame,
+    min_count: int = 50,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """(token, est) for every distinct token whose CMS estimate reaches
+    ``min_count``.  One-sided: every TRUE heavy hitter is reported
+    (est >= truth); over-reporting is bounded by eps*N.  The candidate set
+    is the corpus's distinct tokens — at 100 TB, feed a sampled or
+    domain-known candidate list instead and the sketch answers from d*w
+    counters without rescanning."""
+    sketch = token_cms(docs, depth, width)
+    cand = _tokens(docs).distinct()
+    return cms_estimate_tokens(sketch, cand, depth, width).filter(
+        F.col("est") >= min_count
+    )
+
+
+# --- DuckDB mirrors --------------------------------------------------------
+
+
+def _duck_tokens(table: str) -> str:
+    nt = P.duck_norm_text("text")
+    return (
+        f"SELECT w FROM (SELECT unnest({P.duck_words('nt')}) AS w FROM "
+        f"(SELECT {nt} AS nt FROM {table})) WHERE w <> ''"
+    )
+
+
+def _duck_cells(src: str, depth: int, width: int) -> str:
+    """src must yield (w); emits (hash_idx, bucket) per token per hash."""
+    h = P.duck_str_hash("w")
+    rows = " UNION ALL ".join(
+        f"SELECT {i} AS hash_idx, (({_CMS_A[i]} * hh + {_CMS_B[i]}) % {P.HASH_P})"
+        f" % {width} AS bucket, w FROM hashed"
+        for i in range(depth)
+    )
+    return f"WITH toks AS ({src}), hashed AS (SELECT w, {h} AS hh FROM toks) {rows}"
+
+
+def token_cms_sql(
+    table: str = "documents", depth: int = CMS_DEPTH, width: int = CMS_WIDTH
+) -> str:
+    cells = _duck_cells(_duck_tokens(table), depth, width)
+    return (
+        f"SELECT hash_idx, bucket, CAST(COUNT(*) AS BIGINT) AS cnt "
+        f"FROM ({cells}) GROUP BY hash_idx, bucket"
+    )
+
+
+def cms_heavy_hitters_sql(
+    table: str = "documents",
+    min_count: int = 50,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> str:
+    cells = _duck_cells(_duck_tokens(table), depth, width)
+    return f"""
+    WITH sketch AS (
+        SELECT hash_idx, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM ({cells}) GROUP BY hash_idx, bucket
+    ),
+    cand_cells AS (
+        SELECT DISTINCT hash_idx, bucket, w FROM ({cells})
+    ),
+    est AS (
+        SELECT c.w AS token, MIN(s.cnt) AS est
+        FROM cand_cells c JOIN sketch s USING (hash_idx, bucket)
+        GROUP BY c.w
+    )
+    SELECT token, est FROM est WHERE est >= {min_count}
+    """

@@ -92,6 +92,22 @@ def q_embedding_ivf_topk(spark, sf_dir):
     return similarity.ivf_topk(_emb(spark, sf_dir))
 
 
+def q_embedding_quantize(spark, sf_dir):
+    """Int8 symmetric per-vector quantization (scale + qvec) — the 4x
+    storage/shuffle compression for embedding columns; exact DuckDB mirror
+    (round-half-away built from floor, bit-identical in both engines)."""
+    return similarity.quantize_embeddings(_emb(spark, sf_dir))
+
+
+Q_EMBEDDING_QUANTIZE_SQL = similarity.quantize_embeddings_sql()
+
+
+def q_embedding_quantized_topk(spark, sf_dir):
+    """Top-k over the int8-quantized vectors (integer dot products scaled
+    back) — approximate by construction; recall vs exact tested."""
+    return similarity.quantized_topk(_emb(spark, sf_dir))
+
+
 # approximate by design -> rows-only checks; tests assert LSH candidates are
 # a subset of the exact pairs and IVF recall against the exact top-k.
 
@@ -236,6 +252,68 @@ def _corpus_curation_sql() -> str:
 
 
 Q_CORPUS_CURATION_SQL = _corpus_curation_sql()
+
+
+# --- count-min sketch (mergeable heavy-hitter counts) --------------------
+
+def q_token_cms_sketch(spark, sf_dir):
+    """The CMS counter grid itself (d x w rows) — deterministic, so the
+    oracle covers the sketch BITS; merge/estimate tests live in
+    tests/test_llmdata_ops.py."""
+    from ..operators import sketches
+
+    return sketches.token_cms(_docs(spark, sf_dir))
+
+
+def _token_cms_sql():
+    from ..operators import sketches
+
+    return sketches.token_cms_sql()
+
+
+Q_TOKEN_CMS_SQL = _token_cms_sql()
+
+
+def q_cms_heavy_hitters(spark, sf_dir):
+    """Heavy-hitter tokens by CMS estimate (broadcast sketch, min over d
+    cells) — one-sided error, every true heavy hitter reported."""
+    from ..operators import sketches
+
+    return sketches.cms_heavy_hitters(_docs(spark, sf_dir))
+
+
+def _cms_hh_sql():
+    from ..operators import sketches
+
+    return sketches.cms_heavy_hitters_sql()
+
+
+Q_CMS_HEAVY_HITTERS_SQL = _cms_hh_sql()
+
+
+# --- train/test decontamination ------------------------------------------
+
+def q_decontamination(spark, sf_dir):
+    """N-gram collision decontamination with a deterministic benchmark
+    carve-out (doc_id % DECONTAM_BENCH_MOD == 0 plays the eval set);
+    corpus = the rest.  Broadcast benchmark grams, md5 join keys —
+    operators/decontam.py."""
+    from ..operators import decontam
+
+    docs = _docs(spark, sf_dir)
+    mod = decontam.DECONTAM_BENCH_MOD
+    corpus = docs.filter(F.col("doc_id") % mod != 0)
+    bench = docs.filter(F.col("doc_id") % mod == 0)
+    return decontam.decontaminate(corpus, bench, n=decontam.DECONTAM_NGRAM)
+
+
+def _decontamination_sql():
+    from ..operators import decontam
+
+    return decontam.decontaminate_sql()
+
+
+Q_DECONTAMINATION_SQL = _decontamination_sql()
 
 
 # --- multimodal (rows-only: binary payloads have no SQL oracle) ----------

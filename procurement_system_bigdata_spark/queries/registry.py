@@ -435,6 +435,26 @@ _register(
 )
 _register(
     QuerySpec(
+        name="embedding_quantize",
+        fn=llmdata.q_embedding_quantize,
+        oracle=llmdata.Q_EMBEDDING_QUANTIZE_SQL,
+        description="Int8 symmetric per-vector embedding quantization "
+        "(scale + qvec; 4x storage/shuffle compression)",
+        ops=("EXT-similarity",),
+    )
+)
+_register(
+    QuerySpec(
+        name="embedding_quantized_topk",
+        fn=llmdata.q_embedding_quantized_topk,
+        oracle=None,  # int8 dot products: approximate by design; recall-tested
+        description="Top-k over int8-quantized vectors (integer dot products "
+        "rescaled; rows-only, recall vs exact tested)",
+        ops=("EXT-similarity",),
+    )
+)
+_register(
+    QuerySpec(
         name="lang_id",
         fn=llmdata.q_lang_id,
         oracle=llmdata.Q_LANG_ID_SQL,
@@ -513,6 +533,36 @@ _register(
         oracle=llmdata.Q_DOC_FINGERPRINTS_SQL,
         description="md5 + portable rolling-hash document fingerprints",
         ops=("EXT-text",),
+    )
+)
+_register(
+    QuerySpec(
+        name="token_cms_sketch",
+        fn=llmdata.q_token_cms_sketch,
+        oracle=llmdata.Q_TOKEN_CMS_SQL,
+        description="Count-min sketch counter grid over the token stream "
+        "(mergeable DataFrame sketch; oracle covers the sketch bits)",
+        ops=("EXT-sketch",),
+    )
+)
+_register(
+    QuerySpec(
+        name="cms_heavy_hitters",
+        fn=llmdata.q_cms_heavy_hitters,
+        oracle=llmdata.Q_CMS_HEAVY_HITTERS_SQL,
+        description="Heavy-hitter tokens via CMS point estimates "
+        "(broadcast sketch, min over depth cells)",
+        ops=("EXT-sketch",),
+    )
+)
+_register(
+    QuerySpec(
+        name="decontamination",
+        fn=llmdata.q_decontamination,
+        oracle=llmdata.Q_DECONTAMINATION_SQL,
+        description="Train/test decontamination: n-gram collisions between "
+        "corpus and a benchmark carve-out (broadcast bench grams)",
+        ops=("EXT-dedup", "EXT-pipeline"),
     )
 )
 _register(

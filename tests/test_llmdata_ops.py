@@ -635,3 +635,138 @@ def test_random_projection_preserves_geometry(spark):
             assert 0.4 < float(np.median(ratios)) < 0.8
     assert corrs[64] > corrs[16], "more dims must reduce JL distortion"
     assert corrs[64] > 0.45, f"geometry destroyed even at k=64: {corrs[64]:.2f}"
+
+
+def test_decontamination_flags_planted_overlap(spark):
+    """Production 13-gram dial on a planted case: a training doc embedding a
+    benchmark item verbatim is flagged with contamination 1.0; an unrelated
+    doc is not flagged; the benchmark-gram join is broadcast (never a
+    corpus-side shuffle)."""
+    from procurement_system_bigdata_spark.operators import decontam
+
+    bench_text = " ".join(f"eval{i}" for i in range(20))  # 8 distinct 13-grams
+    corpus = spark.createDataFrame(
+        [
+            (1, "prefix words here " + bench_text + " and a suffix tail"),
+            (2, " ".join(f"clean{i}" for i in range(40))),
+            (3, bench_text[: len(bench_text) // 2]),  # partial overlap
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, bench_text)], "bench_id long, text string"
+    )
+    out = decontam.decontaminate(corpus, bench, n=13)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert 1 in rows and rows[1].contamination == 1.0
+    assert 2 not in rows
+    # doc 3 holds 10 of the 20 eval words -> zero full 13-grams
+    assert 3 not in rows
+    assert rows[1].bench_grams == 8
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_quantization_error_bound_and_roundtrip(spark):
+    """Symmetric int8 quantization invariants: |x - q*scale| <= scale/2 per
+    element, q in [-127, 127], all-zero vectors keep scale 0 and quantize
+    to zeros."""
+    import pyspark.sql.functions as F
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    zero = spark.createDataFrame(
+        [(99999, [0.0] * len(emb.first().embedding), 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    both = emb.unionByName(zero)
+    qt = similarity.quantize_embeddings(both)
+    joined = qt.join(both, "vec_id").select(
+        "vec_id",
+        "scale",
+        F.zip_with(
+            "embedding",
+            "qvec",
+            lambda x, q: F.abs(x.cast("double") - q.cast("double") * F.col("scale")),
+        ).alias("errs"),
+        F.array_max(F.transform("qvec", lambda q: F.abs(q))).alias("qmax"),
+    )
+    rows = joined.collect()
+    assert all(r.qmax <= 127 for r in rows)
+    for r in rows:
+        bound = r.scale / 2 + 1e-12
+        assert all(e <= bound for e in r.errs), (r.vec_id, max(r.errs), bound)
+    z = {r.vec_id: r for r in qt.collect()}[99999]
+    assert z.scale == 0.0 and all(q == 0 for q in z.qvec)
+
+
+def test_quantized_topk_recall(spark):
+    """Int8 top-k must recover nearly all exact top-k neighbours — the
+    measured cost of the 4x compression (documented in similarity.py)."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    exact = {
+        (r.query_id, r.neighbor_id) for r in similarity.cosine_topk(emb).collect()
+    }
+    quant = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.quantized_topk(emb).collect()
+    }
+    recall = len(quant & exact) / len(exact)
+    assert recall >= 0.9, f"int8 recall collapsed: {recall:.2f}"
+
+
+def test_cms_sketch_properties(spark):
+    """Count-min invariants on real data: every estimate >= the true count
+    (one-sided), over-estimates bounded by eps*N, sketch merge is EXACTLY
+    additive (merge(sketch(A), sketch(B)) == sketch(A++B)), and every true
+    heavy hitter is reported."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    from procurement_system_bigdata_spark.functions import portable as P
+    from procurement_system_bigdata_spark.operators import sketches
+
+    docs = load_table(spark, SF_DIR, "documents")
+    truth = {
+        r.w: r.n
+        for r in sketches._tokens(docs).groupBy("w").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    n_stream = sum(truth.values())
+    est = {
+        r.token: r.est
+        for r in sketches.cms_estimate_tokens(
+            sketches.token_cms(docs), sketches._tokens(docs).distinct()
+        ).collect()
+    }
+    assert set(est) == set(truth)
+    eps = math.e / sketches.CMS_WIDTH
+    for w, t in truth.items():
+        assert est[w] >= t, f"CMS under-counted {w}: {est[w]} < {t}"
+        assert est[w] <= t + eps * n_stream * 3, (
+            f"CMS blew the error bound on {w}: {est[w]} vs true {t}"
+        )
+
+    # merge is exactly additive
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+    merged = {
+        (r.hash_idx, r.bucket): r.cnt
+        for r in sketches.cms_merge(
+            sketches.token_cms(a), sketches.token_cms(b)
+        ).collect()
+    }
+    whole = {
+        (r.hash_idx, r.bucket): r.cnt
+        for r in sketches.token_cms(docs).collect()
+    }
+    assert merged == whole
+
+    # every true heavy hitter appears in the reported set (one-sided)
+    min_count = 50
+    hh = {r.token for r in sketches.cms_heavy_hitters(docs, min_count).collect()}
+    for w, t in truth.items():
+        if t >= min_count:
+            assert w in hh, f"true heavy hitter {w} (n={t}) missed"
