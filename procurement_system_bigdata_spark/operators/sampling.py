@@ -126,3 +126,61 @@ def stratified_sample_sql(
     FROM (SELECT {col_list}, {bucket} AS sample_bucket FROM {table})
     WHERE sample_bucket < (CASE {strata_col} {whens} ELSE {default_pct} END)
     """
+
+
+def group_sample_k(
+    df: DataFrame,
+    group_cols: tuple[str, ...] = ("lang",),
+    k: int = 5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic k-per-group sample: within each group keep the k rows
+    with the smallest salted hash of the id (ties broken by the id itself).
+
+    The distributed replacement for per-group reservoir sampling: the hash
+    order is a uniform random permutation fixed by the salt, so the first k
+    rows OF THAT ORDER are a uniform k-subset — but unlike a true
+    reservoir, the selection is reproducible across reruns, stable under
+    repartitioning, and monotone in k (raising k only ADDS rows, so
+    successive curation rounds are supersets, matching the stratified
+    sampler's contract).  One shuffle (the window's partitionBy); at 100 TB
+    group cardinality bounds the state, not corpus size — a group's k
+    survivors reduce map-side per partition before the shuffle when k is
+    small via the rank filter.
+    """
+    from pyspark.sql.window import Window
+
+    h = P.spark_str_hash(
+        F.concat(F.lit(SAMPLE_SALT), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy(*group_cols).orderBy(
+        h.asc(), F.col(id_col).cast("long").asc()
+    )
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+    )
+
+
+def group_sample_k_sql(
+    table: str = "documents",
+    group_cols: tuple[str, ...] = ("lang",),
+    k: int = 5,
+    id_col: str = "doc_id",
+    cols: tuple[str, ...] = ("doc_id", "text", "lang", "source", "n_chars"),
+) -> str:
+    """SQL twin of ``group_sample_k`` (``cols`` = the Spark frame's columns)."""
+    salted = f"'{SAMPLE_SALT}' || CAST({id_col} AS VARCHAR)"
+    h = P.duck_str_hash(salted)
+    groups = ", ".join(group_cols)
+    col_list = ", ".join(cols)
+    return f"""
+    SELECT {col_list}, sample_rank FROM (
+        SELECT {col_list},
+               ROW_NUMBER() OVER (
+                   PARTITION BY {groups}
+                   ORDER BY {h} ASC, CAST({id_col} AS BIGINT) ASC
+               ) AS sample_rank
+        FROM {table}
+    ) WHERE sample_rank <= {k}
+    """

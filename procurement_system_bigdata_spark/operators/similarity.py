@@ -562,6 +562,72 @@ def quantized_topk(
     )
 
 
+def embedding_dim_stats(emb: DataFrame, scale: int = 1_000_000) -> DataFrame:
+    """(dim, n, mean, std): per-dimension moments of the embedding matrix —
+    the whitening/normalization statistics a feature pipeline computes
+    before centering or scaling vectors.
+
+    Cross-engine float discipline (DESIGN.md): summing raw doubles is
+    order-dependent, so each value is first fixed-pointed to micro-units
+    with the floor-based round-half-away (bit-identical in Spark and
+    DuckDB); the sums are then exact BIGINT arithmetic — order-independent,
+    parallelism-proof — and mean/std derive from the exact sums with one
+    identical double expression per engine.  Scale shape: posexplode +
+    one groupBy on the dim index (dims-many groups, map-side partials do
+    the reduction; shuffle carries dims x partitions rows)."""
+    fx = _half_away(F.col("x").cast("double") * scale).cast("long")
+    cells = emb.select(
+        F.posexplode("embedding").alias("dim", "x")
+    ).select("dim", fx.alias("fx"))
+    agg = cells.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("fx").alias("s"),
+        F.sum(F.col("fx") * F.col("fx")).alias("ss"),
+    )
+    nd = F.col("n").cast("double")
+    mean_fx = F.col("s").cast("double") / nd
+    # greatest(.., 0): ss/n >= mean^2 mathematically, but double rounding
+    # can land an ulp below zero on zero-variance dims -> sqrt(NaN)
+    var_fx = F.greatest(
+        F.col("ss").cast("double") / nd - mean_fx * mean_fx, F.lit(0.0)
+    )
+    return agg.select(
+        "dim",
+        "n",
+        (mean_fx / scale).alias("mean"),
+        (F.sqrt(var_fx) / scale).alias("std"),
+    )
+
+
+def embedding_dim_stats_sql(table: str = "embeddings", scale: int = 1_000_000) -> str:
+    return f"""
+    WITH cells AS (
+        SELECT u.dim - 1 AS dim,
+               CASE WHEN CAST(u.x AS DOUBLE) * {scale} >= 0
+                    THEN CAST(floor(CAST(u.x AS DOUBLE) * {scale} + 0.5) AS BIGINT)
+                    ELSE CAST(-floor(-(CAST(u.x AS DOUBLE) * {scale}) + 0.5) AS BIGINT)
+               END AS fx
+        FROM (
+            SELECT unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) AS dim
+            FROM {table}
+        ) u
+    ),
+    agg AS (
+        SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(fx) AS BIGINT) AS s,
+               CAST(SUM(fx * fx) AS BIGINT) AS ss
+        FROM cells GROUP BY dim
+    )
+    SELECT dim, n,
+           (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / {scale} AS mean,
+           sqrt(greatest(CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)
+                - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                  * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 0.0)) / {scale} AS std
+    FROM agg
+    """
+
+
 #: random_projection's default seed-table id.  Deliberately far outside any
 #: table id lsh_ann_candidates can reach (lsh_dial tops out at a few dozen
 #: tables), so the default projection matrix is never bit-identical to an

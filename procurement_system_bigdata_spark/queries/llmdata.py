@@ -108,6 +108,24 @@ def q_embedding_quantized_topk(spark, sf_dir):
     return similarity.quantized_topk(_emb(spark, sf_dir))
 
 
+def q_embedding_dim_stats(spark, sf_dir):
+    """Per-dimension mean/std over the embedding matrix (whitening stats);
+    fixed-point micro-unit sums keep the oracle bit-exact across engines."""
+    return similarity.embedding_dim_stats(_emb(spark, sf_dir))
+
+
+Q_EMBEDDING_DIM_STATS_SQL = similarity.embedding_dim_stats_sql()
+
+
+def q_group_sample(spark, sf_dir):
+    """Deterministic k-per-group sample over (lang) — the distributed
+    reservoir replacement (salted-hash order, reproducible, monotone in k)."""
+    return sampling.group_sample_k(_docs(spark, sf_dir))
+
+
+Q_GROUP_SAMPLE_SQL = sampling.group_sample_k_sql()
+
+
 # approximate by design -> rows-only checks; tests assert LSH candidates are
 # a subset of the exact pairs and IVF recall against the exact top-k.
 

@@ -537,6 +537,26 @@ _register(
 )
 _register(
     QuerySpec(
+        name="embedding_dim_stats",
+        fn=llmdata.q_embedding_dim_stats,
+        oracle=llmdata.Q_EMBEDDING_DIM_STATS_SQL,
+        description="Per-dimension mean/std whitening stats (fixed-point "
+        "exact sums, order-independent)",
+        ops=("EXT-similarity",),
+    )
+)
+_register(
+    QuerySpec(
+        name="group_sample",
+        fn=llmdata.q_group_sample,
+        oracle=llmdata.Q_GROUP_SAMPLE_SQL,
+        description="Deterministic k-per-group sample via salted-hash order "
+        "(reservoir replacement: reproducible, monotone in k)",
+        ops=("EXT-sampling",),
+    )
+)
+_register(
+    QuerySpec(
         name="token_cms_sketch",
         fn=llmdata.q_token_cms_sketch,
         oracle=llmdata.Q_TOKEN_CMS_SQL,

