@@ -142,3 +142,29 @@ def read_snapshots_json(spark: SparkSession, path: str) -> DataFrame:
         .filter(F.col("_rn") == 1)
         .drop("_write_seq", "_rn")
     )
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — the second columnar format big Hadoop estates standardize
+    on; Spark's native reader gives the same pushdown/pruning guarantees as
+    parquet (PushedFilters + ReadSchema, asserted in
+    tests/test_sources_sinks.py).  No extra packages: ORC support is
+    built into the Spark distribution."""
+    return spark.read.orc(path)
+
+
+def read_media_dir(spark: SparkSession, path: str, glob: str | None = None) -> DataFrame:
+    """Raw media ingest via Spark's ``binaryFile`` source: one row per file
+    with (path, modificationTime, length, content) — the standard entry
+    point for image/audio/video corpora, feeding operators/multimodal
+    (content is the opaque binary column the codecs decode executor-side).
+
+    Scale notes: the source parallelizes by file and honors
+    ``pathGlobFilter``; partition sizing follows
+    spark.sql.files.maxPartitionBytes, so millions of small media files
+    want a compaction pass (or a manifest + binary payload table) rather
+    than per-file rows — same operational fix as compact_parquet."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)

@@ -195,3 +195,11 @@ def compact_parquet(
         os.rename(dest, path)
         shutil.rmtree(old)
     return n_files
+
+
+def write_orc(df: DataFrame, path: str, *partition_cols: str) -> None:
+    """ORC twin of write_partitioned (native writer, no extra packages)."""
+    writer = df.write.mode("overwrite")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.orc(path)

@@ -340,6 +340,67 @@ def dedup_ingest_foreachbatch(
     )
 
 
+def cms_stream_foreachbatch(docs: DataFrame, sketch_dir: str):
+    """Streaming count-min sketch maintenance: each micro-batch's token
+    sketch is MERGED (additive union, operators/sketches.cms_merge) into
+    the accumulated sketch — heavy-hitter counts over an unbounded document
+    stream from d*w counters, never a rescan of history.
+
+    Replay safety: sketch merge is additive, NOT idempotent — a replayed
+    batch would double-count — so the last committed batch_id travels
+    inside the sketch directory (``_committed_batch`` marker, same
+    protocol as dedup_ingest_foreachbatch) and batches at or below it are
+    skipped.  Unlike the dedup ingest there is only ONE artifact, so the
+    swap is fully atomic: either the new sketch+marker is in place or the
+    old one is, with the usual recover-rename dance on restart.
+
+    Exactness (tested): because merge is exactly additive, the streamed
+    sketch equals the batch sketch of the whole corpus, bit for bit.
+    """
+    return docs.writeStream.foreachBatch(cms_stream_batch_fn(sketch_dir))
+
+
+def cms_stream_batch_fn(sketch_dir: str):
+    """Per-batch commit function behind cms_stream_foreachbatch, exposed
+    for crash-window tests."""
+    import json
+    import os
+    import shutil
+
+    from ..operators.sketches import cms_merge, token_cms
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        old = f"{sketch_dir}.old"
+        if os.path.exists(old) and not os.path.exists(sketch_dir):
+            os.rename(old, sketch_dir)
+        marker = os.path.join(sketch_dir, "_committed_batch")
+        committed = -1
+        if os.path.exists(marker):
+            with open(marker) as f:
+                committed = json.load(f)["batch_id"]
+        if batch_id <= committed:
+            return  # replay of a committed batch: merging again would double-count
+        batch_sketch = token_cms(batch_df)
+        if os.path.exists(sketch_dir):
+            new_sketch = cms_merge(spark.read.parquet(sketch_dir), batch_sketch)
+        else:
+            new_sketch = batch_sketch
+        staged = f"{sketch_dir}._staging_v{batch_id}"
+        new_sketch.write.mode("overwrite").parquet(staged)
+        with open(os.path.join(staged, "_committed_batch"), "w") as f:
+            json.dump({"batch_id": batch_id}, f)
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        if os.path.exists(sketch_dir):
+            os.rename(sketch_dir, old)
+        os.rename(staged, sketch_dir)
+        if os.path.exists(old):
+            shutil.rmtree(old)
+
+    return apply_batch
+
+
 def dedup_ingest_batch_fn(out_dir: str, index_dir: str):
     """The per-micro-batch commit function behind dedup_ingest_foreachbatch,
     exposed so tests can drive individual (batch_df, batch_id) calls and

@@ -353,3 +353,60 @@ def test_compact_parquet_refuses_partitioned_layout(spark, tmp_path):
     assert n == 1
     back = spark.read.parquet(src)
     assert back.count() == 1000
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    """ORC must give the same scan guarantees as parquet: values exact on
+    roundtrip, partition pruning on the partitioned layout, and predicates
+    reaching the ORC scan's PushedFilters."""
+    import os
+
+    from procurement_system_bigdata_spark.sources import readers, sinks
+
+    df = spark.range(1000).selectExpr("id", "id % 4 AS part", "id * 7 AS v")
+    path = str(tmp_path / "orc_data")
+    sinks.write_orc(df, path, "part")
+    assert any("part=" in d for d in os.listdir(path))
+
+    back = readers.read_orc(spark, path)
+    assert back.count() == 1000
+    assert sorted((r.id, r.v) for r in back.collect()) == [
+        (i, 7 * i) for i in range(1000)
+    ]
+
+    filtered = back.filter("v >= 6300").select("id")
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "GreaterThanOrEqual(v,6300)" in plan
+    pruned = back.filter("part = 2")
+    pplan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in pplan and "part" in pplan
+    assert pruned.count() == 250
+
+
+def test_binaryfile_media_ingest_feeds_codecs(spark, tmp_path):
+    """binaryFile source -> multimodal pipeline: files on disk become
+    (path, content) rows, the glob filters by extension, and the bytes
+    decode executor-side to the exact pixels that were written."""
+    import numpy as np
+
+    from procurement_system_bigdata_spark.operators import codecs
+    from procurement_system_bigdata_spark.sources import readers
+
+    media_dir = tmp_path / "media"
+    media_dir.mkdir()
+    want = {}
+    for i in range(4):
+        payload = codecs.synthesize_image(i, 8, 6)
+        (media_dir / f"img_{i}.ppm").write_bytes(payload)
+        want[f"img_{i}.ppm"] = payload
+    (media_dir / "notes.txt").write_bytes(b"not media")
+
+    rows = readers.read_media_dir(spark, str(media_dir), glob="*.ppm").collect()
+    assert len(rows) == 4
+    for r in rows:
+        name = r.path.rsplit("/", 1)[-1]
+        assert r.length == len(want[name])
+        assert bytes(r.content) == want[name]
+        arr = codecs.decode_ppm(bytes(r.content))
+        assert arr.shape == (6, 8, 3)
+        assert (arr == codecs.decode_ppm(want[name])).all()

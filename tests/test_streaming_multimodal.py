@@ -546,3 +546,60 @@ def test_dedup_ingest_crash_between_doc_write_and_index_swap(spark, tmp_path):
     fn(b2, 2)
     assert spark.read.parquet(out_dir).count() == 4  # 5 normalizes to dup of 2
     assert spark.read.parquet(idx_dir).count() == 4
+
+
+def test_streaming_cms_equals_batch_sketch(spark, tmp_path):
+    """Additivity end-to-end: the sketch maintained across micro-batches
+    must equal the batch sketch of the whole corpus EXACTLY; replays (crash
+    before commit, full fresh-checkpoint rerun) never double-count."""
+    import pyspark.sql.functions as F
+
+    from procurement_system_bigdata_spark.operators import sketches
+
+    src = str(tmp_path / "docs_src")
+    rows = [(i, f"alpha beta doc{i % 7} gamma w{i % 3}") for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    docs.repartition(3).write.parquet(src)
+    sk_dir = str(tmp_path / "sketch")
+
+    def run(ckpt_name):
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            se.cms_stream_foreachbatch(stream, sk_dir)
+            .option("checkpointLocation", str(tmp_path / ckpt_name))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run("ckpt1")
+    streamed = {
+        (r.hash_idx, r.bucket): r.cnt for r in spark.read.parquet(sk_dir).collect()
+    }
+    whole = {
+        (r.hash_idx, r.bucket): r.cnt for r in sketches.token_cms(docs).collect()
+    }
+    assert streamed == whole
+
+    # crash window: replaying an UNCOMMITTED batch id re-merges against the
+    # rolled-back sketch -> same result; a COMMITTED id is skipped outright
+    fn = se.cms_stream_batch_fn(sk_dir)
+    extra = spark.createDataFrame([(100, "zeta eta theta")], "doc_id long, text string")
+    fn(extra, 50)
+    after = {
+        (r.hash_idx, r.bucket): r.cnt for r in spark.read.parquet(sk_dir).collect()
+    }
+    fn(extra, 50)  # replay of committed batch: no-op
+    assert {
+        (r.hash_idx, r.bucket): r.cnt for r in spark.read.parquet(sk_dir).collect()
+    } == after
+
+    # fresh-checkpoint rerun of the same files: ids restart <= committed
+    run("ckpt2")
+    assert {
+        (r.hash_idx, r.bucket): r.cnt for r in spark.read.parquet(sk_dir).collect()
+    } == after
