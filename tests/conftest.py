@@ -45,6 +45,12 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
 
     def canon(v):
+        import numpy as np
+
+        if isinstance(v, np.ndarray):  # duckdb returns LIST columns as arrays
+            v = v.tolist()
+        if isinstance(v, np.generic):
+            v = v.item()
         if v is None or (isinstance(v, float) and math.isnan(v)):
             return "<null>"
         if pd.isna(v) if not isinstance(v, (list, tuple, dict)) else False:
