@@ -800,3 +800,20 @@ def test_embedding_dim_stats_match_numpy(spark):
     }
     base = {(r.dim, r.mean, r.std) for r in similarity.embedding_dim_stats(emb).collect()}
     assert re32 == base, "stats must be bit-identical under repartitioning"
+
+
+def test_minhash_fast_hash_dial(spark):
+    """The xxhash64 production dial must keep pair semantics: every
+    reported pair meets the exact-Jaccard threshold (precision exact by
+    construction) and recall vs exact stays at the production level."""
+    docs = load_table(spark, SF_DIR, "documents")
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.ngram_jaccard_pairs(docs, shingle_n=1, threshold=0.9).collect()
+    }
+    fast = dedup.minhash_lsh_pairs(docs, fast_hash=True).collect()
+    assert all(r.jaccard >= 0.9 for r in fast)
+    fast_pairs = {(r.doc_a, r.doc_b) for r in fast}
+    assert fast_pairs <= exact
+    if exact:
+        assert len(fast_pairs) / len(exact) >= 0.95
