@@ -722,3 +722,87 @@ def chunk_documents_sql(
     FROM exploded
     WHERE s < n_words
     """
+
+
+# ---------------------------------------------------------------------------
+# Unigram LM scoring (CCNet-style quality signal)
+# ---------------------------------------------------------------------------
+
+
+def unigram_logprob_scores(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, mean_logprob): mean corpus-unigram log-probability
+    per document — the CCNet/Wikipedia-LM quality signal reduced to its
+    distributable core: documents made of globally-rare tokens score low
+    (gibberish/encoded blobs), stopword-heavy fluent text scores high;
+    downstream pipelines threshold or bucket on it.
+
+    Float discipline (DESIGN.md): ln differs in the last ulp between JVM
+    and libm, so each token's log-probability is fixed-pointed to
+    micro-units with the floor-based round-half-away, summed EXACTLY as
+    BIGINTs (order-independent under any partitioning), and the mean
+    derives from the exact sum in one identical double expression per
+    engine.  Scale shape: the unigram frequency table is vocab-sized and
+    BROADCAST to the scoring join; one token-count shuffle total, then
+    map-side joins and a doc-keyed aggregation.
+    """
+    words = P.spark_words(P.spark_norm_text(F.col("text")))
+    tok = (
+        docs.select(F.col("doc_id").cast("long").alias("doc_id"), words.alias("ws"))
+        .select("doc_id", F.explode("ws").alias("w"))
+        .filter(F.col("w") != "")
+    )
+    freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    total = freq.agg(F.sum("cnt").alias("total"))
+    lp = F.log(F.col("cnt").cast("double") / F.col("total").cast("double"))
+    scaled = lp * 1_000_000
+    lp_fixed = (
+        F.when(scaled >= 0, F.floor(scaled + 0.5))
+        .otherwise(-F.floor(-scaled + 0.5))
+        .cast("long")
+    )
+    lm = freq.crossJoin(F.broadcast(total)).select("w", lp_fixed.alias("lp6"))
+    return (
+        tok.join(F.broadcast(lm), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("lp6").alias("s"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            (
+                F.col("s").cast("double")
+                / F.col("n_tokens").cast("double")
+                / 1_000_000
+            ).alias("mean_logprob"),
+        )
+    )
+
+
+def unigram_logprob_scores_sql(table: str = "documents") -> str:
+    nt = P.duck_norm_text("text")
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, w FROM (
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   unnest({P.duck_words('nt')}) AS w
+            FROM (SELECT doc_id, {nt} AS nt FROM {table})
+        ) WHERE w <> ''
+    ),
+    freq AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY w),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM freq),
+    lm AS (
+        SELECT w,
+               CASE WHEN ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)) * 1000000 >= 0
+                    THEN CAST(floor(ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+                    ELSE CAST(-floor(-(ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)) * 1000000) + 0.5) AS BIGINT)
+               END AS lp6
+        FROM freq, tot
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(l.lp6) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1000000 AS mean_logprob
+    FROM tok t JOIN lm l USING (w)
+    GROUP BY t.doc_id
+    """

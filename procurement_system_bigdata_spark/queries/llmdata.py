@@ -272,6 +272,15 @@ def _corpus_curation_sql() -> str:
 Q_CORPUS_CURATION_SQL = _corpus_curation_sql()
 
 
+def q_unigram_logprob(spark, sf_dir):
+    """CCNet-style unigram-LM quality scores (broadcast LM, exact
+    fixed-point log sums)."""
+    return text.unigram_logprob_scores(_docs(spark, sf_dir))
+
+
+Q_UNIGRAM_LOGPROB_SQL = text.unigram_logprob_scores_sql()
+
+
 # --- count-min sketch (mergeable heavy-hitter counts) --------------------
 
 def q_token_cms_sketch(spark, sf_dir):

@@ -537,6 +537,16 @@ _register(
 )
 _register(
     QuerySpec(
+        name="unigram_logprob",
+        fn=llmdata.q_unigram_logprob,
+        oracle=llmdata.Q_UNIGRAM_LOGPROB_SQL,
+        description="Unigram-LM mean log-probability per doc (CCNet-style "
+        "quality signal; broadcast LM, exact fixed-point log sums)",
+        ops=("EXT-text",),
+    )
+)
+_register(
+    QuerySpec(
         name="embedding_dim_stats",
         fn=llmdata.q_embedding_dim_stats,
         oracle=llmdata.Q_EMBEDDING_DIM_STATS_SQL,

@@ -817,3 +817,27 @@ def test_minhash_fast_hash_dial(spark):
     assert fast_pairs <= exact
     if exact:
         assert len(fast_pairs) / len(exact) >= 0.95
+
+
+def test_unigram_logprob_orders_rarity(spark):
+    """LM semantics: a doc of corpus-rare tokens must score strictly below
+    a doc of corpus-common tokens; scores are repartition-invariant
+    (fixed-point sums) and mean_logprob is always < 0."""
+    from procurement_system_bigdata_spark.operators import text as text_ops
+
+    rows = [(i, "common words appear here often " * 3) for i in range(10)]
+    rows += [(100, "zzyzx qwvxj veldt")]  # singletons
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.mean_logprob for r in text_ops.unigram_logprob_scores(docs).collect()}
+    assert all(v < 0 for v in got.values())
+    assert got[100] < got[0], "rare-token doc must score lower"
+
+    base = sorted(
+        (r.doc_id, r.n_tokens, r.mean_logprob)
+        for r in text_ops.unigram_logprob_scores(docs).collect()
+    )
+    re8 = sorted(
+        (r.doc_id, r.n_tokens, r.mean_logprob)
+        for r in text_ops.unigram_logprob_scores(docs.repartition(8)).collect()
+    )
+    assert base == re8
