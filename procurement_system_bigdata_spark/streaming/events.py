@@ -148,6 +148,74 @@ def spend_totals_stream(events: DataFrame, watermark: str = "1 hour") -> DataFra
     )
 
 
+def spend_totals_stream_tws(events: DataFrame) -> DataFrame:
+    """The spend-totals accumulator on Spark 4's ``transformWithStateInPandas``
+    — the successor API to applyInPandasWithState (typed state handles,
+    timers, RocksDB-backed state store).  Semantics identical to
+    spend_totals_stream: per-user lifetime (n_events, total_cents) with
+    explicit half-up cents so stream == batch bit-for-bit (tested).
+
+    Requires the RocksDB state-store provider
+    (``spark.sql.streaming.stateStore.providerClass``) — transformWithState
+    is built on its column-family support; the test sets the conf.  State
+    is a ValueState[(n, cents)] per user, sharded by the groupBy shuffle
+    exactly like the old API, so the 100 TB story (state ~ key
+    cardinality, not stream volume) is unchanged.
+
+    DEPENDENCY GATE (documented, like the PIL/ffmpeg codec seam): the
+    transformWithState runner speaks protobuf to the JVM and needs
+    ``google.protobuf`` in the Python environment; without it the driver
+    worker fails at import (STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE)
+    and the equivalence test skips.  spend_totals_stream (the
+    applyInPandasWithState twin, no extra deps) is the always-available
+    path with identical semantics.
+    """
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("cents", LongType())]
+    )
+
+    class SpendProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", state_schema)
+
+        def handleInputRows(self, key, rows, timer_values):
+            import math
+
+            def half_up(x: float) -> int:
+                return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+
+            existing = self._totals.get()
+            n, cents = existing if existing is not None else (0, 0)
+            for pdf in rows:
+                n += len(pdf)
+                cents += sum(half_up(v * 100) for v in pdf["value"])
+            self._totals.update((n, cents))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_cents": [cents]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=SpendProcessor(),
+        outputStructType=SPEND_TOTALS_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def run_to_memory(
     stream_df: DataFrame, query_name: str, checkpoint: str, mode: str = "append"
 ):

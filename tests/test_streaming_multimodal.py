@@ -603,3 +603,60 @@ def test_streaming_cms_equals_batch_sketch(spark, tmp_path):
     assert {
         (r.hash_idx, r.bucket): r.cnt for r in spark.read.parquet(sk_dir).collect()
     } == after
+
+
+def test_transform_with_state_spend_totals_equal_batch(spark, events_parquet_dir):
+    """Spark 4's transformWithStateInPandas successor API, same contract as
+    the applyInPandasWithState test: final per-user state == batch
+    exact-cents aggregate across multiple micro-batches (RocksDB state
+    store, as the operator requires).  Skips without google.protobuf —
+    the transformWithState runner's wire protocol needs it (documented
+    gate in streaming/events.py)."""
+    pytest.importorskip("google.protobuf.descriptor")
+    import pyspark.sql.functions as F
+
+    src = tempfile.mkdtemp(prefix="events_tws_")
+    spark.read.parquet(events_parquet_dir).repartition(4).write.mode(
+        "overwrite"
+    ).parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    saved = spark.conf.get(conf_key, None)
+    spark.conf.set(
+        conf_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        totals = se.spend_totals_stream_tws(stream)
+        with tempfile.TemporaryDirectory() as ckpt:
+            q = se.run_to_memory(totals, "spend_tws_test", ckpt, mode="update")
+            q.awaitTermination()
+        got = {
+            r.user_id: (r.n, r.cents)
+            for r in spark.sql(
+                "select user_id, max(n_events) n, max(total_cents) cents "
+                "from spend_tws_test group by user_id"
+            ).collect()
+        }
+    finally:
+        if saved is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, saved)
+
+    batch = (
+        spark.read.parquet(src)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+    )
+    want = {r.user_id: (r.n, r.cents) for r in batch.collect()}
+    assert got == want
