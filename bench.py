@@ -164,6 +164,14 @@ def main() -> None:
         for name, (task, ref_sec) in BASELINE_TASKS.items()
         if name in times
     }
+    # round-2 headline set, for round-over-round comparability: round 3
+    # ADDED three LLM-data heavies (simhash_neardup, minhash_prod_realvocab,
+    # curation_prod_realvocab), so the grand total is not comparable to
+    # BENCH_r02's — the subtotal over the unchanged r02 set is.
+    R02_SET = (
+        "aggregate_orders net_demand supplier_orders events_hourly_rollup "
+        "pricing_summary dedup_fingerprint embedding_topk selective_revenue"
+    ).split()
     print(
         json.dumps(
             {
@@ -171,6 +179,9 @@ def main() -> None:
                 "value": round(sum(times.values()), 4),
                 "unit": "sec",
                 "queries": times,
+                "r02_set_subtotal": round(
+                    sum(times[n] for n in R02_SET if n in times), 4
+                ),
                 "sf": sf_val,
                 "vs_baseline": vs_baseline,
                 "baseline_sf": BASELINE_SF,
