@@ -178,3 +178,28 @@ def test_no_cache_leak_across_driver_invocations(spark):
         PQ.q_supplier_orders(spark, SF_DIR).count()
         similarity.ivf_topk(load_table(spark, SF_DIR, "embeddings")).count()
     assert cm.isEmpty(), "a query leaked SQL-cache entries"
+
+
+def test_round3_ops_stay_jvm_side_and_broadcast(spark):
+    """Round-3 operators: no Python UDFs anywhere, and the small side of
+    each asymmetric join is broadcast (benchmark grams in decontamination,
+    the d*w sketch in cms_heavy_hitters, the vocab LM in unigram_logprob) —
+    the corpus side must never shuffle for these."""
+    for name in (
+        "decontamination",
+        "token_cms_sketch",
+        "cms_heavy_hitters",
+        "unigram_logprob",
+        "embedding_quantize",
+        "embedding_dim_stats",
+        "group_sample",
+    ):
+        stats = plan_stats(REGISTRY[name].fn(spark, SF_DIR))
+        assert stats["python_udfs"] == 0, f"{name} fell off codegen"
+    for name in ("decontamination", "cms_heavy_hitters", "unigram_logprob"):
+        plan = (
+            REGISTRY[name].fn(spark, SF_DIR)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in plan, f"{name} lost its broadcast"
+        assert "SortMergeJoin" not in plan, f"{name} shuffled the corpus side"
