@@ -586,3 +586,50 @@ def incremental_dedup(
         else seen_index.select("fingerprint").unionAll(admitted.select("fingerprint"))
     )
     return admitted.select("doc_id", "fingerprint"), updated_index
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring duplication (long shared n-gram pairs)
+# ---------------------------------------------------------------------------
+
+
+def exact_substring_pairs(
+    docs: DataFrame, min_gram_words: int = 8, fast_hash: bool = False
+) -> DataFrame:
+    """(doc_a, doc_b, n_shared_grams): document pairs sharing at least one
+    word n-gram of ``min_gram_words`` — the distributable core of
+    exact-substring deduplication (the suffix-array dedup family): a long
+    verbatim shared run implies copied text regardless of the documents'
+    overall Jaccard, which near-dup banding can miss entirely for a long
+    doc quoting a short one.
+
+    Shape: inverted index on the gram hash (distinct grams per doc), then
+    the posting-list self-join — candidate volume is bounded by gram
+    collisions, which at production n (8-13 words) only real copies
+    produce.  Hot-gram hazard (boilerplate headers) is the same posting-
+    list skew story as ngram_jaccard_pairs: AQE skew split plus, at 100 TB,
+    a drop-top-percentile-document-frequency gram filter before the join
+    (the standard suffix-dedup preprocessing).
+    """
+    tok = _doc_token_hashes(docs, min_gram_words, fast_hash)
+    a = tok.select(F.col("doc_id").alias("doc_a"), "h")
+    b = tok.select(F.col("doc_id").alias("doc_b"), "h")
+    return (
+        a.join(b, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+
+
+def exact_substring_pairs_sql(
+    table: str = "documents", min_gram_words: int = 8
+) -> str:
+    tok = _duck_doc_token_hashes(table, min_gram_words)
+    return f"""
+    WITH tok AS ({tok})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_grams
+    FROM tok a JOIN tok b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """

@@ -184,3 +184,84 @@ def group_sample_k_sql(
         FROM {table}
     ) WHERE sample_rank <= {k}
     """
+
+
+# Default target mixture for the registry query: upweight four of the
+# testdata's sources (src0..src19), leaving the rest with target 0 —
+# exercising both the reweighting and the flag-for-exclusion paths.
+MIXTURE_TARGETS = {"src0": 0.25, "src1": 0.25, "src2": 0.25, "src3": 0.25}
+
+
+def source_mixture_weights(
+    docs: DataFrame,
+    targets: dict[str, float] = MIXTURE_TARGETS,
+    source_col: str = "source",
+) -> DataFrame:
+    """(source, n_docs, n_tokens, token_share, target_share,
+    sampling_weight): the data-mixing calculation a pretraining pipeline
+    runs before sampling — actual token share per source vs the target
+    mixture, and the per-source sampling multiplier
+    (target_share / token_share) that achieves it; >1 means upsample
+    (repeat/epoch), <1 means downsample (feed to stratified_sample as a
+    keep rate).
+
+    Counts are exact BIGINTs (token counts via one map-side size(), one
+    source-keyed shuffle of partial sums); shares and weights derive from
+    the exact counts with identical double expressions per engine, so the
+    whole table is oracle-exact.  Sources absent from ``targets`` get
+    target_share 0 — flagged for exclusion, not silently kept.
+    """
+    from ..functions import portable as P
+
+    n_words = F.size(P.spark_words(P.spark_norm_text(F.col("text"))))
+    per_source = (
+        docs.select(F.col(source_col).alias("source"), n_words.alias("nw"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nw").alias("n_tokens"),
+        )
+    )
+    total = per_source.agg(F.sum("n_tokens").alias("total"))
+    tmap = F.create_map(
+        *[F.lit(x) for kv in sorted(targets.items()) for x in kv]
+    )
+    share = F.col("n_tokens").cast("double") / F.col("total").cast("double")
+    target = F.coalesce(tmap[F.col("source")], F.lit(0.0))
+    return per_source.crossJoin(F.broadcast(total)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        share.alias("token_share"),
+        target.alias("target_share"),
+        (target / share).alias("sampling_weight"),
+    )
+
+
+def source_mixture_weights_sql(
+    table: str = "documents",
+    targets: dict[str, float] = MIXTURE_TARGETS,
+    source_col: str = "source",
+) -> str:
+    from ..functions import portable as P
+
+    nt = P.duck_norm_text("text")
+    whens = " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in sorted(targets.items())
+    )
+    return f"""
+    WITH per_source AS (
+        SELECT {source_col} AS source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len({P.duck_words('nt')})) AS BIGINT) AS n_tokens
+        FROM (SELECT {source_col}, {nt} AS nt FROM {table})
+        GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM per_source)
+    SELECT source, n_docs, n_tokens,
+           CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE) AS token_share,
+           CAST(CASE source {whens} ELSE 0.0 END AS DOUBLE) AS target_share,
+           CAST(CASE source {whens} ELSE 0.0 END AS DOUBLE)
+               / (CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE)) AS sampling_weight
+    FROM per_source, tot
+    """

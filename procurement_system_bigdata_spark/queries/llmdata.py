@@ -272,6 +272,24 @@ def _corpus_curation_sql() -> str:
 Q_CORPUS_CURATION_SQL = _corpus_curation_sql()
 
 
+def q_exact_substring_pairs(spark, sf_dir):
+    """Long shared-n-gram pairs (exact-substring dup signal; inverted
+    gram-hash index, no all-pairs product)."""
+    return dedup.exact_substring_pairs(_docs(spark, sf_dir))
+
+
+Q_EXACT_SUBSTRING_SQL = dedup.exact_substring_pairs_sql()
+
+
+def q_source_mixture(spark, sf_dir):
+    """Data-mixing table: per-source token share vs target mixture and the
+    sampling multiplier that achieves it (exact counts, broadcast total)."""
+    return sampling.source_mixture_weights(_docs(spark, sf_dir))
+
+
+Q_SOURCE_MIXTURE_SQL = sampling.source_mixture_weights_sql()
+
+
 def q_unigram_logprob(spark, sf_dir):
     """CCNet-style unigram-LM quality scores (broadcast LM, exact
     fixed-point log sums)."""

@@ -537,6 +537,26 @@ _register(
 )
 _register(
     QuerySpec(
+        name="exact_substring_pairs",
+        fn=llmdata.q_exact_substring_pairs,
+        oracle=llmdata.Q_EXACT_SUBSTRING_SQL,
+        description="Exact-substring dup signal: pairs sharing a long word "
+        "n-gram (inverted gram-hash index)",
+        ops=("EXT-dedup",),
+    )
+)
+_register(
+    QuerySpec(
+        name="source_mixture",
+        fn=llmdata.q_source_mixture,
+        oracle=llmdata.Q_SOURCE_MIXTURE_SQL,
+        description="Data-mixing weights: per-source token share vs target "
+        "mixture + sampling multiplier (exact counts)",
+        ops=("EXT-sampling",),
+    )
+)
+_register(
+    QuerySpec(
         name="unigram_logprob",
         fn=llmdata.q_unigram_logprob,
         oracle=llmdata.Q_UNIGRAM_LOGPROB_SQL,

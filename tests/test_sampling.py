@@ -105,3 +105,64 @@ def test_group_sample_k_monotone_and_exact(spark):
     # reproducible: same call, same rows
     again = sampling.group_sample_k(docs, ("lang",), k=3).collect()
     assert {(r.lang, r.doc_id) for r in again} == {(r.lang, r.doc_id) for r in k3}
+
+
+def test_source_mixture_weights_math(spark):
+    """Mixing math: shares sum to 1, weight = target/share, targeted
+    sources upweight correctly and untargeted sources get weight 0."""
+    import math
+
+    from procurement_system_bigdata_spark.operators import sampling
+
+    rows = [(i, "alpha beta gamma delta", "web") for i in range(8)]
+    rows += [(100 + i, "epsilon zeta", "code") for i in range(4)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        r.source: r
+        for r in sampling.source_mixture_weights(
+            docs, targets={"web": 0.5, "code": 0.5}
+        ).collect()
+    }
+    assert out["web"].n_tokens == 32 and out["code"].n_tokens == 8
+    assert math.isclose(sum(r.token_share for r in out.values()), 1.0)
+    assert math.isclose(out["web"].sampling_weight, 0.5 / 0.8)
+    assert math.isclose(out["code"].sampling_weight, 0.5 / 0.2)
+
+    untargeted = {
+        r.source: r
+        for r in sampling.source_mixture_weights(
+            docs, targets={"web": 1.0}
+        ).collect()
+    }
+    assert untargeted["code"].target_share == 0.0
+    assert untargeted["code"].sampling_weight == 0.0
+
+
+def test_exact_substring_pairs_detects_quoting(spark):
+    """A long doc quoting a short doc verbatim must pair with it even when
+    overall Jaccard is low (the case near-dup banding misses), and
+    unrelated docs must not pair."""
+    from procurement_system_bigdata_spark.operators import dedup
+
+    quoted = " ".join(f"q{i}" for i in range(10))
+    long_doc = (
+        " ".join(f"filler{i}" for i in range(120)) + " " + quoted + " "
+        + " ".join(f"tail{i}" for i in range(120))
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, quoted),
+            (2, long_doc),
+            (3, " ".join(f"other{i}" for i in range(50))),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {(r.doc_a, r.doc_b): r.n_shared_grams
+             for r in dedup.exact_substring_pairs(docs, min_gram_words=8).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 3  # 10 words -> 3 distinct 8-grams
+    assert all(p == (1, 2) for p in pairs)
+
+    # low overall Jaccard confirms this is the banding-blind-spot case
+    jac = dedup.ngram_jaccard_pairs(docs, shingle_n=1, threshold=0.01).collect()
+    j12 = [r.jaccard for r in jac if (r.doc_a, r.doc_b) == (1, 2)]
+    assert j12 and j12[0] < 0.1
