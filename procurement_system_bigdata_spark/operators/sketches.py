@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions import portable as P
 
@@ -191,4 +192,136 @@ def cms_heavy_hitters_sql(
         GROUP BY c.w
     )
     SELECT token, est FROM est WHERE est >= {min_count}
+    """
+
+
+# ---------------------------------------------------------------------------
+# Fixed-grid histogram sketch (mergeable quantile estimates)
+# ---------------------------------------------------------------------------
+
+HIST_LO = 0.0
+HIST_HI = 500.0
+HIST_BINS = 100
+
+
+def value_histogram(
+    df: DataFrame,
+    col: str = "value",
+    lo: float = HIST_LO,
+    hi: float = HIST_HI,
+    n_bins: int = HIST_BINS,
+) -> DataFrame:
+    """(bin, cnt): fixed-grid histogram of ``col`` — the third mergeable
+    sketch (counts: CMS; distinct: HLL; quantiles: this).  A FIXED grid
+    (static lo/hi, agreed across all shards) is what makes merging exact:
+    per-day/per-shard histograms sum bin-wise with no re-binning, unlike
+    adaptive sketches (t-digest) whose merges approximate.  Out-of-range
+    values clamp to the edge bins (never dropped) — the estimate's error
+    stays <= one bin width inside the grid, unbounded only for the clamped
+    tails, which is the documented trade for exact mergeability.
+    One groupBy over n_bins keys; map-side partials do the reduction.
+    """
+    width = (hi - lo) / n_bins
+    raw = F.floor((F.col(col).cast("double") - lo) / width).cast("long")
+    b = F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1))
+    return (
+        df.select(b.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def histogram_merge(*sketches: DataFrame) -> DataFrame:
+    """Bin-wise additive union — exact (same fixed grid on every input)."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("bin").agg(F.sum("cnt").alias("cnt"))
+
+
+def histogram_quantiles(
+    sketch: DataFrame,
+    qs: tuple = (0.25, 0.5, 0.75, 0.95),
+    lo: float = HIST_LO,
+    hi: float = HIST_HI,
+    n_bins: int = HIST_BINS,
+) -> DataFrame:
+    """(q, est): quantile estimates from the cumulative histogram — the
+    upper edge of the first bin whose cumulative count reaches q*N.  Error
+    <= one bin width by construction (tested).  Deterministic double math
+    over exact BIGINT counts, so the oracle hash-matches."""
+    width = (hi - lo) / n_bins
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = sketch.select(
+        "bin",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("total"),
+    )
+    out = None
+    for q in qs:
+        hit = (
+            cum.filter(
+                F.col("cum") >= F.lit(float(q)) * F.col("total").cast("double")
+            )
+            .orderBy("bin")
+            .limit(1)
+            .select(
+                F.lit(float(q)).alias("q"),
+                (F.lit(lo) + (F.col("bin").cast("double") + 1) * width).alias(
+                    "est"
+                ),
+            )
+        )
+        out = hit if out is None else out.unionByName(hit)
+    return out
+
+
+def value_histogram_sql(
+    table: str = "events",
+    col: str = "value",
+    lo: float = HIST_LO,
+    hi: float = HIST_HI,
+    n_bins: int = HIST_BINS,
+) -> str:
+    width = (hi - lo) / n_bins
+    return f"""
+    SELECT least(greatest(CAST(floor((CAST({col} AS DOUBLE) - {lo}) / {width}) AS BIGINT),
+                          0), {n_bins - 1}) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM {table}
+    GROUP BY 1
+    """
+
+
+def histogram_quantiles_sql(
+    table: str = "events",
+    col: str = "value",
+    qs: tuple = (0.25, 0.5, 0.75, 0.95),
+    lo: float = HIST_LO,
+    hi: float = HIST_HI,
+    n_bins: int = HIST_BINS,
+) -> str:
+    width = (hi - lo) / n_bins
+    hist = value_histogram_sql(table, col, lo, hi, n_bins)
+    selects = " UNION ALL ".join(
+        f"""(SELECT CAST({float(q)} AS DOUBLE) AS q,
+                    {lo} + (CAST(bin AS DOUBLE) + 1) * {width} AS est
+             FROM cum WHERE cum >= {float(q)} * CAST(total AS DOUBLE)
+             ORDER BY bin LIMIT 1)"""
+        for q in qs
+    )
+    return f"""
+    WITH hist AS ({hist}),
+    cum AS (
+        SELECT bin,
+               SUM(cnt) OVER (ORDER BY bin
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               SUM(cnt) OVER () AS total
+        FROM hist
+    )
+    {selects}
     """

@@ -319,6 +319,42 @@ def _token_cms_sql():
 Q_TOKEN_CMS_SQL = _token_cms_sql()
 
 
+def q_value_histogram(spark, sf_dir):
+    """Fixed-grid histogram of event values — the mergeable quantile
+    sketch's counter table (bin-wise additive merge, tested exact)."""
+    from ..operators import sketches
+
+    return sketches.value_histogram(load_table(spark, sf_dir, "events"))
+
+
+def _value_histogram_sql():
+    from ..operators import sketches
+
+    return sketches.value_histogram_sql()
+
+
+Q_VALUE_HISTOGRAM_SQL = _value_histogram_sql()
+
+
+def q_histogram_quantiles(spark, sf_dir):
+    """Quantile estimates from the cumulative histogram (error <= one bin
+    width; deterministic math over exact counts)."""
+    from ..operators import sketches
+
+    return sketches.histogram_quantiles(
+        sketches.value_histogram(load_table(spark, sf_dir, "events"))
+    )
+
+
+def _histogram_quantiles_sql():
+    from ..operators import sketches
+
+    return sketches.histogram_quantiles_sql()
+
+
+Q_HISTOGRAM_QUANTILES_SQL = _histogram_quantiles_sql()
+
+
 def q_cms_heavy_hitters(spark, sf_dir):
     """Heavy-hitter tokens by CMS estimate (broadcast sketch, min over d
     cells) — one-sided error, every true heavy hitter reported."""

@@ -597,6 +597,26 @@ _register(
 )
 _register(
     QuerySpec(
+        name="value_histogram",
+        fn=llmdata.q_value_histogram,
+        oracle=llmdata.Q_VALUE_HISTOGRAM_SQL,
+        description="Fixed-grid mergeable histogram of event values "
+        "(bin-wise additive merge; quantile sketch counter table)",
+        ops=("EXT-sketch",),
+    )
+)
+_register(
+    QuerySpec(
+        name="histogram_quantiles",
+        fn=llmdata.q_histogram_quantiles,
+        oracle=llmdata.Q_HISTOGRAM_QUANTILES_SQL,
+        description="Quantile estimates from the cumulative histogram "
+        "(error <= one bin width)",
+        ops=("EXT-sketch",),
+    )
+)
+_register(
+    QuerySpec(
         name="cms_heavy_hitters",
         fn=llmdata.q_cms_heavy_hitters,
         oracle=llmdata.Q_CMS_HEAVY_HITTERS_SQL,

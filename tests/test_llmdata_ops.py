@@ -841,3 +841,39 @@ def test_unigram_logprob_orders_rarity(spark):
         for r in text_ops.unigram_logprob_scores(docs.repartition(8)).collect()
     )
     assert base == re8
+
+
+def test_histogram_sketch_properties(spark):
+    """Fixed-grid histogram: merge is exactly bin-wise additive, quantile
+    estimates are within one bin width of the exact quantiles, clamped
+    tails land in edge bins (nothing dropped)."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from procurement_system_bigdata_spark.operators import sketches
+
+    ev = load_table(spark, SF_DIR, "events")
+    a = ev.filter(F.col("event_id") % 2 == 0)
+    b = ev.filter(F.col("event_id") % 2 == 1)
+    merged = {
+        r.bin: r.cnt
+        for r in sketches.histogram_merge(
+            sketches.value_histogram(a), sketches.value_histogram(b)
+        ).collect()
+    }
+    whole = {r.bin: r.cnt for r in sketches.value_histogram(ev).collect()}
+    assert merged == whole
+    assert sum(whole.values()) == ev.count()
+
+    vals = np.array([r.value for r in ev.select("value").collect()])
+    width = (sketches.HIST_HI - sketches.HIST_LO) / sketches.HIST_BINS
+    for r in sketches.histogram_quantiles(sketches.value_histogram(ev)).collect():
+        exact = float(np.quantile(vals, r.q))
+        assert abs(r.est - exact) <= width + 1e-9, (r.q, r.est, exact)
+
+    # clamping: out-of-range values land in the edge bins
+    oob = spark.createDataFrame(
+        [(-10.0,), (9999.0,)], "value double"
+    )
+    got = {r.bin: r.cnt for r in sketches.value_histogram(oob).collect()}
+    assert got == {0: 1, sketches.HIST_BINS - 1: 1}
