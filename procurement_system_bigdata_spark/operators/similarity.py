@@ -309,6 +309,14 @@ def ivf_assignments(
         for r in emb.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
     ]
     centroids = [(i, vec) for i, (_vid, vec) in enumerate(centroids)]
+    if not centroids:
+        # empty corpus (or no seed ids below k): no clusters to train —
+        # an empty assignment frame with the right schema, not a crash
+        # (empty partitions/days are routine input at scale)
+        empty = emb.select(
+            "vec_id", "embedding", F.lit(0).alias("cluster")
+        ).limit(0)
+        return empty, []
     assigned = None
     for _ in range(iters):
         assigned = _assign_to_centroids(emb, centroids)
@@ -342,6 +350,11 @@ def ivf_topk(
     (recall-tested against the exact baseline), so rows-only in the harness.
     """
     assigned, centroids = ivf_assignments(emb)
+    if not centroids:
+        # empty corpus: empty result with the stable output schema
+        return emb.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, rank int, cos_sim double"
+        )
     # lazy localCheckpoint, not .persist(): both the query side and the
     # probe join reuse the assignment, but an unreleased cache entry would
     # leak across driver invocations; checkpoint blocks are ContextCleaner-
