@@ -45,10 +45,18 @@ def main() -> None:
         "on; full `explain('formatted')` output follows for audit.",
         "",
     ]
-    for name, spec in REGISTRY.items():
-        if not spec.bench:
-            continue
-        df = spec.fn(spark, SF_DIR)
+    import bench as bench_mod  # the EXTRA_BENCH derived-corpus heavies
+
+    entries = [
+        (name, spec.description, spec.fn)
+        for name, spec in REGISTRY.items()
+        if spec.bench
+    ] + [
+        (name, fn.__doc__.strip().split("\n")[0], fn)
+        for name, fn in bench_mod.EXTRA_BENCH.items()
+    ]
+    for name, description, fn in entries:
+        df = fn(spark, SF_DIR)
         stats = plan_stats(df)
         plan = stats["plan"]
         summary = (
@@ -59,13 +67,16 @@ def main() -> None:
             f"reused_exchanges={len(re.findall(r'ReusedExchange', plan))}"
         )
         note = PLAN_NOTES.get(name)
-        out += [f"## {name}", "", spec.description, ""]
+        out += [f"## {name}", "", description, ""]
         if note:
             out += [note, ""]
         out += [f"`{summary}`", "", "```", plan.strip(), "```", ""]
+    n_total = sum(1 for s in REGISTRY.values() if s.bench) + len(
+        bench_mod.EXTRA_BENCH
+    )
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write("\n".join(out))
-    print(f"wrote PLANS.md ({sum(1 for s in REGISTRY.values() if s.bench)} queries)")
+    print(f"wrote PLANS.md ({n_total} queries)")
 
 
 if __name__ == "__main__":
