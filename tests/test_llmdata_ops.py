@@ -877,3 +877,29 @@ def test_histogram_sketch_properties(spark):
     )
     got = {r.bin: r.cnt for r in sketches.value_histogram(oob).collect()}
     assert got == {0: 1, sketches.HIST_BINS - 1: 1}
+
+
+def test_ivf_over_quantized_vectors_composes(spark):
+    """Composability of the scale path: int8-quantize, reconstruct
+    (qvec * scale), run IVF-probed search over the reconstruction — recall
+    vs the exact full-precision top-k must stay at IVF's own level, i.e.
+    quantization must not collapse the coarse quantizer."""
+    import pyspark.sql.functions as F
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    deq = similarity.quantize_embeddings(emb).select(
+        "vec_id",
+        F.zip_with(
+            "qvec",
+            F.array_repeat("scale", F.size("qvec")),
+            lambda q, s: q.cast("double") * s,
+        ).alias("embedding"),
+    )
+    exact = {
+        (r.query_id, r.neighbor_id) for r in similarity.cosine_topk(emb).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id) for r in similarity.ivf_topk(deq).collect()
+    }
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.5, f"quantized IVF recall collapsed: {recall:.2f}"

@@ -410,3 +410,33 @@ def test_binaryfile_media_ingest_feeds_codecs(spark, tmp_path):
         arr = codecs.decode_ppm(bytes(r.content))
         assert arr.shape == (6, 8, 3)
         assert (arr == codecs.decode_ppm(want[name])).all()
+
+
+def test_lww_store_abort_discards_staged_files(spark, tmp_path):
+    """The DSv2 abort path: staged part files from a failed write must be
+    removed so no half-committed batch ever becomes visible to readers."""
+    import os
+
+    from procurement_system_bigdata_spark.sources import lww_store
+
+    root = str(tmp_path / "store")
+    table_dir = os.path.join(root, "ks", "t")
+    os.makedirs(os.path.join(table_dir, "_staging"), exist_ok=True)
+
+    class Opts(dict):
+        pass
+
+    opts = Opts(path=root, keyspace="ks", table="t", writetime="100", pk="k")
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType([StructField("k", LongType()), StructField("v", LongType())])
+    writer = lww_store._LwwWriter(opts, schema)
+    from pyspark.sql import Row
+
+    msg = writer.write(iter([Row(k=1, v=2), Row(k=2, v=3)]))
+    assert len(msg.paths) == 1 and os.path.exists(msg.paths[0])
+    writer.abort([msg])
+    assert not os.path.exists(msg.paths[0])
+    assert not os.path.isdir(os.path.join(table_dir, "log")) or not os.listdir(
+        os.path.join(table_dir, "log")
+    )
