@@ -440,3 +440,40 @@ def test_lww_store_abort_discards_staged_files(spark, tmp_path):
     assert not os.path.isdir(os.path.join(table_dir, "log")) or not os.listdir(
         os.path.join(table_dir, "log")
     )
+
+
+def test_versioned_dataset_pin_and_vacuum(spark, tmp_path):
+    """Versioned snapshots: immutable pinned reads (reproducible training
+    runs), atomic latest pointer, orphan v-dirs superseded after a
+    simulated crash, vacuum retains the newest K and the pointer target."""
+    import os
+
+    from procurement_system_bigdata_spark.sources import versioned
+
+    root = str(tmp_path / "ds")
+    v1 = versioned.write_version(spark.range(10).selectExpr("id", "id*2 AS v"), root)
+    v2 = versioned.write_version(spark.range(20).selectExpr("id", "id*3 AS v"), root)
+    assert (v1, v2) == (1, 2)
+    assert versioned.latest_version(root) == 2
+    assert versioned.read_version(spark, root).count() == 20
+    # pinned read is reproducible after later writes
+    assert versioned.read_version(spark, root, version=1).count() == 10
+    assert {tuple(r) for r in versioned.read_version(spark, root, 1).collect()} == {
+        (i, 2 * i) for i in range(10)
+    }
+
+    # simulated crash: snapshot dir written, pointer NOT advanced
+    spark.range(5).write.mode("overwrite").parquet(os.path.join(root, "v=3"))
+    assert versioned.latest_version(root) == 2  # readers unaffected
+    v4 = versioned.write_version(spark.range(7).selectExpr("id", "id AS v"), root)
+    assert v4 == 4  # orphan superseded, never reused
+    assert versioned.read_version(spark, root).count() == 7
+
+    removed = versioned.vacuum(root, keep_last=2)
+    assert 1 in removed
+    assert versioned.latest_version(root) == 4
+    assert versioned.read_version(spark, root, 4).count() == 7
+    import pytest
+
+    with pytest.raises(ValueError, match="version 1 not found"):
+        versioned.read_version(spark, root, 1)
