@@ -168,3 +168,13 @@ def read_media_dir(spark: SparkSession, path: str, glob: str | None = None) -> D
     if glob:
         reader = reader.option("pathGlobFilter", glob)
     return reader.load(path)
+
+
+def compact_media_dir(spark: SparkSession, path: str, out: str, glob: str | None = None) -> int:
+    """The many-small-media-files fix read_media_dir's docstring warns
+    about: ingest a directory of raw media files ONCE into a parquet
+    payload table (path, length, content) that scans at block granularity
+    afterwards.  Returns the row count."""
+    df = read_media_dir(spark, path, glob).select("path", "length", "content")
+    df.write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out).count()

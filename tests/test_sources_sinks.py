@@ -477,3 +477,22 @@ def test_versioned_dataset_pin_and_vacuum(spark, tmp_path):
 
     with pytest.raises(ValueError, match="version 1 not found"):
         versioned.read_version(spark, root, 1)
+
+
+def test_media_compaction_roundtrip(spark, tmp_path):
+    """binaryFile ingest compacted to a parquet payload table: same bytes,
+    block-granular scans afterwards."""
+    from procurement_system_bigdata_spark.operators import codecs
+    from procurement_system_bigdata_spark.sources import readers
+
+    media_dir = tmp_path / "raw"
+    media_dir.mkdir()
+    for i in range(3):
+        (media_dir / f"m{i}.ppm").write_bytes(codecs.synthesize_image(i, 8, 6))
+    out = str(tmp_path / "payloads")
+    n = readers.compact_media_dir(spark, str(media_dir), out, glob="*.ppm")
+    assert n == 3
+    back = {r.path.rsplit("/", 1)[-1]: bytes(r.content)
+            for r in spark.read.parquet(out).collect()}
+    for i in range(3):
+        assert back[f"m{i}.ppm"] == codecs.synthesize_image(i, 8, 6)
