@@ -325,3 +325,44 @@ def histogram_quantiles_sql(
     )
     {selects}
     """
+
+
+def value_histogram_by(
+    df: DataFrame,
+    group_col: str = "event_type",
+    col: str = "value",
+    lo: float = HIST_LO,
+    hi: float = HIST_HI,
+    n_bins: int = HIST_BINS,
+) -> DataFrame:
+    """(group, bin, cnt): per-group fixed-grid histograms on the SHARED
+    grid — so group sketches merge with each other (roll subgroups up to
+    totals by dropping the group key and summing) and with whole-table
+    sketches, bin-wise exactly.  One groupBy on (group, bin)."""
+    width = (hi - lo) / n_bins
+    raw = F.floor((F.col(col).cast("double") - lo) / width).cast("long")
+    b = F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1))
+    return (
+        df.select(F.col(group_col).alias("grp"), b.alias("bin"))
+        .groupBy("grp", "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def value_histogram_by_sql(
+    table: str = "events",
+    group_col: str = "event_type",
+    col: str = "value",
+    lo: float = HIST_LO,
+    hi: float = HIST_HI,
+    n_bins: int = HIST_BINS,
+) -> str:
+    width = (hi - lo) / n_bins
+    return f"""
+    SELECT {group_col} AS grp,
+           least(greatest(CAST(floor((CAST({col} AS DOUBLE) - {lo}) / {width}) AS BIGINT),
+                          0), {n_bins - 1}) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM {table}
+    GROUP BY 1, 2
+    """

@@ -336,6 +336,23 @@ def _value_histogram_sql():
 Q_VALUE_HISTOGRAM_SQL = _value_histogram_sql()
 
 
+def q_value_histogram_by(spark, sf_dir):
+    """Per-event-type histograms on the shared grid (group sketches roll
+    up to the whole-table sketch bin-wise exactly — tested)."""
+    from ..operators import sketches
+
+    return sketches.value_histogram_by(load_table(spark, sf_dir, "events"))
+
+
+def _value_histogram_by_sql():
+    from ..operators import sketches
+
+    return sketches.value_histogram_by_sql()
+
+
+Q_VALUE_HISTOGRAM_BY_SQL = _value_histogram_by_sql()
+
+
 def q_histogram_quantiles(spark, sf_dir):
     """Quantile estimates from the cumulative histogram (error <= one bin
     width; deterministic math over exact counts)."""

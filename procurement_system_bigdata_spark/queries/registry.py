@@ -607,6 +607,16 @@ _register(
 )
 _register(
     QuerySpec(
+        name="value_histogram_by",
+        fn=llmdata.q_value_histogram_by,
+        oracle=llmdata.Q_VALUE_HISTOGRAM_BY_SQL,
+        description="Per-group histograms on the shared grid (roll up to "
+        "the whole-table sketch bin-wise exactly)",
+        ops=("EXT-sketch",),
+    )
+)
+_register(
+    QuerySpec(
         name="histogram_quantiles",
         fn=llmdata.q_histogram_quantiles,
         oracle=llmdata.Q_HISTOGRAM_QUANTILES_SQL,

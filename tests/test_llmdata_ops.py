@@ -903,3 +903,22 @@ def test_ivf_over_quantized_vectors_composes(spark):
     }
     recall = len(approx & exact) / len(exact)
     assert recall >= 0.5, f"quantized IVF recall collapsed: {recall:.2f}"
+
+
+def test_grouped_histogram_rolls_up_to_whole(spark):
+    """Shared grid property: summing the per-group histograms bin-wise must
+    reproduce the whole-table histogram exactly."""
+    import pyspark.sql.functions as F
+
+    from procurement_system_bigdata_spark.operators import sketches
+
+    ev = load_table(spark, SF_DIR, "events")
+    rolled = {
+        r.bin: r.cnt
+        for r in sketches.value_histogram_by(ev)
+        .groupBy("bin")
+        .agg(F.sum("cnt").alias("cnt"))
+        .collect()
+    }
+    whole = {r.bin: r.cnt for r in sketches.value_histogram(ev).collect()}
+    assert rolled == whole
