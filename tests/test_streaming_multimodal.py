@@ -660,3 +660,70 @@ def test_transform_with_state_spend_totals_equal_batch(spark, events_parquet_dir
     )
     want = {r.user_id: (r.n, r.cents) for r in batch.collect()}
     assert got == want
+
+
+def test_watermark_drops_late_data_in_append_mode(spark, tmp_path):
+    """The watermark contract end-to-end, at its GUARANTEED boundary: once
+    a window's state has been evicted (watermark passed its end in an
+    earlier batch), a late row for it is dropped and can never resurrect
+    the window.  Spark's weaker documented behavior is also pinned here:
+    a late row arriving in the SAME batch that finalizes its window may
+    still be aggregated (watermark is a state-eviction bound, not a strict
+    input filter) — so this test evicts first, then sends the late row."""
+    import os
+    import time as _t
+
+    import pyspark.sql.functions as F
+
+    src = str(tmp_path / "wm_src")
+    os.makedirs(src)
+    schema = "event_id long, user_id long, event_type string, value double, ts timestamp"
+
+    def write_file(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / ("stage_" + name)))
+        import glob as _g
+        import shutil as _sh
+
+        part = _g.glob(str(tmp_path / ("stage_" + name) / "part-*.parquet"))[0]
+        _sh.copy(part, os.path.join(src, name + ".parquet"))
+        _t.sleep(1.1)  # distinct mtimes pin the file-source batch order
+
+    from datetime import datetime
+
+    T = lambda h, m: datetime(2024, 1, 10, h, m)
+    # batch 1: two on-time events in the 10:00 window
+    write_file("b0", [(1, 1, "view", 1.0, T(10, 5)), (2, 2, "view", 2.0, T(10, 40))])
+    # batch 2: advance event time to 20:00 -> watermark becomes 19:00 for
+    # the NEXT batch
+    write_file("b1", [(3, 3, "view", 3.0, T(20, 0))])
+    # batch 3: on-time event; during this batch wm=19:00 finalizes AND
+    # EVICTS the 10:00-11:00 window (emitted with its on-time rows only)
+    write_file("b2", [(4, 4, "view", 5.0, T(20, 30))])
+    # batch 4: a LATE event for the evicted 10:00 window — guaranteed drop
+    write_file("b3", [(5, 5, "view", 100.0, T(10, 50))])
+    # batch 5: push event time so the 20:00 window also finalizes
+    write_file("b4", [(6, 6, "view", 7.0, T(23, 30))])
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    rollup = se.hourly_rollup_stream(stream)
+    ckpt = str(tmp_path / "ckpt")
+    q = se.run_to_memory(rollup, "wm_test", ckpt, mode="append")
+    q.awaitTermination()
+
+    got = {
+        (r.window_start_us, r.event_type): (r.n_events, r.total_value)
+        for r in spark.sql("select * from wm_test").collect()
+    }
+    k10 = (int(T(10, 0).timestamp() * 1_000_000), "view")
+    assert k10 in got, "sealed 10:00 window must have emitted"
+    assert got[k10] == (2, 3.0), (
+        f"late event resurrected the evicted window: {got[k10]}"
+    )
+    k20 = (int(T(20, 0).timestamp() * 1_000_000), "view")
+    assert got.get(k20) == (2, 8.0)
