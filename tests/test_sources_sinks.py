@@ -496,3 +496,44 @@ def test_media_compaction_roundtrip(spark, tmp_path):
             for r in spark.read.parquet(out).collect()}
     for i in range(3):
         assert back[f"m{i}.ppm"] == codecs.synthesize_image(i, 8, 6)
+
+
+def test_nightly_curation_writes_pinned_versions(spark, tmp_path):
+    """The nightly shape end-to-end: curate the corpus, commit it as an
+    immutable version; next night's bigger corpus commits the next version;
+    the training run pinned to v1 re-reads EXACTLY its bytes."""
+    import pyspark.sql.functions as F
+
+    from conftest import SF_DIR
+    from procurement_system_bigdata_spark.catalog import load_table
+    from procurement_system_bigdata_spark.functions import portable as P
+    from procurement_system_bigdata_spark.queries.llmdata import curate_corpus
+    from procurement_system_bigdata_spark.sources import versioned
+
+    docs = load_table(spark, SF_DIR, "documents")
+    root = str(tmp_path / "corpus_versions")
+    night1 = curate_corpus(
+        docs, k=P.MINHASH_K_ORACLE, n_bands=P.MINHASH_BANDS_ORACLE
+    )
+    v1 = versioned.write_version(night1, root)
+    v1_rows = {
+        tuple(r) for r in versioned.read_version(spark, root, v1).collect()
+    }
+    assert v1_rows == {tuple(r) for r in night1.collect()}
+
+    # next night: corpus grew; new version, old pin unchanged
+    grown = docs.unionByName(
+        docs.select(
+            (F.col("doc_id").cast("long") + 1_000_000).alias("doc_id"),
+            "text", "lang", "source", "n_chars",
+        ).limit(50)
+    )
+    v2 = versioned.write_version(
+        curate_corpus(grown, k=P.MINHASH_K_ORACLE, n_bands=P.MINHASH_BANDS_ORACLE),
+        root,
+    )
+    assert v2 == v1 + 1
+    assert versioned.read_version(spark, root).count() >= len(v1_rows)
+    assert {
+        tuple(r) for r in versioned.read_version(spark, root, v1).collect()
+    } == v1_rows, "pinned version must be byte-stable across later commits"
