@@ -8,6 +8,7 @@ sweeps every registry query; with args, only those names.  Exit 0 = all
 green."""
 import hashlib
 import json
+import os
 import sys
 from datetime import date, datetime
 
@@ -21,7 +22,7 @@ spark.sparkContext.setLogLevel("ERROR")
 
 import __spark_entry__ as e
 
-SF = "/root/testdata/sf0.01"
+SF = os.environ.get("DRIVER_SIM_SF_DIR", "/root/testdata/sf0.01")
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 con = duckdb.connect()
