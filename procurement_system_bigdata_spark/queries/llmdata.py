@@ -95,11 +95,16 @@ def q_embedding_ivf_topk(spark, sf_dir):
 def q_embedding_quantize(spark, sf_dir):
     """Int8 symmetric per-vector quantization (scale + qvec) — the 4x
     storage/shuffle compression for embedding columns; exact DuckDB mirror
-    (round-half-away built from floor, bit-identical in both engines)."""
-    return similarity.quantize_embeddings(_emb(spark, sf_dir))
+    (round-half-away built from floor, bit-identical in both engines).
+
+    Driver shape: the int vector is emitted as the sortable ``qvec_csv``
+    scalar (the external driver's canonicalizer cannot hash array cells —
+    the one red row in CORRECTNESS_r03); the typed-array operator is
+    ``similarity.quantize_embeddings`` for library callers."""
+    return similarity.quantize_embeddings_flat(_emb(spark, sf_dir))
 
 
-Q_EMBEDDING_QUANTIZE_SQL = similarity.quantize_embeddings_sql()
+Q_EMBEDDING_QUANTIZE_SQL = similarity.quantize_embeddings_flat_sql()
 
 
 def q_embedding_quantized_topk(spark, sf_dir):

@@ -25,3 +25,23 @@ def test_rows_only_query_runs(spark, name):
     df = spec.fn(spark, SF_DIR)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_oracle_query_output_is_driver_sortable(spark, name):
+    """The external driver canonicalizes results with a pandas sort over all
+    columns; array/map/struct cells are unhashable there (the one red row in
+    CORRECTNESS_r03 was embedding_quantize's raw qvec array).  Every
+    oracle-bearing registry entry must therefore emit only scalar columns —
+    nested payloads belong to the library operators, with the registry shape
+    projecting a lossless scalar form (e.g. array_join)."""
+    from pyspark.sql import types as T
+
+    spec = REGISTRY[name]
+    schema = spec.fn(spark, SF_DIR).schema
+    nested = [
+        f.name
+        for f in schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+    assert not nested, f"{name} emits driver-unsortable columns: {nested}"
