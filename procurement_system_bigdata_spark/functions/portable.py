@@ -35,12 +35,19 @@ MINHASH_K_ORACLE = 6
 MINHASH_BANDS_ORACLE = 2
 
 
-def minhash_params(k: int) -> tuple[list[int], list[int]]:
+def minhash_params(k: int, offset: int = 0) -> tuple[list[int], list[int]]:
     """(A, B) coefficient lists for a K-function MinHash family — the same
     generator for every K, so oracle (K=6) and production (K=128) dials use
-    one code path."""
-    a = [2 * i + 3 for i in range(k)]
-    b = [(1_000_003 * i + 12_345) % HASH_P for i in range(k)]
+    one code path.
+
+    ``offset`` starts the family at index ``offset`` instead of 0: a
+    consumer needing a seed family INDEPENDENT of every minhash/simhash
+    dial (e.g. the CMS bucket hashes) picks an offset far above any
+    reachable K, so its coefficients can never alias a banding family's
+    (the correlation hazard the round-3 advisor measured when CMS reused
+    indices 32-35 of the production dial)."""
+    a = [2 * (offset + i) + 3 for i in range(k)]
+    b = [(1_000_003 * (offset + i) + 12_345) % HASH_P for i in range(k)]
     return a, b
 
 

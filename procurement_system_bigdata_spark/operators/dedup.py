@@ -17,9 +17,10 @@ Scale design (100 TB):
   signature, self-join per band.  Shuffles are keyed by doc_id then band
   key; no all-pairs product ever materializes.
 - The token-hash inverted-index join that confirms exact Jaccard has
-  multiplicity proportional to posting-list sizes; on real corpora hot
-  tokens should be dropped/stop-worded first (here the testdata vocabulary
-  is tiny, so the join is deliberately left exact).
+  multiplicity proportional to posting-list sizes; the ``max_doc_freq``
+  dial (ngram_jaccard_pairs / exact_substring_pairs) stop-words hot
+  tokens via a broadcast anti join, bounding the join at linear on
+  Zipfian corpora.  The oracle-parity defaults keep it off (exact).
 """
 
 from __future__ import annotations
@@ -133,6 +134,26 @@ def _duck_doc_token_hashes(table: str, shingle_n: int) -> str:
     """
 
 
+def _cap_hot_tokens(tok: DataFrame, max_doc_freq: int | None) -> DataFrame:
+    """Drop tokens whose posting list (document frequency) exceeds
+    ``max_doc_freq`` — the stop-wording dial that keeps inverted-index
+    self-joins LINEAR on Zipfian corpora: a token in f documents
+    contributes f·(f-1)/2 join rows, so the corpus-wide candidate volume
+    is Σ f_t², dominated by the few hottest tokens.  Capping f bounds the
+    per-token term at max_doc_freq² and the hot-token list itself is small
+    (at most total_postings / max_doc_freq entries), so it is BROADCAST to
+    a map-side anti join — no extra shuffle of the posting table."""
+    if max_doc_freq is None:
+        return tok
+    hot = (
+        tok.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") > max_doc_freq)
+        .select("h")
+    )
+    return tok.join(F.broadcast(hot), "h", "left_anti")
+
+
 def _jaccard_from_index(tok: str, cand_filter: str, threshold: float) -> str:
     """DuckDB: exact Jaccard for pairs sharing >=1 token (inverted index)."""
     return f"""
@@ -153,9 +174,22 @@ def _jaccard_from_index(tok: str, cand_filter: str, threshold: float) -> str:
     """
 
 
-def ngram_jaccard_pairs(docs: DataFrame, shingle_n: int = 3, threshold: float = 0.5) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs via inverted-index join."""
-    tok = _doc_token_hashes(docs, shingle_n)
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via inverted-index join.
+
+    ``max_doc_freq`` is the hot-token guard for Zipfian corpora: shingles
+    appearing in more than that many documents are stop-worded out of BOTH
+    the intersection join and the set sizes (so jaccard stays a true
+    Jaccard over the capped shingle sets).  None (the oracle-parity
+    default) keeps the computation exact; production runs should set it —
+    tests/test_llmdata_ops.py proves the join volume drops from quadratic
+    to linear on a corpus with one token shared by every document."""
+    tok = _cap_hot_tokens(_doc_token_hashes(docs, shingle_n), max_doc_freq)
     sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = tok.alias("a"), tok.alias("b")
     inter = (
@@ -594,7 +628,10 @@ def incremental_dedup(
 
 
 def exact_substring_pairs(
-    docs: DataFrame, min_gram_words: int = 8, fast_hash: bool = False
+    docs: DataFrame,
+    min_gram_words: int = 8,
+    fast_hash: bool = False,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, n_shared_grams): document pairs sharing at least one
     word n-gram of ``min_gram_words`` — the distributable core of
@@ -607,11 +644,14 @@ def exact_substring_pairs(
     the posting-list self-join — candidate volume is bounded by gram
     collisions, which at production n (8-13 words) only real copies
     produce.  Hot-gram hazard (boilerplate headers) is the same posting-
-    list skew story as ngram_jaccard_pairs: AQE skew split plus, at 100 TB,
-    a drop-top-percentile-document-frequency gram filter before the join
-    (the standard suffix-dedup preprocessing).
+    list skew story as ngram_jaccard_pairs: AQE skew split plus
+    ``max_doc_freq`` — grams in more than that many documents (boilerplate)
+    are dropped before the join (the standard suffix-dedup preprocessing;
+    None = exact, the oracle-parity default).
     """
-    tok = _doc_token_hashes(docs, min_gram_words, fast_hash)
+    tok = _cap_hot_tokens(
+        _doc_token_hashes(docs, min_gram_words, fast_hash), max_doc_freq
+    )
     a = tok.select(F.col("doc_id").alias("doc_a"), "h")
     b = tok.select(F.col("doc_id").alias("doc_b"), "h")
     return (

@@ -17,6 +17,9 @@ on supplier_id / (sku_id, warehouse_id).
 
 from __future__ import annotations
 
+import logging
+import time
+from collections.abc import Callable
 from datetime import date
 
 from pyspark.sql import DataFrame
@@ -24,6 +27,46 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .ranking import with_global_sequence
+
+logger = logging.getLogger(__name__)
+
+# D2 (reference dags/pipeline.py:806-811): every Airflow task runs with
+# retries=2 and retry_delay=timedelta(minutes=5).  Spark's own task retries
+# cover *executor task* failures; this wrapper covers *stage-function-level*
+# failures — a sink raising after compute, a transient metastore/FS error —
+# which Airflow would re-run from the top of the task.
+STAGE_RETRIES = 2
+STAGE_RETRY_DELAY_SEC = 300.0
+
+
+def retry_stage(
+    fn: Callable[[], object],
+    *,
+    stage: str = "stage",
+    retries: int = STAGE_RETRIES,
+    delay_sec: float = STAGE_RETRY_DELAY_SEC,
+    sleep: Callable[[float], None] = time.sleep,
+):
+    """Run ``fn()`` with the reference's per-task retry policy: up to
+    ``retries`` re-attempts after the first failure, ``delay_sec`` apart
+    (``sleep`` injectable so tests don't wait 5 minutes).  Re-raises the
+    last exception once attempts are exhausted — callers decide whether
+    that is fatal (mid-pipeline stages) or degradable (the all_done
+    summary, see run_pipeline)."""
+    attempts = retries + 1
+    for attempt in range(1, attempts + 1):
+        try:
+            return fn()
+        except Exception as ex:  # noqa: BLE001 — mirror Airflow: retry any task error
+            if attempt == attempts:
+                logger.error("stage %s failed after %d attempts: %s", stage, attempts, ex)
+                raise
+            logger.warning(
+                "stage %s attempt %d/%d failed (%s); retrying in %.0fs",
+                stage, attempt, attempts, ex, delay_sec,
+            )
+            sleep(delay_sec)
+    raise AssertionError("unreachable")
 
 
 def aggregate_orders(
@@ -203,10 +246,20 @@ def run_pipeline(
     snapshots: DataFrame,
     run_date: date,
     reuse_stages: bool = True,
+    stage_retries: int = STAGE_RETRIES,
+    retry_delay_sec: float = 0.0,
+    retry_sleep: Callable[[float], None] = time.sleep,
 ) -> dict:
     """D1-D4 (reference pipeline.py:813-885): the sequential DAG as one
     driver function.  Returns the three result DataFrames plus the summary
     metrics dict (XCom replacement; 0-defaults like trigger_rule=all_done).
+
+    D2: job-executing stages run under the reference's per-task retry
+    policy (``stage_retries`` re-attempts, ``retry_delay_sec`` apart —
+    production default is the reference's 2×5min; tests inject
+    ``retry_sleep``).  A stage that exhausts retries does NOT abort the
+    run: the summary is all_done (reference task 8) — its metrics emit
+    0-defaults and ``failed_stages`` names what failed.
 
     The reference re-derives the shared CTEs inside every query; here each
     stage df is built once and — with ``reuse_stages`` — persisted, so the
@@ -231,21 +284,56 @@ def run_pipeline(
         agg_full, nd_full = agg_full.persist(), nd_full.persist()
         persisted += [agg_full, nd_full]
     rs = ranked_suppliers(supplier_products, suppliers)
-    so = supplier_orders(nd_full, rs, run_date)
-    if reuse_stages:
+    failed_stages: list[str] = []
+    # generate_supplier_orders is the one stage whose BUILD already runs jobs
+    # (the adaptive-numbering count in with_global_sequence), so the build
+    # itself runs under the task retry policy, like reference task 7.
+    try:
+        so = retry_stage(
+            lambda: supplier_orders(nd_full, rs, run_date),
+            stage="generate_supplier_orders",
+            retries=stage_retries,
+            delay_sec=retry_delay_sec,
+            sleep=retry_sleep,
+        )
+    except Exception:  # noqa: BLE001 — downstream summary is all_done
+        so = None
+        failed_stages.append("generate_supplier_orders")
+    if reuse_stages and so is not None:
         so = so.persist()
         persisted.append(so)
 
-    summary = {
-        "run_date": run_date.isoformat(),
-        "orders_count": orders.count(),
-        "aggregated_count": agg_full.count(),
-        "net_demand_count": nd_full.count(),
-        "total_net_demand": (nd_full.agg(F.sum("net_demand")).first()[0] or 0),
-        "items_with_demand": nd_full.filter(F.col("net_demand") > 0).count(),
-        "supplier_orders_count": so.count(),
-        "total_cost": float(so.agg(F.sum("total_cost")).first()[0] or 0.0),
-    }
+    # D2 + D4: each summary action runs under the reference's retry policy
+    # (retries=2); the summary itself is trigger_rule=all_done — a metric
+    # whose stage exhausts retries degrades to its 0-default instead of
+    # aborting the run, and the failure is reported in failed_stages.
+    metric_stages: list[tuple[str, Callable[[], object], object]] = [
+        ("orders_count", lambda: orders.count(), 0),
+        ("aggregated_count", lambda: agg_full.count(), 0),
+        ("net_demand_count", lambda: nd_full.count(), 0),
+        ("total_net_demand", lambda: nd_full.agg(F.sum("net_demand")).first()[0] or 0, 0),
+        ("items_with_demand", lambda: nd_full.filter(F.col("net_demand") > 0).count(), 0),
+        ("supplier_orders_count", lambda: so.count(), 0),
+        ("total_cost", lambda: float(so.agg(F.sum("total_cost")).first()[0] or 0.0), 0.0),
+    ]
+    summary: dict = {"run_date": run_date.isoformat()}
+    for name, thunk, default in metric_stages:
+        if so is None and name in ("supplier_orders_count", "total_cost"):
+            summary[name] = default
+            failed_stages.append(name)
+            continue
+        try:
+            summary[name] = retry_stage(
+                thunk,
+                stage=name,
+                retries=stage_retries,
+                delay_sec=retry_delay_sec,
+                sleep=retry_sleep,
+            )
+        except Exception:  # noqa: BLE001 — all_done summary absorbs stage failure
+            summary[name] = default
+            failed_stages.append(name)
+
     def release() -> None:
         for df in persisted:
             df.unpersist()
@@ -255,5 +343,6 @@ def run_pipeline(
         "net_demand": nd_full,
         "supplier_orders": so,
         "summary": summary,
+        "failed_stages": failed_stages,
         "release": release,
     }

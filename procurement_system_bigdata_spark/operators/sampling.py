@@ -213,7 +213,13 @@ def source_mixture_weights(
     """
     from ..functions import portable as P
 
-    n_words = F.size(P.spark_words(P.spark_norm_text(F.col("text"))))
+    # empty/NULL text is 0 tokens (split("") is [""], size 1 — which would
+    # both overcount and make the all-empty-source zero-share case
+    # unreachable; NULL text would NULL-poison the sum)
+    norm = P.spark_norm_text(F.col("text"))
+    n_words = F.when(
+        F.coalesce(F.length(norm), F.lit(0)) == 0, F.lit(0)
+    ).otherwise(F.size(P.spark_words(norm)))
     per_source = (
         docs.select(F.col(source_col).alias("source"), n_words.alias("nw"))
         .groupBy("source")
@@ -234,7 +240,13 @@ def source_mixture_weights(
         "n_tokens",
         share.alias("token_share"),
         target.alias("target_share"),
-        (target / share).alias("sampling_weight"),
+        # share == 0 (a source whose documents are ALL empty) would make
+        # target/share NULL — silently neither upsample nor excluded; an
+        # explicit 0.0 keeps the "flagged for exclusion, not silently
+        # kept" contract (round-3 advisor finding).
+        F.when(share > 0, target / share).otherwise(F.lit(0.0)).alias(
+            "sampling_weight"
+        ),
     )
 
 
@@ -253,7 +265,8 @@ def source_mixture_weights_sql(
     WITH per_source AS (
         SELECT {source_col} AS source,
                CAST(COUNT(*) AS BIGINT) AS n_docs,
-               CAST(SUM(len({P.duck_words('nt')})) AS BIGINT) AS n_tokens
+               CAST(SUM(CASE WHEN nt IS NULL OR nt = '' THEN 0
+                        ELSE len({P.duck_words('nt')}) END) AS BIGINT) AS n_tokens
         FROM (SELECT {source_col}, {nt} AS nt FROM {table})
         GROUP BY 1
     ),
@@ -261,7 +274,9 @@ def source_mixture_weights_sql(
     SELECT source, n_docs, n_tokens,
            CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE) AS token_share,
            CAST(CASE source {whens} ELSE 0.0 END AS DOUBLE) AS target_share,
-           CAST(CASE source {whens} ELSE 0.0 END AS DOUBLE)
-               / (CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE)) AS sampling_weight
+           CASE WHEN n_tokens > 0 THEN
+               CAST(CASE source {whens} ELSE 0.0 END AS DOUBLE)
+                   / (CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE))
+           ELSE 0.0 END AS sampling_weight
     FROM per_source, tot
     """

@@ -36,11 +36,14 @@ from ..functions import portable as P
 
 CMS_DEPTH = 4
 CMS_WIDTH = 512
-# dedicated seed family: offset the affine params away from the minhash /
-# simhash tables so sketch buckets are independent of dedup banding
-_CMS_A, _CMS_B = P.minhash_params(64)
-_CMS_A = _CMS_A[32 : 32 + CMS_DEPTH]
-_CMS_B = _CMS_B[32 : 32 + CMS_DEPTH]
+# dedicated seed family, DISJOINT from every minhash/simhash dial: indices
+# 32-35 of minhash_params(64) (the old choice) are bit-identical to
+# coefficients 32-35 of the K=128 production family, so CMS buckets
+# correlated with minhash band 8.  The offset sits far above any reachable
+# signature width K (same fix as similarity._PROJECTION_TABLE = 1<<20), so
+# no K can ever reach into this range.
+CMS_SEED_OFFSET = 1 << 20
+_CMS_A, _CMS_B = P.minhash_params(CMS_DEPTH, offset=CMS_SEED_OFFSET)
 
 
 def _tokens(docs: DataFrame) -> DataFrame:

