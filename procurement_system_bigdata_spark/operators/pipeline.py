@@ -255,8 +255,9 @@ def run_pipeline(
     metrics dict (XCom replacement; 0-defaults like trigger_rule=all_done).
 
     D2: job-executing stages run under the reference's per-task retry
-    policy (``stage_retries`` re-attempts, ``retry_delay_sec`` apart —
-    production default is the reference's 2×5min; tests inject
+    policy (``stage_retries`` defaults to the reference's 2;
+    ``retry_delay_sec`` defaults to 0 for an in-process run — pass
+    STAGE_RETRY_DELAY_SEC for the reference's 5-min spacing; tests inject
     ``retry_sleep``).  A stage that exhausts retries does NOT abort the
     run: the summary is all_done (reference task 8) — its metrics emit
     0-defaults and ``failed_stages`` names what failed.

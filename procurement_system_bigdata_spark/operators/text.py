@@ -132,6 +132,97 @@ def quality_scores_sql(table: str = "documents") -> str:
     """
 
 
+# Linear quality-classifier weights (intercept, length, stopword, clean-
+# punctuation, word-length, lexical-diversity).  Fixed literals standing in
+# for a trained fasttext/logistic quality model's coefficients — the
+# DEPLOYMENT SHAPE is the point: a production pipeline swaps these for its
+# trained weights and the plan is unchanged.
+QC_WEIGHTS = {
+    "intercept": -2.0,
+    "len": 1.5,
+    "stop": 2.0,
+    "clean": 1.5,
+    "wordlen": 0.5,
+    "uniq": 1.0,
+}
+
+
+def quality_classifier(docs: DataFrame, weights: dict = QC_WEIGHTS) -> DataFrame:
+    """(doc_id, quality_logit, passes): classifier-based quality filtering —
+    the linear-model stage (fasttext/logistic over interpretable features)
+    that large pretraining pipelines run after heuristic gates; documents
+    with ``passes`` survive, the logit is the ranking/bucketing signal.
+
+    Emits the LOGIT, not the sigmoid: z is a fixed-order sum of products
+    of exactly-representable feature rationals and literal weights — all
+    IEEE-exactly-rounded ops, bit-identical in Spark and DuckDB — while
+    exp() differs in the last ulp between JVM and libm (same reason tf_idf
+    is log-free).  The decision passes = z >= 0 is therefore also exact,
+    and sigmoid is monotone in z so no ranking information is lost.
+
+    Features (each in [0,1], map-side only, no shuffle): capped length
+    min(n_words/100, 1); stopword ratio; 1 - punct_ratio; capped mean word
+    length min(avg_word_len/8, 1); lexical diversity distinct_words /
+    n_words.  Scale shape: pure column expressions over one scan —
+    classifier scoring at 100 TB is embarrassingly parallel and this stays
+    entirely inside whole-stage codegen.
+    """
+    w = weights
+    text = F.col("text")
+    norm = P.spark_norm_text(text)
+    words = P.spark_words(norm)
+    n_chars = F.length(text).cast("double")
+    n_words = F.size(words).cast("double")
+    f_len = F.least(n_words / 100.0, F.lit(1.0))
+    f_stop = _spark_hits(words, STOPWORDS).cast("double") / n_words
+    n_alnum_sp = F.length(F.regexp_replace(text, "[^a-zA-Z0-9 ]", ""))
+    f_clean = 1.0 - (F.length(text).cast("double") - n_alnum_sp.cast("double")) / n_chars
+    f_wordlen = F.least(
+        F.length(norm).cast("double") / n_words / 8.0, F.lit(1.0)
+    )
+    f_uniq = F.size(F.array_distinct(words)).cast("double") / n_words
+    z = (
+        F.lit(w["intercept"])
+        + F.lit(w["len"]) * f_len
+        + F.lit(w["stop"]) * f_stop
+        + F.lit(w["clean"]) * f_clean
+        + F.lit(w["wordlen"]) * f_wordlen
+        + F.lit(w["uniq"]) * f_uniq
+    )
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        z.alias("quality_logit"),
+        (z >= 0).alias("passes"),
+    )
+
+
+def quality_classifier_sql(table: str = "documents", weights: dict = QC_WEIGHTS) -> str:
+    w = weights
+    norm = P.duck_norm_text("text")
+    words = P.duck_words(norm)
+    hits = _duck_hits(words, STOPWORDS)
+    nw = f"CAST(len({words}) AS DOUBLE)"
+    f_len = f"least({nw} / 100.0, 1.0)"
+    f_stop = f"CAST({hits} AS DOUBLE) / {nw}"
+    f_clean = (
+        "1.0 - (CAST(length(text) AS DOUBLE) - CAST(length(regexp_replace("
+        "text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)) / CAST(length(text) AS DOUBLE)"
+    )
+    f_wordlen = f"least(CAST(length({norm}) AS DOUBLE) / {nw} / 8.0, 1.0)"
+    f_uniq = f"CAST(len(list_distinct({words})) AS DOUBLE) / {nw}"
+    z = (
+        f"{w['intercept']} + {w['len']} * {f_len} + {w['stop']} * {f_stop} "
+        f"+ {w['clean']} * ({f_clean}) + {w['wordlen']} * {f_wordlen} "
+        f"+ {w['uniq']} * {f_uniq}"
+    )
+    return f"""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           {z} AS quality_logit,
+           ({z}) >= 0 AS passes
+    FROM {table}
+    """
+
+
 def token_counts(docs: DataFrame) -> DataFrame:
     """Whitespace token count + BPE-ish regex token count + chars/token."""
     text = F.col("text")

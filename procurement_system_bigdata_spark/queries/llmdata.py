@@ -137,6 +137,25 @@ Q_GROUP_SAMPLE_SQL = sampling.group_sample_k_sql()
 
 # --- text analysis -------------------------------------------------------
 
+def q_quality_classifier(spark, sf_dir):
+    """Linear quality classifier (logit + pass decision) — the trained-
+    model filtering stage's deployment shape; bit-exact oracle (log-free,
+    fixed-order sums; operators/text.quality_classifier)."""
+    return text.quality_classifier(_docs(spark, sf_dir))
+
+
+Q_QUALITY_CLASSIFIER_SQL = text.quality_classifier_sql()
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup over the embeddings table (k-means clusters -> within-
+    cluster cosine dups, lowest-id canonicals).  Iterative -> rows-only."""
+    return (
+        similarity.semantic_dedup(_emb(spark, sf_dir))
+        .orderBy("vec_id")
+    )
+
+
 def q_lang_id(spark, sf_dir):
     return text.lang_id(_docs(spark, sf_dir))
 

@@ -869,3 +869,25 @@ _register(
         ops=("EXT-graph",),
     )
 )
+# --- round-4 additions (appended: queries() order stays stable) ----------
+_register(
+    QuerySpec(
+        name="quality_classifier",
+        fn=llmdata.q_quality_classifier,
+        oracle=llmdata.Q_QUALITY_CLASSIFIER_SQL,
+        description="Linear quality classifier (fasttext/logistic shape): "
+        "bit-exact logit over interpretable features + pass decision, "
+        "map-side only",
+        ops=("EXT-text", "EXT-pipeline"),
+    )
+)
+_register(
+    QuerySpec(
+        name="semantic_dedup",
+        fn=llmdata.q_semantic_dedup,
+        oracle=None,  # iterative k-means; semantics pinned by tests
+        description="SemDeDup semantic deduplication: k-means clusters -> "
+        "within-cluster cosine dups, lowest-id canonicals (rows-only)",
+        ops=("EXT-dedup", "EXT-similarity"),
+    )
+)

@@ -253,6 +253,67 @@ def test_hot_token_cap_keeps_inverted_index_linear(spark):
     }
 
 
+def test_quality_classifier_decisions(spark):
+    """Clean stopword-rich prose must pass; punctuation junk must fail; the
+    logit must be monotone in the clean-punctuation feature."""
+    from procurement_system_bigdata_spark.operators import text as text_ops
+
+    clean = (
+        "the quick brown fox and the lazy dog are in the yard with a ball "
+        "and they play for hours in the warm sun near the old oak tree"
+    )
+    junk = "$$$@@@!!! ### %%% ^^^ &&& *** ((( ))) !!! @@@ ### $$$ %%%"
+    mixed = clean[:60] + " !!! ### $$$"
+    docs = spark.createDataFrame(
+        [(1, clean), (2, junk), (3, mixed)], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in text_ops.quality_classifier(docs).collect()}
+    assert out[1].passes and out[1].quality_logit > 0
+    assert not out[2].passes and out[2].quality_logit < 0
+    # monotone: strictly more punctuation noise -> strictly lower logit
+    assert out[1].quality_logit > out[3].quality_logit > out[2].quality_logit
+
+
+def test_semantic_dedup_finds_planted_duplicates(spark):
+    """SemDeDup invariants on real embeddings + planted duplicates:
+    (1) every planted exact copy is flagged with its original as canonical,
+    (2) every flagged (canonical, dup) pair truly has cosine >= tau,
+    (3) flagged pairs are a subset of the exact all-pairs scorer's at the
+        same tau (clustering can only LOSE pairs, never invent them),
+    (4) canonicals are never themselves flagged as duplicates of a
+        lower id in their own group (greedy representative survives)."""
+    import pyspark.sql.functions as F
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    max_id = emb.agg(F.max("vec_id")).first()[0]
+    copies = emb.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + max_id + 1).alias("vec_id"), "embedding"
+    )
+    corpus = emb.select("vec_id", "embedding").unionAll(copies)
+
+    tau = similarity.SEMDEDUP_TAU
+    out = {r.vec_id: r for r in similarity.semantic_dedup(corpus, tau=tau).collect()}
+    assert set(out) == {r.vec_id for r in corpus.select("vec_id").collect()}
+    for orig in range(10):
+        copy_id = orig + max_id + 1
+        assert out[copy_id].is_semantic_dup, f"planted copy {copy_id} missed"
+        # canonical is the lowest cluster-mate within tau — at minimum the
+        # exact copy itself qualifies, so canonical_id <= orig
+        assert out[copy_id].canonical_id <= orig
+
+    flagged = {
+        (r.canonical_id, r.vec_id) for r in out.values() if r.is_semantic_dup
+    }
+    exact = {
+        (r.vec_a, r.vec_b)
+        for r in similarity.cosine_neardup_pairs(corpus, tau=tau).collect()
+    }
+    assert flagged <= exact, "semantic dedup invented a pair the exact scorer rejects"
+    for canon, dup in flagged:
+        assert canon < dup
+        assert not out[canon].is_semantic_dup or out[canon].canonical_id < canon
+
+
 def test_topk_is_sorted_and_bounded(spark):
     out = similarity.cosine_topk(load_table(spark, SF_DIR, "embeddings")).collect()
     per_q: dict[int, list] = {}

@@ -3,12 +3,16 @@ banding probe, DESIGN.md "Measured scaling"): replicate the sf0.1
 embeddings corpus 1x/4x/16x with DISTINCT per-copy vectors and measure
 wall time + output volume for lsh_ann_candidates and ivf_topk.
 
-Per-copy distinctness: copy c applies a deterministic per-copy sign-flip
-pattern across dimensions (flip dim d iff bit (c-1) of d is set, copy 0
-unchanged).  Sign flips preserve norms and all WITHIN-copy cosines exactly
-(the near-dup structure replicates), while cross-copy cosines decorrelate —
-so true output grows LINEARLY in copies and timing measures the engine,
-not output volume (same construction rationale as the dedup probe).
+Per-copy distinctness: copy c applies the Walsh-Hadamard sign pattern
+s_c(d) = (-1)^popcount(d AND c) across dimensions (copy 0 unchanged).
+Distinct patterns are EXACTLY orthogonal over the dim-index cube, so sign
+flips preserve norms and all WITHIN-copy cosines exactly (the near-dup
+structure replicates) while cross-copy cosines decorrelate — true output
+grows LINEARLY in copies and timing measures the engine, not output
+volume (same construction rationale as the dedup probe).  [A first cut
+used single-bit flips — bit (c-1) of d — which for 64-dim vectors made
+copies 7+ IDENTICAL to the base (dims have only 6 bits) and produced
+exactly 2000*C(10,2)=90,000 phantom pairs at 16x; Hadamard masks fix it.]
 
 Run (solo, no other Spark JVM): python tools/probe_embedding_scaling.py
 """
@@ -38,12 +42,8 @@ def replicated(emb, n_copies: int):
         flip = F.transform(
             F.sequence(F.lit(0), F.size("embedding") - 1),
             lambda d: F.when(
-                F.lit(c) == 0, F.lit(1.0)
-            ).otherwise(
-                F.when(
-                    F.shiftright(d, c - 1) % 2 == 1, F.lit(-1.0)
-                ).otherwise(F.lit(1.0))
-            ),
+                F.bit_count(d.bitwiseAND(F.lit(c))) % 2 == 1, F.lit(-1.0)
+            ).otherwise(F.lit(1.0)),
         )
         parts.append(
             emb.select(
@@ -72,15 +72,27 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
     base = load_table(spark, SF_DIR, "embeddings")
     n_base = base.count()
-    print(f"base corpus: {n_base} vectors @ {SF_DIR}")
+    print(f"base corpus: {n_base} vectors @ {SF_DIR}", flush=True)
+    # tau=0.9: the production NEAR-DUP dial (selective planes, bounded
+    # buckets) — probed at all scales.  tau=0.4 (the harness default,
+    # where sign-LSH is DOCUMENTED to degrade: few planes -> giant
+    # buckets) — probed only at 1x/4x to quantify the degradation without
+    # a quadratic 16x run.
     for copies in (1, 4, 16):
         corpus = replicated(base, copies).localCheckpoint()  # pin input cost
         n = corpus.count()
-        lsh_s, lsh_n = timed_count(similarity.lsh_ann_candidates(corpus))
+        lsh9_s, lsh9_n = timed_count(similarity.lsh_ann_candidates(corpus, tau=0.9))
+        if copies <= 4:
+            lsh4_s, lsh4_n = timed_count(
+                similarity.lsh_ann_candidates(corpus, tau=0.4)
+            )
+        else:
+            lsh4_s, lsh4_n = None, None
         ivf_s, ivf_n = timed_count(similarity.ivf_topk(corpus))
         print(
             f"copies={copies} vectors={n} "
-            f"lsh_ann: {lsh_s}s pairs={lsh_n}  "
+            f"lsh_tau0.9: {lsh9_s}s pairs={lsh9_n}  "
+            f"lsh_tau0.4: {lsh4_s}s pairs={lsh4_n}  "
             f"ivf_topk: {ivf_s}s rows={ivf_n}",
             flush=True,
         )
