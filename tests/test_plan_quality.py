@@ -180,6 +180,22 @@ def test_no_cache_leak_across_driver_invocations(spark):
     assert cm.isEmpty(), "a query leaked SQL-cache entries"
 
 
+def test_quality_classifier_is_map_side_only(spark):
+    """Classifier scoring at 100 TB must be embarrassingly parallel: no
+    shuffle, no Python UDF — one codegen'd scan."""
+    stats = plan_stats(REGISTRY["quality_classifier"].fn(spark, SF_DIR))
+    assert stats["shuffles"] == 0, "classifier must not shuffle"
+    assert stats["python_udfs"] == 0, "classifier fell off codegen"
+
+
+def test_semantic_dedup_join_is_cluster_keyed(spark):
+    """SemDeDup's self-join must be keyed by cluster (bounded buckets) —
+    no cartesian/broadcast-nested-loop degeneration, no Python UDFs."""
+    stats = plan_stats(REGISTRY["semantic_dedup"].fn(spark, SF_DIR))
+    assert stats["python_udfs"] == 0
+    assert "CartesianProduct" not in stats["plan"]
+
+
 def test_round3_ops_stay_jvm_side_and_broadcast(spark):
     """Round-3 operators: no Python UDFs anywhere, and the small side of
     each asymmetric join is broadcast (benchmark grams in decontamination,
