@@ -656,6 +656,62 @@ def semantic_dedup(
     )
 
 
+SEMDECONTAM_TAU = 0.35  # testdata max cosine ~0.51 -> a dozen-row result
+SEMDECONTAM_BENCH_MOD = 100  # vec_id % mod == 0 plays the benchmark set
+
+
+def semantic_decontamination(
+    corpus: DataFrame,
+    bench: DataFrame,
+    tau: float = SEMDECONTAM_TAU,
+) -> DataFrame:
+    """(vec_id, n_bench_hits, max_cos): corpus vectors semantically too
+    close to a benchmark/eval vector — the EMBEDDING twin of the n-gram
+    decontamination operator (operators/decontam.py): paraphrased eval
+    leakage that shares no n-grams still lands within cosine tau.
+
+    Scale shape: the benchmark side is eval-set-sized (thousands), so it
+    is BROADCAST and the corpus side never shuffles for the comparison —
+    one map-side nested-loop scan per corpus vector, then one vec_id-keyed
+    aggregation for the hit stats.  Non-iterative exact math (left-fold
+    doubles) -> fully DuckDB-oracle-checkable, unlike the k-means-seeded
+    semantic_dedup."""
+    b = bench.select(
+        F.col("vec_id").alias("bench_id"), F.col("embedding").alias("be")
+    )
+    hits = (
+        corpus.crossJoin(F.broadcast(b))
+        .select(
+            "vec_id",
+            cosine(F.col("embedding"), F.col("be")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= tau)
+    )
+    return hits.groupBy("vec_id").agg(
+        F.count(F.lit(1)).alias("n_bench_hits"),
+        F.max("cos_sim").alias("max_cos"),
+    )
+
+
+def semantic_decontamination_sql(
+    table: str = "embeddings",
+    tau: float = SEMDECONTAM_TAU,
+    bench_mod: int = SEMDECONTAM_BENCH_MOD,
+) -> str:
+    cos = duck_cosine("c.embedding", "b.embedding")
+    return f"""
+    SELECT c.vec_id AS vec_id,
+           COUNT(*) AS n_bench_hits,
+           MAX({cos}) AS max_cos
+    FROM {table} c
+    JOIN {table} b
+      ON b.vec_id % {bench_mod} = 0
+     AND c.vec_id % {bench_mod} != 0
+     AND {cos} >= {tau}
+    GROUP BY c.vec_id
+    """
+
+
 def embedding_dim_stats(emb: DataFrame, scale: int = 1_000_000) -> DataFrame:
     """(dim, n, mean, std): per-dimension moments of the embedding matrix —
     the whitening/normalization statistics a feature pipeline computes

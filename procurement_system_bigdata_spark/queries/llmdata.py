@@ -137,6 +137,21 @@ Q_GROUP_SAMPLE_SQL = sampling.group_sample_k_sql()
 
 # --- text analysis -------------------------------------------------------
 
+def q_semantic_decontamination(spark, sf_dir):
+    """Embedding-cosine decontamination with the deterministic benchmark
+    carve-out (vec_id % SEMDECONTAM_BENCH_MOD == 0 plays the eval set) —
+    mirrors q_decontamination's carve-out convention on the n-gram side."""
+    emb = _emb(spark, sf_dir)
+    mod = similarity.SEMDECONTAM_BENCH_MOD
+    return similarity.semantic_decontamination(
+        emb.filter(F.col("vec_id") % mod != 0),
+        emb.filter(F.col("vec_id") % mod == 0),
+    )
+
+
+Q_SEMANTIC_DECONTAM_SQL = similarity.semantic_decontamination_sql()
+
+
 def q_quality_classifier(spark, sf_dir):
     """Linear quality classifier (logit + pass decision) — the trained-
     model filtering stage's deployment shape; bit-exact oracle (log-free,
@@ -236,6 +251,7 @@ def curate_corpus(
     min_quality: float = CURATION_MIN_QUALITY,
     k: int = P.MINHASH_K,
     n_bands: int = P.MINHASH_BANDS,
+    fast_hash: bool = False,
 ) -> DataFrame:
     """Flagship training-data pipeline: quality-filter -> near-dup dedup
     (keep cluster canonicals) -> deterministic train/val/test split, as ONE
@@ -254,7 +270,7 @@ def curate_corpus(
     meta_cols = [c for c in ("lang", "source") if c in docs.columns]
     q = text.quality_scores(docs).select("doc_id", "n_words", "quality_score")
     clusters = clustering.dedup_clusters(
-        docs, dedup.minhash_lsh_pairs(docs, k=k, n_bands=n_bands)
+        docs, dedup.minhash_lsh_pairs(docs, k=k, n_bands=n_bands, fast_hash=fast_hash)
     )
     canon = clusters.filter(F.col("doc_id") == F.col("component")).select(
         "doc_id", "cluster_size"

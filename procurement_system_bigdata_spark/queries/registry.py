@@ -891,3 +891,14 @@ _register(
         ops=("EXT-dedup", "EXT-similarity"),
     )
 )
+_register(
+    QuerySpec(
+        name="semantic_decontamination",
+        fn=llmdata.q_semantic_decontamination,
+        oracle=llmdata.Q_SEMANTIC_DECONTAM_SQL,
+        description="Embedding-cosine decontamination vs a benchmark "
+        "carve-out (broadcast eval side, corpus never shuffles for the "
+        "comparison); bit-exact oracle",
+        ops=("EXT-dedup", "EXT-similarity", "EXT-pipeline"),
+    )
+)

@@ -314,6 +314,53 @@ def test_semantic_dedup_finds_planted_duplicates(spark):
         assert not out[canon].is_semantic_dup or out[canon].canonical_id < canon
 
 
+def test_semantic_decontamination_flags_planted_leak(spark):
+    """A corpus vector IDENTICAL to a benchmark vector must be flagged with
+    max_cos == 1.0; vectors orthogonal to every benchmark vector must not
+    appear; the flagged set equals an exact recomputation (the operator is
+    non-iterative, so this is the oracle-parity property in miniature)."""
+    import pyspark.sql.functions as F
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    bench = emb.filter(F.col("vec_id") < 5).select("vec_id", "embedding")
+    max_id = emb.agg(F.max("vec_id")).first()[0]
+    leak = bench.select(
+        (F.col("vec_id") + max_id + 1).alias("vec_id"), "embedding"
+    )
+    corpus = (
+        emb.filter(F.col("vec_id") >= 5)
+        .select("vec_id", "embedding")
+        .unionAll(leak)
+    )
+    out = {
+        r.vec_id: r
+        for r in similarity.semantic_decontamination(corpus, bench).collect()
+    }
+    for orig in range(5):
+        leak_id = orig + max_id + 1
+        assert leak_id in out, f"planted leak {leak_id} missed"
+        # cos(v, v) lands within one rounding step of 1.0 (dot/norm² ulps)
+        assert abs(out[leak_id].max_cos - 1.0) < 1e-12
+        assert out[leak_id].n_bench_hits >= 1
+    # exact recomputation agrees on WHICH vectors are contaminated
+    tau = similarity.SEMDECONTAM_TAU
+    exact = {
+        r.vec_id
+        for r in corpus.crossJoin(
+            bench.select(F.col("embedding").alias("be"))
+        )
+        .select(
+            "vec_id",
+            similarity.cosine(F.col("embedding"), F.col("be")).alias("c"),
+        )
+        .filter(F.col("c") >= tau)
+        .select("vec_id")
+        .distinct()
+        .collect()
+    }
+    assert set(out) == exact
+
+
 def test_topk_is_sorted_and_bounded(spark):
     out = similarity.cosine_topk(load_table(spark, SF_DIR, "embeddings")).collect()
     per_q: dict[int, list] = {}
