@@ -392,12 +392,84 @@ def ivf_topk(
     )
 
 
+def lsh_buckets_arrow(n_planes: int, n_tables: int, center: list[float]):
+    """Arrow-batched twin of the per-(table, plane) ``lsh_bucket`` builtin:
+    ALL n_tables bucket keys per vector in ONE numpy GEMM.
+
+    Why: Catalyst higher-order functions are interpreted per element, so
+    the builtin path costs n_tables × n_planes × dims lambda steps per row
+    (tau=0.9 dial: ~10k steps/row — measured 13.9 s for 2,000 vectors);
+    the batch matrix product does the same arithmetic C-side.  Bit
+    convention matches the builtin exactly (bit p set iff dot > bias,
+    strictly).  Residual divergence risk: numpy's blocked summation vs the
+    builtin's left fold can disagree only when a projection lands within
+    float-rounding distance of its bias — asserted identical on the
+    testdata corpus (tests/test_llmdata_ops.py)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    dims = len(center)
+    w = np.array(
+        [
+            [_plane_weights(t, p, dims) for p in range(n_planes)]
+            for t in range(n_tables)
+        ],
+        dtype=np.float64,
+    ).reshape(n_tables * n_planes, dims)
+    wt = np.ascontiguousarray(w.T)  # (dims, tables*planes)
+    bias = np.asarray(center, dtype=np.float64) @ wt
+    pow2 = 1 << np.arange(n_planes, dtype=np.int64)
+
+    # no pd.Series type hints — same reason as cosine_pandas_udf: the
+    # module's `from __future__ import annotations` stringifies them beyond
+    # PySpark's resolver; the explicit returnType covers the signature
+    @pandas_udf("array<long>")
+    def buckets(col):
+        if len(col) == 0:
+            return pd.Series([], dtype=object)
+        m = np.stack(col.to_numpy()).astype(np.float64)  # (n, dims)
+        bits = (m @ wt) > bias  # (n, tables*planes), strict > like the builtin
+        keys = (
+            bits.reshape(len(m), n_tables, n_planes) * pow2
+        ).sum(axis=2, dtype=np.int64)
+        return pd.Series(list(keys))
+
+    return buckets
+
+
+def pair_cosine_arrow():
+    """Arrow-batched cosine over two array columns (candidate-pair scoring):
+    one einsum + two row-norm passes per batch instead of ~3x dims
+    interpreted lambda steps per row.  Same measured rationale as
+    cosine_pandas_udf; used on the rows-only ANN path where bit-exactness
+    against DuckDB is not required (last-ulp divergence from the builtin
+    fold is possible on the scored values)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType
+
+    @F.pandas_udf(DoubleType())
+    def _cos(a, b):
+        if len(a) == 0:
+            return pd.Series([], dtype=float)
+        ma = np.stack(a.to_numpy()).astype(np.float64)
+        mb = np.stack(b.to_numpy()).astype(np.float64)
+        dots = np.einsum("ij,ij->i", ma, mb)
+        return pd.Series(
+            dots / (np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1))
+        )
+
+    return _cos
+
+
 def lsh_ann_candidates(
     emb: DataFrame,
     tau: float = NEARDUP_TAU,
     n_planes: int | None = None,
     n_tables: int | None = None,
     center: list[float] | None = None,
+    use_arrow: bool = True,
 ) -> DataFrame:
     """Approximate near-dup pairs: score only bucket-colliding pairs, with
     OR-amplified multi-table LSH.
@@ -429,28 +501,43 @@ def lsh_ann_candidates(
     # to amortize it across calls on the same corpus snapshot
     if center is None:
         center = corpus_center(emb)
-    buckets = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("tbl"),
-                lsh_bucket(F.col("embedding"), n_planes, t, center).alias("bucket"),
-            )
-            for t in range(n_tables)
-        ]
-    )
-    with_bucket = emb.select(
-        "vec_id", "embedding", F.explode(buckets).alias("tb")
-    ).select("vec_id", "embedding", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+    if use_arrow:
+        # production path: one GEMM for all tables' keys (see
+        # lsh_buckets_arrow); posexplode index IS the table id
+        bfn = lsh_buckets_arrow(n_planes, n_tables, center)
+        with_bucket = emb.select(
+            "vec_id",
+            "embedding",
+            F.posexplode(bfn(F.col("embedding"))).alias("tbl", "bucket"),
+        )
+    else:
+        buckets = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("tbl"),
+                    lsh_bucket(F.col("embedding"), n_planes, t, center).alias("bucket"),
+                )
+                for t in range(n_tables)
+            ]
+        )
+        with_bucket = emb.select(
+            "vec_id", "embedding", F.explode(buckets).alias("tb")
+        ).select("vec_id", "embedding", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
     a = with_bucket.select(
         F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), "tbl", "bucket"
     )
     b = with_bucket.select(
         F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), "tbl", "bucket"
     )
+    score = (
+        pair_cosine_arrow()(F.col("ea"), F.col("eb"))
+        if use_arrow
+        else cosine(F.col("ea"), F.col("eb"))
+    )
     return (
         a.join(b, ["tbl", "bucket"])
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", cosine(F.col("ea"), F.col("eb")).alias("cos_sim"))
+        .select("vec_a", "vec_b", score.alias("cos_sim"))
         .filter(F.col("cos_sim") >= tau)
         .distinct()
     )

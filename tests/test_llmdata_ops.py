@@ -28,6 +28,24 @@ def test_lsh_candidates_subset_of_exact(spark):
         assert recall >= 0.8, f"LSH recall collapsed: {recall:.2f}"
 
 
+def test_lsh_arrow_buckets_match_builtin(spark):
+    """The GEMM (Arrow) bucket path must produce the IDENTICAL candidate
+    set as the interpreted builtin path on the test corpus — same planes,
+    same strict-> bit convention; divergence is possible only when a
+    projection lands within float-rounding of its bias, which the fixed
+    corpus must not exhibit."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    arrow = {
+        (r.vec_a, r.vec_b)
+        for r in similarity.lsh_ann_candidates(emb, use_arrow=True).collect()
+    }
+    builtin = {
+        (r.vec_a, r.vec_b)
+        for r in similarity.lsh_ann_candidates(emb, use_arrow=False).collect()
+    }
+    assert arrow == builtin
+
+
 def test_lsh_dial_model():
     """The dial must get MORE selective (more planes per table) as tau
     rises, and never exceed the table budget."""
