@@ -272,11 +272,47 @@ def _sq_dist(a: Column, b: Column) -> Column:
     return F.aggregate(diffs, F.lit(0.0), lambda acc, v: acc + v * v)
 
 
-def _assign_to_centroids(emb: DataFrame, centroids: list) -> DataFrame:
-    """Nearest-centroid assignment via broadcast join + struct-min argmin
-    (lowest cluster id wins ties).  One compact expression regardless of k —
-    unrolled per-centroid literal expressions blow up Catalyst analysis
-    time k-fold and are avoided deliberately."""
+def _assign_arrow_udf(centroids: list):
+    """Arrow-batched nearest-centroid argmin: one GEMM per batch over the
+    broadcast centroid matrix.  argmin ||x-c||² = argmin (||c||² - 2 x·c),
+    so the per-row cost is a k×dims dot — and, unlike the join+groupBy
+    form, the assignment is a PURE MAP: zero shuffles per Lloyd iteration
+    (the builtin path shuffles the whole corpus once per iteration to
+    re-group the crossJoin).  np.argmin takes the first minimum = lowest
+    cluster id, the same tie policy as the struct-min."""
+    import numpy as np
+    import pandas as pd
+
+    c = np.array([vec for _cid, vec in centroids], dtype=np.float64)
+    c2 = (c * c).sum(axis=1)
+
+    @F.pandas_udf("long")
+    def assign(col):
+        if len(col) == 0:
+            return pd.Series([], dtype="int64")
+        m = np.stack(col.to_numpy()).astype(np.float64)
+        scores = c2 - 2.0 * (m @ c.T)
+        return pd.Series(np.argmin(scores, axis=1).astype("int64"))
+
+    return assign
+
+
+def _assign_to_centroids(
+    emb: DataFrame, centroids: list, use_arrow: bool = True
+) -> DataFrame:
+    """Nearest-centroid assignment (lowest cluster id wins ties).
+
+    Arrow default: GEMM argmin, shuffle-free (see _assign_arrow_udf).
+    Builtin fallback: broadcast join + struct-min argmin — one compact
+    expression regardless of k (unrolled per-centroid literal expressions
+    blow up Catalyst analysis time k-fold and are avoided deliberately),
+    but costs a full-corpus shuffle per call."""
+    if use_arrow:
+        return emb.select(
+            "vec_id",
+            "embedding",
+            _assign_arrow_udf(centroids)(F.col("embedding")).alias("cluster"),
+        )
     spark = emb.sparkSession
     cent_df = spark.createDataFrame(
         [(cid, vec) for cid, vec in centroids], ["cluster", "centroid"]
@@ -299,10 +335,18 @@ def ivf_assignments(
     """IVF coarse quantizer: k-means with DETERMINISTIC init (the first k
     vec_ids), a few Lloyd iterations.
 
-    Each iteration: broadcast-join the k centroids, argmin by struct-min,
-    then re-average per cluster via posexplode + (cluster, dim) mean.
-    Centroids are tiny (k × dim doubles) so the per-iteration collect is
-    O(k·d), not data-sized.  Returns (assignments df, final centroids list).
+    Each iteration: nearest-centroid assignment (Arrow GEMM argmin — a
+    pure map, zero shuffles), then re-average per cluster via posexplode +
+    (cluster, dim) EXACT fixed-point sums.  The fixed-pointing matters:
+    F.avg over doubles merges partial sums in shuffle-fetch order, which
+    is nondeterministic run-to-run — ulp-level centroid drift occasionally
+    cascades through Lloyd iterations into a materially different
+    clustering (observed: IVF recall flapping 0.88 <-> 0.31 across
+    sessions).  Micro-unit BIGINT sums are order-independent under any
+    partitioning, so the whole quantizer is reproducible (same discipline
+    as embedding_dim_stats).  Centroids are tiny (k × dim doubles) so the
+    per-iteration collect is O(k·d), not data-sized.  Returns
+    (assignments df, final centroids list).
     """
     centroids = [
         (int(r.vec_id), [float(x) for x in r.embedding])
@@ -318,12 +362,21 @@ def ivf_assignments(
         ).limit(0)
         return empty, []
     assigned = None
+    scale = 1_000_000.0
+    fixed = _half_away(F.col("val").cast("double") * scale).cast("long")
     for _ in range(iters):
         assigned = _assign_to_centroids(emb, centroids)
         new_cents = (
             assigned.select("cluster", F.posexplode("embedding").alias("dim", "val"))
             .groupBy("cluster", "dim")
-            .agg(F.avg(F.col("val").cast("double")).alias("mean"))
+            .agg(F.sum(fixed).alias("s"), F.count(F.lit(1)).alias("n"))
+            .select(
+                "cluster",
+                "dim",
+                (F.col("s").cast("double") / F.col("n").cast("double") / scale).alias(
+                    "mean"
+                ),
+            )
             .groupBy("cluster")
             .agg(F.array_sort(F.collect_list(F.struct("dim", "mean"))).alias("dm"))
             .select("cluster", F.col("dm.mean").alias("centroid"))
@@ -341,6 +394,7 @@ def ivf_topk(
     k: int = TOP_K,
     n_queries: int = N_QUERY_VECS,
     n_probe: int = IVF_NPROBE,
+    use_arrow: bool = False,
 ) -> DataFrame:
     """IVF-probed approximate top-k: score only vectors in the n_probe
     clusters nearest to each query — the standard recall/compute dial.
@@ -348,6 +402,13 @@ def ivf_topk(
     At 100 TB the assignment table is bucketed by cluster so a probe reads
     n_probe/k of the data; here the join is keyed the same way.  Approximate
     (recall-tested against the exact baseline), so rows-only in the harness.
+    ``use_arrow`` batches the candidate cosine scoring (pair_cosine_arrow,
+    einsum per Arrow batch) — OFF by default because the operator's
+    documented contract is that WITHIN-probe scores are bit-identical to
+    the exact scorer's (tested), and the einsum differs in the last ulp;
+    the k-means ASSIGNMENT stage underneath always uses the Arrow GEMM
+    argmin (identical clusters, tested — only emitted scores are at
+    stake here).  Scale callers chasing the scoring constant flip it on.
     """
     assigned, centroids = ivf_assignments(emb)
     if not centroids:
@@ -379,10 +440,15 @@ def ivf_topk(
     cand = q_probed.join(assigned, "cluster").filter(
         F.col("vec_id") != F.col("query_id")
     )
+    qscore = (
+        pair_cosine_arrow()(F.col("qv"), F.col("embedding"))
+        if use_arrow
+        else cosine(F.col("qv"), F.col("embedding"))
+    )
     scored = cand.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        cosine(F.col("qv"), F.col("embedding")).alias("cos_sim"),
+        qscore.alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
@@ -692,6 +758,7 @@ def semantic_dedup(
     tau: float = SEMDEDUP_TAU,
     k_clusters: int = IVF_CLUSTERS,
     iters: int = IVF_ITERS,
+    use_arrow: bool = True,
 ) -> DataFrame:
     """(vec_id, cluster, is_semantic_dup, canonical_id): SemDeDup-style
     semantic deduplication (Abbas et al. 2023, arXiv:2303.09540) — k-means
@@ -724,10 +791,15 @@ def semantic_dedup(
     b = assigned.select(
         "cluster", F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb")
     )
+    pscore = (
+        pair_cosine_arrow()(F.col("ea"), F.col("eb"))
+        if use_arrow
+        else cosine(F.col("ea"), F.col("eb"))
+    )
     canon = (
         a.join(b, "cluster")
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .filter(cosine(F.col("ea"), F.col("eb")) >= tau)
+        .filter(pscore >= tau)
         .groupBy(F.col("vec_b").alias("vec_id"))
         .agg(F.min("vec_a").alias("_canon"))
     )

@@ -28,6 +28,29 @@ def test_lsh_candidates_subset_of_exact(spark):
         assert recall >= 0.8, f"LSH recall collapsed: {recall:.2f}"
 
 
+def test_kmeans_arrow_assignment_matches_builtin(spark):
+    """The GEMM argmin (pure map, zero shuffles) must assign every vector
+    to the same cluster as the broadcast-join struct-min on the test
+    corpus — same lowest-id tie policy; divergence is possible only for
+    points within float-rounding of a Voronoi boundary."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cents = [
+        (i, [float(x) for x in r.embedding])
+        for i, r in enumerate(
+            emb.filter("vec_id < 16").orderBy("vec_id").collect()
+        )
+    ]
+    arrow = {
+        r.vec_id: r.cluster
+        for r in similarity._assign_to_centroids(emb, cents, use_arrow=True).collect()
+    }
+    builtin = {
+        r.vec_id: r.cluster
+        for r in similarity._assign_to_centroids(emb, cents, use_arrow=False).collect()
+    }
+    assert arrow == builtin
+
+
 def test_lsh_arrow_buckets_match_builtin(spark):
     """The GEMM (Arrow) bucket path must produce the IDENTICAL candidate
     set as the interpreted builtin path on the test corpus — same planes,
