@@ -206,8 +206,21 @@ def ngram_jaccard_pairs(
     )
 
 
-def ngram_jaccard_pairs_sql(table: str = "documents", shingle_n: int = 3, threshold: float = 0.5) -> str:
-    return _jaccard_from_index(_duck_doc_token_hashes(table, shingle_n), "", threshold)
+def ngram_jaccard_pairs_sql(
+    table: str = "documents",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+) -> str:
+    tok = _duck_doc_token_hashes(table, shingle_n)
+    if max_doc_freq is not None:
+        # mirror of _cap_hot_tokens: drop tokens whose posting list exceeds
+        # the cap BEFORE sizes/intersections (QUALIFY = post-window filter)
+        tok = f"""
+        SELECT doc_id, h FROM ({tok})
+        QUALIFY COUNT(*) OVER (PARTITION BY h) <= {max_doc_freq}
+        """
+    return _jaccard_from_index(tok, "", threshold)
 
 
 # ---------------------------------------------------------------------------

@@ -5,11 +5,17 @@ Brute-force cosine top-k is the exact baseline (oracle-checked); the LSH
 all-pairs product is infeasible, so candidates come from sign-bucket
 collisions and only bucket-local pairs are scored.
 
-All float math is float->double casts followed by left-to-right folds so
-Spark and DuckDB produce bit-identical doubles (sqrt and arithmetic are
-IEEE-correctly-rounded in both).  No Python UDFs — `F.zip_with` /
-`F.aggregate` stay inside codegen; at production scale a pandas_udf with
-numpy would also be reasonable, but builtins keep the oracle exact.
+All ORACLE-CHECKED float math is float->double casts followed by
+left-to-right folds so Spark and DuckDB produce bit-identical doubles
+(sqrt and arithmetic are IEEE-correctly-rounded in both).  The
+approximate, rows-only paths (sign-LSH bucketing/scoring, k-means
+assignment) additionally ship Arrow-batched GEMM twins — Catalyst
+higher-order functions are interpreted per element, and the batch matrix
+forms are 4-5x faster (DESIGN.md "Measured scaling of the embedding ANN
+paths") — each asserted to agree with its builtin reference on the test
+corpus, with the builtin retained behind use_arrow=False.  Exact/oracle
+operators (cosine_topk, embedding_neardup, quantize, dim_stats,
+semantic_decontamination) keep builtins only.
 """
 
 from __future__ import annotations

@@ -54,6 +54,24 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
 Q_DEDUP_NGRAM_JACCARD_SQL = dedup.ngram_jaccard_pairs_sql()
 
 
+NGRAM_JACCARD_CAP = 2  # max 3-gram df in the testdata is 7; 2 exercises the cap
+
+
+def q_dedup_ngram_jaccard_capped(spark, sf_dir):
+    """The hot-token-capped exact Jaccard (max_doc_freq dial) — the scale
+    configuration of dedup_ngram_jaccard, oracle-checked so the capped
+    SEMANTICS (jaccard over the stop-worded shingle sets) are pinned, not
+    just the uncapped baseline."""
+    return dedup.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), max_doc_freq=NGRAM_JACCARD_CAP
+    )
+
+
+Q_DEDUP_NGRAM_JACCARD_CAPPED_SQL = dedup.ngram_jaccard_pairs_sql(
+    max_doc_freq=NGRAM_JACCARD_CAP
+)
+
+
 def q_simhash_fingerprints(spark, sf_dir):
     return dedup.simhash_fingerprints(_docs(spark, sf_dir))
 

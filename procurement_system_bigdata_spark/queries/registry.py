@@ -893,6 +893,17 @@ _register(
 )
 _register(
     QuerySpec(
+        name="dedup_ngram_jaccard_capped",
+        fn=llmdata.q_dedup_ngram_jaccard_capped,
+        oracle=llmdata.Q_DEDUP_NGRAM_JACCARD_CAPPED_SQL,
+        description="Hot-token-capped exact 3-gram Jaccard (max_doc_freq "
+        "stop-wording via broadcast anti join — the Zipf-head linearity "
+        "dial, with its capped semantics oracle-pinned)",
+        ops=("EXT-dedup",),
+    )
+)
+_register(
+    QuerySpec(
         name="semantic_decontamination",
         fn=llmdata.q_semantic_decontamination,
         oracle=llmdata.Q_SEMANTIC_DECONTAM_SQL,

@@ -190,9 +190,11 @@ def test_quality_classifier_is_map_side_only(spark):
 
 def test_semantic_dedup_join_is_cluster_keyed(spark):
     """SemDeDup's self-join must be keyed by cluster (bounded buckets) —
-    no cartesian/broadcast-nested-loop degeneration, no Python UDFs."""
+    no cartesian degeneration, and any Python in the plan must be the
+    sanctioned Arrow-batched form (GEMM argmin / einsum scoring), never
+    row-at-a-time BatchEvalPython."""
     stats = plan_stats(REGISTRY["semantic_dedup"].fn(spark, SF_DIR))
-    assert stats["python_udfs"] == 0
+    assert "BatchEvalPython" not in stats["plan"], "row-at-a-time UDF crept in"
     assert "CartesianProduct" not in stats["plan"]
 
 
