@@ -223,6 +223,75 @@ def quality_classifier_sql(table: str = "documents", weights: dict = QC_WEIGHTS)
     """
 
 
+def source_quality_report(docs: DataFrame, weights: dict = QC_WEIGHTS) -> DataFrame:
+    """(source, n_docs, n_pass, pass_rate, mean_logit): the curation
+    dashboard a data team reads before adjusting mixture weights — per
+    source, how much survives the quality classifier and how good the
+    survivors' distribution looks.
+
+    Float discipline: summing raw logits is order-dependent, so each
+    doc's logit is fixed-pointed to micro-units (floor-based half-away,
+    bit-identical per engine), summed EXACTLY as BIGINT, and the mean
+    derives from the exact sum — the same recipe as
+    unigram_logprob_scores.  One classifier scan (map-side) + one
+    source-keyed aggregation; at 100 TB this is a single shuffle of
+    per-partition partials."""
+    qc = quality_classifier(docs, weights)
+    scaled = F.col("quality_logit") * 1_000_000
+    logit6 = (
+        F.when(scaled >= 0, F.floor(scaled + 0.5))
+        .otherwise(-F.floor(-scaled + 0.5))
+        .cast("long")
+    )
+    joined = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "source"
+    ).join(qc, "doc_id")
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("passes").cast("long")).alias("n_pass"),
+            F.sum(logit6).alias("_s6"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_pass",
+            (F.col("n_pass").cast("double") / F.col("n_docs").cast("double")).alias(
+                "pass_rate"
+            ),
+            (
+                F.col("_s6").cast("double")
+                / F.col("n_docs").cast("double")
+                / 1_000_000.0
+            ).alias("mean_logit"),
+        )
+    )
+
+
+def source_quality_report_sql(table: str = "documents", weights: dict = QC_WEIGHTS) -> str:
+    inner = quality_classifier_sql(table, weights)
+    return f"""
+    WITH qc AS ({inner}),
+    j AS (
+        SELECT d.source, qc.quality_logit, qc.passes
+        FROM {table} d JOIN qc ON CAST(d.doc_id AS BIGINT) = qc.doc_id
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN passes THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+           CAST(SUM(CASE WHEN passes THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS pass_rate,
+           CAST(SUM(CAST(CASE WHEN quality_logit * 1000000 >= 0
+                    THEN floor(quality_logit * 1000000 + 0.5)
+                    ELSE -floor(-(quality_logit * 1000000) + 0.5)
+               END AS BIGINT)) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) / 1000000.0 AS mean_logit
+    FROM j
+    GROUP BY source
+    """
+
+
 def token_counts(docs: DataFrame) -> DataFrame:
     """Whitespace token count + BPE-ish regex token count + chars/token."""
     text = F.col("text")

@@ -180,6 +180,15 @@ def q_quality_classifier(spark, sf_dir):
 Q_QUALITY_CLASSIFIER_SQL = text.quality_classifier_sql()
 
 
+def q_source_quality_report(spark, sf_dir):
+    """Per-source curation dashboard: classifier pass rates + exact
+    fixed-point mean logit (operators/text.source_quality_report)."""
+    return text.source_quality_report(_docs(spark, sf_dir))
+
+
+Q_SOURCE_QUALITY_REPORT_SQL = text.source_quality_report_sql()
+
+
 def q_semantic_dedup(spark, sf_dir):
     """SemDeDup over the embeddings table (k-means clusters -> within-
     cluster cosine dups, lowest-id canonicals).  Iterative -> rows-only."""

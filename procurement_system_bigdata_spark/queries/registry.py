@@ -893,6 +893,16 @@ _register(
 )
 _register(
     QuerySpec(
+        name="source_quality_report",
+        fn=llmdata.q_source_quality_report,
+        oracle=llmdata.Q_SOURCE_QUALITY_REPORT_SQL,
+        description="Per-source curation dashboard: classifier pass rate + "
+        "exact fixed-point mean logit (one scan, one source-keyed shuffle)",
+        ops=("EXT-text", "EXT-sampling", "EXT-pipeline"),
+    )
+)
+_register(
+    QuerySpec(
         name="dedup_ngram_jaccard_capped",
         fn=llmdata.q_dedup_ngram_jaccard_capped,
         oracle=llmdata.Q_DEDUP_NGRAM_JACCARD_CAPPED_SQL,
