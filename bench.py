@@ -135,6 +135,21 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         return round(best, 4)
 
+    # Calibration anchor: a fixed, data-independent, pure-codegen workload
+    # (range + sum of a multiply) timed like any query.  Round-4's bisect
+    # showed cross-round bench deltas can be pure HOST DRIFT (the r02->r03
+    # "34% regression" reproduced on the r02 code itself); dividing any
+    # cross-round query delta by the calibration delta separates box speed
+    # from plan changes without needing a same-session A/B.
+    def _calibration(spark_, _sf):
+        # modulo keeps the per-row product small enough that the 2e8-row
+        # sum stays in BIGINT under ANSI mode
+        return spark_.range(1_000_000_000).selectExpr(
+            "sum((id % 1000003) * 31) AS s"
+        )
+
+    calibration_sec = timed(_calibration, sf_dir)
+
     times: dict[str, float] = {}
     for name, spec in bench_specs.items():
         times[name] = timed(spec.fn, sf_dir)
@@ -193,6 +208,7 @@ def main() -> None:
                 "vs_baseline": vs_baseline,
                 "baseline_sf": BASELINE_SF,
                 "best_of": BEST_OF,
+                "calibration_sec": calibration_sec,
             }
         )
     )
