@@ -339,6 +339,53 @@ def _corpus_curation_sql() -> str:
 Q_CORPUS_CURATION_SQL = _corpus_curation_sql()
 
 
+def semantic_curate(
+    docs: DataFrame,
+    emb: DataFrame,
+    tau: float = None,
+) -> DataFrame:
+    """SemDeDup-style corpus curation: quality-classifier gate ->
+    embedding-semantic dedup (keep cluster canonicals) -> deterministic
+    split — the embedding twin of ``curate_corpus`` (which gates on
+    heuristic quality and dedups on MinHash text overlap).  ``emb`` holds
+    one document embedding per doc (vec_id == doc_id, the standard
+    doc-embedding table contract).
+
+    Scale shape: classifier and split are map-side; semantic_dedup is the
+    cluster-bounded comparison (operators/similarity.semantic_dedup); the
+    final joins all key on doc_id so Catalyst reuses one hash exchange.
+    Iterative k-means underneath -> rows-only in the harness; composition
+    semantics pinned by tests."""
+    from ..operators import similarity as sim
+    from ..operators import text as text_ops
+
+    kwargs = {} if tau is None else {"tau": tau}
+    qc = (
+        text_ops.quality_classifier(docs)
+        .filter(F.col("passes"))
+        .select("doc_id", "quality_logit")
+    )
+    canon = (
+        sim.semantic_dedup(emb, **kwargs)
+        .filter(~F.col("is_semantic_dup"))
+        .select(F.col("vec_id").alias("doc_id"), "cluster")
+    )
+    split = sampling.train_val_test_split(docs).select("doc_id", "split")
+    meta_cols = [c for c in ("lang", "source") if c in docs.columns]
+    return (
+        docs.select(F.col("doc_id").cast("long").alias("doc_id"), *meta_cols)
+        .join(qc, "doc_id")
+        .join(canon, "doc_id")
+        .join(split, "doc_id")
+    )
+
+
+def q_semantic_curation(spark, sf_dir):
+    return semantic_curate(
+        _docs(spark, sf_dir), _emb(spark, sf_dir)
+    ).orderBy("doc_id")
+
+
 def q_exact_substring_pairs(spark, sf_dir):
     """Long shared-n-gram pairs (exact-substring dup signal; inverted
     gram-hash index, no all-pairs product)."""

@@ -893,6 +893,17 @@ _register(
 )
 _register(
     QuerySpec(
+        name="semantic_curation",
+        fn=llmdata.q_semantic_curation,
+        oracle=None,  # k-means underneath; composition semantics tested
+        description="SemDeDup-style curation: classifier gate -> embedding "
+        "semantic-dedup canonicals -> deterministic split (composed plan, "
+        "doc_id-keyed joins share one exchange); rows-only",
+        ops=("EXT-pipeline", "EXT-dedup", "EXT-similarity"),
+    )
+)
+_register(
+    QuerySpec(
         name="source_quality_report",
         fn=llmdata.q_source_quality_report,
         oracle=llmdata.Q_SOURCE_QUALITY_REPORT_SQL,

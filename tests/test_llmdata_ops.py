@@ -402,6 +402,63 @@ def test_semantic_decontamination_flags_planted_leak(spark):
     assert set(out) == exact
 
 
+def test_semantic_curation_composition(spark):
+    """The composed output must be exactly: classifier-passing docs that
+    are semantic-dedup canonicals, each with its split label — no row
+    invented, none lost."""
+    import pyspark.sql.functions as F
+
+    from procurement_system_bigdata_spark.operators import sampling
+    from procurement_system_bigdata_spark.operators import text as text_ops
+    from procurement_system_bigdata_spark.queries import llmdata
+
+    base_docs = load_table(spark, SF_DIR, "documents")
+    base_emb = load_table(spark, SF_DIR, "embeddings")
+    max_id = base_docs.agg(F.max(F.col("doc_id").cast("long"))).first()[0]
+    junk_id, dup_id = max_id + 1, max_id + 2
+    # plant: one classifier-failing junk doc, and one doc whose embedding
+    # exactly duplicates doc 0's (semantic dup -> non-canonical)
+    extra_docs = spark.createDataFrame(
+        [
+            (junk_id, "$$$ !!! ### @@@ %%% ^^^ &&&", "xx", "planted"),
+            (dup_id, "the quick brown fox and the lazy dog keep playing", "en", "planted"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    e0 = base_emb.filter(F.col("vec_id") == 0).first().embedding
+    extra_emb = spark.createDataFrame(
+        [(junk_id, list(e0)), (dup_id, list(e0))],
+        "vec_id long, embedding array<float>",
+    )
+    docs = base_docs.select("doc_id", "text", "lang", "source").unionAll(extra_docs)
+    emb = base_emb.select("vec_id", "embedding").unionAll(extra_emb)
+    out = {r.doc_id: r for r in llmdata.semantic_curate(docs, emb).collect()}
+
+    # planted rows behave: junk fails the classifier, the duplicate
+    # embedding is non-canonical — neither survives
+    assert junk_id not in out
+    assert dup_id not in out
+
+    passing = {
+        r.doc_id
+        for r in text_ops.quality_classifier(docs).filter("passes").collect()
+    }
+    canonical = {
+        r.vec_id
+        for r in similarity.semantic_dedup(emb).filter(
+            ~F.col("is_semantic_dup")
+        ).collect()
+    }
+    assert set(out) == passing & canonical
+    splits = {
+        r.doc_id: r.split
+        for r in sampling.train_val_test_split(docs).collect()
+    }
+    for did, row in out.items():
+        assert row.split == splits[did]
+        assert row.quality_logit > 0 or row.quality_logit == 0
+
+
 def test_topk_is_sorted_and_bounded(spark):
     out = similarity.cosine_topk(load_table(spark, SF_DIR, "embeddings")).collect()
     per_q: dict[int, list] = {}
