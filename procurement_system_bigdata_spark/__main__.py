@@ -91,6 +91,11 @@ def main(argv: list[str] | None = None) -> dict:
     )
     for family, name in datasets:
         df = out[name]
+        if df is None:
+            # the stage exhausted its retries (D2); the all_done summary
+            # below still records the run, with this dataset's metrics
+            # 0-defaulted and the failure named in failed_stages
+            continue
         if args.partitioned:
             sinks.write_partitioned(
                 df.withColumn("run_date", F.lit(args.date)),
@@ -103,13 +108,19 @@ def main(argv: list[str] | None = None) -> dict:
             sinks.write_single_json(df, directory, f"{name}.json")
 
     summary_dir = f"{args.out_root}/output/pipeline_summary"
-    sinks.write_task_log(args.out_root, "daily_pipeline", run_date, "success", out["summary"])
+    # the reference's summary task always runs (all_done), but a run with
+    # exhausted-retry stages must not be RECORDED as a clean success — the
+    # status names the degradation and the failed stages travel in the log
+    failed = out.get("failed_stages", [])
+    status = "success" if not failed else "degraded:" + ",".join(failed)
+    summary = dict(out["summary"], failed_stages=failed)
+    sinks.write_task_log(args.out_root, "daily_pipeline", run_date, status, summary)
     os.makedirs(summary_dir, exist_ok=True)
     with open(f"{summary_dir}/summary_{day}.json", "w") as f:
-        json.dump(out["summary"], f, indent=2, default=str)
+        json.dump(summary, f, indent=2, default=str)
     out["release"]()
-    print(json.dumps(out["summary"], default=str))
-    return out["summary"]
+    print(json.dumps(summary, default=str))
+    return summary
 
 
 if __name__ == "__main__":

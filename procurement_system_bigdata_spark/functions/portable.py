@@ -68,6 +68,24 @@ SIMHASH_N_CHUNKS = SIMHASH_BITS // SIMHASH_CHUNK_BITS
 SIMHASH_A, SIMHASH_B = minhash_params(SIMHASH_N_CHUNKS)
 
 
+def spark_half_away(col: Column) -> Column:
+    """Round-half-away-from-zero built from primitives that are
+    bit-identical in Spark and DuckDB (floor + arithmetic) — neither
+    engine's native round() matches the other's tie policy on negatives.
+    THE cross-engine fixed-pointing primitive: every micro-unit/cents
+    conversion in the engine must use this one definition (it used to be
+    re-implemented inline in three places; a tie-policy fix must only
+    ever need to happen here)."""
+    return F.when(col >= 0, F.floor(col + 0.5)).otherwise(-F.floor(-col + 0.5))
+
+
+def duck_half_away(expr: str) -> str:
+    return (
+        f"CASE WHEN ({expr}) >= 0 THEN floor(({expr}) + 0.5) "
+        f"ELSE -floor(-({expr}) + 0.5) END"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Normalization: lower, strip non-alphanumerics to spaces, squeeze, trim.
 # ---------------------------------------------------------------------------

@@ -364,7 +364,7 @@ def ivf_assignments(
         # an empty assignment frame with the right schema, not a crash
         # (empty partitions/days are routine input at scale)
         empty = emb.select(
-            "vec_id", "embedding", F.lit(0).alias("cluster")
+            "vec_id", "embedding", F.lit(0).cast("long").alias("cluster")
         ).limit(0)
         return empty, []
     assigned = None
@@ -621,10 +621,11 @@ def lsh_ann_candidates(
 
 
 def _half_away(col):
-    """Round-half-away-from-zero from primitives that are bit-identical in
-    Spark and DuckDB (floor + arithmetic) — neither engine's native round()
-    matches the other's tie policy on negatives."""
-    return F.when(col >= 0, F.floor(col + 0.5)).otherwise(-F.floor(-col + 0.5))
+    """Alias of the shared cross-engine primitive (functions/portable):
+    round-half-away-from-zero from floor + arithmetic."""
+    from ..functions.portable import spark_half_away
+
+    return spark_half_away(col)
 
 
 def quantize_embeddings(emb: DataFrame, bits: int = 8) -> DataFrame:
@@ -787,8 +788,10 @@ def semantic_dedup(
     vs the exact scorer, dup pairs always confirmed >= tau)."""
     assigned, cents = ivf_assignments(emb, k=k_clusters, iters=iters)
     if not cents:
+        # cluster is LONG to match the non-empty path's schema exactly —
+        # a data-dependent output schema breaks unions/fixed-schema sinks
         return emb.sparkSession.createDataFrame(
-            [], "vec_id long, cluster int, is_semantic_dup boolean, canonical_id long"
+            [], "vec_id long, cluster long, is_semantic_dup boolean, canonical_id long"
         )
     assigned = assigned.localCheckpoint(eager=False)
     a = assigned.select(

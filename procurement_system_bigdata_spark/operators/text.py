@@ -147,7 +147,9 @@ QC_WEIGHTS = {
 }
 
 
-def quality_classifier(docs: DataFrame, weights: dict = QC_WEIGHTS) -> DataFrame:
+def quality_classifier(
+    docs: DataFrame, weights: dict = QC_WEIGHTS, keep: tuple[str, ...] = ()
+) -> DataFrame:
     """(doc_id, quality_logit, passes): classifier-based quality filtering —
     the linear-model stage (fasttext/logistic over interpretable features)
     that large pretraining pipelines run after heuristic gates; documents
@@ -189,14 +191,25 @@ def quality_classifier(docs: DataFrame, weights: dict = QC_WEIGHTS) -> DataFrame
         + F.lit(w["wordlen"]) * f_wordlen
         + F.lit(w["uniq"]) * f_uniq
     )
+    # Empty/whitespace-only/NULL text: split("") is [""] so n_words=1 and a
+    # blank doc would otherwise score f_uniq=f_clean=1 and PASS (and ''
+    # would NULL-poison f_clean via 0/0).  Such docs get the bare intercept
+    # (< 0 for any sane model) — deterministically FAILING, never NULL.
+    empty = F.coalesce(F.length(norm), F.lit(0)) == 0
+    z = F.when(empty, F.lit(float(w["intercept"]))).otherwise(z)
     return docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
+        *[F.col(c) for c in keep],  # passthrough: keeps consumers single-scan
         z.alias("quality_logit"),
         (z >= 0).alias("passes"),
     )
 
 
-def quality_classifier_sql(table: str = "documents", weights: dict = QC_WEIGHTS) -> str:
+def quality_classifier_sql(
+    table: str = "documents",
+    weights: dict = QC_WEIGHTS,
+    keep: tuple[str, ...] = (),
+) -> str:
     w = weights
     norm = P.duck_norm_text("text")
     words = P.duck_words(norm)
@@ -215,10 +228,17 @@ def quality_classifier_sql(table: str = "documents", weights: dict = QC_WEIGHTS)
         f"+ {w['clean']} * ({f_clean}) + {w['wordlen']} * {f_wordlen} "
         f"+ {w['uniq']} * {f_uniq}"
     )
+    # mirror of the Spark empty-text guard: blank/NULL docs get the bare
+    # intercept, deterministically failing
+    zg = (
+        f"CASE WHEN coalesce(length({norm}), 0) = 0 "
+        f"THEN {float(w['intercept'])} ELSE {z} END"
+    )
+    keep_cols = "".join(f"{c}, " for c in keep)
     return f"""
     SELECT CAST(doc_id AS BIGINT) AS doc_id,
-           {z} AS quality_logit,
-           ({z}) >= 0 AS passes
+           {keep_cols}{zg} AS quality_logit,
+           ({zg}) >= 0 AS passes
     FROM {table}
     """
 
@@ -233,21 +253,15 @@ def source_quality_report(docs: DataFrame, weights: dict = QC_WEIGHTS) -> DataFr
     doc's logit is fixed-pointed to micro-units (floor-based half-away,
     bit-identical per engine), summed EXACTLY as BIGINT, and the mean
     derives from the exact sum — the same recipe as
-    unigram_logprob_scores.  One classifier scan (map-side) + one
-    source-keyed aggregation; at 100 TB this is a single shuffle of
-    per-partition partials."""
-    qc = quality_classifier(docs, weights)
-    scaled = F.col("quality_logit") * 1_000_000
-    logit6 = (
-        F.when(scaled >= 0, F.floor(scaled + 0.5))
-        .otherwise(-F.floor(-scaled + 0.5))
-        .cast("long")
-    )
-    joined = docs.select(
-        F.col("doc_id").cast("long").alias("doc_id"), "source"
-    ).join(qc, "doc_id")
+    unigram_logprob_scores.  GENUINELY one classifier scan (the
+    classifier's ``keep`` passthrough carries source, so no second scan or
+    doc_id join exists — the round-4 review caught the join version
+    contradicting this claim) + one source-keyed aggregation; at 100 TB
+    this is a single shuffle of per-partition partials."""
+    qc = quality_classifier(docs, weights, keep=("source",))
+    logit6 = P.spark_half_away(F.col("quality_logit") * 1_000_000).cast("long")
     return (
-        joined.groupBy("source")
+        qc.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(F.col("passes").cast("long")).alias("n_pass"),
@@ -270,24 +284,18 @@ def source_quality_report(docs: DataFrame, weights: dict = QC_WEIGHTS) -> DataFr
 
 
 def source_quality_report_sql(table: str = "documents", weights: dict = QC_WEIGHTS) -> str:
-    inner = quality_classifier_sql(table, weights)
+    inner = quality_classifier_sql(table, weights, keep=("source",))
+    logit6 = P.duck_half_away("quality_logit * 1000000")
     return f"""
-    WITH qc AS ({inner}),
-    j AS (
-        SELECT d.source, qc.quality_logit, qc.passes
-        FROM {table} d JOIN qc ON CAST(d.doc_id AS BIGINT) = qc.doc_id
-    )
+    WITH qc AS ({inner})
     SELECT source,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(CASE WHEN passes THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
            CAST(SUM(CASE WHEN passes THEN 1 ELSE 0 END) AS DOUBLE)
                / CAST(COUNT(*) AS DOUBLE) AS pass_rate,
-           CAST(SUM(CAST(CASE WHEN quality_logit * 1000000 >= 0
-                    THEN floor(quality_logit * 1000000 + 0.5)
-                    ELSE -floor(-(quality_logit * 1000000) + 0.5)
-               END AS BIGINT)) AS DOUBLE)
+           CAST(SUM(CAST({logit6} AS BIGINT)) AS DOUBLE)
                / CAST(COUNT(*) AS DOUBLE) / 1000000.0 AS mean_logit
-    FROM j
+    FROM qc
     GROUP BY source
     """
 
@@ -955,12 +963,7 @@ def unigram_logprob_scores(docs: DataFrame) -> DataFrame:
     freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
     total = freq.agg(F.sum("cnt").alias("total"))
     lp = F.log(F.col("cnt").cast("double") / F.col("total").cast("double"))
-    scaled = lp * 1_000_000
-    lp_fixed = (
-        F.when(scaled >= 0, F.floor(scaled + 0.5))
-        .otherwise(-F.floor(-scaled + 0.5))
-        .cast("long")
-    )
+    lp_fixed = P.spark_half_away(lp * 1_000_000).cast("long")
     lm = freq.crossJoin(F.broadcast(total)).select("w", lp_fixed.alias("lp6"))
     return (
         tok.join(F.broadcast(lm), "w")

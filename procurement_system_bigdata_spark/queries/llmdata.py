@@ -342,7 +342,7 @@ Q_CORPUS_CURATION_SQL = _corpus_curation_sql()
 def semantic_curate(
     docs: DataFrame,
     emb: DataFrame,
-    tau: float = None,
+    tau: float | None = None,
 ) -> DataFrame:
     """SemDeDup-style corpus curation: quality-classifier gate ->
     embedding-semantic dedup (keep cluster canonicals) -> deterministic
@@ -359,14 +359,15 @@ def semantic_curate(
     from ..operators import similarity as sim
     from ..operators import text as text_ops
 
-    kwargs = {} if tau is None else {"tau": tau}
     qc = (
         text_ops.quality_classifier(docs)
         .filter(F.col("passes"))
         .select("doc_id", "quality_logit")
     )
     canon = (
-        sim.semantic_dedup(emb, **kwargs)
+        sim.semantic_dedup(
+            emb, tau=tau if tau is not None else sim.SEMDEDUP_TAU
+        )
         .filter(~F.col("is_semantic_dup"))
         .select(F.col("vec_id").alias("doc_id"), "cluster")
     )

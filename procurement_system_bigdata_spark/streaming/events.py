@@ -274,10 +274,13 @@ def upsert_stream_foreachbatch(
         # the sole surviving copy.
         if os.path.exists(old) and not os.path.exists(base_path):
             os.rename(old, base_path)
-        # No commit marker here (the merge is idempotent), but batch ids
-        # are monotone: a staging dir from any EARLIER batch can never be
-        # swapped in again — sweep orphans a crash left behind.
-        _sweep_stale_staging(base_path, batch_id - 1)
+        # No commit marker here (the merge is idempotent) and no batch-id
+        # threshold either: checkpoint resets restart ids at 0, so an
+        # orphan from a PREVIOUS lineage can carry a higher id than the
+        # current batch (round-4 review).  Under the single-writer
+        # contract every pre-existing staging dir is dead — ours is
+        # (re)written below — so sweep them all.
+        _sweep_stale_staging(base_path, 2**62)
         w = Window.partitionBy(*keys).orderBy(
             F.desc("ts"), F.desc("event_id")
         )
@@ -459,7 +462,7 @@ def cms_stream_batch_fn(sketch_dir: str):
     import os
     import shutil
 
-    from ..operators.sketches import cms_merge, token_cms
+    from ..operators.sketches import CMS_SEED_OFFSET, cms_merge, token_cms
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -470,7 +473,22 @@ def cms_stream_batch_fn(sketch_dir: str):
         committed = -1
         if os.path.exists(marker):
             with open(marker) as f:
-                committed = json.load(f)["batch_id"]
+                meta = json.load(f)
+            committed = meta["batch_id"]
+            # Sketch buckets are keyed by the seed family: merging sketches
+            # built under DIFFERENT seeds silently corrupts every estimate
+            # (counts land in foreign buckets, the one-sided >= guarantee
+            # dies).  The marker pins the family; a mismatch (including a
+            # legacy marker with no seed field) must be rebuilt, not merged.
+            persisted_seed = meta.get("seed_offset")
+            if persisted_seed != CMS_SEED_OFFSET:
+                raise RuntimeError(
+                    f"persisted CMS sketch at {sketch_dir} was built with "
+                    f"seed family {persisted_seed!r}, engine now uses "
+                    f"{CMS_SEED_OFFSET}; delete the sketch dir and rebuild "
+                    "from the stream/corpus (merging across families "
+                    "corrupts counts silently)"
+                )
         _sweep_stale_staging(sketch_dir, committed)
         if batch_id <= committed:
             return  # replay of a committed batch: merging again would double-count
@@ -482,7 +500,7 @@ def cms_stream_batch_fn(sketch_dir: str):
         staged = f"{sketch_dir}._staging_v{batch_id}"
         new_sketch.write.mode("overwrite").parquet(staged)
         with open(os.path.join(staged, "_committed_batch"), "w") as f:
-            json.dump({"batch_id": batch_id}, f)
+            json.dump({"batch_id": batch_id, "seed_offset": CMS_SEED_OFFSET}, f)
         if os.path.exists(old):
             shutil.rmtree(old)
         if os.path.exists(sketch_dir):

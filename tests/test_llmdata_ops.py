@@ -315,6 +315,39 @@ def test_quality_classifier_decisions(spark):
     assert out[1].quality_logit > out[3].quality_logit > out[2].quality_logit
 
 
+def test_quality_classifier_blank_docs_fail_deterministically(spark):
+    """Round-4 review: split('') is [''] so a whitespace-only doc used to
+    score f_uniq=f_clean=1 and PASS, and ''-text NULL-poisoned f_clean.
+    Blank/whitespace/NULL docs must now all FAIL with the bare intercept —
+    never NULL — in BOTH engines."""
+    import duckdb
+
+    from procurement_system_bigdata_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, None), (4, "!!!")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in text_ops.quality_classifier(docs).collect()}
+    for did in (1, 2, 3, 4):
+        assert out[did].passes is False, did
+        assert out[did].quality_logit is not None, did
+    intercept = text_ops.QC_WEIGHTS["intercept"]
+    for did in (1, 2, 3):  # blank shapes get exactly the bare intercept
+        assert out[did].quality_logit == intercept, did
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        "(1, ''), (2, '   '), (3, NULL), (4, '!!!')) t(doc_id, text)"
+    )
+    rows = {
+        r[0]: r for r in con.execute(text_ops.quality_classifier_sql()).fetchall()
+    }
+    for did in (1, 2, 3):
+        assert rows[did][1] == intercept and rows[did][2] is False, did
+
+
 def test_semantic_dedup_finds_planted_duplicates(spark):
     """SemDeDup invariants on real embeddings + planted duplicates:
     (1) every planted exact copy is flagged with its original as canonical,

@@ -582,12 +582,44 @@ def test_stale_staging_dirs_swept_on_next_batch(spark, tmp_path):
     cfn(b1.select("doc_id", "text"), 1)
     assert not os.path.exists(corphan)
 
-    # markerless upsert: anything below the current batch id is dead
+    # markerless upsert: EVERY pre-existing staging dir is dead (batch ids
+    # restart at 0 after a checkpoint reset, so no threshold is safe —
+    # round-4 review), including ones with ids above the current batch
     base = str(tmp_path / "snap")
-    uorphan = f"{base}._staging_v3"
+    uorphan = f"{base}._staging_v57"
     os.makedirs(uorphan)
-    se._sweep_stale_staging(base, 4)
+    se._sweep_stale_staging(base, 2**62)
     assert not os.path.exists(uorphan)
+
+
+def test_cms_sketch_rejects_foreign_seed_family(spark, tmp_path):
+    """A persisted sketch built under a different (or legacy, unversioned)
+    CMS seed family must be REFUSED, not merged — cross-family merges
+    corrupt counts silently (round-4 review)."""
+    import json
+    import os
+
+    import pytest
+
+    sk_dir = str(tmp_path / "sketch")
+    fn = se.cms_stream_batch_fn(sk_dir)
+    b0 = spark.createDataFrame([(1, "alpha beta")], "doc_id long, text string")
+    fn(b0, 0)
+    marker = os.path.join(sk_dir, "_committed_batch")
+    meta = json.load(open(marker))
+    assert "seed_offset" in meta  # new sketches are versioned
+
+    # legacy marker (no seed field): refuse
+    json.dump({"batch_id": 0}, open(marker, "w"))
+    with pytest.raises(RuntimeError, match="seed family"):
+        fn(b0, 1)
+    # foreign seed: refuse
+    json.dump({"batch_id": 0, "seed_offset": 12345}, open(marker, "w"))
+    with pytest.raises(RuntimeError, match="seed family"):
+        fn(b0, 1)
+    # matching seed: accepted
+    json.dump(meta, open(marker, "w"))
+    fn(b0, 1)
 
 
 def test_streaming_cms_equals_batch_sketch(spark, tmp_path):

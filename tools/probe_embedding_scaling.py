@@ -89,11 +89,18 @@ def main():
         else:
             lsh4_s, lsh4_n = None, None
         ivf_s, ivf_n = timed_count(similarity.ivf_topk(corpus))
+        # the SemDeDup dial: k ~ N/target_cluster_size keeps within-cluster
+        # comparison volume (sum |c|^2) linear in N — scale k with copies
+        k_sd = max(similarity.IVF_CLUSTERS, n // 500)
+        sd_s, sd_n = timed_count(
+            similarity.semantic_dedup(corpus, k_clusters=k_sd)
+        )
         print(
             f"copies={copies} vectors={n} "
             f"lsh_tau0.9: {lsh9_s}s pairs={lsh9_n}  "
             f"lsh_tau0.4: {lsh4_s}s pairs={lsh4_n}  "
-            f"ivf_topk: {ivf_s}s rows={ivf_n}",
+            f"ivf_topk: {ivf_s}s rows={ivf_n}  "
+            f"semantic_dedup(k={k_sd}): {sd_s}s rows={sd_n}",
             flush=True,
         )
 
