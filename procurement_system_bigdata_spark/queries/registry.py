@@ -422,8 +422,11 @@ _register(
     QuerySpec(
         name="embedding_ann_lsh",
         fn=llmdata.q_embedding_ann_lsh,
-        oracle=None,  # approximate by design; tests assert ⊆ exact pairs
-        description="LSH-bucketed ANN candidates (scale path; rows-only)",
+        oracle=llmdata.Q_EMBEDDING_ANN_LSH_SQL,
+        description="LSH-bucketed ANN candidates, BOUNDED oracle check "
+        "(exact pair count + fixed-point exact score sum recomputed by "
+        "DuckDB; subset/score-exactness/recall-floor booleans asserted "
+        "TRUE in-oracle — the approx answer is self-validating in SQL)",
         ops=("EXT-similarity",),
     )
 )
@@ -431,9 +434,11 @@ _register(
     QuerySpec(
         name="embedding_ivf_topk",
         fn=llmdata.q_embedding_ivf_topk,
-        oracle=None,  # approximate (coarse-quantized probe); recall-tested
-        description="IVF-probed approximate top-k (k-means coarse quantizer, "
-        "n_probe clusters searched)",
+        oracle=llmdata.Q_EMBEDDING_IVF_TOPK_SQL,
+        description="IVF-probed approximate top-k (k-means coarse "
+        "quantizer), BOUNDED oracle check per query vector: full-k answer, "
+        "exact top-1/top-k fixed-point scores (oracle-recomputed), "
+        "bit-exact returned scores, recall >= documented floor",
         ops=("EXT-similarity",),
     )
 )
@@ -451,9 +456,11 @@ _register(
     QuerySpec(
         name="embedding_quantized_topk",
         fn=llmdata.q_embedding_quantized_topk,
-        oracle=None,  # int8 dot products: approximate by design; recall-tested
-        description="Top-k over int8-quantized vectors (integer dot products "
-        "rescaled; rows-only, recall vs exact tested)",
+        oracle=llmdata.Q_EMBEDDING_QUANTIZED_TOPK_SQL,
+        description="Top-k over int8-quantized vectors, BOUNDED oracle "
+        "check per query vector: full-k answer, exact fixed-point scores "
+        "(oracle-recomputed), |int8 cos - exact cos| <= QUANT_COS_EPS on "
+        "every returned pair, recall >= documented floor",
         ops=("EXT-similarity",),
     )
 )

@@ -84,7 +84,7 @@ def main():
         lsh9_s, lsh9_n = timed_count(similarity.lsh_ann_candidates(corpus, tau=0.9))
         if copies <= 4:
             lsh4_s, lsh4_n = timed_count(
-                similarity.lsh_ann_candidates(corpus, tau=0.4)
+                similarity.lsh_ann_candidates(corpus, tau=0.4, allow_low_tau=True)
             )
         else:
             lsh4_s, lsh4_n = None, None
