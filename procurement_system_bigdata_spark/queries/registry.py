@@ -941,3 +941,95 @@ _register(
         ops=("EXT-dedup", "EXT-similarity", "EXT-pipeline"),
     )
 )
+
+# ---------------------------------------------------------------------------
+# Driver snapshot ordering (round-4 judge ask #2).  The external driver's
+# CORRECTNESS gate samples the FIRST ``DRIVER_SNAPSHOT_N`` registry entries,
+# so registration order decides which queries get an external driver row.
+# Rounds 1-4 kept registration append-only and 38 queries (everything added
+# after the original 50) never received one.  The explicit order below
+# rotates the long-uncovered tail INTO the snapshot while keeping
+# aggregate_orders first (entry() smoke) and the reference-parity core
+# (Q1/Q2/Q3, sources/sinks analogs) under permanent driver coverage; every
+# snapshot entry must carry an oracle so the driver can hash-check it (the
+# six rows-only queries stay in the tail, where the self-sweep still covers
+# them).  tools/driver_sim.py records the post-rotation tail as
+# ``_meta.driver_uncovered``.
+# ---------------------------------------------------------------------------
+
+DRIVER_SNAPSHOT_N = 50
+_DRIVER_SNAPSHOT = [
+    # entry smoke + reference-parity core (kept under permanent coverage)
+    "aggregate_orders",
+    "net_demand",
+    "supplier_orders",
+    "snapshot_upsert",
+    "events_date_filter",
+    "events_hourly_rollup",
+    "events_json_props",
+    "pipeline_summary",
+    "row_counts",
+    "pricing_summary",
+    "adhoc_sql",
+    # never-driver-covered analytics tail (registered rounds 3-4)
+    "selective_revenue",
+    "big_orders",
+    "small_qty_revenue",
+    "shipping_priority",
+    "corr_stats",
+    "profile_orders",
+    "multi_grain_rollup",
+    "fk_integrity",
+    "hll_mergeable_users",
+    "funnel_conversion",
+    # never-driver-covered sketches
+    "value_histogram",
+    "value_histogram_by",
+    "histogram_quantiles",
+    "token_cms_sketch",
+    "cms_heavy_hitters",
+    # never-driver-covered sampling / mixing
+    "source_mixture",
+    "group_sample",
+    "stratified_sample",
+    # never-driver-covered text / dedup / embedding extensions
+    "unigram_logprob",
+    "embedding_dim_stats",
+    "decontamination",
+    "exact_substring_pairs",
+    "repetition_signals",
+    "pii_scrub",
+    "boilerplate_ngrams",
+    "bm25_search",
+    "char_entropy",
+    "doc_chunks",
+    "quality_classifier",
+    "source_quality_report",
+    "dedup_ngram_jaccard_capped",
+    "semantic_decontamination",
+    # newly oracle-bearing ANN reports (ex err:no_oracle rows)
+    "embedding_ann_lsh",
+    "embedding_ivf_topk",
+    "embedding_quantized_topk",
+    # representatives of the dedup/similarity families
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "embedding_topk",
+    "embedding_quantize",
+]
+
+
+def _apply_driver_order() -> None:
+    assert len(_DRIVER_SNAPSHOT) == DRIVER_SNAPSHOT_N
+    assert len(set(_DRIVER_SNAPSHOT)) == DRIVER_SNAPSHOT_N, "duplicate snapshot name"
+    missing = [n for n in _DRIVER_SNAPSHOT if n not in REGISTRY]
+    assert not missing, f"snapshot names not registered: {missing}"
+    no_oracle = [n for n in _DRIVER_SNAPSHOT if REGISTRY[n].oracle is None]
+    assert not no_oracle, f"snapshot entries must be hash-checkable: {no_oracle}"
+    tail = [n for n in REGISTRY if n not in set(_DRIVER_SNAPSHOT)]
+    ordered = {n: REGISTRY[n] for n in [*_DRIVER_SNAPSHOT, *tail]}
+    REGISTRY.clear()
+    REGISTRY.update(ordered)
+
+
+_apply_driver_order()

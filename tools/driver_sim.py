@@ -129,7 +129,10 @@ if out_path:
     # historically sampled the FIRST 50 registry queries; list the registry
     # tail it would not cover so self-green-not-driver-covered is machine-
     # readable instead of re-derived each round.
-    DRIVER_SNAPSHOT_N = 50
+    from procurement_system_bigdata_spark.queries.registry import (
+        DRIVER_SNAPSHOT_N,
+    )
+
     names = list(qs)
     meta = {
         "registry_total": len(names),
