@@ -87,6 +87,87 @@ def duck_half_away(expr: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Portable natural log of a positive BIGINT (round-4 judge ask #4).
+#
+# Native ln() differs in the last ulp between the JVM (Math.log) and libm,
+# so fixed-pointing AFTER a native log leaves a ~1e-10-per-value chance
+# that a .5 micro-unit rounding boundary flips between engines (the
+# documented unigram_logprob residual risk).  This implementation removes
+# the native log from the path entirely: decompose n = 2^e * m with m in
+# [1, 2) using EXACT integer comparisons, then ln(m) via the atanh series
+# 2z(1 + z^2/3 + z^4/5 + ...), z = (m-1)/(m+1) in [0, 1/3), evaluated in a
+# FIXED Horner order.  Every step is an IEEE-correctly-rounded +,-,*,/ (or
+# an exact integer op), and both engines (and the Python twin used by
+# tests) evaluate the identical expression tree on identical literals —
+# the result is the same double BIT PATTERN everywhere, so any downstream
+# rounding, however boundary-adjacent, agrees by construction.  Accuracy:
+# |z| < 1/3 and 18 series terms leave a relative remainder < 3^-37 ~ 2e-18
+# below double resolution; the value may differ from true ln(n) by a few
+# ulps, but CONSISTENTLY — which is the property the oracle needs.
+# ---------------------------------------------------------------------------
+
+_LN_TERMS = 18
+_LN_COEFFS = [1.0 / (2 * k + 1) for k in range(_LN_TERMS)]
+_LN2 = 0.6931471805599453  # nearest double to ln 2, as a shared literal
+_POW2 = [1 << k for k in range(63)]
+
+
+def spark_portable_ln(n: Column) -> Column:
+    """ln(n) for a positive BIGINT column, bit-identical across engines."""
+    powers = F.array(*[F.lit(p).cast("long") for p in _POW2[1:]])
+    e = F.size(F.filter(powers, lambda p: n >= p))
+    twoe = F.element_at(F.array(*[F.lit(float(p)) for p in _POW2]), e + 1)
+    m = n.cast("double") / twoe
+    z = (m - F.lit(1.0)) / (m + F.lit(1.0))
+    z2 = z * z
+    poly = F.lit(_LN_COEFFS[-1])
+    for c in reversed(_LN_COEFFS[:-1]):
+        poly = poly * z2 + F.lit(c)
+    return F.lit(2.0) * z * poly + e.cast("double") * F.lit(_LN2)
+
+
+def duck_portable_ln(expr: str) -> str:
+    """DuckDB fragment computing the identical expression tree.
+
+    Naively inlining e/m/z would nest the 63-literal power tables
+    exponentially (a ~200 KB expression), and DuckDB's correlated scalar
+    subqueries cannot see ``expr`` from two FROM levels down — so each
+    intermediate is bound ONCE via a single-element ``list_transform``
+    lambda (nn -> e -> m -> z), which nests captures fine and keeps the
+    fragment ~2 KB.  The Horner fold runs as ``list_reduce`` over the
+    shared coefficient list in the same order as the Spark/Python twins."""
+    pow_list = "[" + ", ".join(str(p) for p in _POW2[1:]) + "]"
+    powf_list = "[" + ", ".join(repr(float(p)) for p in _POW2) + "]"
+    coeffs = (
+        f"list_prepend({_LN_COEFFS[-1]!r}, ["
+        + ", ".join(repr(c) for c in reversed(_LN_COEFFS[:-1]))
+        + "])"
+    )
+    return (
+        f"(list_transform([CAST({expr} AS BIGINT)], nn -> "
+        f"list_transform([len(list_filter({pow_list}, p -> nn >= p))], e -> "
+        f"list_transform([CAST(nn AS DOUBLE) / ({powf_list})[e + 1]], m -> "
+        f"list_transform([(m - 1.0) / (m + 1.0)], z -> "
+        f"2.0 * z * list_reduce({coeffs}, (acc, c) -> acc * (z * z) + c) "
+        f"+ CAST(e AS DOUBLE) * {_LN2!r})[1])[1])[1])[1])"
+    )
+
+
+def py_portable_ln(n: int) -> float:
+    """Python twin (CPython floats are IEEE doubles with the same rounding)
+    — used by tests to mine adversarial rounding-boundary inputs and to
+    assert all three implementations agree bitwise."""
+    e = sum(1 for p in _POW2[1:] if n >= p)
+    m = float(n) / float(_POW2[e])
+    z = (m - 1.0) / (m + 1.0)
+    z2 = z * z
+    poly = _LN_COEFFS[-1]
+    for c in reversed(_LN_COEFFS[:-1]):
+        poly = poly * z2 + c
+    return 2.0 * z * poly + float(e) * _LN2
+
+
+# ---------------------------------------------------------------------------
 # Normalization: lower, strip non-alphanumerics to spaces, squeeze, trim.
 # ---------------------------------------------------------------------------
 
