@@ -194,6 +194,18 @@ def main() -> None:
         "aggregate_orders net_demand supplier_orders events_hourly_rollup "
         "pricing_summary dedup_fingerprint embedding_topk selective_revenue"
     ).split()
+    r02_subtotal = round(sum(times[n] for n in R02_SET if n in times), 4)
+    # Box-drift normalization (round-4 judge ask #6): cross-round bench
+    # deltas mix plan changes with host-state drift (the r02->r03 "34%
+    # regression" reproduced on unchanged code).  The calibration anchor is
+    # data-independent pure codegen, so scaling this run's numbers by
+    # (reference-round calibration / this run's calibration) re-expresses
+    # them in round-4-box seconds: compare *_normalized across rounds
+    # without a worktree bisect.  CALIBRATION_REF pins the round-4 sf0.1
+    # recording (BENCH_r04.json) as the epoch; bump it only when the anchor
+    # workload itself changes (and say so in DESIGN.md).
+    CALIBRATION_REF = 0.2973
+    drift = CALIBRATION_REF / calibration_sec if calibration_sec else None
     print(
         json.dumps(
             {
@@ -201,14 +213,20 @@ def main() -> None:
                 "value": round(sum(times.values()), 4),
                 "unit": "sec",
                 "queries": times,
-                "r02_set_subtotal": round(
-                    sum(times[n] for n in R02_SET if n in times), 4
-                ),
+                "r02_set_subtotal": r02_subtotal,
                 "sf": sf_val,
                 "vs_baseline": vs_baseline,
                 "baseline_sf": BASELINE_SF,
                 "best_of": BEST_OF,
                 "calibration_sec": calibration_sec,
+                "calibration_ref": CALIBRATION_REF,
+                "host_drift_factor": round(drift, 4) if drift else None,
+                "value_normalized": (
+                    round(sum(times.values()) * drift, 4) if drift else None
+                ),
+                "r02_set_subtotal_normalized": (
+                    round(r02_subtotal * drift, 4) if drift else None
+                ),
             }
         )
     )
