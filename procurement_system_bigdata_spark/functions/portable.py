@@ -112,18 +112,42 @@ _LN2 = 0.6931471805599453  # nearest double to ln 2, as a shared literal
 _POW2 = [1 << k for k in range(63)]
 
 
+def _let(value: Column, body) -> Column:
+    """Bind ``value`` once as a lambda variable: Catalyst evaluates
+    expression TREES, so a subexpression referenced k times is evaluated k
+    times (no CSE inside interpreted higher-order functions) — naively
+    chaining e -> m -> z -> 17 Horner references of z² re-evaluates the
+    power-table filter ~70x per call, which measured minutes-per-500-docs
+    when applied per distinct char in char_entropy.  A single-element
+    transform makes the binding a slot read, the exact Spark twin of the
+    DuckDB fragment's list_transform trick."""
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
 def spark_portable_ln(n: Column) -> Column:
     """ln(n) for a positive BIGINT column, bit-identical across engines."""
     powers = F.array(*[F.lit(p).cast("long") for p in _POW2[1:]])
-    e = F.size(F.filter(powers, lambda p: n >= p))
-    twoe = F.element_at(F.array(*[F.lit(float(p)) for p in _POW2]), e + 1)
-    m = n.cast("double") / twoe
-    z = (m - F.lit(1.0)) / (m + F.lit(1.0))
-    z2 = z * z
-    poly = F.lit(_LN_COEFFS[-1])
-    for c in reversed(_LN_COEFFS[:-1]):
-        poly = poly * z2 + F.lit(c)
-    return F.lit(2.0) * z * poly + e.cast("double") * F.lit(_LN2)
+    powf = F.array(*[F.lit(float(p)) for p in _POW2])
+
+    def with_n(nn: Column) -> Column:
+        def with_e(e: Column) -> Column:
+            def with_m(m: Column) -> Column:
+                def with_z(z: Column) -> Column:
+                    z2 = z * z
+                    poly = F.lit(_LN_COEFFS[-1])
+                    for c in reversed(_LN_COEFFS[:-1]):
+                        poly = poly * z2 + F.lit(c)
+                    return (
+                        F.lit(2.0) * z * poly + e.cast("double") * F.lit(_LN2)
+                    )
+
+                return _let((m - F.lit(1.0)) / (m + F.lit(1.0)), with_z)
+
+            return _let(nn.cast("double") / F.element_at(powf, e + 1), with_m)
+
+        return _let(F.size(F.filter(powers, lambda p: nn >= p)), with_e)
+
+    return _let(n.cast("long"), with_n)
 
 
 def duck_portable_ln(expr: str) -> str:

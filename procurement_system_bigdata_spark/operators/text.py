@@ -717,12 +717,20 @@ def bm25_search(
     )
     tf = hits.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # Robertson idf ln((N - df + 0.5)/(df + 0.5) + 1) algebraically equals
+    # ln 2 + ln(N+1) - ln(2 df + 1) — all-INTEGER log arguments, so
+    # portable_ln makes the idf the same double bit pattern in both
+    # engines (native ln differs in the last ulp; this used to be patched
+    # by rounding the final score to 6 decimals, which still leaves a
+    # rounding-boundary flake — the unigram_logprob lesson).
     idf = df_.crossJoin(F.broadcast(stats.select("n_docs"))).select(
         "term",
-        F.log(
-            (F.col("n_docs").cast("double") - F.col("df") + 0.5)
-            / (F.col("df").cast("double") + 0.5)
-            + 1.0
+        (
+            F.lit(P._LN2)
+            + P.spark_portable_ln(F.col("n_docs") + F.lit(1).cast("long"))
+            - P.spark_portable_ln(
+                F.lit(2).cast("long") * F.col("df") + F.lit(1).cast("long")
+            )
         ).alias("idf"),
     )
     scored = (
@@ -742,13 +750,15 @@ def bm25_search(
             ).alias("term_score"),
         )
     )
-    # ROUNDED to 6 decimals before ranking: idf uses ln(), which differs in
-    # the last ulp between the JVM and libm (see tf_idf_top_terms) — rounding
-    # makes score values AND the top-k cut identical across engines, with
-    # doc_id as the total-order tiebreak.
+    # Per-term scores are bit-deterministic (portable idf + one fixed IEEE
+    # expression; avgdl is an exact integer-sum mean), so fixed-pointing
+    # each to micro-units and summing as BIGINTs makes the doc score —
+    # and therefore the top-k cut — exact under ANY aggregation order in
+    # either engine; the final bm25 double derives from the exact sum.
+    score6 = P.spark_half_away(F.col("term_score") * 1_000_000).cast("long")
     return (
         scored.groupBy("doc_id")
-        .agg(F.round(F.sum("term_score"), 6).alias("bm25"))
+        .agg((F.sum(score6).cast("double") / 1_000_000).alias("bm25"))
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(top_k)
     )
@@ -780,8 +790,8 @@ def bm25_search_sql(
     df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
     idf AS (
         SELECT term,
-               ln((CAST(n_docs AS DOUBLE) - df + 0.5)
-                  / (CAST(df AS DOUBLE) + 0.5) + 1.0) AS idf
+               {P._LN2!r} + {P.duck_portable_ln('n_docs + 1')}
+                   - {P.duck_portable_ln('2 * df + 1')} AS idf
         FROM df CROSS JOIN stats
     ),
     scored AS (
@@ -795,7 +805,9 @@ def bm25_search_sql(
         JOIN lengths l ON tf.doc_id = l.doc_id
         CROSS JOIN stats s
     )
-    SELECT doc_id, ROUND(SUM(term_score), 6) AS bm25
+    SELECT doc_id,
+           CAST(SUM(CAST({P.duck_half_away('term_score * 1000000')} AS BIGINT))
+                AS DOUBLE) / 1000000 AS bm25
     FROM scored
     GROUP BY doc_id
     ORDER BY bm25 DESC, doc_id ASC
@@ -816,42 +828,66 @@ def char_entropy(docs: DataFrame) -> DataFrame:
 
     H = -sum p_c*log2(p_c), computed with array expressions (distinct chars
     x filter count per row — bounded by alphabet size, map-side only).
-    ROUNDED to 6 decimals: log2 differs in the last ulp between the JVM and
-    libm (same story as tf_idf_top_terms), rounding restores cross-engine
-    equality.
+    Each term uses portable_ln on the INTEGER char counts (p_c*log2(p_c) =
+    (c/n)*(ln c - ln n)/ln 2), so every term — and the fixed left-fold sum
+    of terms — is the same double bit pattern in Spark and DuckDB; no
+    native log2, no rounding mitigation needed (the old ROUND(6) patch
+    still left a rounding-boundary flake, the unigram_logprob lesson).
     """
     chars = F.filter(F.split(F.col("text"), ""), lambda c: c != "")
     n = F.size(chars)
-    probs = F.transform(
-        F.array_distinct(chars),
-        lambda x: F.size(F.filter(chars, lambda y: y == x)).cast("double")
-        / n.cast("double"),
-    )
-    h = -F.aggregate(
-        probs, F.lit(0.0), lambda acc, p: acc + p * F.log2(p)
-    )
+
+    # ln(n) is bound ONCE PER ROW (not per distinct char) and each char's
+    # count once per term — expression-tree references re-evaluate under
+    # interpreted higher-order functions, so the bindings cut the per-doc
+    # cost roughly in half without changing a single computed value.
+    # distinct chars are SORTED before the fold: DuckDB's list_distinct
+    # returns hash-set order (measured different from Spark's first-
+    # occurrence order), and a double fold is order-sensitive at the ulp —
+    # the old ROUND(6) masked exactly this.  Single-char strings sort by
+    # binary memcmp identically in both engines, so the sorted fold is the
+    # same sequence of IEEE adds everywhere.
+    def h_of(ln_n):
+        terms = F.transform(
+            F.array_sort(F.array_distinct(chars)),
+            lambda x: P._let(
+                F.size(F.filter(chars, lambda y: y == x)).cast("long"),
+                lambda cnt: (cnt.cast("double") / n.cast("double"))
+                * (P.spark_portable_ln(cnt) - ln_n),
+            ),
+        )
+        return -F.aggregate(terms, F.lit(0.0), lambda acc, t: acc + t) / F.lit(
+            P._LN2
+        )
+
+    h = P._let(P.spark_portable_ln(n.cast("long")), h_of)
     return docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         n.cast("long").alias("n_chars"),
-        F.when(n > 0, F.round(h, 6)).otherwise(F.lit(0.0)).alias("entropy_bits"),
+        F.when(n > 0, h).otherwise(F.lit(0.0)).alias("entropy_bits"),
     )
 
 
 def char_entropy_sql(table: str = "documents") -> str:
+    # same binding discipline as the Spark side: ln(n) computed once per
+    # row in the subquery, each char count bound once in the term lambda
+    term = (
+        "list_transform([len(list_filter(chars, y -> y = x))], cnt -> "
+        "(CAST(cnt AS DOUBLE) / CAST(len(chars) AS DOUBLE))"
+        f" * ({P.duck_portable_ln('cnt')} - ln_n))[1]"
+    )
     return f"""
     SELECT CAST(doc_id AS BIGINT) AS doc_id,
            CAST(len(chars) AS BIGINT) AS n_chars,
            CASE WHEN len(chars) > 0 THEN
-               ROUND(-list_reduce(list_prepend(0.0,
-                   list_transform(list_distinct(chars),
-                       x -> (CAST(len(list_filter(chars, y -> y = x)) AS DOUBLE)
-                             / CAST(len(chars) AS DOUBLE))
-                            * log2(CAST(len(list_filter(chars, y -> y = x)) AS DOUBLE)
-                                   / CAST(len(chars) AS DOUBLE)))),
-                   (a, b) -> a + b), 6)
+               -list_reduce(list_prepend(0.0,
+                   list_transform(list_sort(list_distinct(chars)), x -> {term})),
+                   (a, b) -> a + b) / {P._LN2!r}
            ELSE 0.0 END AS entropy_bits
-    FROM (SELECT doc_id, list_filter(string_split(text, ''), c -> c != '') AS chars
-          FROM {table})
+    FROM (SELECT doc_id, chars, {P.duck_portable_ln('len(chars)')} AS ln_n
+          FROM (SELECT doc_id,
+                       list_filter(string_split(text, ''), c -> c != '') AS chars
+                FROM {table}))
     """
 
 
