@@ -280,3 +280,177 @@ def source_mixture_weights_sql(
            ELSE 0.0 END AS sampling_weight
     FROM per_source, tot
     """
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance resampling (Xie et al. 2023, arXiv:2302.03169):
+# select raw-corpus documents whose hashed-n-gram distribution looks like a
+# high-quality target corpus.  The published recipe, distributable:
+#
+#   1. features = unigrams + bigrams of the normalized text, hashed into
+#      DSIR_BUCKETS buckets (the paper's "hashed n-gram" feature space);
+#   2. fit bag-of-buckets unigram LMs on the TARGET slice (source ==
+#      target_source) and on the RAW rest, add-1 smoothed;
+#   3. per raw document, log importance weight = sum over gram occurrences
+#      of log p_target(bucket) - log p_raw(bucket);
+#   4. keep the top ``select_n`` by weight (paper: Gumbel-top-k; the
+#      deterministic top-k with doc_id tiebreak is the oracle-checkable
+#      variant — swap in Gumbel noise for production diversity).
+#
+# Scale shape: both LMs are DSIR_BUCKETS-sized -> the lambda (log-ratio)
+# table is broadcast; scoring is explode -> map-side broadcast join -> ONE
+# doc_id-keyed shuffle for the per-doc sum.  The global top-k window is the
+# harness-scale selection; at 100 TB replace it with a threshold from an
+# approx_percentile of logw (map-side filter, no global sort) — the weights
+# themselves are unchanged.
+#
+# Cross-engine exactness: the gram hash is the portable polynomial hash,
+# the four logs have INTEGER arguments and use portable_ln (same double bit
+# pattern in Spark/DuckDB), each bucket's log-ratio is fixed-pointed to
+# micro-units, and per-doc sums are exact BIGINTs — order-independent under
+# any partitioning, so the whole operator (including the top-k cut) is
+# bit-exact against the oracle.
+# ---------------------------------------------------------------------------
+
+DSIR_TARGET_SOURCE = "src0"
+DSIR_BUCKETS = 4096
+DSIR_SELECT_N = 100
+
+
+def _dsir_grams(ws):
+    """Unigrams + bigrams of a normalized word array (empty docs -> [])."""
+    return F.concat(
+        F.filter(ws, lambda w: w != ""), P.spark_word_shingles(ws, 2)
+    )
+
+
+def dsir_importance(
+    docs: DataFrame,
+    target_source: str = DSIR_TARGET_SOURCE,
+    n_buckets: int = DSIR_BUCKETS,
+    select_n: int = DSIR_SELECT_N,
+) -> DataFrame:
+    """(doc_id, n_grams, logw_micro, selected) for every RAW document
+    (source != target_source): DSIR hashed-n-gram importance weights vs
+    the target slice, micro-unit fixed-point, top-``select_n`` selected."""
+    from pyspark.sql.window import Window
+
+    words = P.spark_words(P.spark_norm_text(F.col("text")))
+    base = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        _dsir_grams(words).alias("grams"),
+    )
+    tok = base.select(
+        "doc_id", "source", F.explode("grams").alias("g")
+    ).select(
+        "doc_id",
+        "source",
+        (P.spark_str_hash(F.col("g")) % n_buckets).alias("b"),
+    )
+    tcnt = (
+        tok.filter(F.col("source") == target_source)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("cnt_t"))
+    )
+    rcnt = (
+        tok.filter(F.col("source") != target_source)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("cnt_r"))
+    )
+    tots = tcnt.agg(
+        F.coalesce(F.sum("cnt_t"), F.lit(0).cast("long")).alias("tot_t")
+    ).crossJoin(
+        rcnt.agg(
+            F.coalesce(F.sum("cnt_r"), F.lit(0).cast("long")).alias("tot_r")
+        )
+    )
+    lam_expr = (
+        P.spark_portable_ln(F.coalesce(F.col("cnt_t"), F.lit(0).cast("long")) + 1)
+        - P.spark_portable_ln(F.col("tot_t") + n_buckets)
+        - P.spark_portable_ln(F.col("cnt_r") + 1)
+        + P.spark_portable_ln(F.col("tot_r") + n_buckets)
+    )
+    lam = (
+        rcnt.join(tcnt, "b", "left")
+        .crossJoin(F.broadcast(tots))
+        .select("b", P.spark_half_away(lam_expr * 1_000_000).cast("long").alias("lam6"))
+    )
+    scored = (
+        tok.filter(F.col("source") != target_source)
+        .join(F.broadcast(lam), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("lam6").alias("logw6"),
+        )
+    )
+    raw_docs = base.filter(F.col("source") != target_source).select("doc_id")
+    joined = raw_docs.join(scored, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_grams"), F.lit(0).cast("long")).alias("n_grams"),
+        F.coalesce(F.col("logw6"), F.lit(0).cast("long")).alias("logw_micro"),
+    )
+    w = Window.orderBy(F.desc("logw_micro"), F.asc("doc_id"))
+    return joined.select(
+        "doc_id",
+        "n_grams",
+        "logw_micro",
+        (F.row_number().over(w) <= select_n).alias("selected"),
+    )
+
+
+def dsir_importance_sql(
+    table: str = "documents",
+    target_source: str = DSIR_TARGET_SOURCE,
+    n_buckets: int = DSIR_BUCKETS,
+    select_n: int = DSIR_SELECT_N,
+) -> str:
+    nt = P.duck_norm_text("text")
+    lam_expr = (
+        f"({P.duck_portable_ln('COALESCE(cnt_t, 0) + 1')}"
+        f" - {P.duck_portable_ln(f'tot_t + {n_buckets}')}"
+        f" - {P.duck_portable_ln('cnt_r + 1')}"
+        f" + {P.duck_portable_ln(f'tot_r + {n_buckets}')}) * 1000000"
+    )
+    return f"""
+    WITH base AS (
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+               list_concat(list_filter(ws, w -> w <> ''),
+                           {P.duck_word_shingles('ws', 2)}) AS grams
+        FROM (SELECT doc_id, source, {P.duck_words('nt')} AS ws
+              FROM (SELECT doc_id, source, {nt} AS nt FROM {table}))
+    ),
+    tok AS (
+        SELECT doc_id, source, ({P.duck_str_hash('g')}) % {n_buckets} AS b
+        FROM (SELECT doc_id, source, unnest(grams) AS g FROM base)
+    ),
+    tcnt AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cnt_t FROM tok
+             WHERE source = '{target_source}' GROUP BY b),
+    rcnt AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cnt_r FROM tok
+             WHERE source <> '{target_source}' GROUP BY b),
+    tots AS (
+        SELECT CAST(COALESCE((SELECT SUM(cnt_t) FROM tcnt), 0) AS BIGINT) AS tot_t,
+               CAST(COALESCE((SELECT SUM(cnt_r) FROM rcnt), 0) AS BIGINT) AS tot_r
+    ),
+    lam AS (
+        SELECT r.b,
+               CAST({P.duck_half_away(lam_expr)} AS BIGINT) AS lam6
+        FROM rcnt r LEFT JOIN tcnt t USING (b) CROSS JOIN tots
+    ),
+    scored AS (
+        SELECT tok.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(SUM(lam6) AS BIGINT) AS logw6
+        FROM tok JOIN lam USING (b)
+        WHERE tok.source <> '{target_source}'
+        GROUP BY tok.doc_id
+    )
+    SELECT b.doc_id,
+           CAST(COALESCE(s.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(COALESCE(s.logw6, 0) AS BIGINT) AS logw_micro,
+           ROW_NUMBER() OVER (ORDER BY COALESCE(s.logw6, 0) DESC, b.doc_id ASC)
+               <= {select_n} AS selected
+    FROM (SELECT doc_id FROM base WHERE source <> '{target_source}') b
+    LEFT JOIN scored s USING (doc_id)
+    """

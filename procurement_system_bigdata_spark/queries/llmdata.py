@@ -287,6 +287,17 @@ def q_stratified_sample(spark, sf_dir):
 Q_STRATIFIED_SAMPLE_SQL = sampling.stratified_sample_sql()
 
 
+def q_dsir_importance(spark, sf_dir):
+    """DSIR importance resampling (Xie et al. 2023): hashed-n-gram
+    importance weights of every raw doc vs the src0 target slice,
+    deterministic top-k selection; bit-exact (portable hash + portable_ln
+    + micro-unit BIGINT sums)."""
+    return sampling.dsir_importance(_docs(spark, sf_dir))
+
+
+Q_DSIR_IMPORTANCE_SQL = sampling.dsir_importance_sql()
+
+
 # --- end-to-end corpus curation ------------------------------------------
 
 CURATION_MIN_QUALITY = 0.45

@@ -942,6 +942,20 @@ _register(
     )
 )
 
+_register(
+    QuerySpec(
+        name="dsir_importance",
+        fn=llmdata.q_dsir_importance,
+        oracle=llmdata.Q_DSIR_IMPORTANCE_SQL,
+        description="DSIR importance resampling (Xie et al. 2023, "
+        "arXiv:2302.03169): hashed unigram+bigram LMs on target vs raw "
+        "slices (broadcast, bucket-sized), per-doc log importance weight "
+        "as exact micro-unit BIGINT sums, deterministic top-k selection; "
+        "bit-exact oracle via portable hash + portable_ln",
+        ops=("EXT-sampling", "EXT-pipeline", "EXT-text"),
+    )
+)
+
 # ---------------------------------------------------------------------------
 # Driver snapshot ordering (round-4 judge ask #2).  The external driver's
 # CORRECTNESS gate samples the FIRST ``DRIVER_SNAPSHOT_N`` registry entries,

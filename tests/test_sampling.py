@@ -202,3 +202,27 @@ def test_exact_substring_pairs_detects_quoting(spark):
     jac = dedup.ngram_jaccard_pairs(docs, shingle_n=1, threshold=0.01).collect()
     j12 = [r.jaccard for r in jac if (r.doc_a, r.doc_b) == (1, 2)]
     assert j12 and j12[0] < 0.1
+
+
+def test_dsir_ranks_targetlike_docs_above_dissimilar(spark):
+    """DSIR (Xie et al. 2023) semantic floor: a raw doc written in the
+    target slice's vocabulary must out-weigh a raw doc of alien vocabulary,
+    and weights must be partitioning-invariant (exact BIGINT sums)."""
+    target_text = "supply chain procurement invoice ledger " * 5
+    rows = [
+        (1, target_text, "src0"),
+        (2, target_text, "src0"),
+        (3, "procurement invoice ledger supply chain audit", "raw"),
+        (4, "zebra quantum nebula walrus fjord kumquat", "raw"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.doc_id: r for r in sampling.dsir_importance(docs, select_n=1).collect()}
+    assert set(out) == {3, 4}, "only raw docs are scored"
+    assert out[3].logw_micro > out[4].logw_micro
+    assert out[3].selected and not out[4].selected
+
+    again = {
+        r.doc_id: r.logw_micro
+        for r in sampling.dsir_importance(docs.repartition(7), select_n=1).collect()
+    }
+    assert again == {k: v.logw_micro for k, v in out.items()}
