@@ -635,6 +635,177 @@ def incremental_dedup(
     return admitted.select("doc_id", "fingerprint"), updated_index
 
 
+INCREMENTAL_NEW_MOD = 5  # registry carve-out: doc_id % 5 == 0 is the "new batch"
+
+
+def incremental_dedup_admitted(
+    new_docs: DataFrame, corpus_docs: DataFrame
+) -> DataFrame:
+    """Oracle-shaped wrapper over :func:`incremental_dedup`: dedup the new
+    batch against an index built from ``corpus_docs`` and return the
+    admitted (doc_id, fingerprint) rows as ONE DataFrame — SQL-expressible
+    (window + anti-join), so the driver's DuckDB oracle hash-checks the
+    whole daily-ingest admission path, not just its unit tests."""
+    norm = P.spark_norm_text(F.col("text"))
+    seen = corpus_docs.select(F.md5(norm).alias("fingerprint")).distinct()
+    admitted, _ = incremental_dedup(new_docs, seen)
+    return admitted
+
+
+def incremental_dedup_admitted_sql(
+    table: str = "documents", new_mod: int = INCREMENTAL_NEW_MOD
+) -> str:
+    norm = P.duck_norm_text("text")
+    return f"""
+    WITH new_fp AS (
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, md5({norm}) AS fingerprint
+        FROM {table} WHERE doc_id % {new_mod} = 0
+    ),
+    seen AS (
+        SELECT DISTINCT md5({norm}) AS fingerprint
+        FROM {table} WHERE doc_id % {new_mod} <> 0
+    ),
+    batch_first AS (
+        SELECT doc_id, fingerprint FROM (
+            SELECT doc_id, fingerprint,
+                   ROW_NUMBER() OVER (PARTITION BY fingerprint
+                                      ORDER BY doc_id) AS rn
+            FROM new_fp
+        ) WHERE rn = 1
+    )
+    SELECT b.doc_id, b.fingerprint
+    FROM batch_first b ANTI JOIN seen s USING (fingerprint)
+    """
+
+
+def incremental_neardup_pairs(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    shingle_n: int = 1,
+    threshold: float = 0.9,
+    k: int = P.MINHASH_K,
+    n_bands: int = P.MINHASH_BANDS,
+    fast_hash: bool = False,
+) -> DataFrame:
+    """(new_id, corpus_id, jaccard): NEAR-duplicates of the new batch
+    against the accumulated corpus — the incremental counterpart of
+    :func:`minhash_lsh_pairs`, with a strictly cheaper join shape: band
+    keys of the NEW side join the corpus band index, so no old-old (or
+    new-new) pair is ever generated and the corpus is never self-joined.
+
+    Daily-ingest shape at 100 TB: the corpus side here recomputes
+    signatures for oracle parity, but the production artifact is the
+    persisted (band, key, corpus_id) index (signatures are 100-1000x
+    smaller than text and already the compute-once block of
+    minhash_lsh_pairs); per batch the cost is new-side tokenize+sign (one
+    shuffle over the BATCH), one keyed join against the bucketed index
+    (shuffle-free if the index is bucketed by (band, key)), and exact
+    Jaccard confirms only on candidates.  Contract: doc_id spaces of the
+    two inputs must be disjoint (the registry query carves one table by
+    doc_id % INCREMENTAL_NEW_MOD).
+
+    Candidate banding and the Jaccard confirm are the deterministic
+    portable primitives, so the oracle hash-checks the full output.
+    """
+    if k % n_bands:
+        raise ValueError(f"n_bands={n_bands} must divide k={k}")
+    r = k // n_bands
+
+    def _stack(docs: DataFrame, out_id: str) -> DataFrame:
+        sigs = minhash_signatures(docs, shingle_n, k, fast_hash).localCheckpoint(
+            eager=False
+        )
+        bands = sigs.select("doc_id", *_band_key_cols(r, n_bands))
+        return bands.select(
+            F.col("doc_id").alias(out_id),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"), F.col(f"band{b}").alias("key")
+                        )
+                        for b in range(n_bands)
+                    ]
+                )
+            ).alias("bk"),
+        ).select(out_id, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    cand = (
+        _stack(new_docs, "new_id")
+        .join(_stack(corpus_docs, "corpus_id"), ["band", "key"])
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+
+    def _sets(docs: DataFrame, out_id: str, out_hs: str) -> DataFrame:
+        return (
+            _doc_token_hashes(docs, shingle_n, fast_hash)
+            .groupBy("doc_id")
+            .agg(F.sort_array(F.collect_set("h")).alias(out_hs))
+            .withColumnRenamed("doc_id", out_id)
+        )
+
+    sa = _sets(new_docs, "new_id", "hs_a")
+    sb = _sets(corpus_docs, "corpus_id", "hs_b")
+    n_common = F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b")))
+    jac = n_common.cast("double") / (
+        F.size(F.col("hs_a")) + F.size(F.col("hs_b")) - n_common
+    )
+    return (
+        cand.join(sa, "new_id")
+        .join(sb, "corpus_id")
+        .select("new_id", "corpus_id", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def incremental_neardup_pairs_sql(
+    table: str = "documents",
+    shingle_n: int = 1,
+    threshold: float = 0.9,
+    new_mod: int = INCREMENTAL_NEW_MOD,
+) -> str:
+    """DuckDB mirror at the ORACLE dial; new batch = doc_id % new_mod == 0."""
+    r = P.MINHASH_K_ORACLE // P.MINHASH_BANDS_ORACLE
+    tok = _duck_doc_token_hashes(table, shingle_n)
+    minhash_cols = ", ".join(
+        f"MIN(({P.MINHASH_A_ORACLE[i]} * h + {P.MINHASH_B_ORACLE[i]}) % {P.HASH_P}) AS m{i}"
+        for i in range(P.MINHASH_K_ORACLE)
+    )
+    band_cols = ", ".join(
+        " || '-' || ".join(f"CAST(m{b * r + j} AS VARCHAR)" for j in range(r))
+        + f" AS band{b}"
+        for b in range(P.MINHASH_BANDS_ORACLE)
+    )
+    band_union = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, band{b} AS key FROM bands"
+        for b in range(P.MINHASH_BANDS_ORACLE)
+    )
+    return f"""
+    WITH tok0 AS ({tok}),
+    sigs AS (SELECT doc_id, {minhash_cols} FROM tok0 GROUP BY doc_id),
+    bands AS (SELECT doc_id, {band_cols} FROM sigs),
+    stacked AS ({band_union}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id
+        FROM stacked a JOIN stacked b
+          ON a.band = b.band AND a.key = b.key
+        WHERE a.doc_id % {new_mod} = 0 AND b.doc_id % {new_mod} <> 0
+    ),
+    doc_sets AS (SELECT doc_id, list_sort(list(DISTINCT h)) AS hs
+                 FROM tok0 GROUP BY doc_id)
+    SELECT cand.new_id, cand.corpus_id,
+           CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+               / (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))) AS jaccard
+    FROM cand
+    JOIN doc_sets a ON a.doc_id = cand.new_id
+    JOIN doc_sets b ON b.doc_id = cand.corpus_id
+    WHERE CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+              / (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)))
+          >= {threshold}
+    """
+
+
 # ---------------------------------------------------------------------------
 # Exact-substring duplication (long shared n-gram pairs)
 # ---------------------------------------------------------------------------

@@ -72,6 +72,35 @@ Q_DEDUP_NGRAM_JACCARD_CAPPED_SQL = dedup.ngram_jaccard_pairs_sql(
 )
 
 
+def _incremental_split(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    new = docs.filter(F.col("doc_id") % dedup.INCREMENTAL_NEW_MOD == 0)
+    corpus = docs.filter(F.col("doc_id") % dedup.INCREMENTAL_NEW_MOD != 0)
+    return new, corpus
+
+
+def q_incremental_exact(spark, sf_dir):
+    """Daily-ingest exact admission: dedup the new batch (doc_id % 5 == 0)
+    against the accumulated corpus fingerprint index."""
+    new, corpus = _incremental_split(spark, sf_dir)
+    return dedup.incremental_dedup_admitted(new, corpus)
+
+
+Q_INCREMENTAL_EXACT_SQL = dedup.incremental_dedup_admitted_sql()
+
+
+def q_incremental_neardup(spark, sf_dir):
+    """Daily-ingest NEAR-dup detection: new batch banded against the corpus
+    MinHash index (oracle dial), exact-Jaccard confirmed."""
+    new, corpus = _incremental_split(spark, sf_dir)
+    return dedup.incremental_neardup_pairs(
+        new, corpus, k=P.MINHASH_K_ORACLE, n_bands=P.MINHASH_BANDS_ORACLE
+    )
+
+
+Q_INCREMENTAL_NEARDUP_SQL = dedup.incremental_neardup_pairs_sql()
+
+
 def q_simhash_fingerprints(spark, sf_dir):
     return dedup.simhash_fingerprints(_docs(spark, sf_dir))
 

@@ -956,6 +956,30 @@ _register(
     )
 )
 
+_register(
+    QuerySpec(
+        name="incremental_exact",
+        fn=llmdata.q_incremental_exact,
+        oracle=llmdata.Q_INCREMENTAL_EXACT_SQL,
+        description="Incremental ingest admission: exact-fingerprint dedup "
+        "of the new batch (doc_id % 5 == 0) against the accumulated corpus "
+        "index — batch-first winner + anti-join, no corpus rescan",
+        ops=("EXT-dedup", "EXT-pipeline"),
+    )
+)
+
+_register(
+    QuerySpec(
+        name="incremental_neardup",
+        fn=llmdata.q_incremental_neardup,
+        oracle=llmdata.Q_INCREMENTAL_NEARDUP_SQL,
+        description="Incremental ingest NEAR-dup: new batch banded against "
+        "the corpus MinHash (band, key) index — no old-old self-join; "
+        "exact-Jaccard confirmed, deterministic oracle",
+        ops=("EXT-dedup", "EXT-pipeline"),
+    )
+)
+
 # ---------------------------------------------------------------------------
 # Driver snapshot ordering (round-4 judge ask #2).  The external driver's
 # CORRECTNESS gate samples the FIRST ``DRIVER_SNAPSHOT_N`` registry entries,

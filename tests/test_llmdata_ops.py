@@ -888,6 +888,58 @@ def test_incremental_dedup_across_batches(spark):
     assert a3.count() == 0
 
 
+def test_incremental_neardup_only_cross_pairs(spark):
+    """The incremental band join must report new-vs-corpus near-dups ONLY:
+    a duplicate pair wholly inside the corpus (or wholly inside the new
+    batch) never appears, and a planted cross near-dup does."""
+    from procurement_system_bigdata_spark.functions import portable as P
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta"),  # corpus-internal dup
+            (3, "unrelated totally different words here"),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon zeta"),  # dup of 1 and 2
+            (11, "brand new never seen content block"),
+            (12, "brand new never seen content block"),   # new-internal dup
+        ],
+        "doc_id long, text string",
+    )
+    out = dedup.incremental_neardup_pairs(
+        new, corpus, k=P.MINHASH_K_ORACLE, n_bands=P.MINHASH_BANDS_ORACLE,
+        threshold=0.9,
+    ).collect()
+    pairs = {(r.new_id, r.corpus_id) for r in out}
+    assert (10, 1) in pairs and (10, 2) in pairs
+    # no corpus-internal (1,2) pair in either orientation, no new-internal (11,12)
+    assert all(p[0] in {10, 11, 12} and p[1] in {1, 2, 3} for p in pairs)
+    assert all(r.jaccard >= 0.9 for r in out)
+    # exact dups score jaccard == 1.0
+    assert {r.jaccard for r in out if r.new_id == 10} == {1.0}
+
+
+def test_incremental_exact_admission(spark):
+    """incremental_dedup_admitted: batch-first winner per fingerprint,
+    then anti-join against the corpus fingerprints."""
+    corpus = spark.createDataFrame(
+        [(1, "seen before"), (2, "also seen")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "SEEN   before!"),  # normalizes to corpus content -> dropped
+            (11, "fresh content"),
+            (12, "fresh content"),   # loses the batch-first race to 11
+        ],
+        "doc_id long, text string",
+    )
+    out = dedup.incremental_dedup_admitted(new, corpus).collect()
+    assert {r.doc_id for r in out} == {11}
+
+
 def test_sequence_packing_budget_and_order(spark):
     """Greedy packing: budget respected (except single oversize chunks),
     chunk order preserved inside sequences, nothing lost."""
