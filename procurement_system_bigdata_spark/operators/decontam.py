@@ -122,3 +122,172 @@ def decontaminate_sql(
            CAST(h.n_overlap AS DOUBLE) / s.bench_grams AS contamination
     FROM hits h JOIN bench_sizes s USING (bench_id)
     """
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination (constant-size membership state).
+#
+# The exact path above broadcasts the benchmark's distinct-gram set; when
+# the eval suite grows to billions of grams (multi-benchmark union, 13-gram
+# windows over whole eval corpora) that broadcast is the bottleneck.  The
+# standard production fix is a Bloom filter: an m-bit bitmap with
+# k = BLOOM_K positions per gram (Kirsch-Mitzenmacher double hashing —
+# pos_i = (h1 + i*h2) mod m needs only two base hashes per key), built once
+# over the benchmark side and broadcast everywhere; a corpus gram is
+# "possibly contaminated" iff ALL k of its positions are set.  False
+# positives at rate ~(1 - e^{-kB/m})^k are the accepted price (they only
+# over-flag, never under-flag — safe for decontamination); false negatives
+# are impossible.  Bitmaps from per-benchmark shards merge by OR, so the
+# filter builds map-side and unions like any sketch.
+#
+# Harness representation: the filter IS the relation of set bit positions
+# (exact same membership semantics as the packed bitmap, including real
+# false positives), so both engines compute it in pure SQL and the oracle
+# hash-checks actual Bloom behavior.  At 100 TB you'd pack these positions
+# into a byte-array bitmap (m bits = m/8 bytes; 1.2 GB for 1e10 bits) and
+# broadcast that instead of a join relation; the positions, and therefore
+# every flag decision, are identical.
+#
+# All arithmetic is BIGINT-safe: h < 2^31, h2 <= m, i < k, so
+# h + i*h2 < 2^31 + k*m << 2^63 in both engines.
+# ---------------------------------------------------------------------------
+
+BLOOM_M_BITS = 1 << 15
+BLOOM_K = 4
+
+
+def _bloom_positions(h, m: int, k: int):
+    """Spark: array of the k bit positions for base hash column ``h``."""
+    h2 = (h % F.lit(m - 1)) + 1
+    return F.array(*[(h + F.lit(i) * h2) % F.lit(m) for i in range(k)])
+
+
+def _duck_bloom_positions(h: str, m: int, k: int) -> str:
+    return (
+        f"list_transform(range(0, {k}), i -> "
+        f"(({h}) + i * ((({h}) % {m - 1}) + 1)) % {m})"
+    )
+
+
+def bloom_decontaminate(
+    corpus: DataFrame,
+    benchmarks: DataFrame,
+    n: int = 13,
+    m_bits: int = BLOOM_M_BITS,
+    k_hashes: int = BLOOM_K,
+) -> DataFrame:
+    """(doc_id, n_grams, n_flagged, flagged) for EVERY corpus document:
+    ``n_flagged`` counts the doc's distinct normalized n-grams whose k Bloom
+    positions are all set in the filter built from the benchmark side;
+    ``flagged`` (>= 1 hit) marks the doc for drop/review.  Superset-of-exact
+    guarantee: every doc the exact :func:`decontaminate` reports is flagged
+    here (no false negatives); the excess is the measured FP rate.
+
+    Scale shape: ONE aggregation builds the filter (distinct positions of
+    the benchmark grams — in production a packed m-bit bitmap, see module
+    note), broadcast to the corpus scan; corpus grams explode to k position
+    rows, match map-side, and the only shuffles are the per-doc counts,
+    keyed on doc_id like every other per-doc scorer.
+    """
+    h_expr = P.spark_str_hash(F.col("g"))
+    words = P.spark_words(P.spark_norm_text(F.col("text")))
+    doc_g = (
+        corpus.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.explode(F.array_distinct(P.spark_word_shingles(words, n))).alias("g"),
+        )
+        .select("doc_id", h_expr.alias("h"))
+        .distinct()
+    )
+    bench_words = P.spark_words(P.spark_norm_text(F.col("text")))
+    bits = (
+        benchmarks.select(
+            F.explode(F.array_distinct(P.spark_word_shingles(bench_words, n))).alias("g")
+        )
+        .select(F.explode(_bloom_positions(h_expr, m_bits, k_hashes)).alias("bit"))
+        .distinct()
+    )
+    probe = doc_g.select(
+        "doc_id",
+        "h",
+        F.explode(_bloom_positions(F.col("h"), m_bits, k_hashes)).alias("bit"),
+    )
+    gram_hits = (
+        probe.join(F.broadcast(bits), "bit")
+        .groupBy("doc_id", "h")
+        .agg(F.count(F.lit(1)).alias("n_set"))
+        .filter(F.col("n_set") == k_hashes)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_flagged"))
+    )
+    per_doc = corpus.select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    ).join(
+        doc_g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams")),
+        "doc_id",
+        "left",
+    )
+    return per_doc.join(gram_hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_grams"), F.lit(0).cast("long")).alias("n_grams"),
+        F.coalesce(F.col("n_flagged"), F.lit(0).cast("long")).alias("n_flagged"),
+        (F.coalesce(F.col("n_flagged"), F.lit(0).cast("long")) >= 1).alias("flagged"),
+    )
+
+
+def bloom_decontaminate_sql(
+    table: str = "documents",
+    n: int = DECONTAM_NGRAM,
+    m_bits: int = BLOOM_M_BITS,
+    k_hashes: int = BLOOM_K,
+    bench_mod: int = DECONTAM_BENCH_MOD,
+) -> str:
+    """DuckDB mirror of the registry query: benchmark = docs with
+    doc_id %% bench_mod == 0, corpus = the rest (same carve-out as the
+    exact ``decontamination`` query, so Bloom-vs-exact is comparable)."""
+    norm = P.duck_norm_text("text")
+    shingles = P.duck_word_shingles("ws", n)
+    h = P.duck_str_hash("g")
+    return f"""
+    WITH corpus AS (
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, {norm} AS nt
+        FROM {table} WHERE doc_id % {bench_mod} <> 0
+    ),
+    bench AS (
+        SELECT {norm} AS nt FROM {table} WHERE doc_id % {bench_mod} = 0
+    ),
+    doc_g AS (
+        SELECT DISTINCT doc_id, {h} AS h
+        FROM (SELECT doc_id, unnest(list_distinct({shingles})) AS g
+              FROM (SELECT doc_id, {P.duck_words('nt')} AS ws FROM corpus))
+    ),
+    bits AS (
+        SELECT DISTINCT unnest({_duck_bloom_positions(h, m_bits, k_hashes)}) AS bit
+        FROM (SELECT DISTINCT g FROM
+              (SELECT unnest(list_distinct({shingles})) AS g
+               FROM (SELECT {P.duck_words('nt')} AS ws FROM bench)))
+    ),
+    probe AS (
+        SELECT doc_id, h, unnest({_duck_bloom_positions('h', m_bits, k_hashes)}) AS bit
+        FROM doc_g
+    ),
+    gram_hits AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_flagged FROM (
+            SELECT doc_id, h
+            FROM probe JOIN bits USING (bit)
+            GROUP BY doc_id, h
+            HAVING COUNT(*) = {k_hashes}
+        ) GROUP BY doc_id
+    ),
+    n_grams AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams
+        FROM doc_g GROUP BY doc_id
+    )
+    SELECT c.doc_id,
+           CAST(COALESCE(g.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(COALESCE(f.n_flagged, 0) AS BIGINT) AS n_flagged,
+           COALESCE(f.n_flagged, 0) >= 1 AS flagged
+    FROM corpus c
+    LEFT JOIN n_grams g USING (doc_id)
+    LEFT JOIN gram_hits f USING (doc_id)
+    """

@@ -588,6 +588,29 @@ def _decontamination_sql():
 Q_DECONTAMINATION_SQL = _decontamination_sql()
 
 
+def q_bloom_decontamination(spark, sf_dir):
+    """Bloom-filter decontamination over the SAME benchmark carve-out as
+    ``decontamination``: constant-size membership state, zero false
+    negatives, oracle hash-checks the real FP behavior of the
+    (m_bits, k) dial — operators/decontam.py."""
+    from ..operators import decontam
+
+    docs = _docs(spark, sf_dir)
+    mod = decontam.DECONTAM_BENCH_MOD
+    corpus = docs.filter(F.col("doc_id") % mod != 0)
+    bench = docs.filter(F.col("doc_id") % mod == 0)
+    return decontam.bloom_decontaminate(corpus, bench, n=decontam.DECONTAM_NGRAM)
+
+
+def _bloom_decontamination_sql():
+    from ..operators import decontam
+
+    return decontam.bloom_decontaminate_sql()
+
+
+Q_BLOOM_DECONTAMINATION_SQL = _bloom_decontamination_sql()
+
+
 # --- multimodal (rows-only: binary payloads have no SQL oracle) ----------
 
 def q_media_resize(spark, sf_dir):

@@ -958,6 +958,19 @@ _register(
 
 _register(
     QuerySpec(
+        name="bloom_decontamination",
+        fn=llmdata.q_bloom_decontamination,
+        oracle=llmdata.Q_BLOOM_DECONTAMINATION_SQL,
+        description="Bloom-filter decontamination: m-bit k-hash membership "
+        "filter over the benchmark n-grams (Kirsch-Mitzenmacher double "
+        "hashing, mergeable by OR), zero false negatives; oracle "
+        "hash-checks the exact flag set incl. real FP behavior",
+        ops=("EXT-decontam", "EXT-sketch", "EXT-pipeline"),
+    )
+)
+
+_register(
+    QuerySpec(
         name="incremental_exact",
         fn=llmdata.q_incremental_exact,
         oracle=llmdata.Q_INCREMENTAL_EXACT_SQL,

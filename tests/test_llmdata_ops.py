@@ -1072,6 +1072,70 @@ def test_decontamination_flags_planted_overlap(spark):
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
 
 
+def test_bloom_decontamination_superset_of_exact(spark):
+    """Zero-false-negative guarantee on the registry carve-out at sf0.001:
+    every doc the exact n-gram decontaminator reports is flagged by the
+    Bloom path; the filter join is broadcast."""
+    import pyspark.sql.functions as F
+
+    from procurement_system_bigdata_spark.operators import decontam
+
+    docs = load_table(spark, SF_DIR, "documents")
+    mod = decontam.DECONTAM_BENCH_MOD
+    corpus = docs.filter(F.col("doc_id") % mod != 0)
+    bench = docs.filter(F.col("doc_id") % mod == 0)
+    exact_ids = {
+        r.doc_id
+        for r in decontam.decontaminate(
+            corpus, bench, n=decontam.DECONTAM_NGRAM
+        ).select("doc_id").distinct().collect()
+    }
+    bloom = decontam.bloom_decontaminate(
+        corpus, bench, n=decontam.DECONTAM_NGRAM
+    )
+    flagged = {r.doc_id for r in bloom.collect() if r.flagged}
+    assert exact_ids, "carve-out must produce exact hits for the test to bite"
+    assert exact_ids <= flagged
+    plan = bloom._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_bloom_decontamination_dial_behavior(spark):
+    """m_bits is the precision dial: a saturated filter (m tiny) flags every
+    doc with >= 1 gram; a huge sparse filter flags exactly the exact-overlap
+    docs (FP probability ~0); every output row covers every corpus doc."""
+    from procurement_system_bigdata_spark.operators import decontam
+
+    bench_text = " ".join(f"eval{i}" for i in range(6))
+    corpus = spark.createDataFrame(
+        [
+            (1, bench_text + " tail words beyond"),          # true overlap
+            (2, " ".join(f"clean{i}" for i in range(12))),   # clean
+            (3, "ab"),                                       # < n words: 0 grams
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(100, bench_text)], "bench_id long, text string")
+
+    tiny = {
+        r.doc_id: r
+        for r in decontam.bloom_decontaminate(
+            corpus, bench, n=3, m_bits=8, k_hashes=2
+        ).collect()
+    }
+    assert tiny[1].flagged and tiny[2].flagged  # saturated -> all-gram docs flag
+    assert tiny[3].n_grams == 0 and not tiny[3].flagged
+
+    huge = {
+        r.doc_id: r
+        for r in decontam.bloom_decontaminate(
+            corpus, bench, n=3, m_bits=1 << 22, k_hashes=4
+        ).collect()
+    }
+    assert huge[1].flagged and huge[1].n_flagged == 4  # the 4 shared 3-grams
+    assert not huge[2].flagged and not huge[3].flagged
+
+
 def test_quantization_error_bound_and_roundtrip(spark):
     """Symmetric int8 quantization invariants: |x - q*scale| <= scale/2 per
     element, q in [-127, 127], all-zero vectors keep scale 0 and quantize
