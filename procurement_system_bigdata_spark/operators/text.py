@@ -1048,3 +1048,184 @@ def unigram_logprob_scores_sql(table: str = "documents") -> str:
     FROM tok t JOIN lm l USING (w)
     GROUP BY t.doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# Stupid-backoff bigram LM (Brants et al. 2007, "Large Language Models in
+# Machine Translation" — the LM scheme DESIGNED for trillion-token
+# distributed corpora: no discounting passes, no normalization join, every
+# count usable the moment the count tables exist):
+#
+#   S(w2 | w1) = c(w1 w2) / c(w1)                 if c(w1 w2) > 0
+#              = 0.4 * (c(w2) + 1) / (N + V + 1)  otherwise (add-1 unigram
+#                                                  backoff, OOV-safe)
+#
+# Trained on the reference slice (source == LM_TRAIN_SOURCE, the same
+# "clean target" convention as DSIR), scored over every other document —
+# the fluency/quality gate a pretraining pipeline thresholds on (a bigram
+# LM catches scrambled or boilerplate text that unigram frequency misses).
+#
+# Scale shape: the unigram table is vocab-sized -> BROADCAST; the bigram
+# count table is the big artifact (~unique-bigram-sized) and joins the
+# scoring stream on the bigram key with a plain keyed shuffle — unhinted,
+# so AQE broadcasts it when it fits and shuffles when it doesn't.  Per doc
+# one final doc_id-keyed aggregation, same as every scorer here.
+#
+# Cross-engine exactness: every log has an INTEGER argument (counts and
+# the 2/5 decomposition of alpha = 0.4), so portable_ln + micro-unit
+# fixed-point + exact BIGINT sums make the whole score bit-deterministic —
+# the interpolated-LM alternative (Jelinek-Mercer) needs ln of a SUM of
+# rationals, which has no integer-argument decomposition; stupid backoff
+# is both the published scale recipe AND the oracle-exact one.
+# ---------------------------------------------------------------------------
+
+LM_TRAIN_SOURCE = "src0"
+
+
+def bigram_backoff_scores(
+    docs: DataFrame, train_source: str = LM_TRAIN_SOURCE
+) -> DataFrame:
+    """(doc_id, n_bigrams, n_backoff, mean_logscore) for every document
+    OUTSIDE the training slice: mean stupid-backoff bigram log-score under
+    the LM trained on ``source == train_source``.  ``n_backoff`` counts
+    bigrams that fell through to the unigram path (high ratio = text unlike
+    the reference corpus — the thresholding signal)."""
+    norm = P.spark_norm_text(F.col("text"))
+    words = P.spark_words(norm)
+    train = docs.filter(F.col("source") == train_source)
+    utok = (
+        train.select(F.explode(words).alias("w")).filter(F.col("w") != "")
+    )
+    ucnt = utok.groupBy("w").agg(F.count(F.lit(1)).alias("cu"))
+    bcnt = (
+        train.select(F.explode(P.spark_word_shingles(words, 2)).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    tots = ucnt.agg(
+        F.coalesce(F.sum("cu"), F.lit(0).cast("long")).alias("n_tok"),
+        F.count(F.lit(1)).alias("v_size"),
+    )
+    scored = docs.filter(F.col("source") != train_source)
+    base = scored.select(F.col("doc_id").cast("long").alias("doc_id"))
+    tok = scored.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(P.spark_word_shingles(words, 2)).alias("bg"),
+    ).select(
+        "doc_id",
+        "bg",
+        F.split(F.col("bg"), " ")[0].alias("w1"),
+        F.split(F.col("bg"), " ")[1].alias("w2"),
+    )
+    u1 = ucnt.select(F.col("w").alias("w1"), F.col("cu").alias("cu1"))
+    u2 = ucnt.select(F.col("w").alias("w2"), F.col("cu").alias("cu2"))
+    hit = F.col("cb").isNotNull()
+    s_hit = P.spark_portable_ln(F.col("cb")) - P.spark_portable_ln(F.col("cu1"))
+    s_miss = (
+        P.spark_portable_ln(F.lit(2).cast("long"))
+        - P.spark_portable_ln(F.lit(5).cast("long"))
+        + P.spark_portable_ln(F.coalesce(F.col("cu2"), F.lit(0).cast("long")) + 1)
+        - P.spark_portable_ln(F.col("n_tok") + F.col("v_size") + 1)
+    )
+    lp6 = P.spark_half_away(
+        F.when(hit, s_hit).otherwise(s_miss) * 1_000_000
+    ).cast("long")
+    per_doc = (
+        tok.join(bcnt, "bg", "left")
+        .join(F.broadcast(u1), "w1", "left")
+        .join(F.broadcast(u2), "w2", "left")
+        .crossJoin(F.broadcast(tots))
+        .select("doc_id", hit.alias("hit"), lp6.alias("lp6"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.when(F.col("hit"), 0).otherwise(1)).alias("n_backoff"),
+            F.sum("lp6").alias("s"),
+        )
+    )
+    return base.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_bigrams"), F.lit(0).cast("long")).alias("n_bigrams"),
+        F.coalesce(F.col("n_backoff"), F.lit(0).cast("long")).alias("n_backoff"),
+        F.when(
+            F.coalesce(F.col("n_bigrams"), F.lit(0)) > 0,
+            F.col("s").cast("double")
+            / F.col("n_bigrams").cast("double")
+            / 1_000_000,
+        )
+        .otherwise(F.lit(0.0))
+        .alias("mean_logscore"),
+    )
+
+
+def bigram_backoff_scores_sql(
+    table: str = "documents", train_source: str = LM_TRAIN_SOURCE
+) -> str:
+    nt = P.duck_norm_text("text")
+    shingles = P.duck_word_shingles("ws", 2)
+    s_hit = (
+        f"{P.duck_portable_ln('cb')} - {P.duck_portable_ln('cu1')}"
+    )
+    s_miss = (
+        f"{P.duck_portable_ln('2')} - {P.duck_portable_ln('5')}"
+        f" + {P.duck_portable_ln('COALESCE(cu2, 0) + 1')}"
+        f" - {P.duck_portable_ln('n_tok + v_size + 1')}"
+    )
+    return f"""
+    WITH train_w AS (
+        SELECT {P.duck_words('nt')} AS ws
+        FROM (SELECT {nt} AS nt FROM {table} WHERE source = '{train_source}')
+    ),
+    ucnt AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS cu
+        FROM (SELECT unnest(ws) AS w FROM train_w) WHERE w <> '' GROUP BY w
+    ),
+    bcnt AS (
+        SELECT bg, CAST(COUNT(*) AS BIGINT) AS cb
+        FROM (SELECT unnest({shingles}) AS bg FROM train_w) GROUP BY bg
+    ),
+    tots AS (
+        SELECT CAST(COALESCE(SUM(cu), 0) AS BIGINT) AS n_tok,
+               CAST(COUNT(*) AS BIGINT) AS v_size
+        FROM ucnt
+    ),
+    scored AS (
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, {P.duck_words('nt')} AS ws
+        FROM (SELECT doc_id, {nt} AS nt FROM {table}
+              WHERE source <> '{train_source}')
+    ),
+    tok AS (
+        SELECT doc_id, bg,
+               split_part(bg, ' ', 1) AS w1,
+               split_part(bg, ' ', 2) AS w2
+        FROM (SELECT doc_id, unnest({shingles}) AS bg FROM scored)
+    ),
+    per_bg AS (
+        SELECT t.doc_id,
+               b.cb IS NOT NULL AS hit,
+               CAST({P.duck_half_away(
+                   f"(CASE WHEN b.cb IS NOT NULL THEN {s_hit} ELSE {s_miss} END)"
+                   " * 1000000"
+               )} AS BIGINT) AS lp6
+        FROM tok t
+        LEFT JOIN bcnt b USING (bg)
+        LEFT JOIN (SELECT w AS w1, cu AS cu1 FROM ucnt) x1 USING (w1)
+        LEFT JOIN (SELECT w AS w2, cu AS cu2 FROM ucnt) x2 USING (w2)
+        CROSS JOIN tots
+    ),
+    per_doc AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(SUM(CASE WHEN hit THEN 0 ELSE 1 END) AS BIGINT) AS n_backoff,
+               CAST(SUM(lp6) AS BIGINT) AS s
+        FROM per_bg GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           CAST(COALESCE(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           CAST(COALESCE(p.n_backoff, 0) AS BIGINT) AS n_backoff,
+           CASE WHEN COALESCE(p.n_bigrams, 0) > 0 THEN
+               CAST(p.s AS DOUBLE) / CAST(p.n_bigrams AS DOUBLE) / 1000000
+           ELSE 0.0 END AS mean_logscore
+    FROM (SELECT doc_id FROM scored) b
+    LEFT JOIN per_doc p USING (doc_id)
+    """

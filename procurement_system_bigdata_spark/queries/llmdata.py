@@ -473,6 +473,16 @@ def q_unigram_logprob(spark, sf_dir):
 Q_UNIGRAM_LOGPROB_SQL = text.unigram_logprob_scores_sql()
 
 
+def q_bigram_lm_score(spark, sf_dir):
+    """Stupid-backoff bigram-LM fluency scores (Brants et al. 2007):
+    LM trained on the src0 slice, every other doc scored; bit-exact via
+    portable_ln + micro-unit BIGINT sums — operators/text.py."""
+    return text.bigram_backoff_scores(_docs(spark, sf_dir))
+
+
+Q_BIGRAM_LM_SCORE_SQL = text.bigram_backoff_scores_sql()
+
+
 # --- count-min sketch (mergeable heavy-hitter counts) --------------------
 
 def q_token_cms_sketch(spark, sf_dir):

@@ -958,6 +958,20 @@ _register(
 
 _register(
     QuerySpec(
+        name="bigram_lm_score",
+        fn=llmdata.q_bigram_lm_score,
+        oracle=llmdata.Q_BIGRAM_LM_SCORE_SQL,
+        description="Stupid-backoff bigram LM (Brants et al. 2007, the "
+        "trillion-token distributed LM recipe): trained on the src0 slice, "
+        "per-doc mean log-score + backoff rate over the rest; broadcast "
+        "unigram table, keyed bigram join, bit-exact oracle via "
+        "portable_ln + micro-unit BIGINT sums",
+        ops=("EXT-text", "EXT-pipeline"),
+    )
+)
+
+_register(
+    QuerySpec(
         name="bloom_decontamination",
         fn=llmdata.q_bloom_decontamination,
         oracle=llmdata.Q_BLOOM_DECONTAMINATION_SQL,

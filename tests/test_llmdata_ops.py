@@ -1325,6 +1325,34 @@ def test_unigram_logprob_orders_rarity(spark):
     assert base == re8
 
 
+def test_bigram_backoff_catches_scrambled_text(spark):
+    """The property unigram frequency CANNOT see: a doc with the training
+    slice's exact word ORDER scores high with zero backoff; the same words
+    scrambled backoff on every unseen bigram and score strictly lower.
+    Out-of-slice docs only are scored; scores are repartition-invariant."""
+    from procurement_system_bigdata_spark.operators import text as text_ops
+
+    fluent = "the quick brown fox jumps over the lazy dog"
+    scrambled = "dog the brown lazy jumps fox quick over the"  # same unigrams
+    rows = [(i, fluent, "src0") for i in range(5)]          # training slice
+    rows += [(100, fluent, "web"), (101, scrambled, "web"), (102, "x", "web")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.doc_id: r for r in text_ops.bigram_backoff_scores(docs).collect()}
+    assert set(out) == {100, 101, 102}, "train slice must not be scored"
+    assert out[100].n_backoff == 0
+    assert out[101].n_backoff > 0
+    assert out[100].mean_logscore > out[101].mean_logscore
+    assert out[102].n_bigrams == 0 and out[102].mean_logscore == 0.0
+
+    re8 = {
+        r.doc_id: r
+        for r in text_ops.bigram_backoff_scores(docs.repartition(8)).collect()
+    }
+    assert {(k, v.n_bigrams, v.n_backoff, v.mean_logscore) for k, v in out.items()} == {
+        (k, v.n_bigrams, v.n_backoff, v.mean_logscore) for k, v in re8.items()
+    }
+
+
 def test_histogram_sketch_properties(spark):
     """Fixed-grid histogram: merge is exactly bin-wise additive, quantile
     estimates are within one bin width of the exact quantiles, clamped
