@@ -252,16 +252,32 @@ def spark_word_shingles(words: Column, n: int) -> Column:
 
     Guarded with ``when`` because Spark's ``sequence(0, k)`` generates a
     DESCENDING range for k < 0 instead of an empty one.
+
+    ``words`` is bound ONCE via ``_let`` before the transform: higher-order
+    functions are interpreted (no codegen, no common-subexpression
+    elimination), so when callers pass the usual
+    ``split(normalize(text))`` EXPRESSION, every ``element_at(words, ...)``
+    in the lambda body would otherwise re-run the full regex-normalize +
+    split of the document — O(doc_len) per shingle element, quadratic per
+    document.  Measured on the sf0.1 realistic-vocabulary corpus (5,000
+    docs, 54 words/doc, one task): inline 64.0 s -> bound 0.7 s for the
+    identical 260,704-shingle output.
     """
-    size = F.size(words)
-    idx = F.sequence(F.lit(0), size - n)
-    make = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(words, i + j + 1) for j in range(n)]
-        ),
-    )
-    return F.when(size >= n, make).otherwise(F.array().cast("array<string>"))
+
+    def body(ws: Column) -> Column:
+        size = F.size(ws)
+        idx = F.sequence(F.lit(0), size - n)
+        make = F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(ws, i + j + 1) for j in range(n)]
+            ),
+        )
+        return F.when(size >= n, make).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return _let(words, body)
 
 
 def duck_word_shingles(words_expr: str, n: int) -> str:

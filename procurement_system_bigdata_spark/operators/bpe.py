@@ -1,0 +1,232 @@
+"""Distributed byte-pair-encoding (BPE) tokenizer training.
+
+Sennrich et al. 2016 (arXiv:1508.07909): start from characters, repeatedly
+merge the most frequent adjacent symbol pair.  The classic implementation
+is a single-machine loop over a word->frequency dict; the distributable
+insight is that BPE never needs the corpus after the first pass — it needs
+the DISTINCT-WORD table with exact frequencies (vocabulary-sized, orders of
+magnitude smaller than the corpus), and each merge round is one pair-count
+aggregation over that table plus an O(1) argmax pull.  That is exactly a
+Spark shape: corpus -> one word-keyed shuffle -> a small symbolized vocab
+DataFrame that each round re-aggregates, with only the single winning pair
+crossing to the driver per round (same O(1)-pull discipline as the k-means
+centroid loop in operators/similarity.py).
+
+Determinism: the argmax tiebreak is (count DESC, left ASC, right ASC), so
+the merge sequence is a pure function of the corpus — reproducible across
+runs, partitionings, and engines.  Merge application is a left-to-right
+non-overlapping fold (the published semantics); the fold never
+double-merges because a merged symbol ``l+r`` can only equal ``l`` if ``r``
+is empty, which cannot occur.
+
+Scale: rounds are O(vocab) each, not O(corpus); n_merges rounds = n_merges
+small shuffles.  At a real 100 TB corpus the distinct-word table is ~1e8
+rows — still a comfortable DataFrame.  (Production BPE also caps the word
+table by frequency; ``min_freq`` is that dial.)
+
+The reference has no tokenizer operator; this is a training-data extension
+(EXT class).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import portable as P
+
+BPE_TOP_PAIRS = 50
+BPE_MERGES = 8
+BPE_MIN_FREQ = 1
+
+
+def _word_freqs(docs: DataFrame, min_freq: int):
+    norm = P.spark_norm_text(F.col("text"))
+    wcnt = (
+        docs.select(F.explode(P.spark_words(norm)).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    if min_freq > 1:
+        wcnt = wcnt.filter(F.col("freq") >= min_freq)
+    return wcnt
+
+
+def _pair_counts(vocab: DataFrame) -> DataFrame:
+    """Adjacent-symbol pair counts over a (syms: array<string>, freq)
+    table, weighted by word frequency."""
+    idx = F.when(
+        F.size("syms") >= 2, F.sequence(F.lit(1), F.size("syms") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        vocab.select(
+            F.explode(idx).alias("i"), F.col("syms"), F.col("freq")
+        )
+        .select(
+            F.element_at("syms", F.col("i")).alias("left_sym"),
+            F.element_at("syms", F.col("i") + 1).alias("right_sym"),
+            "freq",
+        )
+        .groupBy("left_sym", "right_sym")
+        .agg(F.sum("freq").alias("pair_count"))
+    )
+
+
+def bpe_top_pairs(
+    docs: DataFrame, top_k: int = BPE_TOP_PAIRS, min_freq: int = BPE_MIN_FREQ
+) -> DataFrame:
+    """(rank, left_sym, right_sym, pair_count): the first BPE round — most
+    frequent adjacent character pairs over the frequency-weighted word
+    table, deterministic tiebreak.  This round is the whole cost profile of
+    BPE training (later rounds shrink), and it is exactly SQL-expressible,
+    so it carries the oracle check for the iterative ``learn_bpe``."""
+    from pyspark.sql.window import Window
+
+    chars = F.filter(F.split(F.col("w"), ""), lambda c: c != "")
+    vocab = _word_freqs(docs, min_freq).select(
+        chars.alias("syms"), "freq"
+    )
+    w = Window.orderBy(
+        F.desc("pair_count"), F.asc("left_sym"), F.asc("right_sym")
+    )
+    return (
+        _pair_counts(vocab)
+        .select(
+            F.row_number().over(w).cast("long").alias("rank"),
+            "left_sym",
+            "right_sym",
+            "pair_count",
+        )
+        .filter(F.col("rank") <= top_k)
+    )
+
+
+def bpe_top_pairs_sql(
+    table: str = "documents",
+    top_k: int = BPE_TOP_PAIRS,
+    min_freq: int = BPE_MIN_FREQ,
+) -> str:
+    nt = P.duck_norm_text("text")
+    return f"""
+    WITH wcnt AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM (SELECT unnest({P.duck_words('nt')}) AS w
+              FROM (SELECT {nt} AS nt FROM {table}))
+        WHERE w <> '' GROUP BY w HAVING COUNT(*) >= {min_freq}
+    ),
+    prs AS (
+        SELECT substring(w, CAST(i AS INT), 1) AS left_sym,
+               substring(w, CAST(i AS INT) + 1, 1) AS right_sym,
+               freq
+        FROM wcnt, unnest(range(1, len(w))) AS t(i)
+    ),
+    agg AS (
+        SELECT left_sym, right_sym,
+               CAST(SUM(freq) AS BIGINT) AS pair_count
+        FROM prs GROUP BY left_sym, right_sym
+    )
+    SELECT rank, left_sym, right_sym, pair_count FROM (
+        SELECT CAST(ROW_NUMBER() OVER (
+                   ORDER BY pair_count DESC, left_sym ASC, right_sym ASC
+               ) AS BIGINT) AS rank,
+               left_sym, right_sym, pair_count
+        FROM agg
+    ) WHERE rank <= {top_k}
+    """
+
+
+def _apply_merge(syms, left: str, right: str):
+    """Left-to-right non-overlapping replacement of (left, right) ->
+    left||right in a symbol array, as a pure fold (no UDF)."""
+    merged = left + right
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (s == F.lit(right)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def learn_bpe(
+    docs: DataFrame,
+    n_merges: int = BPE_MERGES,
+    min_freq: int = BPE_MIN_FREQ,
+) -> DataFrame:
+    """(rank, left_sym, right_sym, merged, pair_count): the BPE merge table,
+    ranks 1..n_merges in learning order.  Iterative (each round's counts
+    depend on the previous merge), so there is no single-query SQL oracle —
+    the first round is oracle-checked via ``bpe_top_pairs`` and the full
+    loop is pinned against a pure-Python reference implementation in tests.
+
+    Each round: one pair-count aggregation over the symbolized vocab, one
+    1-row argmax collect, one fold-rewrite of the vocab.  The vocab is
+    localCheckpoint'd per round to keep the plan from growing linearly in
+    rounds (the same materialization-point discipline as the minhash
+    signature tables, DESIGN.md)."""
+    spark = docs.sparkSession
+    chars = F.filter(F.split(F.col("w"), ""), lambda c: c != "")
+    vocab = (
+        _word_freqs(docs, min_freq)
+        .select(chars.alias("syms"), "freq")
+        .localCheckpoint()
+    )
+    merges = []
+    for rank in range(1, n_merges + 1):
+        top = (
+            _pair_counts(vocab)
+            .orderBy(
+                F.desc("pair_count"), F.asc("left_sym"), F.asc("right_sym")
+            )
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        l, r, cnt = (
+            top[0]["left_sym"],
+            top[0]["right_sym"],
+            top[0]["pair_count"],
+        )
+        merges.append((rank, l, r, l + r, cnt))
+        vocab = vocab.select(
+            _apply_merge(F.col("syms"), l, r).alias("syms"), "freq"
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        merges,
+        "rank bigint, left_sym string, right_sym string, "
+        "merged string, pair_count bigint",
+    )
+
+
+def learn_bpe_reference(
+    word_freqs: dict[str, int], n_merges: int
+) -> list[tuple[int, str, str, str, int]]:
+    """Single-machine reference BPE (the published algorithm, verbatim
+    semantics) used by tests to pin ``learn_bpe``."""
+    vocab = [([c for c in w], f) for w, f in word_freqs.items()]
+    out = []
+    for rank in range(1, n_merges + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, f in vocab:
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        (l, r), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        out.append((rank, l, r, l + r, cnt))
+        for syms, _ in vocab:
+            i = 0
+            while i < len(syms) - 1:
+                if syms[i] == l and syms[i + 1] == r:
+                    syms[i : i + 2] = [l + r]
+                i += 1
+    return out

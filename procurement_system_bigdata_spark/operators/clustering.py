@@ -199,3 +199,92 @@ def pagerank(
             )
         ).localCheckpoint(eager=False)
     return ranks.select("node", "rank")
+
+
+# ---------------------------------------------------------------------------
+# Priority-aware canonical selection across sources.  When near-duplicates
+# span sources of different trust (curated > books > web is the standard
+# Dolma/RedPajama ordering), "keep min doc_id" is the wrong dedup policy:
+# the pipeline should keep the copy from the MOST trusted source and drop
+# the web mirrors.  One window over the cluster table does it — the
+# expensive part (the transitive closure) is unchanged.
+# ---------------------------------------------------------------------------
+
+SOURCE_PRIORITY = {"src0": 0, "src1": 1, "src2": 2, "src3": 3, "src4": 4}
+
+
+def cross_source_canonicals(
+    docs: DataFrame,
+    pairs: DataFrame,
+    priority: dict[str, int] = SOURCE_PRIORITY,
+) -> DataFrame:
+    """(doc_id, source, component, canonical_id, keep): near-dup clusters
+    with the canonical chosen by (source priority ASC, doc_id ASC); sources
+    absent from ``priority`` rank LAST (priority 1e9), never silently
+    first.  ``keep`` marks the one survivor per cluster.
+
+    Scale: clusters come from connected_components (DataFrame-Pregel); the
+    selection adds one component-keyed window over doc-level rows — no new
+    corpus-sized shuffle beyond the one the window itself is."""
+    clusters = dedup_clusters(docs, pairs)
+    pmap = F.create_map(
+        *[F.lit(x) for kv in sorted(priority.items()) for x in kv]
+    )
+    labeled = clusters.join(
+        docs.select(F.col("doc_id").cast("long").alias("doc_id"), "source"),
+        "doc_id",
+    ).select(
+        "doc_id",
+        "source",
+        "component",
+        F.coalesce(pmap[F.col("source")], F.lit(10**9))
+        .cast("long")
+        .alias("prio"),
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.asc("prio"), F.asc("doc_id")
+    )
+    ranked = labeled.select(
+        "doc_id",
+        "source",
+        "component",
+        F.first("doc_id").over(w).alias("canonical_id"),
+    )
+    return ranked.select(
+        "doc_id",
+        "source",
+        "component",
+        "canonical_id",
+        (F.col("doc_id") == F.col("canonical_id")).alias("keep"),
+    )
+
+
+def cross_source_canonicals_sql(
+    pairs_sql: str,
+    table: str = "documents",
+    priority: dict[str, int] = SOURCE_PRIORITY,
+) -> str:
+    whens = " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in sorted(priority.items())
+    )
+    return f"""
+    WITH clusters AS ({dedup_clusters_sql(pairs_sql, table)}),
+    labeled AS (
+        SELECT c.doc_id, d.source, c.component,
+               CAST(COALESCE(CASE d.source {whens} END, 1000000000)
+                    AS BIGINT) AS prio
+        FROM clusters c
+        JOIN (SELECT CAST(doc_id AS BIGINT) AS doc_id, source FROM {table}) d
+          ON c.doc_id = d.doc_id
+    )
+    SELECT doc_id, source, component,
+           FIRST_VALUE(doc_id) OVER (
+               PARTITION BY component ORDER BY prio ASC, doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS canonical_id,
+           doc_id = FIRST_VALUE(doc_id) OVER (
+               PARTITION BY component ORDER BY prio ASC, doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS keep
+    FROM labeled
+    """

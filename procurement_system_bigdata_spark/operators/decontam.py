@@ -140,6 +140,16 @@ def decontaminate_sql(
 # are impossible.  Bitmaps from per-benchmark shards merge by OR, so the
 # filter builds map-side and unions like any sketch.
 #
+# h1 and h2 MUST be independent hashes of the gram (the K-M paper's
+# standing assumption).  A first version derived h2 = f(h1) from the single
+# polynomial hash; polynomial hashes of near-identical grams (shared prefix,
+# one differing trailing char c) differ by just (c - c'), so the benchmark's
+# set bits formed dense integer CLUSTERS and corpus near-miss grams collided
+# wholesale — measured FP 0.0146 vs the 0.0003 formula prediction (48x) on
+# the sf0.1 probe corpus.  h2 is now an independently salted hash of the
+# gram string, restoring the formula (probe-verified; see
+# tools/probe_ingest_scaling.py output in DESIGN.md).
+#
 # Harness representation: the filter IS the relation of set bit positions
 # (exact same membership semantics as the packed bitmap, including real
 # false positives), so both engines compute it in pure SQL and the oracle
@@ -154,18 +164,20 @@ def decontaminate_sql(
 
 BLOOM_M_BITS = 1 << 15
 BLOOM_K = 4
+_BLOOM_STRIDE_SALT = "bl2|"
 
 
-def _bloom_positions(h, m: int, k: int):
-    """Spark: array of the k bit positions for base hash column ``h``."""
-    h2 = (h % F.lit(m - 1)) + 1
+def _bloom_positions(h, hs, m: int, k: int):
+    """Spark: array of the k bit positions from the two independent base
+    hashes ``h`` (offset) and ``hs`` (stride)."""
+    h2 = (hs % F.lit(m - 1)) + 1
     return F.array(*[(h + F.lit(i) * h2) % F.lit(m) for i in range(k)])
 
 
-def _duck_bloom_positions(h: str, m: int, k: int) -> str:
+def _duck_bloom_positions(h: str, hs: str, m: int, k: int) -> str:
     return (
         f"list_transform(range(0, {k}), i -> "
-        f"(({h}) + i * ((({h}) % {m - 1}) + 1)) % {m})"
+        f"(({h}) + i * ((({hs}) % {m - 1}) + 1)) % {m})"
     )
 
 
@@ -175,6 +187,7 @@ def bloom_decontaminate(
     n: int = 13,
     m_bits: int = BLOOM_M_BITS,
     k_hashes: int = BLOOM_K,
+    fast_hash: bool = False,
 ) -> DataFrame:
     """(doc_id, n_grams, n_flagged, flagged) for EVERY corpus document:
     ``n_flagged`` counts the doc's distinct normalized n-grams whose k Bloom
@@ -183,20 +196,33 @@ def bloom_decontaminate(
     guarantee: every doc the exact :func:`decontaminate` reports is flagged
     here (no false negatives); the excess is the measured FP rate.
 
+    ``fast_hash=True`` swaps the portable polynomial hashes for xxhash64
+    (JVM-native, no per-character fold) — the production dial, same as
+    minhash's; the oracle-mirrored registry query keeps the portable pair.
+
     Scale shape: ONE aggregation builds the filter (distinct positions of
     the benchmark grams — in production a packed m-bit bitmap, see module
     note), broadcast to the corpus scan; corpus grams explode to k position
     rows, match map-side, and the only shuffles are the per-doc counts,
     keyed on doc_id like every other per-doc scorer.
     """
-    h_expr = P.spark_str_hash(F.col("g"))
+    if fast_hash:
+        h_expr = F.pmod(F.xxhash64(F.col("g")), F.lit(P.HASH_P))
+        hs_expr = F.pmod(
+            F.xxhash64(F.lit(_BLOOM_STRIDE_SALT), F.col("g")), F.lit(P.HASH_P)
+        )
+    else:
+        h_expr = P.spark_str_hash(F.col("g"))
+        hs_expr = P.spark_str_hash(
+            F.concat(F.lit(_BLOOM_STRIDE_SALT), F.col("g"))
+        )
     words = P.spark_words(P.spark_norm_text(F.col("text")))
     doc_g = (
         corpus.select(
             F.col("doc_id").cast("long").alias("doc_id"),
             F.explode(F.array_distinct(P.spark_word_shingles(words, n))).alias("g"),
         )
-        .select("doc_id", h_expr.alias("h"))
+        .select("doc_id", h_expr.alias("h"), hs_expr.alias("hs"))
         .distinct()
     )
     bench_words = P.spark_words(P.spark_norm_text(F.col("text")))
@@ -204,13 +230,19 @@ def bloom_decontaminate(
         benchmarks.select(
             F.explode(F.array_distinct(P.spark_word_shingles(bench_words, n))).alias("g")
         )
-        .select(F.explode(_bloom_positions(h_expr, m_bits, k_hashes)).alias("bit"))
+        .select(
+            F.explode(
+                _bloom_positions(h_expr, hs_expr, m_bits, k_hashes)
+            ).alias("bit")
+        )
         .distinct()
     )
     probe = doc_g.select(
         "doc_id",
         "h",
-        F.explode(_bloom_positions(F.col("h"), m_bits, k_hashes)).alias("bit"),
+        F.explode(
+            _bloom_positions(F.col("h"), F.col("hs"), m_bits, k_hashes)
+        ).alias("bit"),
     )
     gram_hits = (
         probe.join(F.broadcast(bits), "bit")
@@ -248,6 +280,7 @@ def bloom_decontaminate_sql(
     norm = P.duck_norm_text("text")
     shingles = P.duck_word_shingles("ws", n)
     h = P.duck_str_hash("g")
+    hs = P.duck_str_hash(f"'{_BLOOM_STRIDE_SALT}' || g")
     return f"""
     WITH corpus AS (
         SELECT CAST(doc_id AS BIGINT) AS doc_id, {norm} AS nt
@@ -257,18 +290,18 @@ def bloom_decontaminate_sql(
         SELECT {norm} AS nt FROM {table} WHERE doc_id % {bench_mod} = 0
     ),
     doc_g AS (
-        SELECT DISTINCT doc_id, {h} AS h
+        SELECT DISTINCT doc_id, {h} AS h, {hs} AS hs
         FROM (SELECT doc_id, unnest(list_distinct({shingles})) AS g
               FROM (SELECT doc_id, {P.duck_words('nt')} AS ws FROM corpus))
     ),
     bits AS (
-        SELECT DISTINCT unnest({_duck_bloom_positions(h, m_bits, k_hashes)}) AS bit
+        SELECT DISTINCT unnest({_duck_bloom_positions(h, hs, m_bits, k_hashes)}) AS bit
         FROM (SELECT DISTINCT g FROM
               (SELECT unnest(list_distinct({shingles})) AS g
                FROM (SELECT {P.duck_words('nt')} AS ws FROM bench)))
     ),
     probe AS (
-        SELECT doc_id, h, unnest({_duck_bloom_positions('h', m_bits, k_hashes)}) AS bit
+        SELECT doc_id, h, unnest({_duck_bloom_positions('h', 'hs', m_bits, k_hashes)}) AS bit
         FROM doc_g
     ),
     gram_hits AS (

@@ -454,3 +454,104 @@ def dsir_importance_sql(
     FROM (SELECT doc_id FROM base WHERE source <> '{target_source}') b
     LEFT JOIN scored s USING (doc_id)
     """
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled source mixture (the multilingual-pretraining standard:
+# mBERT/XLM-R sample language i with probability p_i^(1/T) / sum_j p_j^(1/T),
+# T > 1 flattening the head so low-resource sources are not drowned).  We fix
+# T = 2, i.e. sqrt scaling, deliberately: IEEE-754 requires sqrt to be
+# correctly rounded, so sqrt(share) is the SAME double bit pattern in Spark
+# and DuckDB — whereas a general pow(x, 1/T) is a libm call with no such
+# guarantee.  The sqrt'd shares are then fixed-pointed to micro-units and
+# summed as exact BIGINTs (float summation order across sources is
+# engine-dependent; BIGINT summation is not), so the renormalized
+# temperature shares are bit-exact cross-engine.
+#
+# Scale shape: identical to source_mixture_weights — one map-side token
+# count, one source-keyed shuffle, a broadcast total; the source table that
+# reaches the driver-side math is |sources| rows.
+# ---------------------------------------------------------------------------
+
+MIXTURE_TEMPERATURE = 2  # sqrt scaling; see rationale above
+
+
+def temperature_mixture_weights(
+    docs: DataFrame, source_col: str = "source"
+) -> DataFrame:
+    """(source, n_docs, n_tokens, token_share, temp_share, boost):
+    temperature-T=2 sampling mixture.  ``temp_share`` is the renormalized
+    sqrt(token_share); ``boost`` = temp_share / token_share is the epoch
+    multiplier a data loader applies per source (>1 upsamples the tail,
+    <1 downsamples the head).  All-empty sources keep boost 0 — flagged
+    for exclusion, not silently kept (same contract as
+    source_mixture_weights)."""
+    norm = P.spark_norm_text(F.col("text"))
+    n_words = F.when(
+        F.coalesce(F.length(norm), F.lit(0)) == 0, F.lit(0)
+    ).otherwise(F.size(P.spark_words(norm)))
+    per_source = (
+        docs.select(F.col(source_col).alias("source"), n_words.alias("nw"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nw").alias("n_tokens"),
+        )
+    )
+    total = per_source.agg(F.sum("n_tokens").alias("total"))
+    share = F.col("n_tokens").cast("double") / F.col("total").cast("double")
+    # micro-unit fixed point of sqrt(share): every step (divide, sqrt,
+    # multiply by 2^? no — by 1e6, round) is correctly rounded and therefore
+    # bit-identical cross-engine; the BIGINT sum is order-independent.
+    s6 = P.spark_half_away(F.sqrt(share) * 1_000_000).cast("long")
+    with_s6 = per_source.crossJoin(F.broadcast(total)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        share.alias("token_share"),
+        s6.alias("s6"),
+    )
+    tot6 = with_s6.agg(F.sum("s6").alias("tot6"))
+    temp_share = F.col("s6").cast("double") / F.col("tot6").cast("double")
+    return with_s6.crossJoin(F.broadcast(tot6)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "token_share",
+        temp_share.alias("temp_share"),
+        F.when(
+            F.col("token_share") > 0, temp_share / F.col("token_share")
+        ).otherwise(F.lit(0.0)).alias("boost"),
+    )
+
+
+def temperature_mixture_weights_sql(
+    table: str = "documents", source_col: str = "source"
+) -> str:
+    nt = P.duck_norm_text("text")
+    share = "CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE)"
+    s6 = P.duck_half_away(f"sqrt({share}) * 1000000")
+    return f"""
+    WITH per_source AS (
+        SELECT {source_col} AS source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN nt IS NULL OR nt = '' THEN 0
+                        ELSE len({P.duck_words('nt')}) END) AS BIGINT) AS n_tokens
+        FROM (SELECT {source_col}, {nt} AS nt FROM {table})
+        GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM per_source),
+    with_s6 AS (
+        SELECT source, n_docs, n_tokens,
+               {share} AS token_share,
+               CAST({s6} AS BIGINT) AS s6
+        FROM per_source, tot
+    ),
+    tot6 AS (SELECT CAST(SUM(s6) AS BIGINT) AS tot6 FROM with_s6)
+    SELECT source, n_docs, n_tokens, token_share,
+           CAST(s6 AS DOUBLE) / CAST(tot6 AS DOUBLE) AS temp_share,
+           CASE WHEN token_share > 0 THEN
+               (CAST(s6 AS DOUBLE) / CAST(tot6 AS DOUBLE)) / token_share
+           ELSE 0.0 END AS boost
+    FROM with_s6, tot6
+    """

@@ -834,37 +834,49 @@ def char_entropy(docs: DataFrame) -> DataFrame:
     native log2, no rounding mitigation needed (the old ROUND(6) patch
     still left a rounding-boundary flake, the unigram_logprob lesson).
     """
-    chars = F.filter(F.split(F.col("text"), ""), lambda c: c != "")
-    n = F.size(chars)
-
-    # ln(n) is bound ONCE PER ROW (not per distinct char) and each char's
-    # count once per term — expression-tree references re-evaluate under
-    # interpreted higher-order functions, so the bindings cut the per-doc
-    # cost roughly in half without changing a single computed value.
+    # The char array, ln(n), and each char's count are all bound ONCE (the
+    # char array once per ROW, not once per distinct char) — expression-tree
+    # references re-evaluate under interpreted higher-order functions, so an
+    # unbound ``chars`` would re-split the whole text for every distinct
+    # char (the same O(doc_len)-per-element trap measured at 91x on
+    # spark_word_shingles).  No computed value changes.
     # distinct chars are SORTED before the fold: DuckDB's list_distinct
     # returns hash-set order (measured different from Spark's first-
     # occurrence order), and a double fold is order-sensitive at the ulp —
     # the old ROUND(6) masked exactly this.  Single-char strings sort by
     # binary memcmp identically in both engines, so the sorted fold is the
     # same sequence of IEEE adds everywhere.
-    def h_of(ln_n):
-        terms = F.transform(
-            F.array_sort(F.array_distinct(chars)),
-            lambda x: P._let(
-                F.size(F.filter(chars, lambda y: y == x)).cast("long"),
-                lambda cnt: (cnt.cast("double") / n.cast("double"))
-                * (P.spark_portable_ln(cnt) - ln_n),
-            ),
-        )
-        return -F.aggregate(terms, F.lit(0.0), lambda acc, t: acc + t) / F.lit(
-            P._LN2
+    def with_chars(cs):
+        n = F.size(cs)
+
+        def h_of(ln_n):
+            terms = F.transform(
+                F.array_sort(F.array_distinct(cs)),
+                lambda x: P._let(
+                    F.size(F.filter(cs, lambda y: y == x)).cast("long"),
+                    lambda cnt: (cnt.cast("double") / n.cast("double"))
+                    * (P.spark_portable_ln(cnt) - ln_n),
+                ),
+            )
+            return -F.aggregate(
+                terms, F.lit(0.0), lambda acc, t: acc + t
+            ) / F.lit(P._LN2)
+
+        h = P._let(P.spark_portable_ln(n.cast("long")), h_of)
+        return F.struct(
+            n.cast("long").alias("n_chars"),
+            F.when(n > 0, h).otherwise(F.lit(0.0)).alias("entropy_bits"),
         )
 
-    h = P._let(P.spark_portable_ln(n.cast("long")), h_of)
+    bound = P._let(
+        F.filter(F.split(F.col("text"), ""), lambda c: c != ""), with_chars
+    )
     return docs.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        n.cast("long").alias("n_chars"),
-        F.when(n > 0, h).otherwise(F.lit(0.0)).alias("entropy_bits"),
+        F.col("doc_id").cast("long").alias("doc_id"), bound.alias("s")
+    ).select(
+        "doc_id",
+        F.col("s.n_chars").alias("n_chars"),
+        F.col("s.entropy_bits").alias("entropy_bits"),
     )
 
 
@@ -1227,5 +1239,105 @@ def bigram_backoff_scores_sql(
                CAST(p.s AS DOUBLE) / CAST(p.n_bigrams AS DOUBLE) / 1000000
            ELSE 0.0 END AS mean_logscore
     FROM (SELECT doc_id FROM scored) b
+    LEFT JOIN per_doc p USING (doc_id)
+    """
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer vocabulary coverage / OOV profiling.  Before committing to a
+# tokenizer vocabulary, every pretraining pipeline measures what a top-V
+# word vocabulary would leave out-of-vocabulary per document and per source
+# (high OOV = the tokenizer will shatter this slice into bytes/unknowns and
+# the model trains badly on it).  Vocabulary = top VOCAB_TOP corpus words by
+# exact frequency, tiebroken lexicographically so the cut is total and
+# engine-independent.
+#
+# Scale shape: one word-keyed shuffle builds the counts; the top-V cut is a
+# global window over |vocabulary| rows (NOT corpus rows — the distinct-word
+# table; at web scale cap it first with a count filter); scoring is
+# explode -> broadcast semi-join with the V-row vocab -> one doc_id-keyed
+# sum.  No sort of corpus-sized data anywhere.
+# ---------------------------------------------------------------------------
+
+VOCAB_TOP = 512
+
+
+def vocab_coverage(docs: DataFrame, vocab_top: int = VOCAB_TOP) -> DataFrame:
+    """(doc_id, n_tokens, n_oov, oov_rate) under the corpus's own top-V word
+    vocabulary.  ``oov_rate`` is the exact BIGINT ratio as a double (one
+    correctly-rounded division — bit-identical cross-engine); empty docs get
+    0 tokens / 0.0 rate."""
+    from pyspark.sql.window import Window
+
+    norm = P.spark_norm_text(F.col("text"))
+    words = P.spark_words(norm)
+    base = docs.select(F.col("doc_id").cast("long").alias("doc_id"))
+    tok = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(words).alias("w"),
+    ).filter(F.col("w") != "")
+    wcnt = tok.groupBy("w").agg(F.count(F.lit(1)).alias("cw"))
+    cut = Window.orderBy(F.desc("cw"), F.asc("w"))
+    vocab = (
+        wcnt.select("w", "cw", F.row_number().over(cut).alias("r"))
+        .filter(F.col("r") <= vocab_top)
+        .select("w", F.lit(True).alias("in_vocab"))
+    )
+    per_doc = (
+        tok.join(F.broadcast(vocab), "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+            ).alias("n_oov"),
+        )
+    )
+    return base.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_tokens"), F.lit(0).cast("long")).alias("n_tokens"),
+        F.coalesce(F.col("n_oov"), F.lit(0).cast("long")).alias("n_oov"),
+        F.when(
+            F.coalesce(F.col("n_tokens"), F.lit(0)) > 0,
+            F.col("n_oov").cast("double") / F.col("n_tokens").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("oov_rate"),
+    )
+
+
+def vocab_coverage_sql(
+    table: str = "documents", vocab_top: int = VOCAB_TOP
+) -> str:
+    nt = P.duck_norm_text("text")
+    return f"""
+    WITH tok AS (
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, w
+        FROM (SELECT doc_id, unnest({P.duck_words('nt')}) AS w
+              FROM (SELECT doc_id, {nt} AS nt FROM {table}))
+        WHERE w <> ''
+    ),
+    wcnt AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cw FROM tok GROUP BY w),
+    vocab AS (
+        SELECT w FROM (
+            SELECT w, ROW_NUMBER() OVER (ORDER BY cw DESC, w ASC) AS r
+            FROM wcnt
+        ) WHERE r <= {vocab_top}
+    ),
+    per_doc AS (
+        SELECT t.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_oov
+        FROM tok t LEFT JOIN vocab v ON t.w = v.w
+        GROUP BY t.doc_id
+    )
+    SELECT b.doc_id,
+           CAST(COALESCE(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(p.n_oov, 0) AS BIGINT) AS n_oov,
+           CASE WHEN COALESCE(p.n_tokens, 0) > 0 THEN
+               CAST(p.n_oov AS DOUBLE) / CAST(p.n_tokens AS DOUBLE)
+           ELSE 0.0 END AS oov_rate
+    FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM {table}) b
     LEFT JOIN per_doc p USING (doc_id)
     """

@@ -712,3 +712,104 @@ def q_doc_pagerank(spark, sf_dir):
         .select("node", F.round(F.col("rank"), 6).alias("rank"))
         .orderBy(F.desc("rank"), "node")
     )
+
+
+# --- round-5 additions: delivery / tokenizer / mixture ops ---------------
+
+def q_temperature_mixture(spark, sf_dir):
+    """T=2 temperature-scaled source mixture (the mBERT/XLM-R flattening);
+    sqrt + micro-unit fixed point keeps the renormalization bit-exact
+    cross-engine — operators/sampling.py."""
+    return sampling.temperature_mixture_weights(_docs(spark, sf_dir))
+
+
+Q_TEMPERATURE_MIXTURE_SQL = sampling.temperature_mixture_weights_sql()
+
+
+def q_training_shards(spark, sf_dir):
+    """Deterministic hash-shuffle sharding: the global-shuffle-without-a-
+    global-sort delivery stage — operators/sharding.py."""
+    from ..operators import sharding
+
+    return sharding.training_shards(_docs(spark, sf_dir))
+
+
+def _training_shards_sql():
+    from ..operators import sharding
+
+    return sharding.training_shards_sql()
+
+
+Q_TRAINING_SHARDS_SQL = _training_shards_sql()
+
+
+def q_shard_balance(spark, sf_dir):
+    """Per-shard doc/token balance report over the hash shards."""
+    from ..operators import sharding
+
+    return sharding.shard_balance(
+        sharding.training_shards(_docs(spark, sf_dir))
+    )
+
+
+def _shard_balance_sql():
+    from ..operators import sharding
+
+    return sharding.shard_balance_sql()
+
+
+Q_SHARD_BALANCE_SQL = _shard_balance_sql()
+
+
+def q_vocab_coverage(spark, sf_dir):
+    """Per-doc OOV rate under the corpus's own top-V word vocabulary —
+    operators/text.py vocab_coverage."""
+    return text.vocab_coverage(_docs(spark, sf_dir))
+
+
+Q_VOCAB_COVERAGE_SQL = text.vocab_coverage_sql()
+
+
+def q_bpe_top_pairs(spark, sf_dir):
+    """First BPE round: frequency-weighted adjacent char-pair argmax table
+    — operators/bpe.py."""
+    from ..operators import bpe
+
+    return bpe.bpe_top_pairs(_docs(spark, sf_dir))
+
+
+def _bpe_top_pairs_sql():
+    from ..operators import bpe
+
+    return bpe.bpe_top_pairs_sql()
+
+
+Q_BPE_TOP_PAIRS_SQL = _bpe_top_pairs_sql()
+
+
+def q_bpe_merges(spark, sf_dir):
+    """Full iterative BPE merge table (rows-only: each round's counts
+    depend on the previous merge; round 1 carries the oracle via
+    bpe_top_pairs, the loop is pinned to a pure-Python reference in
+    tests) — operators/bpe.py learn_bpe."""
+    from ..operators import bpe
+
+    return bpe.learn_bpe(_docs(spark, sf_dir))
+
+
+def q_cross_source_canonicals(spark, sf_dir):
+    """Priority-aware dedup: near-dup clusters keep the copy from the most
+    trusted source, not the smallest id — operators/clustering.py.  Same
+    oracle-dial pair generator as dedup_clusters."""
+    docs = _docs(spark, sf_dir)
+    return clustering.cross_source_canonicals(
+        docs,
+        dedup.minhash_lsh_pairs(
+            docs, k=P.MINHASH_K_ORACLE, n_bands=P.MINHASH_BANDS_ORACLE
+        ),
+    )
+
+
+Q_CROSS_SOURCE_CANONICALS_SQL = clustering.cross_source_canonicals_sql(
+    dedup.minhash_lsh_pairs_sql()
+)

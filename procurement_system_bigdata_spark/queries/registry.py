@@ -1007,6 +1007,90 @@ _register(
     )
 )
 
+# --- round-5 additions: delivery / tokenizer / mixture --------------------
+
+_register(
+    QuerySpec(
+        name="temperature_mixture",
+        fn=llmdata.q_temperature_mixture,
+        oracle=llmdata.Q_TEMPERATURE_MIXTURE_SQL,
+        description="T=2 temperature-scaled source mixture (sqrt is "
+        "correctly-rounded IEEE -> bit-exact cross-engine; BIGINT "
+        "micro-unit renormalization)",
+        ops=("EXT-sampling",),
+    )
+)
+
+_register(
+    QuerySpec(
+        name="training_shards",
+        fn=llmdata.q_training_shards,
+        oracle=llmdata.Q_TRAINING_SHARDS_SQL,
+        description="Deterministic hash-shuffle sharding: global shuffle "
+        "without a global sort — one shard-keyed window, reproducible "
+        "across runs/engines/partitionings",
+        ops=("EXT-delivery",),
+    )
+)
+
+_register(
+    QuerySpec(
+        name="shard_balance",
+        fn=llmdata.q_shard_balance,
+        oracle=llmdata.Q_SHARD_BALANCE_SQL,
+        description="Per-shard doc/token balance report over the hash "
+        "shards (the pre-training sanity check)",
+        ops=("EXT-delivery",),
+    )
+)
+
+_register(
+    QuerySpec(
+        name="vocab_coverage",
+        fn=llmdata.q_vocab_coverage,
+        oracle=llmdata.Q_VOCAB_COVERAGE_SQL,
+        description="Per-doc OOV rate under the corpus's own top-V word "
+        "vocabulary (deterministic frequency/lex cut)",
+        ops=("EXT-text",),
+    )
+)
+
+_register(
+    QuerySpec(
+        name="bpe_top_pairs",
+        fn=llmdata.q_bpe_top_pairs,
+        oracle=llmdata.Q_BPE_TOP_PAIRS_SQL,
+        description="First BPE round: frequency-weighted adjacent "
+        "char-pair counts, deterministic argmax order (the oracle-checked "
+        "face of learn_bpe)",
+        ops=("EXT-tokenizer",),
+    )
+)
+
+_register(
+    QuerySpec(
+        name="bpe_merges",
+        fn=llmdata.q_bpe_merges,
+        oracle=None,  # iterative: round N's counts depend on round N-1's
+        # merge; round 1 is oracle-checked via bpe_top_pairs and the loop is
+        # pinned to a pure-Python reference implementation in tests
+        description="Full BPE merge table (Sennrich et al. 2016) learned "
+        "distributedly over the frequency-weighted distinct-word table",
+        ops=("EXT-tokenizer",),
+    )
+)
+
+_register(
+    QuerySpec(
+        name="cross_source_canonicals",
+        fn=llmdata.q_cross_source_canonicals,
+        oracle=llmdata.Q_CROSS_SOURCE_CANONICALS_SQL,
+        description="Priority-aware dedup canonicals: near-dup clusters "
+        "keep the most-trusted source's copy (Dolma-style source ordering)",
+        ops=("EXT-dedup",),
+    )
+)
+
 # ---------------------------------------------------------------------------
 # Driver snapshot ordering (round-4 judge ask #2).  The external driver's
 # CORRECTNESS gate samples the FIRST ``DRIVER_SNAPSHOT_N`` registry entries,
@@ -1076,11 +1160,14 @@ _DRIVER_SNAPSHOT = [
     "embedding_ann_lsh",
     "embedding_ivf_topk",
     "embedding_quantized_topk",
-    # representatives of the dedup/similarity families
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "embedding_topk",
-    "embedding_quantize",
+    # round-5 additions (never driver-covered; the dedup/similarity family
+    # representatives they displace — dedup_exact, dedup_minhash_lsh,
+    # embedding_topk, embedding_quantize — hold hash-matched driver rows in
+    # CORRECTNESS_r01-r04 and stay under self-sweep + pytest coverage)
+    "temperature_mixture",
+    "training_shards",
+    "vocab_coverage",
+    "bpe_top_pairs",
 ]
 
 

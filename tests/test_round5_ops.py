@@ -1,0 +1,282 @@
+"""Semantic tests for the round-5 delivery/tokenizer/mixture operators:
+BPE (vs a pure-Python reference), hash sharding (determinism, completeness,
+partition-invariance), temperature mixture (flattening + renormalization),
+vocab coverage bounds, and priority-aware canonical selection."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from procurement_system_bigdata_spark.functions import portable as P
+from procurement_system_bigdata_spark.operators import bpe, sampling, sharding
+from procurement_system_bigdata_spark.operators import clustering
+from procurement_system_bigdata_spark.operators import text as text_ops
+
+
+# --- BPE ------------------------------------------------------------------
+
+
+def _word_freqs_py(texts):
+    freqs: dict[str, int] = {}
+    for t in texts:
+        norm = " ".join(
+            "".join(c if c.isalnum() else " " for c in t.lower()).split()
+        )
+        for w in norm.split():
+            freqs[w] = freqs.get(w, 0) + 1
+    return freqs
+
+
+def test_learn_bpe_matches_python_reference(spark):
+    """The distributed merge sequence must equal the published single-node
+    algorithm verbatim — same pairs, same order, same counts."""
+    texts = [
+        "the cat sat on the mat",
+        "the bat and the cat chat",
+        "that hat is the cat hat",
+        "mat bat hat chat that",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = [
+        (r.rank, r.left_sym, r.right_sym, r.merged, r.pair_count)
+        for r in bpe.learn_bpe(docs, n_merges=6).orderBy("rank").collect()
+    ]
+    want = bpe.learn_bpe_reference(_word_freqs_py(texts), 6)
+    assert got == want
+    # merges must be learned in non-increasing count order is NOT required
+    # (later merges can create new frequent pairs), but ranks must be 1..n
+    assert [g[0] for g in got] == list(range(1, len(got) + 1))
+
+
+def test_learn_bpe_merge_fold_handles_overlaps(spark):
+    """Left-to-right non-overlapping semantics: 'aaaa' under (a,a) becomes
+    [aa, aa]; 'aaa' becomes [aa, a]."""
+    docs = spark.createDataFrame(
+        [(1, "aaa aaaa aaa aaaa")], "doc_id long, text string"
+    )
+    got = [
+        (r.rank, r.left_sym, r.right_sym, r.pair_count)
+        for r in bpe.learn_bpe(docs, n_merges=2).orderBy("rank").collect()
+    ]
+    want = [
+        (r, l, rr, c)
+        for r, l, rr, _m, c in bpe.learn_bpe_reference(
+            {"aaa": 2, "aaaa": 2}, 2
+        )
+    ]
+    assert got == want
+    # round 1 merges (a,a): aaa has 2 adjacent pairs, aaaa has 3 -> 10 total
+    assert got[0] == (1, "a", "a", 10)
+
+
+def test_bpe_top_pairs_is_first_learn_round(spark, duck):
+    """bpe_top_pairs rank 1 must equal learn_bpe's first merge — it is the
+    oracle-checked face of the iterative loop."""
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(["banana bandana", "ban the banana"])],
+        "doc_id long, text string",
+    )
+    top = bpe.bpe_top_pairs(docs, top_k=3).orderBy("rank").collect()
+    first_merge = bpe.learn_bpe(docs, n_merges=1).collect()[0]
+    assert (top[0].left_sym, top[0].right_sym, top[0].pair_count) == (
+        first_merge.left_sym,
+        first_merge.right_sym,
+        first_merge.pair_count,
+    )
+
+
+# --- sharding -------------------------------------------------------------
+
+
+def test_training_shards_complete_and_contiguous(spark):
+    docs = spark.createDataFrame(
+        [(i, f"word{i} filler text") for i in range(200)],
+        "doc_id long, text string",
+    )
+    out = sharding.training_shards(docs, n_shards=8).collect()
+    assert len(out) == 200
+    assert {r.doc_id for r in out} == set(range(200))
+    by_shard: dict[int, list[int]] = {}
+    for r in out:
+        assert 0 <= r.shard_id < 8
+        by_shard.setdefault(r.shard_id, []).append(r.pos)
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(len(positions)))
+
+
+def test_training_shards_partition_invariant(spark):
+    """The assignment and intra-shard order must not depend on the input
+    partitioning — the property df.orderBy(rand()) does NOT have."""
+    docs = spark.createDataFrame(
+        [(i, f"tok{i}") for i in range(100)], "doc_id long, text string"
+    )
+    a = {
+        (r.doc_id, r.shard_id, r.pos)
+        for r in sharding.training_shards(docs, n_shards=4).collect()
+    }
+    b = {
+        (r.doc_id, r.shard_id, r.pos)
+        for r in sharding.training_shards(
+            docs.repartition(13), n_shards=4
+        ).collect()
+    }
+    assert a == b
+
+
+def test_training_shards_order_scrambles_ids(spark):
+    """The intra-shard order must be a real shuffle: positions must not be
+    monotone in doc_id (the failure mode of 'order by doc_id' delivery)."""
+    docs = spark.createDataFrame(
+        [(i, f"tok{i}") for i in range(256)], "doc_id long, text string"
+    )
+    rows = sharding.training_shards(docs, n_shards=2).collect()
+    by_shard: dict[int, list[tuple[int, int]]] = {}
+    for r in rows:
+        by_shard.setdefault(r.shard_id, []).append((r.pos, r.doc_id))
+    inversions = 0
+    for lst in by_shard.values():
+        ids = [d for _, d in sorted(lst)]
+        inversions += sum(a > b for a, b in zip(ids, ids[1:]))
+    assert inversions > 10  # a sorted-by-id order would have 0
+
+
+def test_shard_balance_totals(spark):
+    docs = spark.createDataFrame(
+        [(i, "three word doc") for i in range(90)],
+        "doc_id long, text string",
+    )
+    shards = sharding.training_shards(docs, n_shards=8)
+    bal = sharding.shard_balance(shards).collect()
+    assert sum(r.n_docs for r in bal) == 90
+    assert sum(r.sum_tokens for r in bal) == 270
+
+
+# --- temperature mixture --------------------------------------------------
+
+
+def test_temperature_mixture_flattens(spark):
+    docs = spark.createDataFrame(
+        [(i, "w " * (1 if i % 10 else 100), f"src{i % 2}") for i in range(20)],
+        "doc_id long, text string, source string",
+    )
+    rows = {
+        r.source: r
+        for r in sampling.temperature_mixture_weights(docs).collect()
+    }
+    shares = [r.temp_share for r in rows.values()]
+    assert abs(sum(shares) - 1.0) < 1e-9
+    # temperature flattening: head source moves DOWN toward 0.5, tail UP
+    head = max(rows.values(), key=lambda r: r.token_share)
+    tail = min(rows.values(), key=lambda r: r.token_share)
+    assert head.token_share > head.temp_share > 0.5 > tail.token_share
+    assert tail.temp_share > tail.token_share
+    assert head.boost < 1.0 < tail.boost
+    # sqrt law (up to micro-unit fixed point): temp_share ratio ~ sqrt ratio
+    want = math.sqrt(head.token_share) / (
+        math.sqrt(head.token_share) + math.sqrt(tail.token_share)
+    )
+    assert abs(head.temp_share - want) < 1e-5
+
+
+def test_temperature_mixture_empty_source_flagged(spark):
+    docs = spark.createDataFrame(
+        [(1, "real content here", "src0"), (2, "", "src1"), (3, None, "src1")],
+        "doc_id long, text string, source string",
+    )
+    rows = {
+        r.source: r
+        for r in sampling.temperature_mixture_weights(docs).collect()
+    }
+    assert rows["src1"].n_tokens == 0
+    assert rows["src1"].boost == 0.0
+    assert rows["src0"].temp_share == 1.0
+
+
+# --- vocab coverage -------------------------------------------------------
+
+
+def test_vocab_coverage_bounds_and_closed_form(spark):
+    # vocab_top=2 over a corpus where 'aa' and 'bb' dominate
+    docs = spark.createDataFrame(
+        [
+            (1, "aa aa bb bb aa"),        # all in top-2 vocab -> oov 0
+            (2, "aa zz qq"),              # 2 of 3 oov
+            (3, ""),                      # empty -> 0 tokens, rate 0
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: r for r in text_ops.vocab_coverage(docs, vocab_top=2).collect()
+    }
+    assert rows[1].n_oov == 0 and rows[1].oov_rate == 0.0
+    assert rows[2].n_tokens == 3 and rows[2].n_oov == 2
+    assert abs(rows[2].oov_rate - 2 / 3) < 1e-12
+    assert rows[3].n_tokens == 0 and rows[3].oov_rate == 0.0
+
+
+def test_vocab_coverage_tiebreak_is_lexicographic(spark):
+    # 'aa' and 'zz' tie on frequency; with vocab_top=1 the cut must keep
+    # 'aa' (freq DESC, token ASC)
+    docs = spark.createDataFrame(
+        [(1, "zz aa"), (2, "aa zz")], "doc_id long, text string"
+    )
+    rows = {
+        r.doc_id: r for r in text_ops.vocab_coverage(docs, vocab_top=1).collect()
+    }
+    assert rows[1].n_oov == 1 and rows[2].n_oov == 1
+
+
+# --- cross-source canonicals ----------------------------------------------
+
+
+def test_cross_source_canonicals_respects_priority(spark):
+    """A near-dup cluster spanning web (low priority, small id) and curated
+    (high priority, big id) must keep the CURATED copy — the case where
+    min-doc_id dedup picks wrong."""
+    docs = spark.createDataFrame(
+        [
+            (1, "identical content block one", "web"),
+            (2, "identical content block one", "web"),
+            (9, "identical content block one", "curated"),
+            (5, "unrelated lonely document", "web"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 9)], "doc_a long, doc_b long"
+    )
+    out = {
+        r.doc_id: r
+        for r in clustering.cross_source_canonicals(
+            docs, pairs, priority={"curated": 0, "web": 5}
+        ).collect()
+    }
+    assert out[9].keep and out[9].canonical_id == 9
+    assert not out[1].keep and out[1].canonical_id == 9
+    assert not out[2].keep and out[2].canonical_id == 9
+    assert out[5].keep and out[5].canonical_id == 5
+    # exactly one keeper per component
+    comps: dict[int, int] = {}
+    for r in out.values():
+        comps[r.component] = comps.get(r.component, 0) + (1 if r.keep else 0)
+    assert all(v == 1 for v in comps.values())
+
+
+def test_cross_source_canonicals_unknown_source_ranks_last(spark):
+    docs = spark.createDataFrame(
+        [(1, "same text", "mystery"), (2, "same text", "web")],
+        "doc_id long, text string, source string",
+    )
+    pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    out = {
+        r.doc_id: r
+        for r in clustering.cross_source_canonicals(
+            docs, pairs, priority={"web": 5}
+        ).collect()
+    }
+    # 'mystery' is absent from the priority map -> ranks last despite id 1
+    assert out[2].keep and not out[1].keep
