@@ -140,15 +140,16 @@ def decontaminate_sql(
 # are impossible.  Bitmaps from per-benchmark shards merge by OR, so the
 # filter builds map-side and unions like any sketch.
 #
-# h1 and h2 MUST be independent hashes of the gram (the K-M paper's
-# standing assumption).  A first version derived h2 = f(h1) from the single
-# polynomial hash; polynomial hashes of near-identical grams (shared prefix,
-# one differing trailing char c) differ by just (c - c'), so the benchmark's
-# set bits formed dense integer CLUSTERS and corpus near-miss grams collided
-# wholesale — measured FP 0.0146 vs the 0.0003 formula prediction (48x) on
-# the sf0.1 probe corpus.  h2 is now an independently salted hash of the
-# gram string, restoring the formula (probe-verified; see
-# tools/probe_ingest_scaling.py output in DESIGN.md).
+# h1 and h2 are INDEPENDENT hashes of the gram (h2 from a salted second
+# hash), per the K-M paper's standing assumption.  A first version derived
+# h2 = f(h1) from the single polynomial hash; measurement showed that
+# shortcut did NOT inflate the FP rate here (0.0146 vs 0.0162 per doc
+# before/after on the sf0.1 probe — the apparent 48x excess was the probe
+# comparing a per-GRAM formula to a per-DOC rate; a ~52-gram doc is falsely
+# flagged if ANY gram false-positives, and 1-(1-p)^52 matches the
+# measurement), but the independent stride is kept: it is the assumption
+# the FP formula is derived under, and polynomial hashes of similar grams
+# are provably clustered even when the effect is sub-measurable at this m.
 #
 # Harness representation: the filter IS the relation of set bit positions
 # (exact same membership semantics as the packed bitmap, including real

@@ -11,11 +11,13 @@ measure wall time + output volume for
     a value aggregate — a bare count() lets Catalyst eliminate the final
     unique-key left join and skip the LM entirely)
 
-The first run of this probe caught three real bugs (see DESIGN.md
-"Interpreted HOF lambdas"): the quadratic shingle-lambda capture (91×),
-the correlated Bloom double-hash stride (48× FP excess), and — via the
-training_shards test it prompted — the near-monotone polynomial hash of
-consecutive ids.
+The first run of this probe caught two real bugs and one accounting
+error (see DESIGN.md "Interpreted HOF lambdas"): the quadratic
+shingle-lambda capture (91×), the near-monotone polynomial hash of
+consecutive ids (via the training_shards test it prompted), and an
+apples-to-oranges FP comparison — the probe originally compared the
+per-GRAM Bloom formula to the measured per-DOC flag rate; the doc-level
+prediction 1-(1-p_gram)^(mean grams/doc) matches measurement.
 
 Per-copy distinctness: copy c rewrites every token w -> w + "c<c>"
 (regexp, JVM-side), so each copy's vocabulary is DISJOINT from every
@@ -127,6 +129,7 @@ def main() -> None:
         agg = bl.agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col("flagged").cast("long")).alias("flagged"),
+            F.avg("n_grams").alias("mean_grams"),
         ).collect()[0]
         w_bloom = round(time.perf_counter() - t0, 2)
         fp_note = ""
@@ -141,13 +144,17 @@ def main() -> None:
             )
             import math
 
+            # measured rate is per DOC (any-gram-hits); predict at the same
+            # level: p_doc = 1 - (1 - p_gram)^(mean distinct grams per doc)
             load = 4 * n_bench_grams / m_bits
-            pred = (1 - math.exp(-load)) ** 4
+            p_gram = (1 - math.exp(-load)) ** 4
+            p_doc = 1 - (1 - p_gram) ** agg["mean_grams"]
             clean = agg["n"] - exact_flagged
             fp = (agg["flagged"] - exact_flagged) / clean if clean else 0.0
             fp_note = (
-                f"  [exact_flagged={exact_flagged} fp_measured={fp:.4f} "
-                f"fp_predicted={pred:.4f} m_bits={m_bits}]"
+                f"  [exact_flagged={exact_flagged} fp_doc_measured={fp:.4f} "
+                f"fp_doc_predicted={p_doc:.4f} (p_gram={p_gram:.6f}, "
+                f"mean_grams={agg['mean_grams']:.1f}) m_bits={m_bits}]"
             )
 
         # force full evaluation: a bare count() lets Catalyst ELIMINATE the
