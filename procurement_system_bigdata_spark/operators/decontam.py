@@ -325,3 +325,66 @@ def bloom_decontaminate_sql(
     LEFT JOIN n_grams g USING (doc_id)
     LEFT JOIN gram_hits f USING (doc_id)
     """
+
+
+def source_contamination_report(
+    corpus: DataFrame,
+    benchmarks: DataFrame,
+    n: int = DECONTAM_NGRAM,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """(source, n_docs, n_contaminated, contamination_rate): the
+    per-source roll-up of the exact n-gram decontaminator — the governance
+    table a pipeline publishes per release ("which upstream feeds leak eval
+    data, and how badly").  One extra source-keyed aggregation over the
+    doc-level flags; the rate is an exact BIGINT ratio (one
+    correctly-rounded division, bit-identical cross-engine)."""
+    flagged = (
+        decontaminate(corpus, benchmarks, n=n, min_overlap=min_overlap)
+        .select("doc_id")
+        .distinct()
+        .withColumn("hit", F.lit(1).cast("long"))
+    )
+    per_source = (
+        corpus.select(F.col("doc_id").cast("long").alias("doc_id"), "source")
+        .join(flagged, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(F.sum("hit"), F.lit(0).cast("long")).alias(
+                "n_contaminated"
+            ),
+        )
+    )
+    return per_source.select(
+        "source",
+        "n_docs",
+        "n_contaminated",
+        (
+            F.col("n_contaminated").cast("double")
+            / F.col("n_docs").cast("double")
+        ).alias("contamination_rate"),
+    )
+
+
+def source_contamination_report_sql(
+    table: str = "documents",
+    n: int = DECONTAM_NGRAM,
+    min_overlap: int = 1,
+    bench_mod: int = DECONTAM_BENCH_MOD,
+) -> str:
+    return f"""
+    WITH contaminated AS (
+        SELECT DISTINCT doc_id FROM ({decontaminate_sql(table, n, min_overlap, bench_mod)})
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_contaminated,
+           CAST(SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS contamination_rate
+    FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id, source FROM {table}
+          WHERE doc_id % {bench_mod} <> 0) d
+    LEFT JOIN contaminated c USING (doc_id)
+    GROUP BY d.source
+    """

@@ -1279,3 +1279,64 @@ def random_projection(
         prods = F.zip_with(F.col("embedding"), w_arr, lambda x, wx: x.cast("double") * wx)
         dims.append(F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v))
     return emb.select("vec_id", F.array(*dims).alias("projected"))
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining (contrastive training data).  Dense-retriever /
+# embedding-model training needs, per anchor, the most-similar corpus items
+# that are NOT the anchor's class — "hard" negatives close to the decision
+# boundary (easy random negatives teach nothing).  Same shape as
+# cosine_topk with a label-disagreement predicate: broadcast anchors, one
+# streaming scan, per-anchor windowed top-k.  At scale the window swaps for
+# the IVF route exactly like topk does.
+# ---------------------------------------------------------------------------
+
+
+def hard_negatives(
+    emb: DataFrame, k: int = TOP_K, n_queries: int = N_QUERY_VECS
+) -> DataFrame:
+    """(query_id, neighbor_id, rank, cos_sim): top-k most-similar vectors
+    whose ``label`` differs from the query's — the hardest negatives for
+    the anchor.  Deterministic tiebreak (cos DESC, neighbor ASC)."""
+    q = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("qlabel"),
+    )
+    pairs = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("label") != F.col("qlabel"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("qv"), F.col("embedding")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
+def hard_negatives_sql(
+    table: str = "embeddings", k: int = TOP_K, n_queries: int = N_QUERY_VECS
+) -> str:
+    cos = duck_cosine("q.embedding", "e.embedding")
+    return f"""
+    WITH pairs AS (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               {cos} AS cos_sim
+        FROM {table} q JOIN {table} e ON e.label != q.label
+        WHERE q.vec_id < {n_queries}
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+        FROM pairs
+    )
+    SELECT query_id, neighbor_id, rank, cos_sim FROM ranked WHERE rank <= {k}
+    """

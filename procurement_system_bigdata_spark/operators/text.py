@@ -1341,3 +1341,48 @@ def vocab_coverage_sql(
     FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM {table}) b
     LEFT JOIN per_doc p USING (doc_id)
     """
+
+
+# ---------------------------------------------------------------------------
+# Zipf frequency spectrum (frequency-of-frequencies).  The vocabulary
+# diagnostic run before choosing tokenizer size / min-frequency cuts: how
+# many word types occur exactly c times.  A healthy natural corpus follows
+# Zipf (n_types ~ 1/c^2 for small c); a spectrum with mass spikes at high c
+# reveals boilerplate, template spam, or synthetic repetition.  Two
+# aggregations, both keyed shuffles of the (small) distinct-word table.
+# ---------------------------------------------------------------------------
+
+
+def zipf_spectrum(docs: DataFrame) -> DataFrame:
+    """(freq, n_types, min_token): for each occurrence count ``freq``, how
+    many distinct normalized words occur exactly that often, plus the
+    lexicographically smallest such word as a deterministic probe handle."""
+    norm = P.spark_norm_text(F.col("text"))
+    wcnt = (
+        docs.select(F.explode(P.spark_words(norm)).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    return (
+        wcnt.groupBy("freq")
+        .agg(
+            F.count(F.lit(1)).alias("n_types"),
+            F.min("w").alias("min_token"),
+        )
+        .select("freq", "n_types", "min_token")
+    )
+
+
+def zipf_spectrum_sql(table: str = "documents") -> str:
+    nt = P.duck_norm_text("text")
+    return f"""
+    WITH wcnt AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM (SELECT unnest({P.duck_words('nt')}) AS w
+              FROM (SELECT {nt} AS nt FROM {table}))
+        WHERE w <> '' GROUP BY w
+    )
+    SELECT freq, CAST(COUNT(*) AS BIGINT) AS n_types, MIN(w) AS min_token
+    FROM wcnt GROUP BY freq
+    """

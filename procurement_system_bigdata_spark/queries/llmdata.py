@@ -813,3 +813,43 @@ def q_cross_source_canonicals(spark, sf_dir):
 Q_CROSS_SOURCE_CANONICALS_SQL = clustering.cross_source_canonicals_sql(
     dedup.minhash_lsh_pairs_sql()
 )
+
+
+def q_hard_negatives(spark, sf_dir):
+    """Contrastive hard-negative mining: per anchor, top-k most-similar
+    vectors with a DIFFERENT label — operators/similarity.py."""
+    return similarity.hard_negatives(_emb(spark, sf_dir))
+
+
+Q_HARD_NEGATIVES_SQL = similarity.hard_negatives_sql()
+
+
+def q_zipf_spectrum(spark, sf_dir):
+    """Frequency-of-frequencies vocabulary spectrum — operators/text.py."""
+    return text.zipf_spectrum(_docs(spark, sf_dir))
+
+
+Q_ZIPF_SPECTRUM_SQL = text.zipf_spectrum_sql()
+
+
+def q_source_contamination(spark, sf_dir):
+    """Per-source eval-leak governance report over the exact n-gram
+    decontaminator's registry carve-out — operators/decontam.py."""
+    from ..operators import decontam
+
+    docs = _docs(spark, sf_dir)
+    mod = decontam.DECONTAM_BENCH_MOD
+    corpus = docs.filter(F.col("doc_id") % mod != 0)
+    bench = docs.filter(F.col("doc_id") % mod == 0)
+    return decontam.source_contamination_report(
+        corpus, bench, n=decontam.DECONTAM_NGRAM
+    )
+
+
+def _source_contamination_sql():
+    from ..operators import decontam
+
+    return decontam.source_contamination_report_sql()
+
+
+Q_SOURCE_CONTAMINATION_SQL = _source_contamination_sql()

@@ -1091,6 +1091,41 @@ _register(
     )
 )
 
+
+_register(
+    QuerySpec(
+        name="hard_negatives",
+        fn=llmdata.q_hard_negatives,
+        oracle=llmdata.Q_HARD_NEGATIVES_SQL,
+        description="Contrastive hard-negative mining: per-anchor top-k "
+        "most-similar vectors of a DIFFERENT label (exact, broadcast "
+        "anchors, one scan)",
+        ops=("EXT-similarity",),
+    )
+)
+
+_register(
+    QuerySpec(
+        name="zipf_spectrum",
+        fn=llmdata.q_zipf_spectrum,
+        oracle=llmdata.Q_ZIPF_SPECTRUM_SQL,
+        description="Zipf frequency-of-frequencies vocabulary spectrum "
+        "(tokenizer sizing / template-spam diagnostic)",
+        ops=("EXT-text",),
+    )
+)
+
+_register(
+    QuerySpec(
+        name="source_contamination",
+        fn=llmdata.q_source_contamination,
+        oracle=llmdata.Q_SOURCE_CONTAMINATION_SQL,
+        description="Per-source eval-leak governance report over the exact "
+        "n-gram decontaminator (exact BIGINT rates)",
+        ops=("EXT-decontam",),
+    )
+)
+
 # ---------------------------------------------------------------------------
 # Driver snapshot ordering (round-4 judge ask #2).  The external driver's
 # CORRECTNESS gate samples the FIRST ``DRIVER_SNAPSHOT_N`` registry entries,

@@ -280,3 +280,80 @@ def test_cross_source_canonicals_unknown_source_ranks_last(spark):
     }
     # 'mystery' is absent from the priority map -> ranks last despite id 1
     assert out[2].keep and not out[1].keep
+
+
+# --- hard negatives -------------------------------------------------------
+
+
+def test_hard_negatives_cross_label_and_ranked(spark):
+    from procurement_system_bigdata_spark.operators import similarity
+
+    # anchor 0 (label 0): nearest same-label vec must NOT appear; nearest
+    # cross-label by construction is vec 10 (label 1, almost parallel)
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0),
+        (1, [0.99, 0.1, 0.0], 0),    # same label, closest overall
+        (10, [0.95, 0.3, 0.0], 1),   # cross label, closest negative
+        (11, [0.0, 1.0, 0.0], 1),
+        (12, [0.0, 0.9, 0.4], 2),
+        (13, [-1.0, 0.0, 0.0], 1),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = [
+        r
+        for r in similarity.hard_negatives(emb, k=3, n_queries=1).collect()
+    ]
+    assert [r.rank for r in sorted(out, key=lambda r: r.rank)] == [1, 2, 3]
+    ids = {r.neighbor_id for r in out}
+    assert 1 not in ids and 0 not in ids  # same-label and self excluded
+    top = min(out, key=lambda r: r.rank)
+    assert top.neighbor_id == 10
+
+
+# --- zipf spectrum --------------------------------------------------------
+
+
+def test_zipf_spectrum_closed_form(spark):
+    from procurement_system_bigdata_spark.operators import text as t
+
+    docs = spark.createDataFrame(
+        [(1, "aa aa aa bb bb cc"), (2, "bb dd")],
+        "doc_id long, text string",
+    )
+    # counts: aa=3, bb=3, cc=1, dd=1
+    rows = {r.freq: r for r in t.zipf_spectrum(docs).collect()}
+    assert rows[3].n_types == 2 and rows[3].min_token == "aa"
+    assert rows[1].n_types == 2 and rows[1].min_token == "cc"
+    assert set(rows) == {1, 3}
+
+
+# --- source contamination report ------------------------------------------
+
+
+def test_source_contamination_rates(spark):
+    from procurement_system_bigdata_spark.operators import decontam
+
+    bench = spark.createDataFrame(
+        [(100, "leak one two three four five")],
+        "bench_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "leak one two three four five tail", "web"),   # contaminated
+            (2, "totally clean document body here", "web"),
+            (3, "curated spotless content piece", "books"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = {
+        r.source: r
+        for r in decontam.source_contamination_report(
+            corpus, bench, n=3
+        ).collect()
+    }
+    assert rows["web"].n_docs == 2 and rows["web"].n_contaminated == 1
+    assert rows["web"].contamination_rate == 0.5
+    assert rows["books"].n_contaminated == 0
+    assert rows["books"].contamination_rate == 0.0
