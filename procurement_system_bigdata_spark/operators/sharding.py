@@ -147,3 +147,32 @@ def shard_balance_sql(
            CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
     FROM shards GROUP BY shard_id
     """
+
+
+def write_training_shards(
+    docs: DataFrame, path: str, n_shards: int = N_SHARDS
+) -> None:
+    """Materialize the shards physically: parquet partitioned by
+    ``shard_id``, each shard's rows written in ``pos`` order (ONE shuffle —
+    repartition on the same key the window already used — plus a per-shard
+    local sort; no global sort anywhere).  A trainer rank r of R streams
+    files under ``shard_id=s`` for every s with s % R == r and reads rows
+    in stored order.
+
+    Parquet preserves within-file row order and Spark writes one file per
+    (task, partition-dir) here because the data was repartitioned BY the
+    partition column first — without that repartition, every task holding
+    rows of shard s would emit its own fragment and the pos order across
+    fragments would be lost."""
+    shards = training_shards(docs, n_shards)
+    with_text = shards.join(
+        docs.select(F.col("doc_id").cast("long").alias("doc_id"), "text"),
+        "doc_id",
+    )
+    (
+        with_text.repartition(n_shards, F.col("shard_id"))
+        .sortWithinPartitions("shard_id", "pos")
+        .write.mode("overwrite")
+        .partitionBy("shard_id")
+        .parquet(path)
+    )

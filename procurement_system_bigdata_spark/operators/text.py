@@ -1386,3 +1386,80 @@ def zipf_spectrum_sql(table: str = "documents") -> str:
     SELECT freq, CAST(COUNT(*) AS BIGINT) AS n_types, MIN(w) AS min_token
     FROM wcnt GROUP BY freq
     """
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity buckets (Wenzek et al. 2020): per source, split
+# documents into head / middle / tail terciles by language-model score and
+# report each bucket's volume.  CCNet keeps "head" (most-fluent third) for
+# pretraining, "middle" as backfill, drops "tail"; the bucket boundary per
+# SOURCE (not global) stops low-resource sources from being wholly dropped
+# because a dominant source's fluency distribution differs.
+#
+# Scale shape: inherits the bigram LM's one-broadcast-one-shuffle scoring;
+# the tercile is ntile(3) per source — a per-source sort of doc-level rows
+# (at 100 TB: approx_percentile cutpoints per source instead, map-side
+# bucketing, no sort).  Deterministic: ntile over (score, doc_id).
+# ---------------------------------------------------------------------------
+
+
+def lm_perplexity_buckets(
+    docs: DataFrame, train_source: str = LM_TRAIN_SOURCE
+) -> DataFrame:
+    """(source, bucket, n_docs, n_tokens, min_logscore): head/middle/tail
+    LM-fluency terciles per source over the stupid-backoff bigram scores
+    (docs outside the LM's training slice).  ``bucket`` 1=head (most
+    fluent) .. 3=tail; ``min_logscore`` is each bucket's worst score — the
+    cut a production run would freeze and apply map-side."""
+    from pyspark.sql.window import Window
+
+    scores = bigram_backoff_scores(docs, train_source)
+    labeled = scores.join(
+        docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"), "source"
+        ),
+        "doc_id",
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("mean_logscore"), F.asc("doc_id")
+    )
+    bucketed = labeled.select(
+        "source",
+        "n_bigrams",
+        "mean_logscore",
+        F.ntile(3).over(w).alias("bucket"),
+    )
+    return (
+        bucketed.groupBy("source", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bigrams").alias("n_tokens"),
+            F.min("mean_logscore").alias("min_logscore"),
+        )
+        .select("source", "bucket", "n_docs", "n_tokens", "min_logscore")
+    )
+
+
+def lm_perplexity_buckets_sql(
+    table: str = "documents", train_source: str = LM_TRAIN_SOURCE
+) -> str:
+    return f"""
+    WITH scores AS ({bigram_backoff_scores_sql(table, train_source)}),
+    labeled AS (
+        SELECT d.source, s.n_bigrams, s.mean_logscore, s.doc_id
+        FROM scores s
+        JOIN (SELECT CAST(doc_id AS BIGINT) AS doc_id, source FROM {table}) d
+          USING (doc_id)
+    ),
+    bucketed AS (
+        SELECT source, n_bigrams, mean_logscore,
+               NTILE(3) OVER (PARTITION BY source
+                              ORDER BY mean_logscore DESC, doc_id ASC) AS bucket
+        FROM labeled
+    )
+    SELECT source, bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_bigrams) AS BIGINT) AS n_tokens,
+           MIN(mean_logscore) AS min_logscore
+    FROM bucketed GROUP BY source, bucket
+    """

@@ -853,3 +853,12 @@ def _source_contamination_sql():
 
 
 Q_SOURCE_CONTAMINATION_SQL = _source_contamination_sql()
+
+
+def q_lm_perplexity_buckets(spark, sf_dir):
+    """CCNet head/middle/tail LM-fluency terciles per source —
+    operators/text.py lm_perplexity_buckets."""
+    return text.lm_perplexity_buckets(_docs(spark, sf_dir))
+
+
+Q_LM_PERPLEXITY_BUCKETS_SQL = text.lm_perplexity_buckets_sql()

@@ -1126,6 +1126,18 @@ _register(
     )
 )
 
+
+_register(
+    QuerySpec(
+        name="lm_perplexity_buckets",
+        fn=llmdata.q_lm_perplexity_buckets,
+        oracle=llmdata.Q_LM_PERPLEXITY_BUCKETS_SQL,
+        description="CCNet-style head/middle/tail LM-fluency terciles per "
+        "source over the stupid-backoff bigram scores",
+        ops=("EXT-text", "EXT-sampling"),
+    )
+)
+
 # ---------------------------------------------------------------------------
 # Driver snapshot ordering (round-4 judge ask #2).  The external driver's
 # CORRECTNESS gate samples the FIRST ``DRIVER_SNAPSHOT_N`` registry entries,

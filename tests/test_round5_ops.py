@@ -357,3 +357,73 @@ def test_source_contamination_rates(spark):
     assert rows["web"].contamination_rate == 0.5
     assert rows["books"].n_contaminated == 0
     assert rows["books"].contamination_rate == 0.0
+
+
+# --- physical shard writer ------------------------------------------------
+
+
+def test_write_training_shards_roundtrip(spark, tmp_path):
+    """Shard files must contain exactly the assigned docs, in pos order
+    within each shard directory."""
+    docs = spark.createDataFrame(
+        [(i, f"doc{i} body text") for i in range(120)],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "shards")
+    sharding.write_training_shards(docs, path, n_shards=4)
+    want = {
+        (r.doc_id, r.shard_id, r.pos)
+        for r in sharding.training_shards(docs, n_shards=4).collect()
+    }
+    back = spark.read.parquet(path)
+    got = {
+        (r.doc_id, int(r.shard_id), r.pos) for r in back.collect()
+    }
+    assert got == want
+    # stored row order within each shard's files == pos order
+    import glob
+
+    for s in range(4):
+        files = sorted(glob.glob(f"{path}/shard_id={s}/*.parquet"))
+        assert files, f"no files for shard {s}"
+        rows = []
+        for f in files:
+            rows.extend(
+                spark.read.parquet(f).select("pos").toPandas()["pos"].tolist()
+            )
+        assert rows == sorted(rows)
+
+
+# --- perplexity buckets ---------------------------------------------------
+
+
+def test_lm_perplexity_buckets_properties(spark):
+    """Terciles are per source, head >= middle >= tail in min_logscore,
+    and bucket doc counts are balanced within 1."""
+    from procurement_system_bigdata_spark.operators import text as t
+
+    rows = []
+    # training slice for the LM
+    for i in range(6):
+        rows.append((1000 + i, "the quick brown fox jumps high", "src0"))
+    # scored: two sources, 9 docs each, varying fluency
+    for i in range(9):
+        frag = "the quick brown fox" if i < 3 else "zzz qqq xxx www"
+        rows.append((i, f"{frag} jumps high round {i}", "srcA"))
+        rows.append((100 + i, f"{frag} extra words here {i}", "srcB"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = t.lm_perplexity_buckets(docs).collect()
+    by_src: dict[str, dict[int, object]] = {}
+    for r in out:
+        by_src.setdefault(r.source, {})[r.bucket] = r
+    assert set(by_src) == {"srcA", "srcB"}
+    for src, buckets in by_src.items():
+        assert set(buckets) == {1, 2, 3}
+        counts = [buckets[b].n_docs for b in (1, 2, 3)]
+        assert max(counts) - min(counts) <= 1 and sum(counts) == 9
+        # head's worst score >= middle's worst >= tail's worst
+        assert (
+            buckets[1].min_logscore
+            >= buckets[2].min_logscore
+            >= buckets[3].min_logscore
+        )
