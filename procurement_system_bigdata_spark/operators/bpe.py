@@ -230,3 +230,53 @@ def learn_bpe_reference(
                     syms[i : i + 2] = [l + r]
                 i += 1
     return out
+
+
+def bpe_segment(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    min_freq: int = BPE_MIN_FREQ,
+) -> DataFrame:
+    """(doc_id, n_words, n_tokens, fertility): tokenize every document with
+    an already-learned merge list (applied in learning order, the published
+    inference rule) and report token counts and fertility (tokens per word
+    — THE tokenizer quality metric; 1.0 = every word is one token).
+
+    The merge list is a driver-side literal (vocab-sized), so application
+    is a chain of len(merges) folds over each word's symbol array —
+    map-side only, no shuffle beyond the per-doc count.  Segmentation
+    happens on the DISTINCT words of each doc?  No — per doc directly:
+    token count per doc = sum over its words of that word's segment count,
+    computed by exploding words and folding each once."""
+    norm = P.spark_norm_text(F.col("text"))
+    base = docs.select(F.col("doc_id").cast("long").alias("doc_id"))
+    tok = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(P.spark_words(norm)).alias("w"),
+    ).filter(F.col("w") != "")
+    # fold each distinct word ONCE, then join back — the corpus has far
+    # fewer distinct words than word occurrences
+    distinct_w = tok.select("w").distinct()
+    syms = F.filter(F.split(F.col("w"), ""), lambda c: c != "")
+    for left, right in merges:
+        syms = _apply_merge(syms, left, right)
+    seg = distinct_w.select("w", F.size(syms).cast("long").alias("n_sub"))
+    per_doc = (
+        tok.join(seg, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_sub").alias("n_tokens"),
+        )
+    )
+    return base.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_words"), F.lit(0).cast("long")).alias("n_words"),
+        F.coalesce(F.col("n_tokens"), F.lit(0).cast("long")).alias("n_tokens"),
+        F.when(
+            F.coalesce(F.col("n_words"), F.lit(0)) > 0,
+            F.col("n_tokens").cast("double") / F.col("n_words").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("fertility"),
+    )

@@ -288,3 +288,54 @@ def cross_source_canonicals_sql(
            ) AS keep
     FROM labeled
     """
+
+
+def cross_source_overlap(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """(source_a, source_b, n_pairs): near-duplicate pair counts by
+    UNORDERED source pair (source_a <= source_b) — the provenance table
+    that shows which feeds mirror which (web scraping books, two crawls of
+    the same sites, intra-source template spam on the diagonal).
+
+    Two broadcast-sized joins of the pair table against the doc->source
+    map?  No — the doc->source map is corpus-sized, so both lookups are
+    doc_id-keyed shuffle joins of the PAIR table (bounded by actual
+    near-dup volume, far below corpus size); the final (source_a, source_b)
+    aggregation is tiny."""
+    src = docs.select(F.col("doc_id").cast("long").alias("doc_id"), "source")
+    a = src.select(
+        F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")
+    )
+    b = src.select(
+        F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")
+    )
+    return (
+        pairs.select(
+            F.col("doc_a").cast("long").alias("doc_a"),
+            F.col("doc_b").cast("long").alias("doc_b"),
+        )
+        .join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+def cross_source_overlap_sql(pairs_sql: str, table: str = "documents") -> str:
+    return f"""
+    WITH pairs AS ({pairs_sql}),
+    labeled AS (
+        SELECT LEAST(da.source, db.source) AS source_a,
+               GREATEST(da.source, db.source) AS source_b
+        FROM pairs p
+        JOIN (SELECT CAST(doc_id AS BIGINT) AS doc_id, source FROM {table}) da
+          ON p.doc_a = da.doc_id
+        JOIN (SELECT CAST(doc_id AS BIGINT) AS doc_id, source FROM {table}) db
+          ON p.doc_b = db.doc_id
+    )
+    SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM labeled GROUP BY source_a, source_b
+    """

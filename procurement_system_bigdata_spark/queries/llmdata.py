@@ -862,3 +862,37 @@ def q_lm_perplexity_buckets(spark, sf_dir):
 
 
 Q_LM_PERPLEXITY_BUCKETS_SQL = text.lm_perplexity_buckets_sql()
+
+
+def q_cross_source_overlap(spark, sf_dir):
+    """Near-dup provenance: pair counts by unordered source pair —
+    operators/clustering.py cross_source_overlap, oracle-dial MinHash
+    pairs."""
+    docs = _docs(spark, sf_dir)
+    return clustering.cross_source_overlap(
+        docs,
+        dedup.minhash_lsh_pairs(
+            docs, k=P.MINHASH_K_ORACLE, n_bands=P.MINHASH_BANDS_ORACLE
+        ),
+    )
+
+
+Q_CROSS_SOURCE_OVERLAP_SQL = clustering.cross_source_overlap_sql(
+    dedup.minhash_lsh_pairs_sql()
+)
+
+
+def q_bpe_fertility(spark, sf_dir):
+    """End-to-end tokenizer loop: learn the BPE merges on the corpus, then
+    segment every document with them and report fertility (tokens/word).
+    Rows-only: the learned merge list is iterative state — the per-round
+    pair table is oracle-checked via bpe_top_pairs, and segmentation is
+    pinned to a pure-Python reference in tests."""
+    from ..operators import bpe
+
+    docs = _docs(spark, sf_dir)
+    merges = [
+        (r.left_sym, r.right_sym)
+        for r in bpe.learn_bpe(docs).orderBy("rank").collect()
+    ]
+    return bpe.bpe_segment(docs, merges)

@@ -1138,6 +1138,30 @@ _register(
     )
 )
 
+
+_register(
+    QuerySpec(
+        name="cross_source_overlap",
+        fn=llmdata.q_cross_source_overlap,
+        oracle=llmdata.Q_CROSS_SOURCE_OVERLAP_SQL,
+        description="Near-dup provenance: pair counts by unordered source "
+        "pair (which feeds mirror which)",
+        ops=("EXT-dedup",),
+    )
+)
+
+_register(
+    QuerySpec(
+        name="bpe_fertility",
+        fn=llmdata.q_bpe_fertility,
+        oracle=None,  # the merge list is iterative state (see bpe_merges);
+        # segmentation itself is reference-pinned in tests
+        description="Learned-BPE segmentation of the corpus with per-doc "
+        "fertility (tokens/word)",
+        ops=("EXT-tokenizer",),
+    )
+)
+
 # ---------------------------------------------------------------------------
 # Driver snapshot ordering (round-4 judge ask #2).  The external driver's
 # CORRECTNESS gate samples the FIRST ``DRIVER_SNAPSHOT_N`` registry entries,

@@ -427,3 +427,69 @@ def test_lm_perplexity_buckets_properties(spark):
             >= buckets[2].min_logscore
             >= buckets[3].min_logscore
         )
+
+
+# --- BPE segmentation -----------------------------------------------------
+
+
+def _segment_py(word, merges):
+    syms = list(word)
+    for l, r in merges:
+        i = 0
+        while i < len(syms) - 1:
+            if syms[i] == l and syms[i + 1] == r:
+                syms[i : i + 2] = [l + r]
+            i += 1
+    return syms
+
+
+def test_bpe_segment_matches_python_reference(spark):
+    texts = ["banana bandana cabana", "ban banana the bandana"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges = [
+        (r.left_sym, r.right_sym)
+        for r in bpe.learn_bpe(docs, n_merges=4).orderBy("rank").collect()
+    ]
+    out = {r.doc_id: r for r in bpe.bpe_segment(docs, merges).collect()}
+    for i, t in enumerate(texts):
+        words = t.split()
+        want_tokens = sum(len(_segment_py(w, merges)) for w in words)
+        assert out[i].n_words == len(words)
+        assert out[i].n_tokens == want_tokens
+        assert abs(out[i].fertility - want_tokens / len(words)) < 1e-12
+
+
+def test_bpe_segment_no_merges_is_char_count(spark):
+    docs = spark.createDataFrame(
+        [(1, "ab cde")], "doc_id long, text string"
+    )
+    r = bpe.bpe_segment(docs, []).collect()[0]
+    assert r.n_words == 2 and r.n_tokens == 5 and r.fertility == 2.5
+
+
+# --- cross-source overlap -------------------------------------------------
+
+
+def test_cross_source_overlap_unordered_pairs(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "x", "web"),
+            (2, "x", "books"),
+            (3, "x", "web"),
+            (4, "x", "curated"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (1, 4)], "doc_a long, doc_b long"
+    )
+    rows = {
+        (r.source_a, r.source_b): r.n_pairs
+        for r in clustering.cross_source_overlap(docs, pairs).collect()
+    }
+    # (1,2)=web/books, (2,3)=books/web -> both land on (books, web)
+    assert rows[("books", "web")] == 2
+    assert rows[("web", "web")] == 1
+    assert rows[("curated", "web")] == 1
