@@ -857,3 +857,132 @@ def exact_substring_pairs_sql(
     FROM tok a JOIN tok b ON a.h = b.h AND a.doc_id < b.doc_id
     GROUP BY 1, 2
     """
+
+
+# ---------------------------------------------------------------------------
+# Shared-span REMOVAL (Lee et al. 2022, "Deduplicating Training Data Makes
+# Language Models Better", arXiv:2107.06499): substring-level dedup does
+# not drop whole documents — it excises the duplicated SPANS and keeps the
+# unique remainder.  Harness semantics: a word position is covered if any
+# SPAN_N-word window containing it also occurs in ANOTHER document; covered
+# positions are removed and the survivors rejoin in order.
+#
+# Scale shape: gram hash -> distinct-doc count is one gram-keyed shuffle
+# (the same inverted index as exact_substring_pairs, reusing its
+# max_doc_freq hot-token discipline upstream if needed); covered-position
+# expansion is explode(sequence(i, i+n-1)) — bounded by n x shared-gram
+# occurrences; the rebuild is one doc_id-keyed collect of surviving
+# (pos, word) pairs.  No all-pairs join anywhere — the operator never
+# materializes WHICH documents share a span, only THAT a span is shared.
+# ---------------------------------------------------------------------------
+
+SPAN_N = 5
+
+
+def remove_shared_spans(docs: DataFrame, n: int = SPAN_N) -> DataFrame:
+    """(doc_id, n_words, n_removed, clean_text): every word position
+    covered by an n-gram that appears in >= 2 DISTINCT documents is
+    removed; ``clean_text`` is the surviving words joined in order (may be
+    empty for fully-duplicated docs).  Deterministic: positions, not
+    hashes, decide the rebuild order."""
+    words = P.spark_words(P.spark_norm_text(F.col("text")))
+    base = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), words.alias("ws")
+    ).select(
+        "doc_id", F.filter(F.col("ws"), lambda w: w != "").alias("ws")
+    )
+    pos_words = base.select(
+        "doc_id", F.posexplode("ws").alias("pos", "w")
+    )
+    grams = base.select(
+        "doc_id",
+        F.posexplode(P.spark_word_shingles(F.col("ws"), n)).alias("i", "g"),
+    ).select("doc_id", "i", F.md5("g").alias("gh"))
+    shared = (
+        grams.select("gh", "doc_id")
+        .distinct()
+        .groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("gh")
+    )
+    covered = (
+        grams.join(shared, "gh")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("i"), F.col("i") + F.lit(n - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    survivors = (
+        pos_words.join(covered, ["doc_id", "pos"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "w"))
+                    ),
+                    lambda s: s["w"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+    )
+    counts = base.select("doc_id", F.size("ws").cast("long").alias("n_words"))
+    return counts.join(survivors, "doc_id", "left").select(
+        "doc_id",
+        "n_words",
+        (
+            F.col("n_words")
+            - F.coalesce(F.col("n_kept"), F.lit(0).cast("long"))
+        ).alias("n_removed"),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+    )
+
+
+def remove_shared_spans_sql(table: str = "documents", n: int = SPAN_N) -> str:
+    nt = P.duck_norm_text("text")
+    shingles = P.duck_word_shingles("ws", n)
+    return f"""
+    WITH base AS (
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               list_filter({P.duck_words('nt')}, w -> w <> '') AS ws
+        FROM (SELECT doc_id, {nt} AS nt FROM {table})
+    ),
+    pos_words AS (
+        SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, ws[i] AS w
+        FROM base, unnest(range(1, len(ws) + 1)) AS t(i)
+    ),
+    grams AS (
+        SELECT doc_id, CAST(i - 1 AS BIGINT) AS i, md5(gs[i]) AS gh
+        FROM (SELECT doc_id, {shingles} AS gs FROM base),
+             unnest(range(1, len(gs) + 1)) AS t(i)
+    ),
+    shared AS (
+        SELECT gh FROM (SELECT DISTINCT gh, doc_id FROM grams)
+        GROUP BY gh HAVING COUNT(*) >= 2
+    ),
+    covered AS (
+        SELECT DISTINCT g.doc_id, CAST(g.i + o AS BIGINT) AS pos
+        FROM grams g JOIN shared s USING (gh),
+             unnest(range(0, {n})) AS t(o)
+    ),
+    survivors AS (
+        SELECT p.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_kept,
+               string_agg(p.w, ' ' ORDER BY p.pos) AS clean_text
+        FROM pos_words p
+        LEFT JOIN covered c ON p.doc_id = c.doc_id AND p.pos = c.pos
+        WHERE c.pos IS NULL
+        GROUP BY p.doc_id
+    )
+    SELECT b.doc_id,
+           CAST(len(b.ws) AS BIGINT) AS n_words,
+           CAST(len(b.ws) - COALESCE(s.n_kept, 0) AS BIGINT) AS n_removed,
+           COALESCE(s.clean_text, '') AS clean_text
+    FROM base b LEFT JOIN survivors s USING (doc_id)
+    """

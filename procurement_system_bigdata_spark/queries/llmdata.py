@@ -896,3 +896,13 @@ def q_bpe_fertility(spark, sf_dir):
         for r in bpe.learn_bpe(docs).orderBy("rank").collect()
     ]
     return bpe.bpe_segment(docs, merges)
+
+
+def q_span_removal(spark, sf_dir):
+    """Substring-level dedup with REMOVAL (Lee et al. 2022): excise word
+    positions covered by any 5-gram shared across documents, keep the
+    unique remainder — operators/dedup.py remove_shared_spans."""
+    return dedup.remove_shared_spans(_docs(spark, sf_dir))
+
+
+Q_SPAN_REMOVAL_SQL = dedup.remove_shared_spans_sql()

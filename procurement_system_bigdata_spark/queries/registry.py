@@ -1162,6 +1162,19 @@ _register(
     )
 )
 
+
+_register(
+    QuerySpec(
+        name="span_removal",
+        fn=llmdata.q_span_removal,
+        oracle=llmdata.Q_SPAN_REMOVAL_SQL,
+        description="Substring-level dedup with removal: excise word "
+        "positions covered by cross-document shared 5-grams, keep the "
+        "unique remainder (Lee et al. 2022 semantics)",
+        ops=("EXT-dedup",),
+    )
+)
+
 # ---------------------------------------------------------------------------
 # Driver snapshot ordering (round-4 judge ask #2).  The external driver's
 # CORRECTNESS gate samples the FIRST ``DRIVER_SNAPSHOT_N`` registry entries,

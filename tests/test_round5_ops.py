@@ -493,3 +493,56 @@ def test_cross_source_overlap_unordered_pairs(spark):
     assert rows[("books", "web")] == 2
     assert rows[("web", "web")] == 1
     assert rows[("curated", "web")] == 1
+
+
+# --- shared-span removal --------------------------------------------------
+
+
+def test_remove_shared_spans_excises_only_shared(spark):
+    from procurement_system_bigdata_spark.operators import dedup as dd
+
+    shared = "one two three four five"  # the 5-gram both docs carry
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta {shared} gamma delta"),
+            (2, f"{shared} epsilon zeta eta theta iota"),
+            (3, "totally unique words nobody else repeats anywhere"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in dd.remove_shared_spans(docs, n=5).collect()}
+    assert rows[1].clean_text == "alpha beta gamma delta"
+    assert rows[1].n_removed == 5
+    assert rows[2].clean_text == "epsilon zeta eta theta iota"
+    assert rows[3].n_removed == 0
+    assert rows[3].clean_text == "totally unique words nobody else repeats anywhere"
+
+
+def test_remove_shared_spans_full_duplicate_empties(spark):
+    from procurement_system_bigdata_spark.operators import dedup as dd
+
+    t = "exact copy of this whole document body"
+    docs = spark.createDataFrame(
+        [(1, t), (2, t)], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in dd.remove_shared_spans(docs, n=5).collect()}
+    for r in rows.values():
+        assert r.n_removed == r.n_words and r.clean_text == ""
+
+
+def test_remove_shared_spans_overlapping_windows_cover_union(spark):
+    from procurement_system_bigdata_spark.operators import dedup as dd
+
+    # doc 1 shares TWO overlapping 3-grams with docs 2/3: covered positions
+    # are the union, not double-removed
+    docs = spark.createDataFrame(
+        [
+            (1, "pad1 a b c d pad2"),
+            (2, "a b c xx yy zz qq"),
+            (3, "b c d ww vv uu tt"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in dd.remove_shared_spans(docs, n=3).collect()}
+    assert rows[1].clean_text == "pad1 pad2"
+    assert rows[1].n_removed == 4
