@@ -906,3 +906,47 @@ def q_span_removal(spark, sf_dir):
 
 
 Q_SPAN_REMOVAL_SQL = dedup.remove_shared_spans_sql()
+
+
+def q_delivery_pipeline(spark, sf_dir):
+    """Capstone composition: quality gate -> near-dup canonicals -> train
+    split -> deterministic hash shards, ONE plan, every stage
+    oracle-checked.  The output is literally what a trainer consumes:
+    (doc_id, shard_id, pos, n_tokens) over the curated train split."""
+    from ..operators import sharding
+
+    docs = _docs(spark, sf_dir)
+    curated = (
+        curate_corpus(
+            docs, k=P.MINHASH_K_ORACLE, n_bands=P.MINHASH_BANDS_ORACLE
+        )
+        .filter(F.col("split") == "train")
+        .select("doc_id")
+    )
+    survivors = curated.join(
+        docs.select(F.col("doc_id").cast("long").alias("doc_id"), "text"),
+        "doc_id",
+    )
+    return sharding.training_shards(survivors)
+
+
+def _delivery_pipeline_sql() -> str:
+    from ..operators import sharding
+
+    # splice training_shards_sql's WITH block onto the curation CTEs (the
+    # template's single leading "WITH keyed" becomes ", keyed")
+    shards = sharding.training_shards_sql("survivors").replace(
+        "WITH keyed AS", ", keyed AS", 1
+    )
+    return f"""
+    WITH curated AS ({_corpus_curation_sql()}),
+    survivors AS (
+        SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.text
+        FROM documents d
+        JOIN curated c ON CAST(d.doc_id AS BIGINT) = c.doc_id
+        WHERE c.split = 'train'
+    ){shards}
+    """
+
+
+Q_DELIVERY_PIPELINE_SQL = _delivery_pipeline_sql()

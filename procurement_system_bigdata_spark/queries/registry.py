@@ -1175,6 +1175,18 @@ _register(
     )
 )
 
+
+_register(
+    QuerySpec(
+        name="delivery_pipeline",
+        fn=llmdata.q_delivery_pipeline,
+        oracle=llmdata.Q_DELIVERY_PIPELINE_SQL,
+        description="Capstone: quality gate -> near-dup canonicals -> train "
+        "split -> hash shards, one composed plan, oracle-checked end to end",
+        ops=("EXT-pipeline", "EXT-dedup", "EXT-sampling", "EXT-delivery"),
+    )
+)
+
 # ---------------------------------------------------------------------------
 # Driver snapshot ordering (round-4 judge ask #2).  The external driver's
 # CORRECTNESS gate samples the FIRST ``DRIVER_SNAPSHOT_N`` registry entries,
