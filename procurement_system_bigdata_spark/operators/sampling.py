@@ -220,6 +220,12 @@ def source_mixture_weights(
     n_words = F.when(
         F.coalesce(F.length(norm), F.lit(0)) == 0, F.lit(0)
     ).otherwise(F.size(P.spark_words(norm)))
+    # per_source is |sources| rows but derives from a full corpus scan;
+    # every downstream reference (the total, the final projection) would
+    # re-scan the corpus — Catalyst's exchange reuse does NOT fire here
+    # because the branch projections differ (measured: 2 scans without the
+    # checkpoint, 4 in the temperature variant).  One eager localCheckpoint
+    # caps the corpus cost at exactly one scan.
     per_source = (
         docs.select(F.col(source_col).alias("source"), n_words.alias("nw"))
         .groupBy("source")
@@ -227,6 +233,7 @@ def source_mixture_weights(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("nw").alias("n_tokens"),
         )
+        .localCheckpoint()
     )
     total = per_source.agg(F.sum("n_tokens").alias("total"))
     tmap = F.create_map(
@@ -490,6 +497,10 @@ def temperature_mixture_weights(
     n_words = F.when(
         F.coalesce(F.length(norm), F.lit(0)) == 0, F.lit(0)
     ).otherwise(F.size(P.spark_words(norm)))
+    # one corpus scan total — see the matching note in
+    # source_mixture_weights (without this, FOUR full scans: per_source is
+    # referenced by the total, the s6 projection, and tot6, and exchange
+    # reuse does not fire across the differing projections)
     per_source = (
         docs.select(F.col(source_col).alias("source"), n_words.alias("nw"))
         .groupBy("source")
@@ -497,6 +508,7 @@ def temperature_mixture_weights(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("nw").alias("n_tokens"),
         )
+        .localCheckpoint()
     )
     total = per_source.agg(F.sum("n_tokens").alias("total"))
     share = F.col("n_tokens").cast("double") / F.col("total").cast("double")

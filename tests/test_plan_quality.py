@@ -231,3 +231,46 @@ def test_round3_ops_stay_jvm_side_and_broadcast(spark):
         )
         assert "BroadcastHashJoin" in plan, f"{name} lost its broadcast"
         assert "SortMergeJoin" not in plan, f"{name} shuffled the corpus side"
+
+
+def test_training_shards_plan(spark):
+    """Sharding must be ONE exchange (the shard-keyed window) — no global
+    sort, no SinglePartition funnel, no Python UDFs."""
+    stats = assert_scale_safe(REGISTRY["training_shards"].fn(spark, SF_DIR))
+    assert stats["single_partition_exchanges"] == 0
+    assert stats["shuffles"] <= 1
+    assert "Sort" in stats["plan"]  # the per-shard local sort of the window
+
+
+def test_span_removal_plan(spark):
+    """Span removal never materializes doc pairs: no cartesian/nested-loop
+    product, no Python UDFs; shuffles are the gram index + doc-keyed
+    rebuild aggregations."""
+    stats = plan_stats(REGISTRY["span_removal"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in stats["plan"]
+    assert "BroadcastNestedLoopJoin" not in stats["plan"]
+    assert stats["python_udfs"] == 0
+    assert stats["sort_merge_joins"] <= 3  # doc_id-keyed anti/left joins
+
+
+def test_temperature_mixture_plan(spark):
+    """The corpus is scanned ONCE (the per_source checkpoint); everything
+    downstream operates on the |sources|-row materialization.  Without the
+    checkpoint this plan scanned documents FOUR times (total, s6
+    projection, tot6 — no exchange reuse across differing projections)."""
+    stats = assert_scale_safe(REGISTRY["temperature_mixture"].fn(spark, SF_DIR))
+    assert stats["plan"].count("documents.parquet") == 0  # behind checkpoint
+    assert "BroadcastNestedLoopJoin" in stats["plan"]  # 1-row total crossJoins
+
+
+def test_source_mixture_single_scan(spark):
+    stats = plan_stats(REGISTRY["source_mixture"].fn(spark, SF_DIR))
+    assert stats["plan"].count("documents.parquet") == 0  # behind checkpoint
+
+
+def test_vocab_coverage_plan(spark):
+    """The vocab cut is a window over the DISTINCT-WORD table only; scoring
+    joins the V-row vocab broadcast — no corpus-sized sort-merge join."""
+    stats = plan_stats(REGISTRY["vocab_coverage"].fn(spark, SF_DIR))
+    assert stats["python_udfs"] == 0
+    assert stats["broadcast_hash_joins"] >= 1  # vocab attaches broadcast
