@@ -58,7 +58,11 @@ def decontaminate(
     """
     bid = "bench_id" if "bench_id" in benchmarks.columns else "doc_id"
     doc_g = _gram_hashes(corpus, "doc_id", "doc_id", n)
-    bench_g = _gram_hashes(benchmarks, bid, "bench_id", n)
+    # benchmark-sized checkpoint: bench_g feeds the collision join AND the
+    # per-benchmark gram sizes — unchecked, the second reference re-scans
+    # and re-shingles the benchmark side (scan audit: 3 text scans; floor
+    # is 2, one per side)
+    bench_g = _gram_hashes(benchmarks, bid, "bench_id", n).localCheckpoint()
     bench_sizes = bench_g.groupBy("bench_id").agg(
         F.count(F.lit(1)).alias("bench_grams")
     )
@@ -218,6 +222,11 @@ def bloom_decontaminate(
             F.concat(F.lit(_BLOOM_STRIDE_SALT), F.col("g"))
         )
     words = P.spark_words(P.spark_norm_text(F.col("text")))
+    # gram-hash-width checkpoint: doc_g feeds the position probe AND the
+    # per-doc gram counts — unchecked, the second reference re-scans and
+    # re-shingles the whole corpus (scan audit: 3 text scans); the
+    # materialized rows are 3 BIGINTs per distinct gram, the same bytes its
+    # own distinct() shuffle already wrote
     doc_g = (
         corpus.select(
             F.col("doc_id").cast("long").alias("doc_id"),
@@ -225,6 +234,7 @@ def bloom_decontaminate(
         )
         .select("doc_id", h_expr.alias("h"), hs_expr.alias("hs"))
         .distinct()
+        .localCheckpoint()
     )
     bench_words = P.spark_words(P.spark_norm_text(F.col("text")))
     bits = (

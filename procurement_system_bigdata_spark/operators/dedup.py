@@ -189,7 +189,15 @@ def ngram_jaccard_pairs(
     default) keeps the computation exact; production runs should set it —
     tests/test_llmdata_ops.py proves the join volume drops from quadratic
     to linear on a corpus with one token shared by every document."""
-    tok = _cap_hot_tokens(_doc_token_hashes(docs, shingle_n), max_doc_freq)
+    # materialize the posting table ONCE: it feeds the sizes aggregate and
+    # BOTH sides of the self-join (plus the hot-list anti-join), and
+    # without the checkpoint each reference re-scans the text and re-hashes
+    # every shingle — the round-5 scan audit measured EIGHT text-bearing
+    # scans in the capped registry shape; (doc_id, h) rows are 16 bytes vs
+    # re-reading and re-shingling documents
+    tok = _cap_hot_tokens(
+        _doc_token_hashes(docs, shingle_n), max_doc_freq
+    ).localCheckpoint()
     sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = tok.alias("a"), tok.alias("b")
     inter = (
@@ -833,9 +841,11 @@ def exact_substring_pairs(
     are dropped before the join (the standard suffix-dedup preprocessing;
     None = exact, the oracle-parity default).
     """
+    # posting-table checkpoint: both sides of the self-join re-scan and
+    # re-shingle the text otherwise (same fix as ngram_jaccard_pairs)
     tok = _cap_hot_tokens(
         _doc_token_hashes(docs, min_gram_words, fast_hash), max_doc_freq
-    )
+    ).localCheckpoint()
     a = tok.select(F.col("doc_id").alias("doc_a"), "h")
     b = tok.select(F.col("doc_id").alias("doc_b"), "h")
     return (
@@ -894,10 +904,15 @@ def remove_shared_spans(docs: DataFrame, n: int = SPAN_N) -> DataFrame:
     pos_words = base.select(
         "doc_id", F.posexplode("ws").alias("pos", "w")
     )
+    # gram-hash checkpoint: grams feeds the shared-gram df aggregate AND
+    # the covered-position expansion — unchecked, each re-derivation
+    # re-scans and re-shingles the corpus (scan audit: 4 text-bearing
+    # scans; pos_words + grams = the 2-scan floor after this and the
+    # pruned id-scan below)
     grams = base.select(
         "doc_id",
         F.posexplode(P.spark_word_shingles(F.col("ws"), n)).alias("i", "g"),
-    ).select("doc_id", "i", F.md5("g").alias("gh"))
+    ).select("doc_id", "i", F.md5("g").alias("gh")).localCheckpoint()
     shared = (
         grams.select("gh", "doc_id")
         .distinct()
@@ -906,6 +921,8 @@ def remove_shared_spans(docs: DataFrame, n: int = SPAN_N) -> DataFrame:
         .filter(F.col("df") >= 2)
         .select("gh")
     )
+    # checkpointed: covered feeds the survivor anti-join AND the n_removed
+    # count; (doc_id, pos) int pairs, same bytes as its own distinct shuffle
     covered = (
         grams.join(shared, "gh")
         .select(
@@ -915,6 +932,7 @@ def remove_shared_spans(docs: DataFrame, n: int = SPAN_N) -> DataFrame:
             ).alias("pos"),
         )
         .distinct()
+        .localCheckpoint()
     )
     survivors = (
         pos_words.join(covered, ["doc_id", "pos"], "left_anti")
@@ -932,15 +950,28 @@ def remove_shared_spans(docs: DataFrame, n: int = SPAN_N) -> DataFrame:
             ).alias("clean_text"),
         )
     )
-    counts = base.select("doc_id", F.size("ws").cast("long").alias("n_words"))
-    return counts.join(survivors, "doc_id", "left").select(
-        "doc_id",
-        "n_words",
-        (
-            F.col("n_words")
-            - F.coalesce(F.col("n_kept"), F.lit(0).cast("long"))
-        ).alias("n_removed"),
-        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+    # doc list from a TEXT-PRUNED scan (doc_id column only); n_words is
+    # reconstructed as kept + covered — survivors and covered both sit
+    # behind the grams checkpoint, so no third text-bearing scan exists
+    # (len(ws) == n_kept + n_covered: every position is in exactly one set)
+    ids = docs.select(F.col("doc_id").cast("long").alias("doc_id"))
+    n_cov = covered.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_removed")
+    )
+    return (
+        ids.join(survivors, "doc_id", "left")
+        .join(n_cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            (
+                F.coalesce(F.col("n_kept"), F.lit(0).cast("long"))
+                + F.coalesce(F.col("n_removed"), F.lit(0).cast("long"))
+            ).alias("n_words"),
+            F.coalesce(F.col("n_removed"), F.lit(0).cast("long")).alias(
+                "n_removed"
+            ),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
     )
 
 

@@ -355,31 +355,35 @@ def dsir_importance(
         "source",
         (P.spark_str_hash(F.col("g")) % n_buckets).alias("b"),
     )
-    tcnt = (
-        tok.filter(F.col("source") == target_source)
-        .groupBy("b")
-        .agg(F.count(F.lit(1)).alias("cnt_t"))
-    )
-    rcnt = (
-        tok.filter(F.col("source") != target_source)
-        .groupBy("b")
-        .agg(F.count(F.lit(1)).alias("cnt_r"))
-    )
-    tots = tcnt.agg(
-        F.coalesce(F.sum("cnt_t"), F.lit(0).cast("long")).alias("tot_t")
-    ).crossJoin(
-        rcnt.agg(
-            F.coalesce(F.sum("cnt_r"), F.lit(0).cast("long")).alias("tot_r")
+    # ONE counting scan: target and raw bucket counts come from a single
+    # conditional aggregation, checkpointed at bucket size (<= n_buckets
+    # rows) — the round-5 scan audit measured FIVE text-bearing scans here
+    # (tcnt and rcnt each re-derived for the totals and the lambda join);
+    # every count and therefore every lam6 value is unchanged.
+    merged = (
+        tok.groupBy("b")
+        .agg(
+            F.sum(
+                F.when(F.col("source") == target_source, 1).otherwise(0)
+            ).cast("long").alias("cnt_t"),
+            F.sum(
+                F.when(F.col("source") != target_source, 1).otherwise(0)
+            ).cast("long").alias("cnt_r"),
         )
+        .localCheckpoint()
+    )
+    tots = merged.agg(
+        F.coalesce(F.sum("cnt_t"), F.lit(0).cast("long")).alias("tot_t"),
+        F.coalesce(F.sum("cnt_r"), F.lit(0).cast("long")).alias("tot_r"),
     )
     lam_expr = (
-        P.spark_portable_ln(F.coalesce(F.col("cnt_t"), F.lit(0).cast("long")) + 1)
+        P.spark_portable_ln(F.col("cnt_t") + 1)
         - P.spark_portable_ln(F.col("tot_t") + n_buckets)
         - P.spark_portable_ln(F.col("cnt_r") + 1)
         + P.spark_portable_ln(F.col("tot_r") + n_buckets)
     )
     lam = (
-        rcnt.join(tcnt, "b", "left")
+        merged.filter(F.col("cnt_r") > 0)
         .crossJoin(F.broadcast(tots))
         .select("b", P.spark_half_away(lam_expr * 1_000_000).cast("long").alias("lam6"))
     )

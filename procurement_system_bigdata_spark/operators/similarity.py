@@ -741,7 +741,12 @@ def quantized_topk(
     query side, one window shuffle) but the scanned column is int8-width —
     the memory/IO story the quantization exists for.  Approximate by
     construction (rows-only registry entry; recall-tested vs exact)."""
-    qt = quantize_embeddings(emb, bits)
+    # int8-width checkpoint: qt feeds the query slice, the corpus scan and
+    # the norm aggregates — unchecked, each reference re-reads the float
+    # embeddings and re-quantizes (scan audit: 8 embeddings scans).  The
+    # materialized int8 table is the exact artifact a production pipeline
+    # persists — the 4x-smaller working set IS the point of quantization.
+    qt = quantize_embeddings(emb, bits).localCheckpoint()
     q = qt.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("scale").alias("q_scale"),

@@ -254,6 +254,10 @@ def histogram_quantiles(
     <= one bin width by construction (tested).  Deterministic double math
     over exact BIGINT counts, so the oracle hash-matches."""
     width = (hi - lo) / n_bins
+    # the sketch is <= n_bins rows but each of the len(qs) probe branches
+    # below re-derives it — without this checkpoint that means re-scanning
+    # the FACT table once per quantile (scan audit: 4 events scans)
+    sketch = sketch.localCheckpoint()
     w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
     cum = sketch.select(
         "bin",

@@ -348,7 +348,16 @@ def tf_idf_top_terms(docs: DataFrame, k: int = TFIDF_TOP_K) -> DataFrame:
         F.col("doc_id").cast("long").alias("doc_id"),
         F.explode(P.spark_words(P.spark_norm_text(F.col("text")))).alias("term"),
     ).filter(F.col("term") != "")
-    tf = words.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds both the document-frequency aggregate and the scoring join;
+    # unchecked, the second reference re-scans the text AND re-runs the
+    # (doc, term) shuffle (scan audit: 2 text scans).  The checkpoint costs
+    # one tf-sized materialization — the same bytes the re-shuffle would
+    # have written anyway.
+    tf = (
+        words.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()
+    )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
@@ -703,19 +712,56 @@ def bm25_search(
     """
     q_terms = sorted(set(query.lower().split()))
     words = P.spark_words(P.spark_norm_text(F.col("text")))
-    base = docs.select(
-        F.col("doc_id").cast("long").alias("doc_id"), words.alias("ws")
-    )
-    lengths = base.select("doc_id", F.size("ws").cast("long").alias("dl"))
-    stats = lengths.agg(
+    # ONE text scan: doc length and every query term's tf come from a
+    # single map-side projection (the query vocabulary is a literal list,
+    # so each tf is size(filter(ws, == term)) — no explode, no tf shuffle),
+    # with ws bound once per row (the HOF-capture discipline) and the
+    # (doc_id, dl, tf...) result checkpointed at integer width.  The
+    # round-5 scan audit measured FOUR text-bearing scans here (lengths,
+    # stats, hits, and tf's re-derivations); every tf/df/score value is
+    # unchanged.
+    per_doc = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        P._let(
+            words,
+            lambda ws: F.struct(
+                F.size(ws).cast("long").alias("dl"),
+                *[
+                    F.size(F.filter(ws, lambda w: w == F.lit(t)))
+                    .cast("long")
+                    .alias(f"tf{i}")
+                    for i, t in enumerate(q_terms)
+                ],
+            ),
+        ).alias("s"),
+    ).select(
+        "doc_id",
+        F.col("s.dl").alias("dl"),
+        *[F.col(f"s.tf{i}").alias(f"tf{i}") for i in range(len(q_terms))],
+    ).localCheckpoint()
+    lengths = per_doc.select("doc_id", "dl")
+    stats = per_doc.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.avg(F.col("dl").cast("double")).alias("avgdl"),
     )
-    hits = (
-        base.select("doc_id", F.explode("ws").alias("term"))
-        .filter(F.col("term").isin(*q_terms))
+    tf = (
+        per_doc.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("term"),
+                            F.col(f"tf{i}").alias("tf"),
+                        )
+                        for i, t in enumerate(q_terms)
+                    ]
+                )
+            ).alias("e"),
+        )
+        .select("doc_id", F.col("e.term").alias("term"), F.col("e.tf").alias("tf"))
+        .filter(F.col("tf") > 0)
     )
-    tf = hits.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     # Robertson idf ln((N - df + 0.5)/(df + 0.5) + 1) algebraically equals
     # ln 2 + ln(N+1) - ln(2 df + 1) — all-INTEGER log arguments, so
@@ -1010,7 +1056,14 @@ def unigram_logprob_scores(docs: DataFrame) -> DataFrame:
         .select("doc_id", F.explode("ws").alias("w"))
         .filter(F.col("w") != "")
     )
-    freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    # vocab-sized checkpoint: freq feeds both the grand total and the
+    # broadcast LM table — unchecked, each re-derivation re-scans the text
+    # (scan audit: 3 text scans; floor is 2 — count + score)
+    freq = (
+        tok.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint()
+    )
     total = freq.agg(F.sum("cnt").alias("total"))
     lp = P.spark_portable_ln(F.col("cnt")) - P.spark_portable_ln(F.col("total"))
     lp_fixed = P.spark_half_away(lp * 1_000_000).cast("long")
@@ -1105,14 +1158,27 @@ def bigram_backoff_scores(
     norm = P.spark_norm_text(F.col("text"))
     words = P.spark_words(norm)
     train = docs.filter(F.col("source") == train_source)
-    utok = (
-        train.select(F.explode(words).alias("w")).filter(F.col("w") != "")
+    # ONE training-side text scan: unigrams and bigrams explode together
+    # (a bigram always contains a space, a unigram never does, so the mixed
+    # count table splits losslessly), and the vocabulary-sized result is
+    # checkpointed so ucnt's three downstream references (u1, u2, tots) and
+    # bcnt stop re-scanning the corpus — the round-5 scan audit measured
+    # FIVE text-bearing scans in this operator before the restructure, with
+    # every count value unchanged.
+    grams = F.concat(
+        F.filter(words, lambda w: w != ""), P.spark_word_shingles(words, 2)
     )
-    ucnt = utok.groupBy("w").agg(F.count(F.lit(1)).alias("cu"))
-    bcnt = (
-        train.select(F.explode(P.spark_word_shingles(words, 2)).alias("bg"))
-        .groupBy("bg")
-        .agg(F.count(F.lit(1)).alias("cb"))
+    cnt = (
+        train.select(F.explode(grams).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
+    )
+    ucnt = cnt.filter(~F.col("t").contains(" ")).select(
+        F.col("t").alias("w"), F.col("c").alias("cu")
+    )
+    bcnt = cnt.filter(F.col("t").contains(" ")).select(
+        F.col("t").alias("bg"), F.col("c").alias("cb")
     )
     tots = ucnt.agg(
         F.coalesce(F.sum("cu"), F.lit(0).cast("long")).alias("n_tok"),

@@ -303,10 +303,14 @@ def q_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     once the filtered sets are observed small at runtime.
     """
     orders = load_table(spark, sf_dir, "orders")
+    # customer-sized checkpoint: per_cust feeds six set-op branches
+    # (intersect/except both sides), and without it each branch re-scans
+    # and re-aggregates the orders FACT table — the round-5 scan audit
+    # measured SIX orders scans in this plan
     per_cust = orders.groupBy("o_custkey").agg(
         F.sum(_cents(F.col("o_totalprice"))).alias("spend_cents"),
         F.count(F.lit(1)).alias("n_orders"),
-    )
+    ).localCheckpoint()
     spenders = per_cust.filter(
         F.col("spend_cents") > SPEND_CENTS_THRESHOLD
     ).select("o_custkey")
