@@ -274,3 +274,42 @@ def test_vocab_coverage_plan(spark):
     stats = plan_stats(REGISTRY["vocab_coverage"].fn(spark, SF_DIR))
     assert stats["python_udfs"] == 0
     assert stats["broadcast_hash_joins"] >= 1  # vocab attaches broadcast
+
+
+def test_scan_counts_stay_minimized(spark):
+    """Regression pin for the round-5 text-scan minimization (DESIGN.md):
+    the audited queries must not regress to multi-scanning their corpus /
+    fact table.  Counts are parquet-scan occurrences in the formatted plan
+    (checkpointed subtrees scan ExistingRDD instead)."""
+    budgets = {
+        # query: (table, max parquet scans of it)
+        "dedup_ngram_jaccard_capped": ("documents", 1),
+        "customer_segments": ("orders", 1),
+        "bigram_lm_score": ("documents", 2),
+        "dsir_importance": ("documents", 2),
+        "bm25_search": ("documents", 1),
+        "span_removal": ("documents", 2),
+        "histogram_quantiles": ("events", 1),
+        "gap_fill_hourly": ("events", 1),
+        "unigram_logprob": ("documents", 2),
+        "tf_idf": ("documents", 2),
+        "decontamination": ("documents", 2),
+        "bloom_decontamination": ("documents", 2),
+    }
+    over = []
+    for name, (table, budget) in budgets.items():
+        plan = plan_stats(REGISTRY[name].fn(spark, SF_DIR))["plan"]
+        n = plan.count(f"{table}.parquet")
+        if n > budget:
+            over.append(f"{name}: {n} {table} scans (budget {budget})")
+    # the RAW quantized operator (the registry entry is a verification
+    # report that intentionally recomputes the exact baseline — its extra
+    # scans are the price of self-checking, not the production path)
+    from procurement_system_bigdata_spark.catalog import load_table
+    from procurement_system_bigdata_spark.operators import similarity
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    plan = plan_stats(similarity.quantized_topk(emb))["plan"]
+    if plan.count("embeddings.parquet") > 0:
+        over.append("quantized_topk raw: embeddings scanned above checkpoint")
+    assert not over, "scan budgets exceeded:\n" + "\n".join(over)
