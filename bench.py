@@ -64,12 +64,19 @@ def _realvocab_docs(spark, sf_dir):
             ),
         ),
     )
+    # realistic input layout: the testdata parquet is one small file -> ONE
+    # partition, which serializes the whole signature stage on a single
+    # task (measured: 5.8 of minhash_prod's 6.4 s at sf0.1 ran (0+1)/1).
+    # A real 100 TB corpus arrives in thousands of splits; repartitioning
+    # the derived corpus to the session's parallelism measures the ENGINE,
+    # not the artifact's file count.  (The doc_id-keyed repartition is
+    # deterministic, so derived answers are unchanged.)
     return docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.array_join(tokens, " ").alias("text"),
         "lang",
         "source",
-    )
+    ).repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
 
 
 def _minhash_prod_realvocab(spark, sf_dir):

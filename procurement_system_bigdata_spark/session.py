@@ -36,6 +36,14 @@ RUNTIME_CONFS: dict[str, str] = {
     # UTC above), not TIMESTAMP_NTZ: watermarks/windows require LTZ event
     # time, and the DuckDB oracle compares naive-as-UTC either way.
     "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
+    # Whole-stage codegen silently disables above 100 operator fields; the
+    # production MinHash signature aggregate carries K=128 min() columns
+    # and was measured running INTERPRETED under the default (1 codegen
+    # span vs 2 with the raised cap, AQE off; tests/test_plan_quality.py
+    # pins it).  200 covers K=128 plus keys with headroom while staying
+    # far below Janino method-size trouble (codegen falls back safely
+    # regardless).
+    "spark.sql.codegen.maxFields": "200",
 }
 
 

@@ -313,3 +313,29 @@ def test_scan_counts_stay_minimized(spark):
     if plan.count("embeddings.parquet") > 0:
         over.append("quantized_topk raw: embeddings scanned above checkpoint")
     assert not over, "scan budgets exceeded:\n" + "\n".join(over)
+
+
+def test_minhash_production_aggregate_is_codegen(spark):
+    """The K=128 signature aggregate must stay inside whole-stage codegen:
+    the default spark.sql.codegen.maxFields=100 silently drops any operator
+    with >100 fields to the interpreted path — exactly this aggregate at
+    the production dial (session.py raises the cap to 200).  Asserted with
+    AQE off because the adaptive plan string hides codegen markers until
+    stage materialization."""
+    import re
+
+    from procurement_system_bigdata_spark.catalog import load_table
+    from procurement_system_bigdata_spark.operators import dedup
+
+    saved = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        docs = load_table(spark, SF_DIR, "documents")
+        sigs = dedup.minhash_signatures(docs, fast_hash=True)  # K=128
+        plan = sigs._jdf.queryExecution().executedPlan().toString()
+        spans = set(re.findall(r"\*\((\d+)\)", plan))
+        assert len(spans) >= 2, (
+            "signature HashAggregate fell off codegen:\n" + plan[:1500]
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", saved)
