@@ -1017,3 +1017,75 @@ def remove_shared_spans_sql(table: str = "documents", n: int = SPAN_N) -> str:
            COALESCE(s.clean_text, '') AS clean_text
     FROM base b LEFT JOIN survivors s USING (doc_id)
     """
+
+
+def dedup_method_agreement(docs: DataFrame) -> DataFrame:
+    """(method_a, method_b, n_pairs_a, n_pairs_b, n_common): pairwise
+    agreement between the three text near-dup detectors at their
+    oracle dials — the method-selection diagnostic a pipeline runs before
+    committing to one detector (high MinHash/Jaccard agreement with cheap
+    SimHash coverage justifies the cheaper method; low agreement says the
+    corpus has a dup mode one family misses).  Includes the diagonal
+    (method vs itself = its pair count).
+
+    Scale: each detector's pair table is bounded by true near-dup volume;
+    the agreement joins run at pair-table size, far below corpus size."""
+    methods = {
+        "minhash": minhash_lsh_pairs(
+            docs, k=P.MINHASH_K_ORACLE, n_bands=P.MINHASH_BANDS_ORACLE
+        ),
+        "ngram_jaccard": ngram_jaccard_pairs(docs),
+        "simhash": simhash_neardup_pairs(docs),
+    }
+    canon = {
+        name: df.select(
+            F.least("doc_a", "doc_b").alias("a"),
+            F.greatest("doc_a", "doc_b").alias("b"),
+        ).distinct().localCheckpoint()
+        for name, df in methods.items()
+    }
+    spark = docs.sparkSession
+    out = None
+    for na in sorted(canon):
+        for nb in sorted(canon):
+            if nb < na:
+                continue
+            common = canon[na].join(canon[nb], ["a", "b"]).count() if na != nb else canon[na].count()
+            row = spark.createDataFrame(
+                [(na, nb, canon[na].count(), canon[nb].count(), common)],
+                "method_a string, method_b string, n_pairs_a bigint, "
+                "n_pairs_b bigint, n_common bigint",
+            )
+            out = row if out is None else out.unionAll(row)
+    return out
+
+
+def dedup_method_agreement_sql(table: str = "documents") -> str:
+    m = {
+        "minhash": minhash_lsh_pairs_sql(table),
+        "ngram_jaccard": ngram_jaccard_pairs_sql(table),
+        "simhash": simhash_neardup_pairs_sql(table),
+    }
+    ctes = ",\n".join(
+        f"{name} AS (SELECT DISTINCT LEAST(doc_a, doc_b) AS a, "
+        f"GREATEST(doc_a, doc_b) AS b FROM ({sql}))"
+        for name, sql in m.items()
+    )
+    selects = []
+    names = sorted(m)
+    for na in names:
+        for nb in names:
+            if nb < na:
+                continue
+            common = (
+                f"(SELECT COUNT(*) FROM {na})"
+                if na == nb
+                else f"(SELECT COUNT(*) FROM {na} JOIN {nb} USING (a, b))"
+            )
+            selects.append(
+                f"SELECT '{na}' AS method_a, '{nb}' AS method_b, "
+                f"CAST((SELECT COUNT(*) FROM {na}) AS BIGINT) AS n_pairs_a, "
+                f"CAST((SELECT COUNT(*) FROM {nb}) AS BIGINT) AS n_pairs_b, "
+                f"CAST({common} AS BIGINT) AS n_common"
+            )
+    return f"WITH {ctes}\n" + "\nUNION ALL\n".join(selects)

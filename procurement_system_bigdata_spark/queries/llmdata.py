@@ -950,3 +950,13 @@ def _delivery_pipeline_sql() -> str:
 
 
 Q_DELIVERY_PIPELINE_SQL = _delivery_pipeline_sql()
+
+
+def q_dedup_method_agreement(spark, sf_dir):
+    """Detector-agreement diagnostic: pairwise overlap of the MinHash /
+    Jaccard / SimHash near-dup pair sets at oracle dials —
+    operators/dedup.py dedup_method_agreement."""
+    return dedup.dedup_method_agreement(_docs(spark, sf_dir))
+
+
+Q_DEDUP_METHOD_AGREEMENT_SQL = dedup.dedup_method_agreement_sql()

@@ -1187,6 +1187,18 @@ _register(
     )
 )
 
+
+_register(
+    QuerySpec(
+        name="dedup_method_agreement",
+        fn=llmdata.q_dedup_method_agreement,
+        oracle=llmdata.Q_DEDUP_METHOD_AGREEMENT_SQL,
+        description="Pairwise agreement of the MinHash/Jaccard/SimHash "
+        "near-dup detectors (method-selection diagnostic)",
+        ops=("EXT-dedup",),
+    )
+)
+
 # ---------------------------------------------------------------------------
 # Driver snapshot ordering (round-4 judge ask #2).  The external driver's
 # CORRECTNESS gate samples the FIRST ``DRIVER_SNAPSHOT_N`` registry entries,
