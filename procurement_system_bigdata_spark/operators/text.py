@@ -1529,3 +1529,104 @@ def lm_perplexity_buckets_sql(
            MIN(mean_logscore) AS min_logscore
     FROM bucketed GROUP BY source, bucket
     """
+
+
+# ---------------------------------------------------------------------------
+# Corpus card: the one-row governance summary published with every dataset
+# release (datasheet/data-card practice) — volume, vocabulary, language
+# spread, duplication level.  Everything derives from two text scans (a
+# doc-level pass and a vocabulary pass) aggregated to one row; every field
+# is an exact count or a single correctly-rounded division of exact
+# BIGINTs, so the card is oracle-exact.
+# ---------------------------------------------------------------------------
+
+
+def corpus_card(docs: DataFrame) -> DataFrame:
+    """(n_docs, n_tokens, vocab_size, n_langs, top_lang, exact_dup_rate,
+    mean_doc_tokens): the dataset datasheet row.  ``exact_dup_rate`` =
+    1 - distinct normalized fingerprints / docs; ``top_lang`` tiebreaks
+    (count DESC, lang ASC) so the card is deterministic."""
+    norm = P.spark_norm_text(F.col("text"))
+    n_words = F.when(
+        F.coalesce(F.length(norm), F.lit(0)) == 0, F.lit(0)
+    ).otherwise(F.size(P.spark_words(norm)))
+    per_doc = docs.select(
+        n_words.cast("long").alias("nw"),
+        F.md5(norm).alias("fp"),
+        F.col("lang").alias("lang"),
+    ).localCheckpoint()
+    base = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nw").alias("n_tokens"),
+        F.countDistinct("fp").alias("n_distinct"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+    top_lang = (
+        per_doc.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("lang"))
+        .limit(1)
+        .select(F.col("lang").alias("top_lang"))
+    )
+    vocab = (
+        docs.select(F.explode(P.spark_words(norm)).alias("w"))
+        .filter(F.col("w") != "")
+        .agg(F.countDistinct("w").alias("vocab_size"))
+    )
+    return (
+        base.crossJoin(F.broadcast(top_lang))
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "n_docs",
+            F.coalesce(F.col("n_tokens"), F.lit(0).cast("long")).alias(
+                "n_tokens"
+            ),
+            "vocab_size",
+            "n_langs",
+            "top_lang",
+            (
+                F.lit(1.0)
+                - F.col("n_distinct").cast("double")
+                / F.col("n_docs").cast("double")
+            ).alias("exact_dup_rate"),
+            (
+                F.col("n_tokens").cast("double")
+                / F.col("n_docs").cast("double")
+            ).alias("mean_doc_tokens"),
+        )
+    )
+
+
+def corpus_card_sql(table: str = "documents") -> str:
+    nt = P.duck_norm_text("text")
+    return f"""
+    WITH per_doc AS (
+        SELECT CASE WHEN nt IS NULL OR nt = '' THEN 0
+               ELSE len({P.duck_words('nt')}) END AS nw,
+               md5(nt) AS fp, lang
+        FROM (SELECT {nt} AS nt, lang FROM {table})
+    ),
+    base AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COALESCE(SUM(nw), 0) AS BIGINT) AS n_tokens,
+               CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_distinct,
+               CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+        FROM per_doc
+    ),
+    top_lang AS (
+        SELECT lang AS top_lang FROM per_doc
+        GROUP BY lang ORDER BY COUNT(*) DESC, lang ASC LIMIT 1
+    ),
+    vocab AS (
+        SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS vocab_size
+        FROM (SELECT unnest({P.duck_words('nt')}) AS w
+              FROM (SELECT {nt} AS nt FROM {table}))
+        WHERE w <> ''
+    )
+    SELECT n_docs, n_tokens, vocab_size, n_langs, top_lang,
+           1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_docs AS DOUBLE)
+               AS exact_dup_rate,
+           CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE)
+               AS mean_doc_tokens
+    FROM base, top_lang, vocab
+    """

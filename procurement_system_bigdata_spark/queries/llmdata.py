@@ -960,3 +960,12 @@ def q_dedup_method_agreement(spark, sf_dir):
 
 
 Q_DEDUP_METHOD_AGREEMENT_SQL = dedup.dedup_method_agreement_sql()
+
+
+def q_corpus_card(spark, sf_dir):
+    """One-row dataset datasheet (volume / vocabulary / language spread /
+    duplication) — operators/text.py corpus_card."""
+    return text.corpus_card(_docs(spark, sf_dir))
+
+
+Q_CORPUS_CARD_SQL = text.corpus_card_sql()

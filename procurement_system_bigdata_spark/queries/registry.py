@@ -1199,6 +1199,18 @@ _register(
     )
 )
 
+
+_register(
+    QuerySpec(
+        name="corpus_card",
+        fn=llmdata.q_corpus_card,
+        oracle=llmdata.Q_CORPUS_CARD_SQL,
+        description="One-row dataset datasheet: volume, vocabulary, "
+        "language spread, exact-dup rate (governance artifact)",
+        ops=("EXT-text", "EXT-pipeline"),
+    )
+)
+
 # ---------------------------------------------------------------------------
 # Driver snapshot ordering (round-4 judge ask #2).  The external driver's
 # CORRECTNESS gate samples the FIRST ``DRIVER_SNAPSHOT_N`` registry entries,
