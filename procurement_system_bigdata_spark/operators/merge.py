@@ -74,3 +74,39 @@ def scd2_apply(
         current_col, F.lit(True)
     )
     return history.unionByName(closed).unionByName(untouched).unionByName(new_rows)
+
+
+def dataset_diff(old: DataFrame, new: DataFrame) -> DataFrame:
+    """(doc_id, change, old_fp, new_fp): content diff between two dataset
+    versions — ``added`` / ``removed`` / ``modified`` / ``unchanged`` by
+    normalized-text fingerprint.  The audit a pipeline runs between
+    versioned snapshots (sources/versioned.py) before retraining: what
+    actually changed, and how much.
+
+    Scale: one fingerprint projection per side (map-side), one doc_id-keyed
+    full outer join — the same shape as MERGE, no text comparison (32-byte
+    md5s travel, not documents)."""
+    from ..functions import portable as P
+
+    def fps(df, col):
+        return df.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.md5(P.spark_norm_text(F.col("text"))).alias(col),
+        )
+
+    o = fps(old, "old_fp")
+    n = fps(new, "new_fp")
+    change = (
+        F.when(F.col("old_fp").isNull(), F.lit("added"))
+        .when(F.col("new_fp").isNull(), F.lit("removed"))
+        .when(F.col("old_fp") != F.col("new_fp"), F.lit("modified"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return o.join(n, "doc_id", "full_outer").select(
+        "doc_id", change.alias("change"), "old_fp", "new_fp"
+    )
+
+
+def dataset_diff_summary(diff: DataFrame) -> DataFrame:
+    """(change, n_docs): the release-note roll-up of a dataset diff."""
+    return diff.groupBy("change").agg(F.count(F.lit(1)).alias("n_docs"))

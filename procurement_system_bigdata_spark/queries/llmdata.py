@@ -969,3 +969,62 @@ def q_corpus_card(spark, sf_dir):
 
 
 Q_CORPUS_CARD_SQL = text.corpus_card_sql()
+
+
+DIFF_OLD_MOD = 11
+DIFF_NEW_MOD = 13
+DIFF_EDIT_MOD = 17
+
+
+def _diff_versions(spark, sf_dir):
+    """Deterministic version pair carved from the documents table:
+    old = doc_id % 11 != 0, new = doc_id % 13 != 0 with every
+    doc_id % 17 == 0 row's text edited — yields all four change classes."""
+    docs = _docs(spark, sf_dir)
+    old = docs.filter(F.col("doc_id") % DIFF_OLD_MOD != 0)
+    new = docs.filter(F.col("doc_id") % DIFF_NEW_MOD != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % DIFF_EDIT_MOD == 0,
+            F.concat(F.col("text"), F.lit(" edited")),
+        ).otherwise(F.col("text")).alias("text"),
+        "lang",
+        "source",
+    )
+    return old, new
+
+
+def q_dataset_diff(spark, sf_dir):
+    """Versioned-snapshot content diff (added/removed/modified/unchanged by
+    normalized-text fingerprint) — operators/merge.py dataset_diff."""
+    from ..operators import merge
+
+    old, new = _diff_versions(spark, sf_dir)
+    return merge.dataset_diff(old, new)
+
+
+def _dataset_diff_sql() -> str:
+    nt = P.duck_norm_text("text")
+    edited = P.duck_norm_text("text || ' edited'")
+    return f"""
+    WITH o AS (
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, md5({nt}) AS old_fp
+        FROM documents WHERE doc_id % {DIFF_OLD_MOD} <> 0
+    ),
+    n AS (
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               md5(CASE WHEN doc_id % {DIFF_EDIT_MOD} = 0
+                   THEN {edited} ELSE {nt} END) AS new_fp
+        FROM documents WHERE doc_id % {DIFF_NEW_MOD} <> 0
+    )
+    SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.old_fp IS NULL THEN 'added'
+                WHEN n.new_fp IS NULL THEN 'removed'
+                WHEN o.old_fp <> n.new_fp THEN 'modified'
+                ELSE 'unchanged' END AS change,
+           o.old_fp, n.new_fp
+    FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+    """
+
+
+Q_DATASET_DIFF_SQL = _dataset_diff_sql()

@@ -1211,6 +1211,18 @@ _register(
     )
 )
 
+
+_register(
+    QuerySpec(
+        name="dataset_diff",
+        fn=llmdata.q_dataset_diff,
+        oracle=llmdata.Q_DATASET_DIFF_SQL,
+        description="Versioned-snapshot content diff by normalized-text "
+        "fingerprint: added/removed/modified/unchanged (release audit)",
+        ops=("EXT-merge", "EXT-pipeline"),
+    )
+)
+
 # ---------------------------------------------------------------------------
 # Driver snapshot ordering (round-4 judge ask #2).  The external driver's
 # CORRECTNESS gate samples the FIRST ``DRIVER_SNAPSHOT_N`` registry entries,

@@ -546,3 +546,40 @@ def test_remove_shared_spans_overlapping_windows_cover_union(spark):
     rows = {r.doc_id: r for r in dd.remove_shared_spans(docs, n=3).collect()}
     assert rows[1].clean_text == "pad1 pad2"
     assert rows[1].n_removed == 4
+
+
+# --- dataset diff ---------------------------------------------------------
+
+
+def test_dataset_diff_classes(spark):
+    from procurement_system_bigdata_spark.operators import merge as mg
+
+    old = spark.createDataFrame(
+        [(1, "same text"), (2, "will change"), (3, "will be removed")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "same text"), (2, "changed now"), (4, "brand new doc")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in mg.dataset_diff(old, new).collect()}
+    assert rows[1].change == "unchanged"
+    assert rows[2].change == "modified" and rows[2].old_fp != rows[2].new_fp
+    assert rows[3].change == "removed" and rows[3].new_fp is None
+    assert rows[4].change == "added" and rows[4].old_fp is None
+    summary = {
+        r.change: r.n_docs
+        for r in mg.dataset_diff_summary(mg.dataset_diff(old, new)).collect()
+    }
+    assert summary == {"unchanged": 1, "modified": 1, "removed": 1, "added": 1}
+
+
+def test_dataset_diff_normalization_insensitive(spark):
+    """Case/punctuation-only edits are NOT 'modified' — the diff keys on the
+    normalized fingerprint, matching the dedup family's notion of
+    content identity."""
+    from procurement_system_bigdata_spark.operators import merge as mg
+
+    old = spark.createDataFrame([(1, "Hello, World!")], "doc_id long, text string")
+    new = spark.createDataFrame([(1, "hello world")], "doc_id long, text string")
+    assert mg.dataset_diff(old, new).collect()[0].change == "unchanged"
