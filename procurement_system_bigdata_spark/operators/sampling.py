@@ -571,3 +571,54 @@ def temperature_mixture_weights_sql(
            ELSE 0.0 END AS boost
     FROM with_s6, tot6
     """
+
+
+def split_leakage_report(
+    splits: DataFrame, pairs: DataFrame
+) -> DataFrame:
+    """(split_a, split_b, n_pairs): near-duplicate pairs by UNORDERED split
+    pair — the leakage audit run after any train/val/test split: a near-dup
+    pair straddling train and test means the eval set is contaminated with
+    paraphrases of training data and measures memorization, not
+    generalization.  Rows where split_a != split_b are the leaks; the
+    diagonal sizes the within-split duplication for context.
+
+    Inputs: ``splits`` (doc_id, split) from train_val_test_split;
+    ``pairs`` (doc_a, doc_b) from any pair-level dedup operator.  Scale:
+    two doc_id-keyed joins of the pair table (bounded by near-dup volume),
+    one tiny aggregation."""
+    s = splits.select(F.col("doc_id").cast("long").alias("doc_id"), "split")
+    a = s.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("sa"))
+    b = s.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("sb"))
+    return (
+        pairs.select(
+            F.col("doc_a").cast("long").alias("doc_a"),
+            F.col("doc_b").cast("long").alias("doc_b"),
+        )
+        .join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            F.least("sa", "sb").alias("split_a"),
+            F.greatest("sa", "sb").alias("split_b"),
+        )
+        .groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+def split_leakage_report_sql(
+    pairs_sql: str, split_sql: str
+) -> str:
+    return f"""
+    WITH pairs AS ({pairs_sql}),
+    splits AS ({split_sql}),
+    labeled AS (
+        SELECT LEAST(sa.split, sb.split) AS split_a,
+               GREATEST(sa.split, sb.split) AS split_b
+        FROM pairs p
+        JOIN splits sa ON p.doc_a = sa.doc_id
+        JOIN splits sb ON p.doc_b = sb.doc_id
+    )
+    SELECT split_a, split_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM labeled GROUP BY split_a, split_b
+    """

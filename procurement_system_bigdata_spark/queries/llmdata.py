@@ -1028,3 +1028,21 @@ def _dataset_diff_sql() -> str:
 
 
 Q_DATASET_DIFF_SQL = _dataset_diff_sql()
+
+
+def q_split_leakage(spark, sf_dir):
+    """Leakage audit: near-dup pairs (oracle MinHash dial) straddling the
+    train/val/test boundary — operators/sampling.py split_leakage_report."""
+    docs = _docs(spark, sf_dir)
+    return sampling.split_leakage_report(
+        sampling.train_val_test_split(docs).select("doc_id", "split"),
+        dedup.minhash_lsh_pairs(
+            docs, k=P.MINHASH_K_ORACLE, n_bands=P.MINHASH_BANDS_ORACLE
+        ),
+    )
+
+
+Q_SPLIT_LEAKAGE_SQL = sampling.split_leakage_report_sql(
+    dedup.minhash_lsh_pairs_sql(),
+    "SELECT doc_id, split FROM (" + sampling.train_val_test_split_sql() + ")",
+)

@@ -1223,6 +1223,18 @@ _register(
     )
 )
 
+
+_register(
+    QuerySpec(
+        name="split_leakage",
+        fn=llmdata.q_split_leakage,
+        oracle=llmdata.Q_SPLIT_LEAKAGE_SQL,
+        description="Split-leakage audit: near-dup pairs straddling the "
+        "train/val/test boundary (eval-contamination check)",
+        ops=("EXT-sampling", "EXT-dedup"),
+    )
+)
+
 # ---------------------------------------------------------------------------
 # Driver snapshot ordering (round-4 judge ask #2).  The external driver's
 # CORRECTNESS gate samples the FIRST ``DRIVER_SNAPSHOT_N`` registry entries,

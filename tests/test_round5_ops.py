@@ -583,3 +583,24 @@ def test_dataset_diff_normalization_insensitive(spark):
     old = spark.createDataFrame([(1, "Hello, World!")], "doc_id long, text string")
     new = spark.createDataFrame([(1, "hello world")], "doc_id long, text string")
     assert mg.dataset_diff(old, new).collect()[0].change == "unchanged"
+
+
+# --- split leakage --------------------------------------------------------
+
+
+def test_split_leakage_counts_cross_boundary_pairs(spark):
+    splits = spark.createDataFrame(
+        [(1, "train"), (2, "test"), (3, "train"), (4, "val"), (5, "train")],
+        "doc_id long, split string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 4), (3, 5)], "doc_a long, doc_b long"
+    )
+    rows = {
+        (r.split_a, r.split_b): r.n_pairs
+        for r in sampling.split_leakage_report(splits, pairs).collect()
+    }
+    assert rows[("test", "train")] == 1   # the leak: pair (1,2)
+    assert rows[("train", "train")] == 2  # (1,3) and (3,5)
+    assert rows[("test", "val")] == 1     # (2,4)
+    assert ("train", "val") not in rows
