@@ -179,3 +179,33 @@ def test_shingles_agree(spark, duck):
         assert s == d
 
     check()
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10**12),
+            st.integers(min_value=1, max_value=10**12),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(max_examples=30, deadline=None)
+def test_sqrt_micro_fixed_point_matches_duckdb(duck, pairs):
+    """The temperature mixture's exactness claim: for exact BIGINT
+    (numerator, denominator), round_half_away(sqrt(n/d) * 1e6) is the same
+    integer in Python (IEEE doubles) and DuckDB — division, sqrt, and the
+    1e6 product are all correctly-rounded, so no engine pair can disagree.
+    (Spark shares the Python result by the same argument; the oracle
+    parity suite checks it on real data at three scale factors.)"""
+    import math
+
+    for n, d in pairs:
+        x = n / d
+        py = math.sqrt(x) * 1_000_000.0
+        py_fixed = math.floor(py + 0.5) if py >= 0 else -math.floor(-py + 0.5)
+        got = duck.execute(
+            f"SELECT CAST({P.duck_half_away(f'sqrt(CAST({n} AS DOUBLE) / CAST({d} AS DOUBLE)) * 1000000')} AS BIGINT)"
+        ).fetchone()[0]
+        assert got == py_fixed, (n, d, py, got)
