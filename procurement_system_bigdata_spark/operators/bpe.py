@@ -235,7 +235,6 @@ def learn_bpe_reference(
 def bpe_segment(
     docs: DataFrame,
     merges: list[tuple[str, str]],
-    min_freq: int = BPE_MIN_FREQ,
 ) -> DataFrame:
     """(doc_id, n_words, n_tokens, fertility): tokenize every document with
     an already-learned merge list (applied in learning order, the published

@@ -1045,14 +1045,19 @@ def dedup_method_agreement(docs: DataFrame) -> DataFrame:
         for name, df in methods.items()
     }
     spark = docs.sparkSession
+    totals = {name: df.count() for name, df in canon.items()}
     out = None
     for na in sorted(canon):
         for nb in sorted(canon):
             if nb < na:
                 continue
-            common = canon[na].join(canon[nb], ["a", "b"]).count() if na != nb else canon[na].count()
+            common = (
+                canon[na].join(canon[nb], ["a", "b"]).count()
+                if na != nb
+                else totals[na]
+            )
             row = spark.createDataFrame(
-                [(na, nb, canon[na].count(), canon[nb].count(), common)],
+                [(na, nb, totals[na], totals[nb], common)],
                 "method_a string, method_b string, n_pairs_a bigint, "
                 "n_pairs_b bigint, n_common bigint",
             )

@@ -89,9 +89,14 @@ def dataset_diff(old: DataFrame, new: DataFrame) -> DataFrame:
     from ..functions import portable as P
 
     def fps(df, col):
+        # NULL text must fingerprint (as the empty string), not produce a
+        # NULL fp: the change CASE reads fp-nullness as row-ABSENCE, so an
+        # un-coalesced NULL-text row would misclassify as added/removed
         return df.select(
             F.col("doc_id").cast("long").alias("doc_id"),
-            F.md5(P.spark_norm_text(F.col("text"))).alias(col),
+            F.md5(
+                F.coalesce(P.spark_norm_text(F.col("text")), F.lit(""))
+            ).alias(col),
         )
 
     o = fps(old, "old_fp")

@@ -1004,8 +1004,9 @@ def q_dataset_diff(spark, sf_dir):
 
 
 def _dataset_diff_sql() -> str:
-    nt = P.duck_norm_text("text")
-    edited = P.duck_norm_text("text || ' edited'")
+    _edit_arg = "text || ' edited'"
+    nt = f"COALESCE({P.duck_norm_text('text')}, '')"
+    edited = f"COALESCE({P.duck_norm_text(_edit_arg)}, '')"
     return f"""
     WITH o AS (
         SELECT CAST(doc_id AS BIGINT) AS doc_id, md5({nt}) AS old_fp

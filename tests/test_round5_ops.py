@@ -604,3 +604,22 @@ def test_split_leakage_counts_cross_boundary_pairs(spark):
     assert rows[("train", "train")] == 2  # (1,3) and (3,5)
     assert rows[("test", "val")] == 1     # (2,4)
     assert ("train", "val") not in rows
+
+
+def test_dataset_diff_null_text_is_content_not_absence(spark):
+    """NULL text fingerprints as empty text: fp-nullness means row-ABSENCE
+    in the change logic, so an un-coalesced NULL would misclassify a
+    present row as added/removed (review finding)."""
+    from procurement_system_bigdata_spark.operators import merge as mg
+
+    old = spark.createDataFrame(
+        [(1, None), (2, "kept"), (3, None)], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(1, "now has text"), (2, "kept"), (3, None)],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in mg.dataset_diff(old, new).collect()}
+    assert rows[1].change == "modified"   # NULL -> text is a content edit
+    assert rows[2].change == "unchanged"
+    assert rows[3].change == "unchanged"  # NULL -> NULL is not a change

@@ -10,7 +10,9 @@ fails.  Interpreted evaluation on a hot path is a 2-5x per-row tax at
 100 TB; this audit makes the coverage visible so regressions are caught by
 inspection rather than profiling.
 
-Run: python tools/audit_codegen.py   (plans only — nothing executes)
+Run: python tools/audit_codegen.py   (builds every query's plan; operators
+with eager localCheckpoints execute their materialization jobs during
+construction)
 """
 
 from __future__ import annotations

@@ -11,7 +11,9 @@ aggregate) — so every multi-reference of a corpus-derived frame needs an
 explicit decision: re-scan (fine for column-pruned id-only branches) or
 materialize (for small aggregates).
 
-Run: python tools/audit_scans.py   (plans only — nothing executes)
+Run: python tools/audit_scans.py   (builds every query's plan; note that
+operators with eager localCheckpoints — and the two queries with driver
+loops — DO execute their materialization jobs during construction)
 """
 
 from __future__ import annotations
@@ -44,15 +46,8 @@ def main() -> None:
             rows.append((name, f"ERROR {type(ex).__name__}", "", ""))
             continue
         counts = {t: plan.count(f"{t}.parquet") for t in TABLES}
-        # docs text scans: ReadSchema blocks that include the text column
-        # for a documents scan
-        doc_text = len(
-            re.findall(
-                r"documents\.parquet[^\0]*?ReadSchema: struct<[^>]*text",
-                plan,
-            )
-        )
-        # cheaper approximation: count ReadSchema structs containing text
+        # text-bearing scans: ReadSchema structs containing the text column
+        # (valid while documents is the only text-bearing table)
         doc_text = sum(
             1
             for m in re.findall(r"ReadSchema: struct<([^>]*)>", plan)

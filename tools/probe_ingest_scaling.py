@@ -100,8 +100,12 @@ def main() -> None:
         docs = replicated(base, copies).localCheckpoint()
         n_docs = docs.count()
 
-        new, _ = carve(docs, dedup.INCREMENTAL_NEW_MOD)
-        corpus5 = docs.filter(F.col("doc_id") % dedup.INCREMENTAL_NEW_MOD != 0)
+        # new = the % mod == 0 slice, corpus = the rest — matching
+        # queries/llmdata._incremental_split.  (A first version passed the
+        # SAME slice as both sides, so the probe measured a corpus-vs-itself
+        # self-join — every doc paired with itself at jaccard 1.0 — not
+        # incremental ingest; caught in review.)
+        corpus5, new = carve(docs, dedup.INCREMENTAL_NEW_MOD)
         w_inc, n_inc = timed_count(
             dedup.incremental_neardup_pairs(new, corpus5, fast_hash=True)
         )
