@@ -1067,3 +1067,45 @@ Q_FUNNEL_CONVERSION_SQL = """
            COUNT(t_purchase) AS reached_purchase
     FROM staged3
 """
+
+
+def q_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of customers by order count, INCLUDING
+    zero-order customers (the left join that anti-join-only coverage
+    misses), filtered on a comment-pattern predicate pushed into the join.
+
+    Scale shape: one customer⟕orders shuffle join keyed on custkey (both
+    sides fact-scale at TPC-H proportions — the canonical case where
+    NEITHER side broadcasts), one custkey-keyed count, then a tiny
+    order-count histogram aggregation."""
+    cust = load_table(spark, sf_dir, "customer")
+    # Q13's NOT-LIKE comment filter, re-aimed at the testdata's columns
+    # (no o_comment in the trimmed schema): exclude the top-priority class
+    orders = load_table(spark, sf_dir, "orders").filter(
+        ~F.col("o_orderpriority").like("1-%")
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .select(F.col("c_count").cast("long").alias("c_count"), "custdist")
+    )
+
+
+Q_CUSTOMER_DISTRIBUTION_SQL = """
+    SELECT CAST(c_count AS BIGINT) AS c_count,
+           CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT JOIN orders o
+          ON c.c_custkey = o.o_custkey
+         AND o.o_orderpriority NOT LIKE '1-%'
+        GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+"""

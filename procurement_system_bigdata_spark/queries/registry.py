@@ -1235,6 +1235,18 @@ _register(
     )
 )
 
+
+_register(
+    QuerySpec(
+        name="customer_distribution",
+        fn=analytics.q_customer_distribution,
+        oracle=analytics.Q_CUSTOMER_DISTRIBUTION_SQL,
+        description="TPC-H Q13 shape: customers-per-order-count histogram "
+        "incl. zero-order customers (fact-vs-fact left join)",
+        ops=("J1", "A1", "A3"),
+    )
+)
+
 # ---------------------------------------------------------------------------
 # Driver snapshot ordering (round-4 judge ask #2).  The external driver's
 # CORRECTNESS gate samples the FIRST ``DRIVER_SNAPSHOT_N`` registry entries,
