@@ -1109,3 +1109,112 @@ Q_CUSTOMER_DISTRIBUTION_SQL = """
     )
     GROUP BY c_count
 """
+
+
+PART_SHARE_THRESHOLD = 0.0005  # Q11's FRACTION dial
+
+
+def q_parts_above_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: groups whose aggregate exceeds a FRACTION of the
+    global total — the HAVING-against-a-scalar-subquery pattern.  The
+    global total attaches as a broadcast 1-row aggregate (no driver
+    collect, no second scan of the grouped table: the per-part aggregate is
+    checkpointed and feeds both the total and the filter).
+
+    Exact math: revenues are exact cents; the threshold compare is
+    BIGINT * double on both engines with identical expressions."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev_cents = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    per_part = (
+        li.groupBy(F.col("l_partkey").cast("long").alias("part_id"))
+        .agg(F.sum(rev_cents).alias("rev_cents"))
+        .localCheckpoint()
+    )
+    total = per_part.agg(F.sum("rev_cents").alias("total_cents"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("rev_cents").cast("double")
+            > F.lit(PART_SHARE_THRESHOLD) * F.col("total_cents").cast("double")
+        )
+        .select(
+            "part_id",
+            (F.col("rev_cents") / 100.0).alias("revenue"),
+            (
+                F.col("rev_cents").cast("double")
+                / F.col("total_cents").cast("double")
+            ).alias("share"),
+        )
+    )
+
+
+Q_PARTS_ABOVE_SHARE_SQL = f"""
+    WITH per_part AS (
+        SELECT CAST(l_partkey AS BIGINT) AS part_id,
+               CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                   AS BIGINT)) AS BIGINT) AS rev_cents
+        FROM lineitem GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(rev_cents) AS BIGINT) AS total_cents FROM per_part)
+    SELECT part_id,
+           rev_cents / 100.0 AS revenue,
+           CAST(rev_cents AS DOUBLE) / CAST(total_cents AS DOUBLE) AS share
+    FROM per_part, tot
+    WHERE CAST(rev_cents AS DOUBLE) > {PART_SHARE_THRESHOLD} * CAST(total_cents AS DOUBLE)
+"""
+
+
+def q_rich_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: no-order customers per market segment, with the
+    count of those ABOVE the global average balance (positive-balance
+    population) as a measure — scalar-subquery threshold + anti join in
+    one query.  (The above-average flag is a column, not a row filter, so
+    the result stays non-empty — and the check non-vacuous — at scale
+    factors where every wealthy customer happens to have orders.)"""
+    cust = load_table(spark, sf_dir, "customer")
+    # scoped to in-progress orders (same dial as customers_without_orders:
+    # every testdata customer has SOME order, so the unscoped anti join is
+    # empty at every SF)
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "P"
+    )
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        (F.sum(_cents(F.col("c_acctbal"))).cast("double") / F.count(F.lit(1)))
+        .alias("avg_cents")
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .crossJoin(F.broadcast(avg_bal))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(
+                (
+                    _cents(F.col("c_acctbal")).cast("double")
+                    > F.col("avg_cents")
+                ).cast("long")
+            ).alias("n_above_avg"),
+            (F.sum(_cents(F.col("c_acctbal"))) / 100.0).alias("total_balance"),
+        )
+    )
+
+
+Q_RICH_INACTIVE_CUSTOMERS_SQL = """
+    WITH avg_bal AS (
+        SELECT CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+               / COUNT(*) AS avg_cents
+        FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CASE WHEN CAST(CAST(ROUND(c_acctbal * 100) AS BIGINT)
+                              AS DOUBLE) > avg_cents
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_above_avg,
+           CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) / 100.0
+               AS total_balance
+    FROM customer c, avg_bal
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderstatus = 'P')
+    GROUP BY c_mktsegment
+"""

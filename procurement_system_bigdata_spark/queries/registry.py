@@ -1247,6 +1247,29 @@ _register(
     )
 )
 
+
+_register(
+    QuerySpec(
+        name="parts_above_share",
+        fn=analytics.q_parts_above_share,
+        oracle=analytics.Q_PARTS_ABOVE_SHARE_SQL,
+        description="TPC-H Q11 shape: groups exceeding a fraction of the "
+        "global total (HAVING vs broadcast scalar aggregate)",
+        ops=("A1", "A6"),
+    )
+)
+
+_register(
+    QuerySpec(
+        name="rich_inactive_customers",
+        fn=analytics.q_rich_inactive_customers,
+        oracle=analytics.Q_RICH_INACTIVE_CUSTOMERS_SQL,
+        description="TPC-H Q22 shape: above-average balance + anti join, "
+        "per-segment rollup",
+        ops=("J1", "A1", "A6"),
+    )
+)
+
 # ---------------------------------------------------------------------------
 # Driver snapshot ordering (round-4 judge ask #2).  The external driver's
 # CORRECTNESS gate samples the FIRST ``DRIVER_SNAPSHOT_N`` registry entries,
