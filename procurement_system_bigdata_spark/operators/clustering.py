@@ -40,7 +40,9 @@ def connected_components(
 
     ``nodes``: one column ``node`` (isolated nodes form singleton
     components).  ``edges``: columns ``src``/``dst``, undirected, each pair
-    listed once in either direction.  Returns (node, component).
+    listed once in either direction; every endpoint is assumed to appear in
+    ``nodes`` (all in-repo callers derive both from the same corpus).
+    Returns (node, component).
 
     Convergence is CHECKED, not assumed: if labels are still changing after
     ``max_rounds`` (component diameter > max_rounds), ``strict=True`` raises
@@ -52,8 +54,21 @@ def connected_components(
 
     sym = edges.select("src", "dst").unionAll(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    # Iterate ONLY the edge-touched subgraph: a node with no edges is its
+    # own component by definition and can never change, yet the loop used
+    # to carry every corpus node through every round.  At 100 TB the
+    # difference is iterating near-dup-VOLUME-sized frames (the docs that
+    # appear in some pair — typically 1-2% of the corpus) instead of
+    # corpus-sized ones; the untouched nodes rejoin as singletons in one
+    # map-side union at the end.  Labels are unchanged.
+    touched = (
+        sym.select(F.col("src").alias("node")).distinct().localCheckpoint()
     )
-    labels = nodes.select("node", F.col("node").alias("component"))
+    isolated = nodes.join(touched, "node", "left_anti").select(
+        "node", F.col("node").alias("component")
+    )
+    labels = touched.select("node", F.col("node").alias("component"))
     labels = labels.localCheckpoint()
     changed = 0
     for _ in range(max_rounds):
@@ -90,7 +105,7 @@ def connected_components(
         if strict:
             raise RuntimeError(msg)
         warnings.warn(msg, RuntimeWarning, stacklevel=2)
-    return labels
+    return labels.unionAll(isolated)
 
 
 def dedup_clusters(docs: DataFrame, pairs: DataFrame) -> DataFrame:
