@@ -14,7 +14,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import analytics, events, llmdata, patterns, procurement
+from . import analytics, events, llmdata, olap, patterns, procurement
 
 
 @dataclass(frozen=True)
@@ -1267,6 +1267,127 @@ _register(
         description="TPC-H Q22 shape: above-average balance + anti join, "
         "per-segment rollup",
         ops=("J1", "A1", "A6"),
+    )
+)
+
+_register(
+    QuerySpec(
+        name="regional_revenue",
+        fn=olap.q_regional_revenue,
+        oracle=olap.Q_REGIONAL_REVENUE_SQL,
+        description="TPC-H Q5 shape: 6-way join with cross-dimension "
+        "nationkey equality riding the broadcast supplier dim",
+        ops=("J1", "J2", "A1", "A2", "S9"),
+    )
+)
+_register(
+    QuerySpec(
+        name="nation_trade_volume",
+        fn=olap.q_nation_trade_volume,
+        oracle=olap.Q_NATION_TRADE_VOLUME_SQL,
+        description="TPC-H Q7 shape: bidirectional geography-pair shipping "
+        "volume per year (symmetric OR-pair predicate)",
+        ops=("J1", "A1", "P10"),
+    )
+)
+_register(
+    QuerySpec(
+        name="market_share",
+        fn=olap.q_market_share,
+        oracle=olap.Q_MARKET_SHARE_SQL,
+        description="TPC-H Q8 shape: CASE-inside-aggregate market share per "
+        "year from one pass (exact bp numerator/denominator)",
+        ops=("J1", "A1", "A7"),
+    )
+)
+_register(
+    QuerySpec(
+        name="product_profit",
+        fn=olap.q_product_profit,
+        oracle=olap.Q_PRODUCT_PROFIT_SQL,
+        description="TPC-H Q9 shape: LIKE-class profit per nation per year "
+        "(selective broadcast dim placed before the fact shuffle)",
+        ops=("J1", "A1", "P7"),
+    )
+)
+_register(
+    QuerySpec(
+        name="returned_item_revenue",
+        fn=olap.q_returned_item_revenue,
+        oracle=olap.Q_RETURNED_ITEM_REVENUE_SQL,
+        description="TPC-H Q10 shape: returned-item revenue per customer, "
+        "top 20 via TakeOrdered with custkey tiebreak",
+        ops=("J1", "A1", "O1", "P10"),
+    )
+)
+_register(
+    QuerySpec(
+        name="priority_line_mix",
+        fn=olap.q_priority_line_mix,
+        oracle=olap.Q_PRIORITY_LINE_MIX_SQL,
+        description="TPC-H Q12 shape: high/low-priority CASE-sum pair per "
+        "line status inside a pushed ship-date window",
+        ops=("J1", "A1", "A7"),
+    )
+)
+_register(
+    QuerySpec(
+        name="promo_revenue",
+        fn=olap.q_promo_revenue,
+        oracle=olap.Q_PROMO_REVENUE_SQL,
+        description="TPC-H Q14 shape: promo revenue share for one month "
+        "(ratio of two exact bp sums from a single pass)",
+        ops=("J1", "A6", "A8"),
+    )
+)
+_register(
+    QuerySpec(
+        name="top_revenue_supplier",
+        fn=olap.q_top_revenue_supplier,
+        oracle=olap.Q_TOP_REVENUE_SUPPLIER_SQL,
+        description="TPC-H Q15 shape: tie-preserving max-revenue supplier "
+        "from a checkpointed revenue view (no second scan)",
+        ops=("A1", "A6", "J1"),
+    )
+)
+_register(
+    QuerySpec(
+        name="supplier_part_variety",
+        fn=olap.q_supplier_part_variety,
+        oracle=olap.Q_SUPPLIER_PART_VARIETY_SQL,
+        description="TPC-H Q16 shape: distinct-supplier count per part "
+        "class with NOT-IN blocklist as broadcast anti join",
+        ops=("J1", "A1", "P10"),
+    )
+)
+_register(
+    QuerySpec(
+        name="disjunctive_revenue",
+        fn=olap.q_disjunctive_revenue,
+        oracle=olap.Q_DISJUNCTIVE_REVENUE_SQL,
+        description="TPC-H Q19 shape: OR-of-ANDs disjunctive predicate over "
+        "a broadcast part join (residual OR post-join)",
+        ops=("J1", "A6", "P10", "P11"),
+    )
+)
+_register(
+    QuerySpec(
+        name="excess_share_suppliers",
+        fn=olap.q_excess_share_suppliers,
+        oracle=olap.Q_EXCESS_SHARE_SUPPLIERS_SQL,
+        description="TPC-H Q20 shape: aggregate-vs-aggregate quantity "
+        "threshold, semi join up to suppliers (one checkpointed agg)",
+        ops=("J1", "A1", "P11"),
+    )
+)
+_register(
+    QuerySpec(
+        name="sole_late_supplier",
+        fn=olap.q_sole_late_supplier,
+        oracle=olap.Q_SOLE_LATE_SUPPLIER_SQL,
+        description="TPC-H Q21 shape: exists/not-exists sole-blocker "
+        "pattern collapsed into ONE per-order aggregate (4 scans -> 1)",
+        ops=("J1", "A1", "A3", "P9"),
     )
 )
 
