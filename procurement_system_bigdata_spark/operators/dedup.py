@@ -1019,6 +1019,100 @@ def remove_shared_spans_sql(table: str = "documents", n: int = SPAN_N) -> str:
     """
 
 
+def ngram_containment_pairs(
+    docs: DataFrame,
+    shingle_n: int = 3,
+    threshold: float = 0.6,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Ordered (doc_a, doc_b, containment) pairs where ``containment`` =
+    |grams(a) ∩ grams(b)| / |grams(a)| >= threshold — the ASYMMETRIC
+    companion to :func:`ngram_jaccard_pairs`.
+
+    Jaccard misses doc-in-doc structure: a short document quoted whole
+    inside a much larger one has tiny Jaccard but containment ~1.0, which
+    is exactly the quote/boilerplate/wrapper-page signal an LLM curation
+    pass wants (the "contained" doc adds no novel text).  Emits BOTH
+    directions of each overlapping pair whose ratio clears the threshold,
+    so consumers can distinguish a⊂b from b⊂a.
+
+    Scale: identical shape to the Jaccard join — one inverted-index
+    self-join over (doc, gram-hash) postings computed ONCE per pair (the
+    ``doc_a < doc_b`` intersection) and unpivoted into the two directed
+    ratios afterward, so the directed output does NOT double the shuffle.
+    ``max_doc_freq`` is the same Zipf hot-gram cap (broadcast anti-join).
+    """
+    tok = _cap_hot_tokens(
+        _doc_token_hashes(docs, shingle_n), max_doc_freq
+    ).localCheckpoint()
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = tok.alias("a"), tok.alias("b")
+    inter = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("lo"), F.col("b.doc_id").alias("hi"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .join(sizes.select(F.col("doc_id").alias("lo"), F.col("n").alias("n_lo")), "lo")
+        .join(sizes.select(F.col("doc_id").alias("hi"), F.col("n").alias("n_hi")), "hi")
+    )
+    directed = inter.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("lo").alias("doc_a"),
+                    F.col("hi").alias("doc_b"),
+                    (F.col("n_common").cast("double") / F.col("n_lo")).alias(
+                        "containment"
+                    ),
+                ),
+                F.struct(
+                    F.col("hi").alias("doc_a"),
+                    F.col("lo").alias("doc_b"),
+                    (F.col("n_common").cast("double") / F.col("n_hi")).alias(
+                        "containment"
+                    ),
+                ),
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b", "p.containment")
+    return directed.filter(F.col("containment") >= threshold)
+
+
+def ngram_containment_pairs_sql(
+    table: str = "documents",
+    shingle_n: int = 3,
+    threshold: float = 0.6,
+    max_doc_freq: int | None = None,
+) -> str:
+    tok = _duck_doc_token_hashes(table, shingle_n)
+    if max_doc_freq is not None:
+        tok = f"""
+        SELECT doc_id, h FROM ({tok})
+        QUALIFY COUNT(*) OVER (PARTITION BY h) <= {max_doc_freq}
+        """
+    return f"""
+    WITH tok AS ({tok}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS lo, b.doc_id AS hi, COUNT(*) AS n_common
+        FROM tok a JOIN tok b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    sized AS (
+        SELECT lo, hi, n_common, sa.n AS n_lo, sb.n AS n_hi
+        FROM inter JOIN sizes sa ON sa.doc_id = lo
+                   JOIN sizes sb ON sb.doc_id = hi
+    )
+    SELECT doc_a, doc_b, containment FROM (
+        SELECT lo AS doc_a, hi AS doc_b,
+               CAST(n_common AS DOUBLE) / n_lo AS containment FROM sized
+        UNION ALL
+        SELECT hi AS doc_a, lo AS doc_b,
+               CAST(n_common AS DOUBLE) / n_hi AS containment FROM sized
+    )
+    WHERE containment >= {threshold}
+    """
+
+
 def dedup_method_agreement(docs: DataFrame) -> DataFrame:
     """(method_a, method_b, n_pairs_a, n_pairs_b, n_common): pairwise
     agreement between the three text near-dup detectors at their

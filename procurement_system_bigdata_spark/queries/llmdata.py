@@ -9,7 +9,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..functions import portable as P
-from ..operators import clustering, dedup, sampling, similarity, text
+from ..operators import clustering, dedup, editdist, sampling, similarity, text
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1046,4 +1046,28 @@ def q_split_leakage(spark, sf_dir):
 Q_SPLIT_LEAKAGE_SQL = sampling.split_leakage_report_sql(
     dedup.minhash_lsh_pairs_sql(),
     "SELECT doc_id, split FROM (" + sampling.train_val_test_split_sql() + ")",
+)
+
+
+def q_edit_distance_pairs(spark, sf_dir):
+    """Fuzzy-key near-dup: all doc pairs whose 64-char text prefixes are
+    within Levenshtein distance 2 — PassJoin-style segment-signature
+    candidates + banded verify (operators/editdist.py)."""
+    return editdist.edit_distance_pairs(_docs(spark, sf_dir), k=2, prefix_len=64)
+
+
+Q_EDIT_DISTANCE_PAIRS_SQL = editdist.edit_distance_pairs_sql(
+    "documents", k=2, prefix_len=64
+)
+
+
+def q_containment_pairs(spark, sf_dir):
+    """Asymmetric doc-in-doc overlap: directed pairs with
+    |grams(a)∩grams(b)|/|grams(a)| >= 0.6 (quote/boilerplate signal the
+    symmetric Jaccard misses) — operators/dedup.py."""
+    return dedup.ngram_containment_pairs(_docs(spark, sf_dir), shingle_n=3, threshold=0.6)
+
+
+Q_CONTAINMENT_PAIRS_SQL = dedup.ngram_containment_pairs_sql(
+    "documents", shingle_n=3, threshold=0.6
 )

@@ -1390,6 +1390,29 @@ _register(
         ops=("J1", "A1", "A3", "P9"),
     )
 )
+_register(
+    QuerySpec(
+        name="edit_distance_pairs",
+        fn=llmdata.q_edit_distance_pairs,
+        oracle=llmdata.Q_EDIT_DISTANCE_PAIRS_SQL,
+        description="Fuzzy-key near-dup self-join: doc pairs within "
+        "Levenshtein distance 2 on 64-char prefixes — PassJoin-style "
+        "segment-signature equi-join candidates + banded verify "
+        "(operators/editdist.py; exact, brute-force-equal)",
+        ops=("EXT-dedup",),
+    )
+)
+_register(
+    QuerySpec(
+        name="containment_pairs",
+        fn=llmdata.q_containment_pairs,
+        oracle=llmdata.Q_CONTAINMENT_PAIRS_SQL,
+        description="Asymmetric doc-in-doc n-gram containment (directed "
+        "pairs, |A∩B|/|A| >= 0.6): the quote/boilerplate signal Jaccard "
+        "misses — one inverted-index join, ratios unpivoted per direction",
+        ops=("EXT-dedup", "EXT-text"),
+    )
+)
 
 # ---------------------------------------------------------------------------
 # Driver snapshot ordering (round-4 judge ask #2).  The external driver's

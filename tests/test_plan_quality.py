@@ -295,6 +295,12 @@ def test_scan_counts_stay_minimized(spark):
         "tf_idf": ("documents", 2),
         "decontamination": ("documents", 2),
         "bloom_decontamination": ("documents", 2),
+        # keyed prefix projection checkpointed -> all three branches read
+        # the materialized (doc_id, key, len) rows, zero re-scans
+        "edit_distance_pairs": ("documents", 0),
+        # posting table checkpointed once (same contract as the jaccard
+        # family)
+        "containment_pairs": ("documents", 0),
     }
     over = []
     for name, (table, budget) in budgets.items():
