@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..catalog import load_table
 
@@ -1066,6 +1067,80 @@ Q_FUNNEL_CONVERSION_SQL = """
            COUNT(t_click) AS reached_click,
            COUNT(t_purchase) AS reached_purchase
     FROM staged3
+"""
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by FIRST-activity day; for every
+    (cohort_date, day_offset) the distinct users from that cohort active
+    that many days later, plus the cohort size and retention rate — the
+    standard product-analytics retention triangle.
+
+    Scale shape: ONE user-keyed shuffle builds (first day, distinct active
+    days) per user (collect_set is bounded by the corpus day span, not by
+    event volume — the map-side distinct happens inside the aggregate);
+    offsets are map-side arithmetic after an explode, and the second
+    shuffle aggregates the (cohort, offset) grid, which is day-span²
+    rows.  No per-(cohort,offset) DISTINCT is needed: after the per-user
+    day dedup each user contributes exactly one row per (cohort, offset),
+    so a plain COUNT suffices.  The cohort size rides a window over the
+    grid (day-span² rows, negligible)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id"), F.to_date("ts").alias("d")
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.min("d").alias("cohort_date"),
+        F.collect_set("d").alias("days"),
+    )
+    grid = (
+        per_user.select(
+            "cohort_date", F.explode("days").alias("d")
+        )
+        .groupBy(
+            "cohort_date",
+            F.datediff("d", "cohort_date").cast("int").alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+    )
+    w = Window.partitionBy("cohort_date")
+    return grid.select(
+        "cohort_date",
+        "day_offset",
+        "n_active",
+        F.max(F.when(F.col("day_offset") == 0, F.col("n_active")))
+        .over(w)
+        .alias("cohort_size"),
+    ).select(
+        "cohort_date",
+        "day_offset",
+        "n_active",
+        "cohort_size",
+        (F.col("n_active").cast("double") / F.col("cohort_size"))
+        .alias("retention_rate"),
+    )
+
+
+Q_RETENTION_COHORTS_SQL = """
+    WITH ud AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    firsts AS (
+        SELECT user_id, MIN(d) AS cohort_date FROM ud GROUP BY user_id
+    ),
+    grid AS (
+        SELECT f.cohort_date,
+               CAST(date_diff('day', f.cohort_date, u.d) AS INT) AS day_offset,
+               CAST(COUNT(*) AS BIGINT) AS n_active
+        FROM ud u JOIN firsts f USING (user_id)
+        GROUP BY 1, 2
+    )
+    SELECT cohort_date, day_offset, n_active,
+           MAX(CASE WHEN day_offset = 0 THEN n_active END)
+               OVER (PARTITION BY cohort_date) AS cohort_size,
+           CAST(n_active AS DOUBLE)
+               / MAX(CASE WHEN day_offset = 0 THEN n_active END)
+                     OVER (PARTITION BY cohort_date) AS retention_rate
+    FROM grid
 """
 
 

@@ -349,3 +349,146 @@ Q_GAP_FILL_HOURLY_SQL = """
     FROM dense d
     LEFT JOIN hourly h ON d.hr = h.hr AND d.event_type = h.event_type
 """
+
+
+ROLLING_WINDOW_DAYS = 7
+
+
+def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding distinct-count: per active day, DAU and trailing-7-day WAU
+    plus the DAU/WAU stickiness ratio — the standard engagement report.
+
+    A rolling COUNT(DISTINCT) admits no window-function form (distinct
+    does not decompose over frames), and the naive day×activity range join
+    is O(days · activity).  The scalable shape is CONTRIBUTION EXPLODE:
+    each distinct (user, day) activity row contributes to the 7 window
+    ends it can be seen from (a bounded sequence() explode, map-side), so
+    the whole report is the per-user-day dedup shuffle plus one
+    (window-end)-keyed distinct aggregate — cost 7× the distinct activity
+    table, independent of the window-length×days product.  The DuckDB
+    oracle intentionally uses the OTHER formulation (the semantic range
+    join) so the two engines cross-check the definition rather than
+    sharing one algorithm.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    ud = ev.distinct().localCheckpoint()  # feeds dau AND the explode
+    dau = ud.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("dau"))
+    contrib = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("d"), F.date_add("d", ROLLING_WINDOW_DAYS - 1)
+            )
+        ).alias("day"),
+    )
+    wau = contrib.groupBy("day").agg(
+        F.countDistinct("user_id").cast("long").alias("wau")
+    )
+    return (
+        dau.join(wau, dau.d == wau.day)
+        .select(
+            "d",
+            "dau",
+            "wau",
+            (F.col("dau").cast("double") / F.col("wau")).alias("stickiness"),
+        )
+    )
+
+
+Q_ROLLING_ACTIVE_USERS_SQL = f"""
+    WITH ud AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    dau AS (
+        SELECT d, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY d
+    )
+    SELECT a.d, a.dau,
+           CAST((SELECT COUNT(DISTINCT b.user_id) FROM ud b
+                 WHERE b.d BETWEEN a.d - {ROLLING_WINDOW_DAYS - 1} AND a.d)
+                AS BIGINT) AS wau,
+           CAST(a.dau AS DOUBLE)
+               / (SELECT COUNT(DISTINCT b.user_id) FROM ud b
+                  WHERE b.d BETWEEN a.d - {ROLLING_WINDOW_DAYS - 1} AND a.d)
+               AS stickiness
+    FROM dau a
+"""
+
+
+ANOMALY_Z = 2.0
+
+
+def q_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event-volume z-scores: exact integer daily counts, corpus
+    mean/std derived from EXACT BIGINT/DECIMAL moment sums (Σn, Σn², k),
+    then one identical double expression per engine (the repo's float
+    discipline: no float accumulation order anywhere, sqrt is IEEE
+    correctly-rounded so bit-equal cross-engine).  Flags |z| > 2.
+
+    Scale: one (day)-keyed count aggregate, a 1-row moment reduce
+    broadcast back over the day table — day-span-sized, trivially flat.
+    Σn² accumulates in DECIMAL(38,0): exact for daily counts up to ~1e19,
+    beyond any real per-day event volume."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint()  # feeds the moment reduce AND the z projection
+    )
+    moments = daily.agg(
+        F.sum("n").cast("decimal(38,0)").alias("s1"),
+        # cast BEFORE the square (mirrors the oracle): a LONG×LONG product
+        # would overflow silently past n ≈ 3e9 events/day
+        F.sum(F.col("n").cast("decimal(38,0)") * F.col("n")).alias("s2"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    z = (F.col("n").cast("double") - F.col("mean")) / F.col("std")
+    return (
+        daily.crossJoin(F.broadcast(moments))
+        .select(
+            "d",
+            "n",
+            (F.col("s1").cast("double") / F.col("k")).alias("mean"),
+            F.sqrt(
+                (
+                    F.col("s2").cast("double")
+                    - F.col("s1").cast("double") * F.col("s1").cast("double")
+                    / F.col("k")
+                )
+                / (F.col("k") - 1)
+            ).alias("std"),
+        )
+        .select(
+            "d",
+            "n",
+            z.alias("z_score"),
+            (F.abs(z) > ANOMALY_Z).alias("is_anomaly"),
+        )
+    )
+
+
+Q_DAILY_ANOMALIES_SQL = f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1
+    ),
+    moments AS (
+        SELECT CAST(SUM(n) AS DECIMAL(38,0)) AS s1,
+               CAST(SUM(CAST(n AS DECIMAL(38,0)) * n) AS DECIMAL(38,0)) AS s2,
+               CAST(COUNT(*) AS BIGINT) AS k
+        FROM daily
+    ),
+    scored AS (
+        SELECT d, n,
+               CAST(s1 AS DOUBLE) / k AS mean,
+               sqrt((CAST(s2 AS DOUBLE)
+                     - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / k)
+                    / (k - 1)) AS std
+        FROM daily CROSS JOIN moments
+    )
+    SELECT d, n,
+           (CAST(n AS DOUBLE) - mean) / std AS z_score,
+           abs((CAST(n AS DOUBLE) - mean) / std) > {ANOMALY_Z} AS is_anomaly
+    FROM scored
+"""

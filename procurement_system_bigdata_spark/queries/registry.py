@@ -1392,6 +1392,40 @@ _register(
 )
 _register(
     QuerySpec(
+        name="retention_cohorts",
+        fn=analytics.q_retention_cohorts,
+        oracle=analytics.Q_RETENTION_COHORTS_SQL,
+        description="Cohort retention triangle over events: first-activity "
+        "cohorts x day offsets with cohort size and retention rate — one "
+        "user-keyed shuffle + a day-span² grid aggregate",
+        ops=("A1", "A5", "W1", "P8"),
+    )
+)
+_register(
+    QuerySpec(
+        name="rolling_active_users",
+        fn=patterns.q_rolling_active_users,
+        oracle=patterns.Q_ROLLING_ACTIVE_USERS_SQL,
+        description="Sliding distinct-count engagement report (DAU / "
+        "trailing-7d WAU / stickiness) via contribution explode — rolling "
+        "COUNT(DISTINCT) has no window-function form; oracle cross-checks "
+        "with the semantic range-join formulation",
+        ops=("A1", "A5", "P8"),
+    )
+)
+_register(
+    QuerySpec(
+        name="daily_anomalies",
+        fn=patterns.q_daily_anomalies,
+        oracle=patterns.Q_DAILY_ANOMALIES_SQL,
+        description="Daily event-volume z-scores from exact BIGINT/DECIMAL "
+        "moment sums (no float accumulation order), |z|>2 flag — 1-row "
+        "moment reduce broadcast over the day table",
+        ops=("A1", "A5", "A6", "P11"),
+    )
+)
+_register(
+    QuerySpec(
         name="edit_distance_pairs",
         fn=llmdata.q_edit_distance_pairs,
         oracle=llmdata.Q_EDIT_DISTANCE_PAIRS_SQL,

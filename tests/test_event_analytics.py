@@ -1,0 +1,117 @@
+"""Planted-scenario tests for retention cohorts, rolling active users, and
+daily anomaly z-scores (the registry parity sweep covers corpus-level
+oracle equality; these pin the SEMANTICS on hand-built event streams)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+from pyspark.sql import functions as F
+
+
+def _ev(spark, rows):
+    """rows: (user_id, 'YYYY-MM-DD')"""
+    return spark.createDataFrame(
+        [
+            (i, dt.datetime.fromisoformat(d + "T12:00:00"), u, "view", 1.0, "{}")
+            for i, (u, d) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+
+
+def _retention(df):
+    # the query function loads from an sf_dir; drive the same logic inline
+    ev = df.select("user_id", F.to_date("ts").alias("d"))
+    per_user = ev.groupBy("user_id").agg(
+        F.min("d").alias("cohort_date"), F.collect_set("d").alias("days")
+    )
+    grid = (
+        per_user.select("cohort_date", F.explode("days").alias("d"))
+        .groupBy(
+            "cohort_date",
+            F.datediff("d", "cohort_date").cast("int").alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+    )
+    return {
+        (str(r.cohort_date), r.day_offset): r.n_active for r in grid.collect()
+    }
+
+
+def test_retention_cohort_semantics(spark):
+    got = _retention(
+        _ev(
+            spark,
+            [
+                # cohort Jan 1: users 1,2 — user 1 returns day 1 and 3,
+                # user 2 never returns
+                (1, "2024-01-01"),
+                (2, "2024-01-01"),
+                (1, "2024-01-02"),
+                (1, "2024-01-04"),
+                # cohort Jan 2: user 3, returns day 1
+                (3, "2024-01-02"),
+                (3, "2024-01-03"),
+                # duplicate activity same day must not double-count
+                (3, "2024-01-03"),
+            ],
+        )
+    )
+    assert got[("2024-01-01", 0)] == 2
+    assert got[("2024-01-01", 1)] == 1
+    assert got[("2024-01-01", 3)] == 1
+    assert got[("2024-01-02", 0)] == 1
+    assert got[("2024-01-02", 1)] == 1
+    assert ("2024-01-01", 2) not in got
+
+
+def test_rolling_wau_counts_trailing_window(spark, tmp_path):
+    """WAU on day t = distinct users active in [t-6, t]; a user active
+    twice in the window counts once."""
+    df = _ev(
+        spark,
+        [
+            (1, "2024-01-01"),
+            (2, "2024-01-01"),
+            (1, "2024-01-05"),  # same user re-appears inside the window
+            (3, "2024-01-08"),  # day 8: window [02..08] — user 1 (day 5) + 3
+        ],
+    )
+    d = str(tmp_path / "sf")
+    df.write.parquet(f"{d}/events.parquet")
+    from procurement_system_bigdata_spark.queries.patterns import (
+        q_rolling_active_users,
+    )
+
+    got = {str(r.d): (r.dau, r.wau) for r in q_rolling_active_users(spark, d).collect()}
+    assert got["2024-01-01"] == (2, 2)
+    assert got["2024-01-05"] == (1, 2)  # users 1,2 within [12-30..01-05]
+    assert got["2024-01-08"] == (1, 2)  # users 1(day5), 3 — user 2 aged out
+
+
+def test_daily_anomaly_zscores_exact(spark, tmp_path):
+    """z-scores match the closed-form sample statistics."""
+    counts = {"2024-01-01": 3, "2024-01-02": 4, "2024-01-03": 8}
+    rows = []
+    u = 0
+    for d, n in counts.items():
+        for _ in range(n):
+            rows.append((u, d))
+            u += 1
+    df = _ev(spark, rows)
+    d = str(tmp_path / "sf")
+    df.write.parquet(f"{d}/events.parquet")
+    from procurement_system_bigdata_spark.queries.patterns import (
+        q_daily_anomalies,
+    )
+
+    got = {str(r.d): r for r in q_daily_anomalies(spark, d).collect()}
+    ns = list(counts.values())
+    mean = sum(ns) / len(ns)
+    std = math.sqrt(sum((x - mean) ** 2 for x in ns) / (len(ns) - 1))
+    for day, n in counts.items():
+        assert abs(got[day].z_score - (n - mean) / std) < 1e-12
+        assert got[day].is_anomaly == (abs((n - mean) / std) > 2.0)
