@@ -1479,8 +1479,6 @@ _DRIVER_SNAPSHOT = [
     "adhoc_sql",
     # never-driver-covered analytics tail (registered rounds 3-4)
     "selective_revenue",
-    "big_orders",
-    "small_qty_revenue",
     "shipping_priority",
     "corr_stats",
     "profile_orders",
@@ -1489,14 +1487,11 @@ _DRIVER_SNAPSHOT = [
     "hll_mergeable_users",
     "funnel_conversion",
     # never-driver-covered sketches
-    "value_histogram",
     "value_histogram_by",
     "histogram_quantiles",
-    "token_cms_sketch",
     "cms_heavy_hitters",
     # never-driver-covered sampling / mixing
     "source_mixture",
-    "group_sample",
     "stratified_sample",
     # never-driver-covered text / dedup / embedding extensions
     "unigram_logprob",
@@ -1525,6 +1520,19 @@ _DRIVER_SNAPSHOT = [
     "training_shards",
     "vocab_coverage",
     "bpe_top_pairs",
+    # round-5 NEW operators (edit-distance join, containment, event
+    # analytics) — rotated in so this round's additions get external
+    # driver rows; they displace five family-redundant entries whose
+    # snapshot siblings keep the family covered (value_histogram ->
+    # value_histogram_by, token_cms_sketch -> cms_heavy_hitters,
+    # group_sample -> stratified_sample, big_orders/small_qty_revenue ->
+    # selective_revenue/shipping_priority), all five staying green under
+    # the self-sweep and pytest parity
+    "edit_distance_pairs",
+    "containment_pairs",
+    "retention_cohorts",
+    "rolling_active_users",
+    "daily_anomalies",
 ]
 
 
