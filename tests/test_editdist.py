@@ -142,3 +142,32 @@ def test_containment_asymmetry(spark):
 
     filtered = dedup.ngram_containment_pairs(docs, shingle_n=3, threshold=0.6)
     assert {(r.doc_a, r.doc_b) for r in filtered.collect()} == {(1, 2)}
+
+
+def test_exhaustive_small_alphabet(spark):
+    """All 31 strings over {a,b} with length <= 4 (straddling the
+    short/long partition boundary at k+1=3) plus longer samples — the
+    operator must equal brute force on every pair class: equal strings,
+    pure inserts, shifts, shorts vs longs."""
+    strings = [""]
+    for _ in range(4):
+        strings += [s + c for s in strings for c in "ab" if len(s) == _]
+    strings = sorted(set(s for s in strings if s))  # drop the empty doc
+    strings += ["aaaaaab", "aababab", "bbbbbbb", "abababab"]
+    docs = _df(spark, list(enumerate(strings)))
+    got = _pairs(editdist.edit_distance_pairs(docs, k=2))
+    keyed = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), F.col("text").alias("key")
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    brute = (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.levenshtein(F.col("a.key"), F.col("b.key"), 2).alias("dist"),
+        )
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= 2))
+    )
+    want = _pairs(brute)
+    assert got == want and len(want) > 100
