@@ -25,6 +25,12 @@ class QuerySpec:
     description: str
     ops: tuple[str, ...] = field(default_factory=tuple)
     bench: bool = False  # included in bench.py headline set
+    # Non-empty -> the DUCKDB MIRROR (not the engine) is infeasible above
+    # ~sf0.01 for the stated reason; big-SF sweeps (DRIVER_SIM_SF_DIR at
+    # sf0.1) skip these instead of hanging on the oracle side.  The engine
+    # path itself stays scale-tested by bench/probes.  Machine-readable so
+    # sweep tooling never re-derives the list from DESIGN.md prose.
+    oracle_scale_bound: str = ""
 
 
 REGISTRY: dict[str, QuerySpec] = {}
@@ -510,6 +516,7 @@ _register(
         "components over minhash-LSH pairs (Pregel-style DataFrame loop; "
         "oracle = recursive-CTE transitive closure)",
         ops=("EXT-clustering",),
+        oracle_scale_bound="recursive-CTE transitive closure over the ~900k-edge dense near-dup graph",
     )
 )
 _register(
@@ -530,6 +537,7 @@ _register(
         description="End-to-end corpus curation: quality filter -> keep "
         "near-dup cluster canonicals -> deterministic split (composed plan)",
         ops=("EXT-pipeline",),
+        oracle_scale_bound="embeds the dedup_clusters recursive-CTE closure",
         # not a bench headline for the same reason as dedup_minhash_lsh:
         # on the 31-word-vocabulary corpus the near-dup graph is dense
         # (output-volume-bound, 86s at sf0.1); bench.py times the SAME
@@ -1088,6 +1096,7 @@ _register(
         description="Priority-aware dedup canonicals: near-dup clusters "
         "keep the most-trusted source's copy (Dolma-style source ordering)",
         ops=("EXT-dedup",),
+        oracle_scale_bound="embeds the dedup_clusters recursive-CTE closure",
     )
 )
 
@@ -1184,6 +1193,7 @@ _register(
         description="Capstone: quality gate -> near-dup canonicals -> train "
         "split -> hash shards, one composed plan, oracle-checked end to end",
         ops=("EXT-pipeline", "EXT-dedup", "EXT-sampling", "EXT-delivery"),
+        oracle_scale_bound="embeds the dedup_clusters recursive-CTE closure",
     )
 )
 
