@@ -1085,8 +1085,13 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     day dedup each user contributes exactly one row per (cohort, offset),
     so a plain COUNT suffices.  The cohort size rides a window over the
     grid (day-span² rows, negligible)."""
-    ev = load_table(spark, sf_dir, "events").select(
-        F.col("user_id"), F.to_date("ts").alias("d")
+    # anonymous (NULL-user) events form no cohort — explicit on BOTH
+    # engines (Spark's groupBy would keep a null group where the oracle's
+    # JOIN USING(user_id) drops it; never rely on that divergence)
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select(F.col("user_id"), F.to_date("ts").alias("d"))
     )
     per_user = ev.groupBy("user_id").agg(
         F.min("d").alias("cohort_date"),
@@ -1123,6 +1128,7 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q_RETENTION_COHORTS_SQL = """
     WITH ud AS (
         SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+        WHERE user_id IS NOT NULL
     ),
     firsts AS (
         SELECT user_id, MIN(d) AS cohort_date FROM ud GROUP BY user_id

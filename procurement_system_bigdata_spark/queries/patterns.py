@@ -370,8 +370,12 @@ def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     join) so the two engines cross-check the definition rather than
     sharing one algorithm.
     """
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", F.to_date("ts").alias("d")
+    # NULL users would count toward DAU (plain COUNT) but not WAU
+    # (COUNT DISTINCT skips NULL) — drop them explicitly on both engines
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id", F.to_date("ts").alias("d"))
     )
     ud = ev.distinct().localCheckpoint()  # feeds dau AND the explode
     dau = ud.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("dau"))
@@ -400,6 +404,7 @@ def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q_ROLLING_ACTIVE_USERS_SQL = f"""
     WITH ud AS (
         SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+        WHERE user_id IS NOT NULL
     ),
     dau AS (
         SELECT d, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY d
@@ -443,27 +448,37 @@ def q_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("n").cast("decimal(38,0)") * F.col("n")).alias("s2"),
         F.count(F.lit(1)).cast("long").alias("k"),
     )
-    z = (F.col("n").cast("double") - F.col("mean")) / F.col("std")
+    # degenerate corpora are EXPLICIT on both engines (no reliance on
+    # engine division semantics — Spark 4 ANSI mode throws on x/0 where
+    # DuckDB returns NULL): a single active day (k=1, sample variance
+    # undefined) or uniform daily counts (std=0) yield NULL z/flag rows
+    z = F.when(
+        F.col("std") > 0.0,
+        (F.col("n").cast("double") - F.col("mean")) / F.col("std"),
+    )
     return (
         daily.crossJoin(F.broadcast(moments))
         .select(
             "d",
             "n",
             (F.col("s1").cast("double") / F.col("k")).alias("mean"),
-            F.sqrt(
-                (
-                    F.col("s2").cast("double")
-                    - F.col("s1").cast("double") * F.col("s1").cast("double")
-                    / F.col("k")
-                )
-                / (F.col("k") - 1)
+            F.when(
+                F.col("k") > 1,
+                F.sqrt(
+                    (
+                        F.col("s2").cast("double")
+                        - F.col("s1").cast("double") * F.col("s1").cast("double")
+                        / F.col("k")
+                    )
+                    / (F.col("k") - 1)
+                ),
             ).alias("std"),
         )
         .select(
             "d",
             "n",
             z.alias("z_score"),
-            (F.abs(z) > ANOMALY_Z).alias("is_anomaly"),
+            F.when(z.isNotNull(), F.abs(z) > ANOMALY_Z).alias("is_anomaly"),
         )
     )
 
@@ -482,13 +497,18 @@ Q_DAILY_ANOMALIES_SQL = f"""
     scored AS (
         SELECT d, n,
                CAST(s1 AS DOUBLE) / k AS mean,
-               sqrt((CAST(s2 AS DOUBLE)
-                     - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / k)
-                    / (k - 1)) AS std
+               CASE WHEN k > 1 THEN
+                   sqrt((CAST(s2 AS DOUBLE)
+                         - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / k)
+                        / (k - 1))
+               END AS std
         FROM daily CROSS JOIN moments
     )
     SELECT d, n,
-           (CAST(n AS DOUBLE) - mean) / std AS z_score,
-           abs((CAST(n AS DOUBLE) - mean) / std) > {ANOMALY_Z} AS is_anomaly
+           CASE WHEN std > 0.0
+                THEN (CAST(n AS DOUBLE) - mean) / std END AS z_score,
+           CASE WHEN std > 0.0
+                THEN abs((CAST(n AS DOUBLE) - mean) / std) > {ANOMALY_Z}
+           END AS is_anomaly
     FROM scored
 """

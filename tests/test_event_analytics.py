@@ -22,50 +22,41 @@ def _ev(spark, rows):
     )
 
 
-def _retention(df):
-    # the query function loads from an sf_dir; drive the same logic inline
-    ev = df.select("user_id", F.to_date("ts").alias("d"))
-    per_user = ev.groupBy("user_id").agg(
-        F.min("d").alias("cohort_date"), F.collect_set("d").alias("days")
+def test_retention_cohort_semantics(spark, tmp_path):
+    """Drives the PRODUCTION query function end to end (write parquet,
+    load via sf_dir) so regressions in the real plan are caught."""
+    from procurement_system_bigdata_spark.queries.analytics import (
+        q_retention_cohorts,
     )
-    grid = (
-        per_user.select("cohort_date", F.explode("days").alias("d"))
-        .groupBy(
-            "cohort_date",
-            F.datediff("d", "cohort_date").cast("int").alias("day_offset"),
-        )
-        .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
-    )
-    return {
-        (str(r.cohort_date), r.day_offset): r.n_active for r in grid.collect()
-    }
 
-
-def test_retention_cohort_semantics(spark):
-    got = _retention(
-        _ev(
-            spark,
-            [
-                # cohort Jan 1: users 1,2 — user 1 returns day 1 and 3,
-                # user 2 never returns
-                (1, "2024-01-01"),
-                (2, "2024-01-01"),
-                (1, "2024-01-02"),
-                (1, "2024-01-04"),
-                # cohort Jan 2: user 3, returns day 1
-                (3, "2024-01-02"),
-                (3, "2024-01-03"),
-                # duplicate activity same day must not double-count
-                (3, "2024-01-03"),
-            ],
-        )
+    df = _ev(
+        spark,
+        [
+            # cohort Jan 1: users 1,2 — user 1 returns day 1 and 3,
+            # user 2 never returns
+            (1, "2024-01-01"),
+            (2, "2024-01-01"),
+            (1, "2024-01-02"),
+            (1, "2024-01-04"),
+            # cohort Jan 2: user 3, returns day 1
+            (3, "2024-01-02"),
+            (3, "2024-01-03"),
+            # duplicate activity same day must not double-count
+            (3, "2024-01-03"),
+        ],
     )
+    d = str(tmp_path / "sf")
+    df.write.parquet(f"{d}/events.parquet")
+    rows = q_retention_cohorts(spark, d).collect()
+    got = {(str(r.cohort_date), r.day_offset): r.n_active for r in rows}
     assert got[("2024-01-01", 0)] == 2
     assert got[("2024-01-01", 1)] == 1
     assert got[("2024-01-01", 3)] == 1
     assert got[("2024-01-02", 0)] == 1
     assert got[("2024-01-02", 1)] == 1
     assert ("2024-01-01", 2) not in got
+    sizes = {str(r.cohort_date): r.cohort_size for r in rows}
+    assert sizes == {"2024-01-01": 2, "2024-01-02": 1}
 
 
 def test_rolling_wau_counts_trailing_window(spark, tmp_path):
@@ -115,3 +106,34 @@ def test_daily_anomaly_zscores_exact(spark, tmp_path):
     for day, n in counts.items():
         assert abs(got[day].z_score - (n - mean) / std) < 1e-12
         assert got[day].is_anomaly == (abs((n - mean) / std) > 2.0)
+
+
+def test_daily_anomaly_degenerate_corpora(spark, tmp_path, duck):
+    """Single active day (sample variance undefined) and uniform counts
+    (std=0) must yield NULL z/flag rows on BOTH engines, not an ANSI
+    divide-by-zero crash — and still hash-match the oracle."""
+    import conftest
+    from procurement_system_bigdata_spark.queries.patterns import (
+        Q_DAILY_ANOMALIES_SQL,
+        q_daily_anomalies,
+    )
+
+    for rows in (
+        [(1, "2024-01-01"), (2, "2024-01-01")],  # one day: k=1
+        [(1, "2024-01-01"), (2, "2024-01-02"), (3, "2024-01-03")],  # std=0
+    ):
+        df = _ev(spark, rows)
+        d = str(tmp_path / f"sf{len(rows)}")
+        df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+        got = q_daily_anomalies(spark, d).collect()
+        assert all(r.z_score is None and r.is_anomaly is None for r in got)
+        import duckdb
+
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet/*.parquet')"
+        )
+        conftest.assert_matches_oracle(
+            q_daily_anomalies(spark, d), con, Q_DAILY_ANOMALIES_SQL
+        )
+        con.close()

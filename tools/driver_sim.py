@@ -74,22 +74,28 @@ only = argv if argv else None
 # (registry oracle_scale_bound, machine-readable since round 5) instead of
 # hanging on the oracle side; the external driver itself runs at sf0.01
 # where every oracle is feasible, so this flag never changes the real gate.
+# An EXPLICITLY-requested query is never skipped (asking for it by name
+# overrides the flag), and every skip is recorded in the --out JSON as a
+# {"skipped": <reason>} row so sweep diffs can tell "skipped by design"
+# from "not run".
 skip_scale_bound = os.environ.get("DRIVER_SIM_SKIP_ORACLE_SCALE_BOUND") == "1"
+bounded = {}
 if skip_scale_bound:
     from procurement_system_bigdata_spark.queries.registry import REGISTRY
 
-    bounded = {n for n, s in REGISTRY.items() if s.oracle_scale_bound}
-    for n in sorted(bounded):
-        print(f"{n}: skipped (oracle_scale_bound: {REGISTRY[n].oracle_scale_bound})",
-              flush=True)
-else:
-    bounded = set()
+    bounded = {
+        n: s.oracle_scale_bound
+        for n, s in REGISTRY.items()
+        if s.oracle_scale_bound and not (only and n in only)
+    }
 fails = []
 results = {}
 for name, fn in qs.items():
     if only and name not in only:
         continue
     if name in bounded:
+        print(f"{name}: skipped (oracle_scale_bound: {bounded[name]})", flush=True)
+        results[name] = {"skipped": bounded[name]}
         continue
     try:
         sdf = fn(spark, SF)

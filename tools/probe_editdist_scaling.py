@@ -32,9 +32,13 @@ ID_STRIDE = 35_000_000
 
 
 def replicated(docs, n_copies: int):
+    # one distinct prepended letter per copy keeps every cross-copy pair at
+    # distance exactly 3 (> k); past 26 copies the alphabet would wrap and
+    # silently break the linear-pair-growth invariant the probe relies on
+    assert n_copies <= 26, "copy prefixes must stay distinct (26 letters)"
     parts = []
     for c in range(n_copies):
-        prefix = chr(ord("a") + (c % 26)) * 3
+        prefix = chr(ord("a") + c) * 3
         parts.append(
             docs.select(
                 (F.col("doc_id") + c * ID_STRIDE).alias("doc_id"),
