@@ -345,3 +345,44 @@ def test_minhash_production_aggregate_is_codegen(spark):
         )
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", saved)
+
+
+def test_tpch_shape_plans_broadcast_dims_and_push_dates(spark):
+    """The round-5 TPC-H shapes must keep their scale contracts: dimension
+    sides broadcast (no corpus-sized SortMergeJoin against a dim) and the
+    date-literal predicates reach the scan as pushed filters."""
+    checks = {
+        # query: (min broadcast joins, pushed-filter fragment)
+        "regional_revenue": (1, "o_orderdate"),
+        "nation_trade_volume": (1, "l_shipdate"),
+        # the Q8 adaptation groups ALL order-years (no date window); its
+        # pushed predicate is the part-type dim filter
+        "market_share": (1, "p_type"),
+        "promo_revenue": (1, "l_shipdate"),
+        "returned_item_revenue": (1, "o_orderdate"),
+    }
+    problems = []
+    for name, (min_bhj, pushed_frag) in checks.items():
+        stats = plan_stats(REGISTRY[name].fn(spark, SF_DIR))
+        if stats["broadcast_hash_joins"] < min_bhj:
+            problems.append(f"{name}: {stats['broadcast_hash_joins']} BHJ")
+        if not any(pushed_frag in p for p in stats["pushed_filters"]):
+            problems.append(f"{name}: no pushed filter on {pushed_frag}")
+        if stats["python_udfs"]:
+            problems.append(f"{name}: python udfs in plan")
+    assert not problems, "; ".join(problems)
+
+
+def test_new_event_analytics_plans_are_lean(spark):
+    """retention/rolling/anomalies: no Python UDFs, no cartesian products
+    except the 1-row broadcast moment join, bounded shuffle counts."""
+    for name, max_shuffles in (
+        ("retention_cohorts", 4),
+        ("rolling_active_users", 5),
+        ("daily_anomalies", 3),
+    ):
+        stats = plan_stats(REGISTRY[name].fn(spark, SF_DIR))
+        assert stats["python_udfs"] == 0, name
+        assert stats["shuffles"] <= max_shuffles, (
+            f"{name}: {stats['shuffles']} shuffles (max {max_shuffles})"
+        )
