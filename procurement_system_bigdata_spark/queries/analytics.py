@@ -1070,6 +1070,47 @@ Q_FUNNEL_CONVERSION_SQL = """
 """
 
 
+K_ANONYMITY_K = 5
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the event stream: rows grouped by the
+    quasi-identifier tuple (event_type, event hour); any group smaller
+    than k=5 marks its rows re-identifiable — the privacy-governance
+    check a data-release pipeline runs BEFORE export (complements the
+    content-level PII scrub in operators/text.py; that removes
+    identifiers, this measures whether the remaining attributes still
+    single people out).
+
+    Scale: one map-side-combined shuffle at quasi-tuple cardinality
+    (types × hour span — time-bounded, independent of event volume);
+    the at-risk flag is a per-group column expression."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.col("event_type"),
+            F.date_trunc("hour", F.col("ts")).alias("hr"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("group_n"))
+        .select(
+            "event_type",
+            "hr",
+            "group_n",
+            (F.col("group_n") < K_ANONYMITY_K).alias("at_risk"),
+        )
+    )
+
+
+Q_K_ANONYMITY_SQL = f"""
+    SELECT event_type,
+           date_trunc('hour', ts) AS hr,
+           CAST(COUNT(*) AS BIGINT) AS group_n,
+           COUNT(*) < {K_ANONYMITY_K} AS at_risk
+    FROM events
+    GROUP BY 1, 2
+"""
+
+
 def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention: users grouped by FIRST-activity day; for every
     (cohort_date, day_offset) the distinct users from that cohort active

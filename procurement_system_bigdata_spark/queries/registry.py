@@ -1402,6 +1402,17 @@ _register(
 )
 _register(
     QuerySpec(
+        name="k_anonymity",
+        fn=analytics.q_k_anonymity,
+        oracle=analytics.Q_K_ANONYMITY_SQL,
+        description="k-anonymity privacy audit: quasi-identifier groups "
+        "(event_type x hour) smaller than k=5 flag re-identifiable rows — "
+        "one map-side-combined shuffle at quasi-tuple cardinality",
+        ops=("A1", "A5", "P11"),
+    )
+)
+_register(
+    QuerySpec(
         name="retention_cohorts",
         fn=analytics.q_retention_cohorts,
         oracle=analytics.Q_RETENTION_COHORTS_SQL,
