@@ -432,7 +432,14 @@ def q_priority_line_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority"
     )
-    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("long")
+    # when/otherwise (not bare isin().cast()): a NULL priority must count
+    # as LOW on both engines — the oracle's CASE ... ELSE 1 takes the ELSE
+    # branch on NULL, while summing a NULL boolean would drop the row
+    high = (
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+        .otherwise(0)
+        .cast("long")
+    )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy("l_linestatus")
@@ -480,9 +487,17 @@ def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
     rev = _bp(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))
+    # whole-table single-group sums ACCUMULATE IN DECIMAL(38,0): a LongType
+    # running sum would wrap silently past 2^63 (~9e14 currency units in
+    # basis points) in non-ANSI mode; the final long cast is the same
+    # explicit representability boundary as the oracle's CAST AS BIGINT
+    # (which errors, never wraps)
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .agg(F.sum(promo).alias("_promo"), F.sum(rev).alias("_total"))
+        .agg(
+            F.sum(promo.cast("decimal(38,0)")).cast("long").alias("_promo"),
+            F.sum(rev.cast("decimal(38,0)")).cast("long").alias("_total"),
+        )
         .select(
             (
                 F.lit(100.0)
@@ -660,8 +675,11 @@ def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .filter(branch1 | branch2 | branch3)
+        # decimal accumulation: see q_promo_revenue overflow note
         .agg(
-            (F.sum(rev).cast("long") / 10000.0).alias("revenue"),
+            (F.sum(rev.cast("decimal(38,0)")).cast("long") / 10000.0).alias(
+                "revenue"
+            ),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
@@ -710,7 +728,11 @@ def q_excess_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .groupBy("l_partkey", "l_suppkey")
-        .agg(F.sum(F.col("l_quantity").cast("long")).alias("pair_qty"))
+        # ROUND before the integer cast: Spark's bare cast truncates toward
+        # zero while DuckDB's CAST rounds to nearest — on a fractional
+        # quantity the engines would diverge; ROUND matches half-away on
+        # both (same discipline as _bp)
+        .agg(F.sum(F.round(F.col("l_quantity")).cast("long")).alias("pair_qty"))
         .localCheckpoint()
     )
     totals = pair.groupBy(F.col("l_partkey").alias("tk")).agg(
@@ -746,7 +768,7 @@ def q_excess_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q_EXCESS_SHARE_SUPPLIERS_SQL = f"""
     WITH pair AS (
         SELECT l_partkey, l_suppkey,
-               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS pair_qty
+               CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS pair_qty
         FROM lineitem
         JOIN part ON l_partkey = p_partkey
         WHERE p_name LIKE '{EXCESS_NAME_PREFIX}'
@@ -791,8 +813,12 @@ def q_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderstatus") == "F"
     ).select("o_orderkey", "o_orderdate")
     li = load_table(spark, sf_dir, "lineitem")
+    # anchor the 90-day window on the order DATE explicitly on both
+    # engines: Spark's date_add silently truncates a timestamp to a date,
+    # while DuckDB's ts + INTERVAL preserves time-of-day — on non-midnight
+    # order timestamps the two would disagree about lateness
     late = F.col("l_shipdate") > F.date_add(
-        F.col("o_orderdate"), WAITING_LATE_DAYS
+        F.to_date("o_orderdate"), WAITING_LATE_DAYS
     ).cast("timestamp")
     per_order = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
@@ -820,10 +846,10 @@ Q_SOLE_LATE_SUPPLIER_SQL = f"""
         SELECT o_orderkey,
                COUNT(DISTINCT l_suppkey) AS n_supp,
                COUNT(DISTINCT CASE WHEN l_shipdate >
-                     o_orderdate + INTERVAL {WAITING_LATE_DAYS} DAY
+                     CAST(o_orderdate AS DATE) + INTERVAL {WAITING_LATE_DAYS} DAY
                      THEN l_suppkey END) AS n_late,
                MAX(CASE WHEN l_shipdate >
-                     o_orderdate + INTERVAL {WAITING_LATE_DAYS} DAY
+                     CAST(o_orderdate AS DATE) + INTERVAL {WAITING_LATE_DAYS} DAY
                      THEN l_suppkey END) AS late_supp
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
