@@ -29,7 +29,7 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            F.sum(F.round(F.col("l_quantity")).cast("long")).alias("sum_qty"),
             (F.sum(_cents(F.col("l_extendedprice"))) / 100.0).alias("sum_base_price"),
             (F.sum(_cents(revenue)) / 100.0).alias("sum_disc_price"),
             (F.sum(_cents(charge)) / 100.0).alias("sum_charge"),
@@ -42,7 +42,7 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q_PRICING_SUMMARY_SQL = """
     SELECT
         l_returnflag, l_linestatus,
-        CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 100.0
             AS sum_base_price,
         CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
@@ -116,14 +116,14 @@ def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
     )
     return joined.rollup("r_name", "n_name").agg(
-        F.sum(F.col("l_quantity").cast("long")).alias("total_qty"),
+        F.sum(F.round(F.col("l_quantity")).cast("long")).alias("total_qty"),
         F.count(F.lit(1)).alias("n_lines"),
     )
 
 
 Q_ROLLUP_REVENUE_SQL = """
     SELECT r_name, n_name,
-           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+           CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty,
            COUNT(*) AS n_lines
     FROM lineitem
     JOIN supplier ON l_suppkey = s_suppkey
@@ -137,14 +137,14 @@ def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (returnflag, linestatus): all 4 grouping sets."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.cube("l_returnflag", "l_linestatus").agg(
-        F.sum(F.col("l_quantity").cast("long")).alias("total_qty"),
+        F.sum(F.round(F.col("l_quantity")).cast("long")).alias("total_qty"),
         F.count(F.lit(1)).alias("n_lines"),
     )
 
 
 Q_CUBE_REVENUE_SQL = """
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+           CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty,
            COUNT(*) AS n_lines
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
@@ -729,7 +729,7 @@ def q_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-merge order varies.  Shape: one fact scan, map-side partial
     aggs, 3-row output."""
     li = load_table(spark, sf_dir, "lineitem")
-    q = F.col("l_quantity").cast("long")
+    q = F.round(F.col("l_quantity")).cast("long")
     p = F.round(F.col("l_extendedprice") * 100).cast("long")
     # Per-row products fit comfortably in long (q<=~50, p<=~1e7) but their
     # SUMS overflow int64 around sf0.1 (sum of p*p ~ rows x 1e14) — and
@@ -775,7 +775,7 @@ Q_CORR_STATS_SQL = """
                SUM(CAST(q * q AS DECIMAL(20,0))) AS sqq,
                SUM(CAST(p * p AS DECIMAL(20,0))) AS spp,
                SUM(CAST(q * p AS DECIMAL(20,0))) AS sqp
-        FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q,
+        FROM (SELECT l_returnflag, CAST(ROUND(l_quantity) AS BIGINT) AS q,
                      CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS p
               FROM lineitem) t
         GROUP BY l_returnflag
