@@ -135,7 +135,7 @@ AGGREGATED_ORDERS_CTE_SQL = f"""
         CAST(l.s_nationkey AS BIGINT) AS warehouse_id,
         l.n_name AS warehouse_code,
         l.n_name AS warehouse_name,
-        CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS total_quantity
+        CAST(SUM(CAST(trunc(l.l_quantity) AS BIGINT)) AS BIGINT) AS total_quantity
     FROM (
         SELECT * FROM lineitem
         JOIN part ON l_partkey = p_partkey
@@ -254,8 +254,8 @@ INVENTORY_CTE_SQL = f"""
     SELECT
         l.p_name || '#' || CAST(l.p_partkey AS VARCHAR) AS sku_code,
         l.n_name AS warehouse_code,
-        CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS available_qty,
-        CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN CAST(l.l_quantity AS BIGINT)
+        CAST(SUM(CAST(trunc(l.l_quantity) AS BIGINT)) AS BIGINT) AS available_qty,
+        CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN CAST(trunc(l.l_quantity) AS BIGINT)
                       ELSE 0 END) AS BIGINT) AS reserved_qty
     FROM (
         SELECT * FROM lineitem
@@ -337,7 +337,7 @@ Q_AGGREGATE_ORDERS_SQL = f"""
         CAST(l.s_nationkey AS BIGINT) AS warehouse_id,
         l.n_name AS warehouse_code,
         l.n_name AS warehouse_name,
-        CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS total_quantity,
+        CAST(SUM(CAST(trunc(l.l_quantity) AS BIGINT)) AS BIGINT) AS total_quantity,
         COUNT(*) AS order_count,
         CAST(MAX(l.l_shipdate) AS DATE) AS last_order_date
     FROM (
