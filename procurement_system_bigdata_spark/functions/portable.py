@@ -233,6 +233,31 @@ def duck_str_hash(expr: str) -> str:
     )
 
 
+# Second, genuinely independent string fold (multiplier 131): a SALTED
+# PREFIX of the same 31-fold is NOT independent — h(salt||g) is an affine
+# function of (h(g), len(g)), so equal-length grams colliding on h always
+# collide on the "salted" hash too (round-5 review).  A different
+# multiplier breaks the affine coupling; used where two-hash independence
+# is an actual assumption (Kirsch-Mitzenmacher Bloom probing).
+HASH2_MULT = 131
+
+
+def spark_str_hash2(col: Column) -> Column:
+    return F.aggregate(
+        F.split(col, ""),
+        F.lit(HASH_SEED).cast("long"),
+        lambda acc, ch: (acc * HASH2_MULT + F.ascii(ch)) % HASH_P,
+    )
+
+
+def duck_str_hash2(expr: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST({HASH_SEED} AS BIGINT), "
+        f"list_transform(string_split({expr}, ''), ch -> CAST(ascii(ch) AS BIGINT))), "
+        f"(a, b) -> (a * {HASH2_MULT} + b) % {HASH_P})"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Word arrays and shingles.
 # ---------------------------------------------------------------------------

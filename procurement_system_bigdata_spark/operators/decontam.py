@@ -144,16 +144,18 @@ def decontaminate_sql(
 # are impossible.  Bitmaps from per-benchmark shards merge by OR, so the
 # filter builds map-side and unions like any sketch.
 #
-# h1 and h2 are INDEPENDENT hashes of the gram (h2 from a salted second
-# hash), per the K-M paper's standing assumption.  A first version derived
-# h2 = f(h1) from the single polynomial hash; measurement showed that
-# shortcut did NOT inflate the FP rate here (0.0146 vs 0.0162 per doc
-# before/after on the sf0.1 probe — the apparent 48x excess was the probe
-# comparing a per-GRAM formula to a per-DOC rate; a ~52-gram doc is falsely
-# flagged if ANY gram false-positives, and 1-(1-p)^52 matches the
-# measurement), but the independent stride is kept: it is the assumption
-# the FP formula is derived under, and polynomial hashes of similar grams
-# are provably clustered even when the effect is sub-measurable at this m.
+# h1 and h2 are INDEPENDENT hashes of the gram, per the K-M paper's
+# standing assumption.  Two earlier shortcuts failed it: h2 = f(h1)
+# (trivially dependent), and h2 = hash(salt || g) with the SAME polynomial
+# fold — which looks independent but is affine in (h1, len(g)):
+# h(salt||g) = s0·31^len + (h(g) − seed·31^len) mod P, so equal-length
+# grams colliding on h1 always collided on h2 and shared their entire
+# k-position set (round-5 review).  h2 is now a genuinely different fold
+# (multiplier 131, functions/portable.spark_str_hash2); the fast_hash dial
+# keeps salted xxhash64, which is not a polynomial and has no such affine
+# structure.  (Historical measurement of the dependent variants showed no
+# FP inflation at this m — 0.0146 vs 0.0162 per doc — but the formula's
+# derivation requires the assumption, so the code now satisfies it.)
 #
 # Harness representation: the filter IS the relation of set bit positions
 # (exact same membership semantics as the packed bitmap, including real
@@ -217,10 +219,12 @@ def bloom_decontaminate(
             F.xxhash64(F.lit(_BLOOM_STRIDE_SALT), F.col("g")), F.lit(P.HASH_P)
         )
     else:
+        # the stride hash is a DIFFERENT polynomial fold (multiplier 131),
+        # not a salted prefix of the 31-fold: the salted form is affine in
+        # (h, len) so equal-length h-collisions always collided on it too,
+        # voiding the K-M independence assumption (round-5 review)
         h_expr = P.spark_str_hash(F.col("g"))
-        hs_expr = P.spark_str_hash(
-            F.concat(F.lit(_BLOOM_STRIDE_SALT), F.col("g"))
-        )
+        hs_expr = P.spark_str_hash2(F.col("g"))
     words = P.spark_words(P.spark_norm_text(F.col("text")))
     # gram-hash-width checkpoint: doc_g feeds the position probe AND the
     # per-doc gram counts — unchecked, the second reference re-scans and
@@ -241,9 +245,13 @@ def bloom_decontaminate(
         benchmarks.select(
             F.explode(F.array_distinct(P.spark_word_shingles(bench_words, n))).alias("g")
         )
+        # bind h/hs to COLUMNS before the position array references them k
+        # times each: F.aggregate is CodegenFallback with no CSE, so the
+        # inlined form re-folded every bench gram 2k times (round-5 review)
+        .select(h_expr.alias("h"), hs_expr.alias("hs"))
         .select(
             F.explode(
-                _bloom_positions(h_expr, hs_expr, m_bits, k_hashes)
+                _bloom_positions(F.col("h"), F.col("hs"), m_bits, k_hashes)
             ).alias("bit")
         )
         .distinct()
@@ -251,13 +259,19 @@ def bloom_decontaminate(
     probe = doc_g.select(
         "doc_id",
         "h",
+        "hs",
         F.explode(
             _bloom_positions(F.col("h"), F.col("hs"), m_bits, k_hashes)
         ).alias("bit"),
     )
+    # group by the FULL gram identity (h, hs): grouping on h alone merged
+    # distinct grams whose base hashes collide within one doc, so their
+    # combined matched-row count could never equal k_hashes and truly
+    # contaminated docs escaped flagging — a false NEGATIVE, violating the
+    # Bloom superset guarantee (round-5 review, verified by simulation)
     gram_hits = (
         probe.join(F.broadcast(bits), "bit")
-        .groupBy("doc_id", "h")
+        .groupBy("doc_id", "h", "hs")
         .agg(F.count(F.lit(1)).alias("n_set"))
         .filter(F.col("n_set") == k_hashes)
         .groupBy("doc_id")
@@ -291,7 +305,7 @@ def bloom_decontaminate_sql(
     norm = P.duck_norm_text("text")
     shingles = P.duck_word_shingles("ws", n)
     h = P.duck_str_hash("g")
-    hs = P.duck_str_hash(f"'{_BLOOM_STRIDE_SALT}' || g")
+    hs = P.duck_str_hash2("g")
     return f"""
     WITH corpus AS (
         SELECT CAST(doc_id AS BIGINT) AS doc_id, {norm} AS nt
@@ -312,14 +326,14 @@ def bloom_decontaminate_sql(
                FROM (SELECT {P.duck_words('nt')} AS ws FROM bench)))
     ),
     probe AS (
-        SELECT doc_id, h, unnest({_duck_bloom_positions('h', 'hs', m_bits, k_hashes)}) AS bit
+        SELECT doc_id, h, hs, unnest({_duck_bloom_positions('h', 'hs', m_bits, k_hashes)}) AS bit
         FROM doc_g
     ),
     gram_hits AS (
         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_flagged FROM (
-            SELECT doc_id, h
+            SELECT doc_id, h, hs
             FROM probe JOIN bits USING (bit)
-            GROUP BY doc_id, h
+            GROUP BY doc_id, h, hs
             HAVING COUNT(*) = {k_hashes}
         ) GROUP BY doc_id
     ),
@@ -340,7 +354,7 @@ def bloom_decontaminate_sql(
 def source_contamination_report(
     corpus: DataFrame,
     benchmarks: DataFrame,
-    n: int = DECONTAM_NGRAM,
+    n: int = 13,
     min_overlap: int = 1,
 ) -> DataFrame:
     """(source, n_docs, n_contaminated, contamination_rate): the

@@ -934,10 +934,14 @@ def _delivery_pipeline_sql() -> str:
     from ..operators import sharding
 
     # splice training_shards_sql's WITH block onto the curation CTEs (the
-    # template's single leading "WITH keyed" becomes ", keyed")
-    shards = sharding.training_shards_sql("survivors").replace(
-        "WITH keyed AS", ", keyed AS", 1
+    # template's single leading "WITH keyed" becomes ", keyed").  Guarded:
+    # a silent no-op replace (template reformatted/renamed) would produce
+    # invalid nested-WITH SQL that only surfaces when the oracle next runs
+    template = sharding.training_shards_sql("survivors")
+    assert "WITH keyed AS" in template, (
+        "training_shards_sql template changed; update the delivery splice"
     )
+    shards = template.replace("WITH keyed AS", ", keyed AS", 1)
     return f"""
     WITH curated AS ({_corpus_curation_sql()}),
     survivors AS (

@@ -1432,3 +1432,32 @@ def test_grouped_histogram_rolls_up_to_whole(spark):
     }
     whole = {r.bin: r.cnt for r in sketches.value_histogram(ev).collect()}
     assert rolled == whole
+
+
+def test_bloom_no_false_negative_on_h_collision(spark):
+    """Regression (round-5 review): two distinct grams sharing the same
+    31-fold base hash inside ONE document used to merge into a single
+    (doc_id, h) probe group, so neither reached n_set == k and a truly
+    contaminated doc escaped flagging.  Grouping by the full (h, hs)
+    identity — with hs from the independent 131-fold — must flag both."""
+    from procurement_system_bigdata_spark.functions import portable as P
+    from procurement_system_bigdata_spark.operators import decontam
+
+    g1, g2 = "shn 9h gxm2", "2kh9 982xy zl9s"  # equal 31-fold hashes
+
+    def fold(s, mult):
+        acc = P.HASH_SEED
+        for ch in s:
+            acc = (acc * mult + ord(ch)) % P.HASH_P
+        return acc
+
+    assert fold(g1, 31) == fold(g2, 31)  # the collision is real
+    assert fold(g1, P.HASH2_MULT) != fold(g2, P.HASH2_MULT)
+
+    corpus = spark.createDataFrame(
+        [(1, f"{g1} qqq {g2}")], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame([(0, g1), (1, g2)], "doc_id long, text string")
+    row = decontam.bloom_decontaminate(corpus, bench, n=3).collect()[0]
+    assert row.flagged, "h-colliding genuine grams must still flag the doc"
+    assert row.n_flagged >= 2, "BOTH colliding grams are genuine bench grams"
