@@ -311,3 +311,13 @@ def duck_word_shingles(words_expr: str, n: int) -> str:
     empty in DuckDB, so short docs yield [] without a guard."""
     parts = " || ' ' || ".join(f"{words_expr}[i + {j}]" for j in range(n))
     return f"list_transform(range(1, len({words_expr}) - {n - 2}), i -> {parts})"
+
+
+def spark_cents(col: Column) -> Column:
+    """Exact-cents discipline for double money sums: ROUND to cents, cast
+    BIGINT, sum exactly, divide once at the end — order-independent under
+    any partitioning and bit-identical to the DuckDB mirror's
+    ``SUM(CAST(ROUND(x*100) AS BIGINT))/100.0``.  Single definition so the
+    rounding mode/precision can never drift between query modules (it must
+    stay in lockstep with every oracle's inline SQL form)."""
+    return F.round(col * 100).cast("long")

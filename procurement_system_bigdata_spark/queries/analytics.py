@@ -13,10 +13,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import load_table
+from ..functions import portable as P
 
 # Exact-cents discipline for double sums (see queries/events.py docstring).
 def _cents(col):
-    return F.round(col * 100).cast("long")
+    return P.spark_cents(col)
 
 
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -648,7 +649,7 @@ def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     thresholds = li_brand.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
         (F.avg("l_quantity") * F.lit(0.2).cast("double")).alias("qty_threshold")
     )
-    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    cents = P.spark_cents(F.col("l_extendedprice"))
     return (
         li_brand.join(F.broadcast(thresholds), li_brand.l_partkey == F.col("t_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
@@ -730,7 +731,7 @@ def q_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggs, 3-row output."""
     li = load_table(spark, sf_dir, "lineitem")
     q = F.round(F.col("l_quantity")).cast("long")
-    p = F.round(F.col("l_extendedprice") * 100).cast("long")
+    p = P.spark_cents(F.col("l_extendedprice"))
     # Per-row products fit comfortably in long (q<=~50, p<=~1e7) but their
     # SUMS overflow int64 around sf0.1 (sum of p*p ~ rows x 1e14) — and
     # Spark ANSI throws while DuckDB widens to HUGEINT, so the engines would

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import load_table
+from ..functions import portable as P
 
 SNAP_DAY_START = "2024-01-10 00:00:00"
 SNAP_DAY_END = "2024-01-11 00:00:00"
@@ -100,7 +101,7 @@ def q_events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     path.  Sum over doubles uses the exact-cents discipline.
     """
     ev = load_table(spark, sf_dir, "events")
-    cents = F.round(F.col("value") * 100).cast("long")
+    cents = P.spark_cents(F.col("value"))
     return (
         ev.groupBy(
             F.unix_micros(F.date_trunc("hour", F.col("ts"))).alias("window_start_us"),
@@ -139,7 +140,7 @@ def q_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .procurement import q_supplier_orders
 
     so = q_supplier_orders(spark, sf_dir)
-    cost_cents = F.round(F.col("total_cost") * 100).cast("long")
+    cost_cents = P.spark_cents(F.col("total_cost"))
     return so.agg(
         F.coalesce(F.sum("net_demand"), F.lit(0)).alias("total_net_demand"),
         F.coalesce(
@@ -236,7 +237,7 @@ def q_multi_grain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     demand_inventory_offers (queries/procurement.py) applied to time grains.
     grouping_id() labels the grain; exact-cents sums keep hashes stable."""
     ev = load_table(spark, sf_dir, "events")
-    cents = F.round(F.col("value") * 100).cast("long")
+    cents = P.spark_cents(F.col("value"))
     base = ev.select(
         F.unix_micros(F.date_trunc("hour", F.col("ts"))).alias("hour_us"),
         F.unix_micros(F.date_trunc("day", F.col("ts"))).alias("day_us"),

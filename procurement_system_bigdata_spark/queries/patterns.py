@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import load_table
+from ..functions import portable as P
 
 SESSION_GAP_MIN = 30
 
@@ -74,8 +75,14 @@ Q_ASOF_JOIN_SQL = """
         FROM events WHERE event_type = 'purchase'
     ),
     markers AS (
-        SELECT user_id, event_id AS marker_id, epoch_us(ts) AS mts
+        -- pre-aggregate tied timestamps to MAX(marker_id): DuckDB's ASOF
+        -- JOIN picks an insert-order-dependent row among equal mts, while
+        -- the Spark window (orderBy ts_us, is_purchase, marker_id; last
+        -- ignorenulls) deterministically carries the largest id — this
+        -- makes the tie-break explicit and identical on both engines
+        SELECT user_id, MAX(event_id) AS marker_id, epoch_us(ts) AS mts
         FROM events WHERE event_type = 'view'
+        GROUP BY user_id, epoch_us(ts)
     )
     SELECT p.user_id, p.purchase_id, p.pts AS purchase_ts_us,
            m.marker_id AS asof_view_id, m.mts AS asof_view_ts_us
@@ -179,7 +186,7 @@ def q_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("ts").alias("ts_us"),
         "event_id",
         "value",
-        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        P.spark_cents(F.col("value")).alias("cents"),
     )
     w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     rows3 = w.rowsBetween(-2, Window.currentRow)
@@ -240,7 +247,7 @@ def q_pivot_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark's .pivot() with an explicit value list compiles to the same
     conditional-aggregation the oracle states explicitly."""
     ev = load_table(spark, sf_dir, "events")
-    cents = F.round(F.col("value") * 100).cast("long")
+    cents = P.spark_cents(F.col("value"))
     out = (
         ev.groupBy("user_id")
         .pivot("event_type", list(EVENT_TYPES))
@@ -283,7 +290,7 @@ def q_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows.  The LOCF window sorts grid rows only, partitioned by type.
     """
     ev = load_table(spark, sf_dir, "events")
-    cents = F.round(F.col("value") * 100).cast("long")
+    cents = P.spark_cents(F.col("value"))
     hr = F.date_trunc("hour", F.col("ts"))
     # ONE fact scan: the grid bounds and the type dim both derive from the
     # (hour x type)-cardinality rollup instead of the raw fact table
@@ -462,15 +469,25 @@ def q_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             "d",
             "n",
             (F.col("s1").cast("double") / F.col("k")).alias("mean"),
+            # GREATEST clamp on the variance operand (both engines): with
+            # near-uniform daily counts in the billions, s1² > 2^53 loses
+            # precision and the exact-math difference can round to a small
+            # NEGATIVE double — DuckDB's sqrt then RAISES (never NaN) while
+            # Spark's returns NaN, which compares greater than 0.0 and
+            # would mark every day anomalous
             F.when(
                 F.col("k") > 1,
                 F.sqrt(
-                    (
-                        F.col("s2").cast("double")
-                        - F.col("s1").cast("double") * F.col("s1").cast("double")
-                        / F.col("k")
+                    F.greatest(
+                        F.lit(0.0),
+                        (
+                            F.col("s2").cast("double")
+                            - F.col("s1").cast("double")
+                            * F.col("s1").cast("double")
+                            / F.col("k")
+                        )
+                        / (F.col("k") - 1),
                     )
-                    / (F.col("k") - 1)
                 ),
             ).alias("std"),
         )
@@ -498,9 +515,10 @@ Q_DAILY_ANOMALIES_SQL = f"""
         SELECT d, n,
                CAST(s1 AS DOUBLE) / k AS mean,
                CASE WHEN k > 1 THEN
-                   sqrt((CAST(s2 AS DOUBLE)
+                   sqrt(GREATEST(0.0,
+                        (CAST(s2 AS DOUBLE)
                          - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / k)
-                        / (k - 1))
+                        / (k - 1)))
                END AS std
         FROM daily CROSS JOIN moments
     )

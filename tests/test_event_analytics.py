@@ -137,3 +137,40 @@ def test_daily_anomaly_degenerate_corpora(spark, tmp_path, duck):
             q_daily_anomalies(spark, d), con, Q_DAILY_ANOMALIES_SQL
         )
         con.close()
+
+
+def test_asof_join_tied_marker_timestamps(spark, tmp_path):
+    """Two view markers at the IDENTICAL microsecond: both engines must
+    deterministically attribute the purchase to the larger marker_id
+    (DuckDB's raw ASOF JOIN picks an insert-order-dependent row on ties;
+    the oracle pre-aggregates to MAX(marker_id) per timestamp)."""
+    import duckdb
+
+    from procurement_system_bigdata_spark.queries.patterns import (
+        Q_ASOF_JOIN_SQL,
+        q_asof_join,
+    )
+
+    t = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        (3, t, 1, "view", 1.0, "{}"),
+        (9, t, 1, "view", 1.0, "{}"),  # tied with marker 3
+        (20, dt.datetime(2024, 1, 1, 11, 0, 0), 1, "purchase", 5.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    d = str(tmp_path / "sf")
+    df.write.parquet(f"{d}/events.parquet")
+    got = q_asof_join(spark, d).collect()
+    assert len(got) == 1 and got[0].asof_view_id == 9
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet/*.parquet')"
+    )
+    import conftest
+
+    conftest.assert_matches_oracle(q_asof_join(spark, d), con, Q_ASOF_JOIN_SQL)
+    con.close()
