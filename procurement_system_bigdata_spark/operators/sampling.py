@@ -76,6 +76,11 @@ def split_summary(docs: DataFrame) -> DataFrame:
 LANG_RATES: dict[str, int] = {"en": 25, "de": 75, "es": 75, "fr": 75, "zh": 100}
 DEFAULT_RATE_PCT = 50
 SAMPLE_SALT = "sample:"  # decorrelates the sample hash from the split hash
+# group_sample_k gets its OWN salt: reusing SAMPLE_SALT made its rank hash
+# the exact value stratified_sample thresholds, so for groups above ~21M
+# rows the k smallest hashes (h < 100) were exactly the stratified keeps —
+# the two samplers were correlated instead of independent (round-5 review)
+GROUPK_SALT = "groupk:"
 
 
 def stratified_sample(
@@ -151,7 +156,7 @@ def group_sample_k(
     from pyspark.sql.window import Window
 
     h = P.spark_str_hash(
-        F.concat(F.lit(SAMPLE_SALT), F.col(id_col).cast("string"))
+        F.concat(F.lit(GROUPK_SALT), F.col(id_col).cast("string"))
     )
     w = Window.partitionBy(*group_cols).orderBy(
         h.asc(), F.col(id_col).cast("long").asc()
@@ -170,7 +175,7 @@ def group_sample_k_sql(
     cols: tuple[str, ...] = ("doc_id", "text", "lang", "source", "n_chars"),
 ) -> str:
     """SQL twin of ``group_sample_k`` (``cols`` = the Spark frame's columns)."""
-    salted = f"'{SAMPLE_SALT}' || CAST({id_col} AS VARCHAR)"
+    salted = f"'{GROUPK_SALT}' || CAST({id_col} AS VARCHAR)"
     h = P.duck_str_hash(salted)
     groups = ", ".join(group_cols)
     col_list = ", ".join(cols)
@@ -211,8 +216,6 @@ def source_mixture_weights(
     whole table is oracle-exact.  Sources absent from ``targets`` get
     target_share 0 — flagged for exclusion, not silently kept.
     """
-    from ..functions import portable as P
-
     # empty/NULL text is 0 tokens (split("") is [""], size 1 — which would
     # both overcount and make the all-empty-source zero-share case
     # unreachable; NULL text would NULL-poison the sum)
@@ -262,8 +265,6 @@ def source_mixture_weights_sql(
     targets: dict[str, float] = MIXTURE_TARGETS,
     source_col: str = "source",
 ) -> str:
-    from ..functions import portable as P
-
     nt = P.duck_norm_text("text")
     whens = " ".join(
         f"WHEN '{k}' THEN {v}" for k, v in sorted(targets.items())

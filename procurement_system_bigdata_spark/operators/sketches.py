@@ -43,7 +43,14 @@ CMS_WIDTH = 512
 # signature width K (same fix as similarity._PROJECTION_TABLE = 1<<20), so
 # no K can ever reach into this range.
 CMS_SEED_OFFSET = 1 << 20
-_CMS_A, _CMS_B = P.minhash_params(CMS_DEPTH, offset=CMS_SEED_OFFSET)
+
+
+def _cms_coeffs(depth: int):
+    """Per-call coefficient family: derived for the REQUESTED depth (the
+    module used to pin a 4-entry list, so depth > 4 raised IndexError at
+    plan-build time).  Same generator + offset, so depths <= 4 are
+    bit-identical to the old family."""
+    return P.minhash_params(depth, offset=CMS_SEED_OFFSET)
 
 
 def _tokens(docs: DataFrame) -> DataFrame:
@@ -54,6 +61,7 @@ def _tokens(docs: DataFrame) -> DataFrame:
 def token_cms(docs: DataFrame, depth: int = CMS_DEPTH, width: int = CMS_WIDTH) -> DataFrame:
     """(hash_idx, bucket, cnt): the CMS counter grid for the corpus token
     stream (occurrences, not distinct).  One explode + one groupBy."""
+    cms_a, cms_b = _cms_coeffs(depth)
     tok = _tokens(docs).select(P.spark_str_hash(F.col("w")).alias("h"))
     cells = tok.select(
         F.explode(
@@ -62,7 +70,7 @@ def token_cms(docs: DataFrame, depth: int = CMS_DEPTH, width: int = CMS_WIDTH) -
                     F.struct(
                         F.lit(i).alias("hash_idx"),
                         (
-                            (F.lit(_CMS_A[i]) * F.col("h") + F.lit(_CMS_B[i]))
+                            (F.lit(cms_a[i]) * F.col("h") + F.lit(cms_b[i]))
                             % P.HASH_P
                             % width
                         ).alias("bucket"),
@@ -94,6 +102,7 @@ def cms_estimate_tokens(
     """(token, est): point estimates for a candidate token column ``w`` —
     min over the d cells each token hashes to.  The sketch side is d*w rows
     and broadcast; candidates stream."""
+    cms_a, cms_b = _cms_coeffs(depth)
     cand = tokens.select(
         "w",
         F.explode(
@@ -103,8 +112,8 @@ def cms_estimate_tokens(
                         F.lit(i).alias("hash_idx"),
                         (
                             (
-                                F.lit(_CMS_A[i]) * P.spark_str_hash(F.col("w"))
-                                + F.lit(_CMS_B[i])
+                                F.lit(cms_a[i]) * P.spark_str_hash(F.col("w"))
+                                + F.lit(cms_b[i])
                             )
                             % P.HASH_P
                             % width
@@ -115,10 +124,15 @@ def cms_estimate_tokens(
             )
         ).alias("c"),
     ).select("w", "c.hash_idx", "c.bucket")
+    # LEFT join + coalesce-0: a candidate cell ABSENT from the sketch is a
+    # zero counter, and the CMS min over d cells must see it — the old
+    # inner join dropped empty cells, so an unseen token's estimate was the
+    # min over only its colliding cells (arbitrarily inflated) or the token
+    # vanished from the output entirely when all d cells were empty
     return (
-        cand.join(F.broadcast(sketch), ["hash_idx", "bucket"])
+        cand.join(F.broadcast(sketch), ["hash_idx", "bucket"], "left")
         .groupBy("w")
-        .agg(F.min("cnt").alias("est"))
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long"))).alias("est"))
         .select(F.col("w").alias("token"), "est")
     )
 
@@ -156,8 +170,9 @@ def _duck_tokens(table: str) -> str:
 def _duck_cells(src: str, depth: int, width: int) -> str:
     """src must yield (w); emits (hash_idx, bucket) per token per hash."""
     h = P.duck_str_hash("w")
+    cms_a, cms_b = _cms_coeffs(depth)
     rows = " UNION ALL ".join(
-        f"SELECT {i} AS hash_idx, (({_CMS_A[i]} * hh + {_CMS_B[i]}) % {P.HASH_P})"
+        f"SELECT {i} AS hash_idx, (({cms_a[i]} * hh + {cms_b[i]}) % {P.HASH_P})"
         f" % {width} AS bucket, w FROM hashed"
         for i in range(depth)
     )
@@ -190,8 +205,8 @@ def cms_heavy_hitters_sql(
         SELECT DISTINCT hash_idx, bucket, w FROM ({cells})
     ),
     est AS (
-        SELECT c.w AS token, MIN(s.cnt) AS est
-        FROM cand_cells c JOIN sketch s USING (hash_idx, bucket)
+        SELECT c.w AS token, MIN(COALESCE(s.cnt, 0)) AS est
+        FROM cand_cells c LEFT JOIN sketch s USING (hash_idx, bucket)
         GROUP BY c.w
     )
     SELECT token, est FROM est WHERE est >= {min_count}
@@ -205,6 +220,37 @@ def cms_heavy_hitters_sql(
 HIST_LO = 0.0
 HIST_HI = 500.0
 HIST_BINS = 100
+
+
+def _bin_col(col: str, lo: float, hi: float, n_bins: int):
+    """Shared fixed-grid bin expression (Spark side).  Single definition:
+    the grouped/ungrouped variants and both SQL twins must bin identically
+    or the sketches silently stop merging exactly."""
+    width = (hi - lo) / n_bins
+    raw = F.floor((F.col(col).cast("double") - lo) / width).cast("long")
+    return F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1))
+
+
+def _bin_sql(col: str, lo: float, hi: float, n_bins: int) -> str:
+    width = (hi - lo) / n_bins
+    return (
+        f"least(greatest(CAST(floor((CAST({col} AS DOUBLE) - {lo}) / {width})"
+        f" AS BIGINT), 0), {n_bins - 1})"
+    )
+
+
+def _finite(col: str):
+    """NULL/NaN guard (both engines must agree): NULLs used to clamp into
+    bin 0 (Spark greatest() skips nulls) and NaN crashed only the DuckDB
+    mirror's CAST — histograms now count finite values only, matching the
+    exact quantile companion's NULL-skipping semantics."""
+    c = F.col(col).cast("double")
+    return c.isNotNull() & ~F.isnan(c)
+
+
+def _finite_sql(col: str) -> str:
+    return f"{col} IS NOT NULL AND NOT isnan(CAST({col} AS DOUBLE))"
+
 
 
 def value_histogram(
@@ -224,11 +270,9 @@ def value_histogram(
     tails, which is the documented trade for exact mergeability.
     One groupBy over n_bins keys; map-side partials do the reduction.
     """
-    width = (hi - lo) / n_bins
-    raw = F.floor((F.col(col).cast("double") - lo) / width).cast("long")
-    b = F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1))
     return (
-        df.select(b.alias("bin"))
+        df.filter(_finite(col))
+        .select(_bin_col(col, lo, hi, n_bins).alias("bin"))
         .groupBy("bin")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -294,12 +338,11 @@ def value_histogram_sql(
     hi: float = HIST_HI,
     n_bins: int = HIST_BINS,
 ) -> str:
-    width = (hi - lo) / n_bins
     return f"""
-    SELECT least(greatest(CAST(floor((CAST({col} AS DOUBLE) - {lo}) / {width}) AS BIGINT),
-                          0), {n_bins - 1}) AS bin,
+    SELECT {_bin_sql(col, lo, hi, n_bins)} AS bin,
            CAST(COUNT(*) AS BIGINT) AS cnt
     FROM {table}
+    WHERE {_finite_sql(col)}
     GROUP BY 1
     """
 
@@ -346,11 +389,9 @@ def value_histogram_by(
     grid — so group sketches merge with each other (roll subgroups up to
     totals by dropping the group key and summing) and with whole-table
     sketches, bin-wise exactly.  One groupBy on (group, bin)."""
-    width = (hi - lo) / n_bins
-    raw = F.floor((F.col(col).cast("double") - lo) / width).cast("long")
-    b = F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1))
     return (
-        df.select(F.col(group_col).alias("grp"), b.alias("bin"))
+        df.filter(_finite(col))
+        .select(F.col(group_col).alias("grp"), _bin_col(col, lo, hi, n_bins).alias("bin"))
         .groupBy("grp", "bin")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -364,12 +405,11 @@ def value_histogram_by_sql(
     hi: float = HIST_HI,
     n_bins: int = HIST_BINS,
 ) -> str:
-    width = (hi - lo) / n_bins
     return f"""
     SELECT {group_col} AS grp,
-           least(greatest(CAST(floor((CAST({col} AS DOUBLE) - {lo}) / {width}) AS BIGINT),
-                          0), {n_bins - 1}) AS bin,
+           {_bin_sql(col, lo, hi, n_bins)} AS bin,
            CAST(COUNT(*) AS BIGINT) AS cnt
     FROM {table}
+    WHERE {_finite_sql(col)}
     GROUP BY 1, 2
     """

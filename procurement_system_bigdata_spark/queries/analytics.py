@@ -797,8 +797,13 @@ def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct(F.col("o_custkey")).alias("distinct_custkey"),
         F.sum(F.col("o_orderstatus").isNull().cast("long")).alias("nulls_status"),
         F.count_distinct(F.col("o_orderstatus")).alias("distinct_status"),
+        # measured, not fabricated: the report used to hardcode '0' nulls
+        # for these two columns — the exact corruption a profiler exists to
+        # catch would have passed clean (round-5 review)
+        F.sum(F.col("o_totalprice").isNull().cast("long")).alias("nulls_totalprice"),
         F.min(F.col("o_totalprice")).alias("min_totalprice"),
         F.max(F.col("o_totalprice")).alias("max_totalprice"),
+        F.sum(F.col("o_orderdate").isNull().cast("long")).alias("nulls_orderdate"),
         F.min(F.col("o_orderdate").cast("date")).cast("string").alias("min_orderdate"),
         F.max(F.col("o_orderdate").cast("date")).cast("string").alias("max_orderdate"),
     )
@@ -807,8 +812,8 @@ def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stack(4, "
             "'o_custkey',    CAST(nulls_custkey AS STRING), CAST(distinct_custkey AS STRING), NULL, NULL, "
             "'o_orderstatus',CAST(nulls_status AS STRING), CAST(distinct_status AS STRING), NULL, NULL, "
-            "'o_totalprice', '0', NULL, CAST(min_totalprice AS STRING), CAST(max_totalprice AS STRING), "
-            "'o_orderdate',  '0', NULL, min_orderdate, max_orderdate) "
+            "'o_totalprice', CAST(nulls_totalprice AS STRING), NULL, CAST(min_totalprice AS STRING), CAST(max_totalprice AS STRING), "
+            "'o_orderdate',  CAST(nulls_orderdate AS STRING), NULL, min_orderdate, max_orderdate) "
             "AS (column_name, n_nulls, n_distinct, min_value, max_value)"
         ),
         F.col("n_rows"),
@@ -822,7 +827,9 @@ Q_PROFILE_ORDERS_SQL = """
                CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS distinct_custkey,
                CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_status,
                CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS distinct_status,
+               CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_totalprice,
                MIN(o_totalprice) AS min_totalprice, MAX(o_totalprice) AS max_totalprice,
+               CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_orderdate,
                CAST(MIN(CAST(o_orderdate AS DATE)) AS VARCHAR) AS min_orderdate,
                CAST(MAX(CAST(o_orderdate AS DATE)) AS VARCHAR) AS max_orderdate
         FROM orders
@@ -836,10 +843,12 @@ Q_PROFILE_ORDERS_SQL = """
         SELECT 'o_orderstatus', CAST(nulls_status AS VARCHAR), CAST(distinct_status AS VARCHAR),
                NULL, NULL FROM wide
         UNION ALL
-        SELECT 'o_totalprice', '0', NULL, CAST(min_totalprice AS VARCHAR),
+        SELECT 'o_totalprice', CAST(nulls_totalprice AS VARCHAR), NULL,
+               CAST(min_totalprice AS VARCHAR),
                CAST(max_totalprice AS VARCHAR) FROM wide
         UNION ALL
-        SELECT 'o_orderdate', '0', NULL, min_orderdate, max_orderdate FROM wide
+        SELECT 'o_orderdate', CAST(nulls_orderdate AS VARCHAR), NULL,
+               min_orderdate, max_orderdate FROM wide
     ) u
 """
 
@@ -1311,11 +1320,18 @@ def q_rich_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
+            # when/otherwise, not bare boolean cast: with NO positive
+            # balances avg_cents is NULL, the comparison is NULL, and
+            # summing NULLs yields NULL where the oracle's CASE ELSE 0
+            # yields 0 — the engines would diverge on a data condition
             F.sum(
-                (
+                F.when(
                     _cents(F.col("c_acctbal")).cast("double")
-                    > F.col("avg_cents")
-                ).cast("long")
+                    > F.col("avg_cents"),
+                    1,
+                )
+                .otherwise(0)
+                .cast("long")
             ).alias("n_above_avg"),
             (F.sum(_cents(F.col("c_acctbal"))) / 100.0).alias("total_balance"),
         )

@@ -1192,9 +1192,13 @@ def test_cms_seed_family_disjoint_from_banding_families():
     from procurement_system_bigdata_spark.operators import sketches
 
     wide_a, wide_b = P.minhash_params(4096)  # >> any plausible K
-    assert not set(sketches._CMS_A) & set(wide_a)
-    assert not set(sketches._CMS_B) & set(wide_b)
+    cms_a, cms_b = sketches._cms_coeffs(sketches.CMS_DEPTH)
+    assert not set(cms_a) & set(wide_a)
+    assert not set(cms_b) & set(wide_b)
     assert sketches.CMS_SEED_OFFSET > 4096
+    # per-call family (depth > 4 used to IndexError): still disjoint
+    deep_a, deep_b = sketches._cms_coeffs(8)
+    assert not set(deep_a) & set(wide_a) and len(deep_a) == 8
 
 
 def test_cms_sketch_properties(spark):
