@@ -30,7 +30,6 @@ NEARDUP_TAU = 0.40  # max observed cosine in the testdata is ~0.51
 
 LSH_PLANES = 8
 LSH_TABLES = 4
-LSH_MOD = 2001  # pseudo-random weights in [-1, 1] with 1e-3 resolution
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -43,7 +42,15 @@ def _norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    # zero-norm guard: x/0 is NULL in non-ANSI Spark but inf/NaN under
+    # DuckDB's IEEE float ops — and DuckDB sorts NaN FIRST under ORDER BY
+    # DESC, so a single all-zero embedding would top every oracle top-k
+    # list while ranking last in Spark.  Explicit NULL on both engines
+    # (both default to NULLS LAST) keeps undefined cosines out of every
+    # ranking identically.
+    return F.when(
+        (_dot(a, a) > 0) & (_dot(b, b) > 0), _dot(a, b) / (_norm(a) * _norm(b))
+    )
 
 
 def _duck_dot(a: str, b: str) -> str:
@@ -54,7 +61,10 @@ def _duck_dot(a: str, b: str) -> str:
 
 
 def duck_cosine(a: str, b: str) -> str:
-    return f"({_duck_dot(a, b)} / (sqrt({_duck_dot(a, a)}) * sqrt({_duck_dot(b, b)})))"
+    return (
+        f"(CASE WHEN {_duck_dot(a, a)} > 0 AND {_duck_dot(b, b)} > 0 THEN "
+        f"{_duck_dot(a, b)} / (sqrt({_duck_dot(a, a)}) * sqrt({_duck_dot(b, b)})) END)"
+    )
 
 
 def cosine_pandas_udf(query_vec: list):
@@ -79,6 +89,8 @@ def cosine_pandas_udf(query_vec: list):
     # explicit returnType covers the signature
     @F.pandas_udf(DoubleType())
     def _cos(col):
+        if len(col) == 0:  # np.stack raises on an empty batch
+            return pd.Series([], dtype=float)
         mat = np.stack(col.map(lambda a: np.asarray(a, dtype=np.float64)))
         return pd.Series((mat @ qv) / (np.linalg.norm(mat, axis=1) * qn))
 
@@ -354,15 +366,20 @@ def ivf_assignments(
     per-iteration collect is O(k·d), not data-sized.  Returns
     (assignments df, final centroids list).
     """
+    # seed from the k SMALLEST vec_ids (TakeOrdered, deterministic) — not
+    # from vec_id < k: offset/sharded id ranges (vec_ids all >= k, routine
+    # at scale) made the literal filter empty, silently treating a full
+    # corpus as empty and cascading an empty frame through semantic_dedup
+    # and semantic_curate (round-5 review)
     centroids = [
         (int(r.vec_id), [float(x) for x in r.embedding])
-        for r in emb.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
+        for r in emb.select("vec_id", "embedding").orderBy("vec_id").limit(k).collect()
     ]
     centroids = [(i, vec) for i, (_vid, vec) in enumerate(centroids)]
     if not centroids:
-        # empty corpus (or no seed ids below k): no clusters to train —
-        # an empty assignment frame with the right schema, not a crash
-        # (empty partitions/days are routine input at scale)
+        # empty corpus: no clusters to train — an empty assignment frame
+        # with the right schema, not a crash (empty partitions/days are
+        # routine input at scale)
         empty = emb.select(
             "vec_id", "embedding", F.lit(0).cast("long").alias("cluster")
         ).limit(0)
@@ -490,7 +507,15 @@ def lsh_buckets_arrow(n_planes: int, n_tables: int, center: list[float]):
         dtype=np.float64,
     ).reshape(n_tables * n_planes, dims)
     wt = np.ascontiguousarray(w.T)  # (dims, tables*planes)
-    bias = np.asarray(center, dtype=np.float64) @ wt
+    # bias via the SAME Python left-fold the builtin uses (sum(c*wd ...)):
+    # a BLAS `center @ wt` pairwise-sums in a different association order,
+    # so a projection landing within an ulp of the threshold could get its
+    # bit set on one path and cleared on the other (round-5 review) —
+    # computed once per plane, so the fold costs nothing
+    bias = np.array(
+        [sum(c * wd for c, wd in zip(center, w_row)) for w_row in w],
+        dtype=np.float64,
+    )
     pow2 = 1 << np.arange(n_planes, dtype=np.int64)
 
     # no pd.Series type hints — same reason as cosine_pandas_udf: the
@@ -752,9 +777,14 @@ def quantized_topk(
         F.col("scale").alias("q_scale"),
         F.col("qvec").alias("q_q"),
     )
+    # widen BEFORE multiplying: (a * b).cast("long") multiplies in INT and
+    # wraps silently past bits >= 17 (qmax² > INT_MAX) before the cast ever
+    # runs (round-5 review)
     dot = F.aggregate(
         F.zip_with(
-            F.col("q_q"), F.col("qvec"), lambda a, b: (a * b).cast("long")
+            F.col("q_q"),
+            F.col("qvec"),
+            lambda a, b: a.cast("long") * b.cast("long"),
         ),
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
@@ -763,7 +793,9 @@ def quantized_topk(
     def qnorm(c):
         return F.sqrt(
             F.aggregate(
-                c, F.lit(0).cast("long"), lambda acc, v: acc + v * v
+                c,
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v.cast("long") * v.cast("long"),
             ).cast("double")
         )
 

@@ -9,6 +9,8 @@ operators: no shuffle at all.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -49,10 +51,15 @@ def lang_id(docs: DataFrame) -> DataFrame:
         base = base.withColumn(f"hits_{lang}", _spark_hits(F.col("ws"), markers))
     best = F.lit("und")
     best_hits = F.lit(0)
-    # iterate reversed so earlier languages win ties (> replaces only when
-    # strictly greater, and later-applied checks are earlier in the list)
+    # iterate reversed with >= so earlier-LISTED languages win ties: the
+    # later-applied checks are earlier in the list, and a tie must REPLACE
+    # for the last-applied (first-listed) language to take it.  (The old
+    # strict > kept the earlier-applied winner, handing ties to the LAST
+    # language in the list — the inverse of the documented policy; both
+    # engines shared the fold so the oracle never saw it.)  The > 0 guard
+    # keeps all-zero docs at 'und'.
     for lang, _ in reversed(LANG_MARKERS):
-        cond = F.col(f"hits_{lang}") > best_hits
+        cond = (F.col(f"hits_{lang}") >= best_hits) & (F.col(f"hits_{lang}") > 0)
         best = F.when(cond, F.lit(lang)).otherwise(best)
         best_hits = F.when(cond, F.col(f"hits_{lang}")).otherwise(best_hits)
     return base.select(
@@ -68,11 +75,13 @@ def lang_id_sql(table: str = "documents") -> str:
     hit_cols = ", ".join(
         f"{_duck_hits('ws', markers)} AS hits_{lang}" for lang, markers in LANG_MARKERS
     )
-    # mirror the Spark fold exactly: reversed list, strict > replaces
+    # mirror the Spark fold exactly: reversed list, >= replaces (ties go to
+    # the first-listed language), > 0 keeps all-zero docs at 'und'
     best, best_hits = "'und'", "0"
     for lang, _ in reversed(LANG_MARKERS):
-        best = f"CASE WHEN hits_{lang} > {best_hits} THEN '{lang}' ELSE {best} END"
-        best_hits = f"CASE WHEN hits_{lang} > {best_hits} THEN hits_{lang} ELSE {best_hits} END"
+        cond = f"(hits_{lang} >= {best_hits} AND hits_{lang} > 0)"
+        best = f"CASE WHEN {cond} THEN '{lang}' ELSE {best} END"
+        best_hits = f"CASE WHEN {cond} THEN hits_{lang} ELSE {best_hits} END"
     return f"""
     SELECT doc_id, {best} AS predicted_lang, hits_en AS en_hits, len(ws) AS n_words
     FROM (
@@ -93,7 +102,14 @@ def quality_scores(docs: DataFrame) -> DataFrame:
     n_words = F.size(words).cast("long")
     avg_word_len = F.length(norm).cast("double") / n_words.cast("double")
     n_alnum_sp = F.length(F.regexp_replace(text, "[^a-zA-Z0-9 ]", ""))
-    punct_ratio = (n_chars - n_alnum_sp).cast("double") / n_chars.cast("double")
+    # n_chars == 0 guard (empty text): 0/0 is NULL in non-ANSI Spark but
+    # NaN under DuckDB's IEEE float ops — define it 0.0 on both engines
+    # (an empty doc has no punctuation; its score then rests on the other
+    # terms, which are 0, so empties deterministically bottom out)
+    punct_ratio = F.when(
+        n_chars > 0,
+        (n_chars - n_alnum_sp).cast("double") / n_chars.cast("double"),
+    ).otherwise(F.lit(0.0))
     stop_ratio = _spark_hits(words, STOPWORDS).cast("double") / n_words.cast("double")
     score = (
         F.least(n_words.cast("double") / 100.0, F.lit(1.0)) * 0.5
@@ -121,13 +137,17 @@ def quality_scores_sql(table: str = "documents") -> str:
         CAST(length(text) AS BIGINT) AS n_chars,
         CAST(len({words}) AS BIGINT) AS n_words,
         CAST(length({norm}) AS DOUBLE) / CAST(len({words}) AS DOUBLE) AS avg_word_len,
-        CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))
-            AS DOUBLE) / CAST(length(text) AS DOUBLE) AS punct_ratio,
+        CASE WHEN length(text) > 0 THEN
+            CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))
+                AS DOUBLE) / CAST(length(text) AS DOUBLE)
+        ELSE 0.0 END AS punct_ratio,
         CAST({hits} AS DOUBLE) / CAST(len({words}) AS DOUBLE) AS stopword_ratio,
         least(CAST(len({words}) AS DOUBLE) / 100.0, 1.0) * 0.5
             + (CAST({hits} AS DOUBLE) / CAST(len({words}) AS DOUBLE)) * 0.3
-            + (1.0 - CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))
-                   AS DOUBLE) / CAST(length(text) AS DOUBLE)) * 0.2 AS quality_score
+            + (1.0 - CASE WHEN length(text) > 0 THEN
+                   CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))
+                       AS DOUBLE) / CAST(length(text) AS DOUBLE)
+               ELSE 0.0 END) * 0.2 AS quality_score
     FROM {table}
     """
 
@@ -305,23 +325,30 @@ def token_counts(docs: DataFrame) -> DataFrame:
     text = F.col("text")
     ws_tokens = F.size(F.split(F.trim(text), "\\s+")).cast("long")
     re_tokens = F.size(F.regexp_extract_all(text, F.lit(TOKEN_REGEX), F.lit(0))).cast("long")
+    # zero-token guard (whitespace-only/empty text): x/0 is NULL in
+    # non-ANSI Spark but inf/NaN under DuckDB's IEEE float ops — define
+    # chars_per_token 0.0 on both engines
+    cpt = F.when(
+        re_tokens > 0, F.length(text).cast("double") / re_tokens.cast("double")
+    ).otherwise(F.lit(0.0))
     return docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         ws_tokens.alias("ws_tokens"),
         re_tokens.alias("regex_tokens"),
-        (F.length(text).cast("double") / re_tokens.cast("double")).alias("chars_per_token"),
+        cpt.alias("chars_per_token"),
     )
 
 
 def token_counts_sql(table: str = "documents") -> str:
+    n_re = f"len(regexp_extract_all(text, '{TOKEN_REGEX}'))"
     return f"""
     SELECT
         CAST(doc_id AS BIGINT) AS doc_id,
         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS ws_tokens,
-        CAST(len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS BIGINT) AS regex_tokens,
-        CAST(length(text) AS DOUBLE)
-            / CAST(len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS BIGINT)
-            AS chars_per_token
+        CAST({n_re} AS BIGINT) AS regex_tokens,
+        CASE WHEN {n_re} > 0 THEN
+            CAST(length(text) AS DOUBLE) / CAST({n_re} AS BIGINT)
+        ELSE 0.0 END AS chars_per_token
     FROM {table}
     """
 
@@ -694,6 +721,15 @@ BM25_DEFAULT_QUERY = "procurement supplier order"
 BM25_TOP_K = 20
 
 
+def _norm_query_terms(query: str) -> list[str]:
+    """Normalize query terms through the SAME pipeline as corpus words
+    (lowercase, non-alphanumerics to spaces, collapse) — a raw
+    query.lower().split() left punctuation inside terms, which can never
+    match a normalized corpus word, silently zeroing that term's tf."""
+    normalized = re.sub(r" +", " ", re.sub(r"[^a-z0-9 ]", " ", query.lower())).strip()
+    return sorted(set(t for t in normalized.split() if t))
+
+
 def bm25_search(
     docs: DataFrame,
     query: str = BM25_DEFAULT_QUERY,
@@ -710,7 +746,7 @@ def bm25_search(
     are one global aggregate row broadcast via cross join.  Ties broken by
     doc_id for determinism.
     """
-    q_terms = sorted(set(query.lower().split()))
+    q_terms = _norm_query_terms(query)
     words = P.spark_words(P.spark_norm_text(F.col("text")))
     # ONE text scan: doc length and every query term's tf come from a
     # single map-side projection (the query vocabulary is a literal list,
@@ -817,7 +853,7 @@ def bm25_search_sql(
     b: float = BM25_B,
     top_k: int = BM25_TOP_K,
 ) -> str:
-    q_terms = sorted(set(query.lower().split()))
+    q_terms = _norm_query_terms(query)
     terms = ", ".join(f"'{t}'" for t in q_terms)
     words = P.duck_words(P.duck_norm_text("text"))
     return f"""
