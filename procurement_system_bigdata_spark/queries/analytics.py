@@ -1357,3 +1357,156 @@ Q_RICH_INACTIVE_CUSTOMERS_SQL = """
                         AND o.o_orderstatus = 'P')
     GROUP BY c_mktsegment
 """
+
+
+# Market-basket co-occurrence dials.  MIN_PAIR_SUPPORT keeps the pair table
+# to pairs seen in >=2 baskets (singleton pairs carry no association signal
+# and dominate the raw pair count ~30:1 at every testdata SF); MAX_BASKET
+# caps the per-order pair expansion the same way dedup's max_doc_freq caps
+# hot tokens — C(basket,2) is quadratic in basket size, so one pathological
+# million-item basket would emit 5e11 pairs without it.  TPC-H baskets are
+# <=7 items (the cap is a no-op on testdata; the guardrail is for open-world
+# inputs), and BASKET_TOP_K bounds the result to the strongest associations.
+MIN_PAIR_SUPPORT = 2
+MAX_BASKET = 50
+BASKET_TOP_K = 100
+
+
+def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining: for every pair of parts co-ordered
+    in the same order, the classic support / confidence / lift statistics,
+    top-K by lift.  The frequent-itemset primitive of a recommender or
+    assortment pipeline, here at pair (2-itemset) depth — the level at which
+    the computation stays a pure self-join + aggregate, no candidate-
+    generation iterations.
+
+    Scale shape: one distinct projection of (orderkey, partkey), a basket-
+    size cap via per-order window count (one shuffle on orderkey), then the
+    pair self-join ALSO keyed on orderkey — Catalyst reuses the exchange, and
+    per-order output is C(basket,2) <= C(50,2), so pair volume is linear in
+    orders.  Item frequencies are vocabulary-sized (bounded by |part|, not
+    |lineitem|) and broadcast back onto the pair table; the final top-K is a
+    TakeOrderedAndProject, never a full sort.  All ratio columns are fixed-
+    pointed to integer ppm/micro units through the shared half-away primitive
+    (functions/portable.py) so both engines emit identical BIGINTs.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").cast("long").alias("ok"),
+        F.col("l_partkey").cast("long").alias("pk"),
+    ).distinct()
+    w = Window.partitionBy("ok")
+    # localCheckpoint: the capped item set feeds FOUR consumers (both self-
+    # join sides, item frequencies, the basket count) and is a COMPUTED
+    # corpus (distinct + window filter), so the derived-corpus
+    # materialization rule applies (DESIGN.md text-scan minimization) —
+    # without it Catalyst re-runs the scan+distinct+window chain per
+    # consumer (measured: 18 exchanges -> 8, one lineitem scan instead of 4)
+    capped = (
+        items.withColumn("bsz", F.count(F.lit(1)).over(w))
+        .filter(F.col("bsz") <= MAX_BASKET)
+        .select("ok", "pk")
+        .localCheckpoint()
+    )
+    n_orders = capped.agg(
+        F.countDistinct("ok").cast("long").alias("n_orders")
+    )
+    item_counts = capped.groupBy("pk").agg(
+        F.count(F.lit(1)).cast("long").alias("n_item")
+    )
+    a, b = capped.alias("a"), capped.alias("b")
+    pair_counts = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
+        .groupBy(
+            F.col("a.pk").alias("part_a"), F.col("b.pk").alias("part_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+        .filter(F.col("n_ab") >= MIN_PAIR_SUPPORT)
+    )
+    ia = item_counts.select(
+        F.col("pk").alias("part_a"), F.col("n_item").alias("n_a")
+    )
+    ib = item_counts.select(
+        F.col("pk").alias("part_b"), F.col("n_item").alias("n_b")
+    )
+    ppm = lambda num, den: P.spark_half_away(  # noqa: E731
+        num.cast("double") * 1000000.0 / den.cast("double")
+    ).cast("long")
+    lift = (
+        F.col("n_ab").cast("double")
+        * F.col("n_orders").cast("double")
+        / F.col("n_a").cast("double")
+        / F.col("n_b").cast("double")
+        * 1000000.0
+    )
+    return (
+        pair_counts.join(F.broadcast(ia), "part_a")
+        .join(F.broadcast(ib), "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            ppm(F.col("n_ab"), F.col("n_orders")).alias("support_ppm"),
+            ppm(F.col("n_ab"), F.col("n_a")).alias("conf_a_to_b_ppm"),
+            ppm(F.col("n_ab"), F.col("n_b")).alias("conf_b_to_a_ppm"),
+            P.spark_half_away(lift).cast("long").alias("lift_micro"),
+        )
+        .orderBy(F.desc("lift_micro"), "part_a", "part_b")
+        .limit(BASKET_TOP_K)
+    )
+
+
+_PPM_AB = P.duck_half_away(
+    "CAST(n_ab AS DOUBLE) * 1000000.0 / CAST(n_orders AS DOUBLE)"
+)
+_PPM_A = P.duck_half_away(
+    "CAST(n_ab AS DOUBLE) * 1000000.0 / CAST(n_a AS DOUBLE)"
+)
+_PPM_B = P.duck_half_away(
+    "CAST(n_ab AS DOUBLE) * 1000000.0 / CAST(n_b AS DOUBLE)"
+)
+_LIFT = P.duck_half_away(
+    "CAST(n_ab AS DOUBLE) * CAST(n_orders AS DOUBLE)"
+    " / CAST(n_a AS DOUBLE) / CAST(n_b AS DOUBLE) * 1000000.0"
+)
+
+Q_BASKET_PAIRS_SQL = f"""
+    WITH items AS (
+        SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS ok,
+                        CAST(l_partkey AS BIGINT) AS pk
+        FROM lineitem
+    ),
+    capped AS (
+        SELECT ok, pk FROM (
+            SELECT ok, pk, COUNT(*) OVER (PARTITION BY ok) AS bsz FROM items
+        ) WHERE bsz <= {MAX_BASKET}
+    ),
+    n AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_orders FROM capped),
+    ic AS (SELECT pk, CAST(COUNT(*) AS BIGINT) AS n_item
+           FROM capped GROUP BY pk),
+    pc AS (
+        SELECT a.pk AS part_a, b.pk AS part_b, CAST(COUNT(*) AS BIGINT) AS n_ab
+        FROM capped a JOIN capped b ON a.ok = b.ok AND a.pk < b.pk
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {MIN_PAIR_SUPPORT}
+    ),
+    joined AS (
+        SELECT part_a, part_b, n_ab, ia.n_item AS n_a, ib.n_item AS n_b,
+               n_orders
+        FROM pc
+        JOIN ic ia ON pc.part_a = ia.pk
+        JOIN ic ib ON pc.part_b = ib.pk
+        CROSS JOIN n
+    )
+    SELECT part_a, part_b, n_ab, n_a, n_b,
+           CAST({_PPM_AB} AS BIGINT) AS support_ppm,
+           CAST({_PPM_A} AS BIGINT) AS conf_a_to_b_ppm,
+           CAST({_PPM_B} AS BIGINT) AS conf_b_to_a_ppm,
+           CAST({_LIFT} AS BIGINT) AS lift_micro
+    FROM joined
+    ORDER BY lift_micro DESC, part_a, part_b
+    LIMIT {BASKET_TOP_K}
+"""

@@ -530,3 +530,101 @@ Q_DAILY_ANOMALIES_SQL = f"""
            END AS is_anomaly
     FROM scored
 """
+
+
+# Robust-outlier dial: |value - median| > MAD_K * MAD flags a row.  3 MADs
+# ~ 2 sigma on a normal distribution (MAD = 0.6745 sigma) but, unlike the
+# z-score in q_daily_anomalies, is insensitive to the outliers themselves —
+# the estimator a pipeline wants when the tail IS the thing being hunted.
+MAD_K = 3.0
+
+
+def q_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outlier counts per event type: how many events sit
+    more than MAD_K median-absolute-deviations from their type's median
+    value, plus the robust location/scale estimates themselves.
+
+    Cross-engine exactness: values are fixed-pointed to integer micro-units
+    FIRST (shared half-away primitive), so both engines take medians over
+    identical BIGINTs.  Spark's exact ``percentile`` and DuckDB's
+    ``quantile_cont`` share the same linear-interpolation definition
+    (index p*(n-1)); over integers the result is an exact x.0/x.5 double,
+    deviations are exact multiples of 0.5, the MAD is an exact multiple of
+    0.25, and the MAD_K comparison is therefore boundary-deterministic on
+    both engines — no float accumulation anywhere.
+
+    Scale: two keyed aggregations and two broadcast joins; the per-type
+    median/MAD tables are event-type-vocabulary-sized (bounded, broadcast
+    at any corpus size).  Exact percentile sorts per group — the right
+    trade below ~1e9 rows/group; at 100 TB swap in approx_percentile
+    (t-digest sketch, single pass, mergeable) on the SAME shape and keep
+    the oracle on the exact twin.  A zero MAD (over half the group at one
+    value) degenerates to flagging every off-median row — the standard MAD
+    behavior, deterministic on both engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    vals = ev.filter(F.col("value").isNotNull()).select(
+        "event_type",
+        P.spark_half_away(F.col("value") * 1000000.0)
+        .cast("long")
+        .alias("value_u"),
+    )
+    med = vals.groupBy("event_type").agg(
+        F.percentile("value_u", 0.5).alias("med_u")
+    )
+    devs = vals.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "med_u",
+        F.abs(F.col("value_u").cast("double") - F.col("med_u")).alias("dev_u"),
+    )
+    mad = devs.groupBy("event_type").agg(
+        F.percentile("dev_u", 0.5).alias("mad_u")
+    )
+    return (
+        devs.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.first("med_u").alias("median_micro"),
+            F.first("mad_u").alias("mad_micro"),
+            F.sum(
+                F.when(F.col("dev_u") > MAD_K * F.col("mad_u"), 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+            F.max("dev_u").alias("max_abs_dev_micro"),
+        )
+    )
+
+
+_VAL_U = P.duck_half_away("value * 1000000.0")
+
+Q_ROBUST_OUTLIERS_SQL = f"""
+    WITH vals AS (
+        SELECT event_type, CAST({_VAL_U} AS BIGINT) AS value_u
+        FROM events WHERE value IS NOT NULL
+    ),
+    med AS (
+        SELECT event_type, quantile_cont(value_u, 0.5) AS med_u
+        FROM vals GROUP BY event_type
+    ),
+    devs AS (
+        SELECT v.event_type, m.med_u,
+               abs(CAST(v.value_u AS DOUBLE) - m.med_u) AS dev_u
+        FROM vals v JOIN med m USING (event_type)
+    ),
+    mad AS (
+        SELECT event_type, quantile_cont(dev_u, 0.5) AS mad_u
+        FROM devs GROUP BY event_type
+    )
+    SELECT d.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ANY_VALUE(d.med_u) AS median_micro,
+           ANY_VALUE(m.mad_u) AS mad_micro,
+           CAST(SUM(CASE WHEN d.dev_u > {MAD_K} * m.mad_u THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_outliers,
+           MAX(d.dev_u) AS max_abs_dev_micro
+    FROM devs d JOIN mad m USING (event_type)
+    GROUP BY d.event_type
+"""

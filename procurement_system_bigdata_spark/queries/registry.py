@@ -1468,6 +1468,30 @@ _register(
         ops=("EXT-dedup", "EXT-text"),
     )
 )
+_register(
+    QuerySpec(
+        name="basket_pairs",
+        fn=analytics.q_basket_pairs,
+        oracle=analytics.Q_BASKET_PAIRS_SQL,
+        description="Market-basket 2-itemset association mining: "
+        "support/confidence/lift per co-ordered part pair, top-100 by "
+        "lift — orderkey-keyed pair self-join with a C(50,2) basket cap, "
+        "vocabulary-sized frequency broadcast, fixed-point ppm ratios",
+        ops=("A1", "A3", "J1", "W1", "O1", "P11"),
+    )
+)
+_register(
+    QuerySpec(
+        name="robust_outliers",
+        fn=patterns.q_robust_outliers,
+        oracle=patterns.Q_ROBUST_OUTLIERS_SQL,
+        description="Median/MAD robust outlier counts per event type over "
+        "integer micro-units (exact percentile == quantile_cont on both "
+        "engines) — two keyed aggs + two vocabulary-sized broadcasts; "
+        "approx_percentile is the documented 100-TB swap",
+        ops=("A1", "A5", "P11"),
+    )
+)
 
 # ---------------------------------------------------------------------------
 # Driver snapshot ordering (round-4 judge ask #2).  The external driver's
@@ -1507,9 +1531,10 @@ _DRIVER_SNAPSHOT = [
     "fk_integrity",
     "hll_mergeable_users",
     "funnel_conversion",
-    # never-driver-covered sketches
+    # never-driver-covered sketches (histogram_quantiles rotated out in
+    # round 5 for basket_pairs; value_histogram_by keeps the histogram
+    # family driver-covered, histogram_quantiles stays self-sweep-green)
     "value_histogram_by",
-    "histogram_quantiles",
     "cms_heavy_hitters",
     # never-driver-covered sampling / mixing
     "source_mixture",
@@ -1523,7 +1548,10 @@ _DRIVER_SNAPSHOT = [
     "pii_scrub",
     "boilerplate_ngrams",
     "bm25_search",
-    "char_entropy",
+    # char_entropy rotated out in round 5 for robust_outliers; the text-
+    # statistics family keeps four driver-covered reps (unigram_logprob,
+    # repetition_signals, pii_scrub, bm25_search), char_entropy stays
+    # self-sweep-green
     "doc_chunks",
     "quality_classifier",
     "source_quality_report",
@@ -1554,6 +1582,10 @@ _DRIVER_SNAPSHOT = [
     "retention_cohorts",
     "rolling_active_users",
     "daily_anomalies",
+    # round-5 NEW analytics (market-basket association mining, MAD robust
+    # outliers) — rotated in for external driver rows on first appearance
+    "basket_pairs",
+    "robust_outliers",
 ]
 
 

@@ -1,0 +1,112 @@
+"""Planted-scenario tests for market-basket association mining and
+median/MAD robust outliers (the registry parity sweep covers corpus-level
+oracle equality; these pin the SEMANTICS on hand-built inputs)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+
+def _li(spark, rows):
+    """rows: (orderkey, partkey)"""
+    return spark.createDataFrame(
+        [(int(o), int(p)) for o, p in rows],
+        "l_orderkey long, l_partkey long",
+    )
+
+
+def _run_baskets(spark, tmp_path, rows):
+    from procurement_system_bigdata_spark.queries.analytics import (
+        q_basket_pairs,
+    )
+
+    d = str(tmp_path / "sf")
+    _li(spark, rows).write.parquet(f"{d}/lineitem.parquet")
+    return {(r.part_a, r.part_b): r for r in q_basket_pairs(spark, d).collect()}
+
+
+def test_basket_pair_statistics(spark, tmp_path):
+    """4 baskets; only (10,20) reaches MIN_PAIR_SUPPORT=2.  Duplicate
+    lineitems of the same part in one order must count once."""
+    got = _run_baskets(
+        spark,
+        tmp_path,
+        [
+            (1, 10), (1, 20), (1, 10),       # dup (1,10) collapses
+            (2, 10), (2, 20),
+            (3, 10), (3, 20), (3, 30),
+            (4, 30), (4, 40),
+        ],
+    )
+    assert set(got) == {(10, 20)}
+    r = got[(10, 20)]
+    assert (r.n_ab, r.n_a, r.n_b) == (3, 3, 3)
+    assert r.support_ppm == 750000          # 3/4 baskets
+    assert r.conf_a_to_b_ppm == 1000000     # every 10-basket has 20
+    assert r.conf_b_to_a_ppm == 1000000
+    # lift = (3 * 4) / (3 * 3) = 1.3333... -> 1333333 micro (half-away)
+    assert r.lift_micro == 1333333
+
+
+def test_basket_cap_excludes_pathological_orders(spark, tmp_path):
+    """A basket over MAX_BASKET distinct parts is dropped ENTIRELY — its
+    pairs never materialize and it does not count toward n_orders (the
+    support denominator), so surviving pair stats are unchanged."""
+    from procurement_system_bigdata_spark.queries.analytics import MAX_BASKET
+
+    base = [
+        (1, 10), (1, 20),
+        (2, 10), (2, 20),
+    ]
+    mega = [(9, 1000 + i) for i in range(MAX_BASKET + 1)]
+    got = _run_baskets(spark, tmp_path, base + mega)
+    assert set(got) == {(10, 20)}
+    r = got[(10, 20)]
+    assert r.n_ab == 2
+    assert r.support_ppm == 1000000  # n_orders == 2, mega basket excluded
+
+
+def _ev(spark, rows):
+    """rows: (event_type, value-or-None)"""
+    ts = dt.datetime(2024, 1, 1, 12, 0, 0)
+    return spark.createDataFrame(
+        [(i, ts, 1, t, v, "{}") for i, (t, v) in enumerate(rows)],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+
+
+def test_robust_outliers_mad_semantics(spark, tmp_path):
+    from procurement_system_bigdata_spark.queries.patterns import (
+        q_robust_outliers,
+    )
+
+    rows = (
+        # type a: mad == 0 (majority at one value) -> every off-median row
+        # flags (the documented MAD degeneracy)
+        [("a", 1.0)] * 4 + [("a", 100.0)]
+        # type b: med 3.5, mad 1.5; only 1000.0 exceeds 3.5 +- 4.5
+        + [("b", v) for v in (1.0, 2.0, 3.0, 4.0, 5.0, 1000.0)]
+        # NULL values are ignored
+        + [("b", None)]
+        # type c: even count -> interpolated median 1.5 exactly
+        + [("c", 1.0), ("c", 2.0)]
+    )
+    d = str(tmp_path / "sf")
+    _ev(spark, rows).write.parquet(f"{d}/events.parquet")
+    got = {r.event_type: r for r in q_robust_outliers(spark, d).collect()}
+
+    a = got["a"]
+    assert (a.n_events, a.n_outliers) == (5, 1)
+    assert a.median_micro == 1_000_000.0
+    assert a.mad_micro == 0.0
+    assert a.max_abs_dev_micro == 99_000_000.0
+
+    b = got["b"]
+    assert (b.n_events, b.n_outliers) == (6, 1)  # NULL row dropped
+    assert b.median_micro == 3_500_000.0
+    assert b.mad_micro == 1_500_000.0
+
+    c = got["c"]
+    assert c.median_micro == 1_500_000.0
+    assert c.n_outliers == 0  # devs 0.5e6 each; mad 0.5e6; 0.5 < 3*0.5

@@ -386,3 +386,26 @@ def test_new_event_analytics_plans_are_lean(spark):
         assert stats["shuffles"] <= max_shuffles, (
             f"{name}: {stats['shuffles']} shuffles (max {max_shuffles})"
         )
+
+
+def test_basket_pairs_plan(spark):
+    """Market-basket: the final top-K must be a TakeOrderedAndProject (never
+    a full sort), frequency joins broadcast, no Python UDFs, and the capped
+    item set materialized once (localCheckpoint) so the pair self-join's two
+    sides do not re-run the scan+distinct+window chain."""
+    stats = plan_stats(REGISTRY["basket_pairs"].fn(spark, SF_DIR))
+    assert stats["python_udfs"] == 0
+    assert stats["take_ordered"] >= 1
+    assert stats["broadcast_hash_joins"] >= 2  # n_a / n_b frequency attach
+    assert stats["shuffles"] <= 6
+
+
+def test_robust_outliers_plan(spark):
+    """Median/MAD: per-type median and MAD tables attach as broadcasts
+    (vocabulary-sized at any corpus scale); the only shuffles are the keyed
+    percentile aggregations."""
+    stats = plan_stats(REGISTRY["robust_outliers"].fn(spark, SF_DIR))
+    assert stats["python_udfs"] == 0
+    assert stats["broadcast_hash_joins"] >= 2
+    assert stats["sort_merge_joins"] == 0
+    assert stats["shuffles"] <= 5
