@@ -1510,3 +1510,69 @@ Q_BASKET_PAIRS_SQL = f"""
     ORDER BY lift_micro DESC, part_a, part_b
     LIMIT {BASKET_TOP_K}
 """
+
+
+SCD2_EPOCH = "1990-01-01"
+
+
+def q_scd2_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history maintenance, driver-checkable end to end: seed a
+    type-2 customer-segment dimension (every customer current since the
+    epoch), derive a deterministic change batch from the data (customers
+    with an in-progress order move to segment 'PRIORITY' effective their
+    first such order date), and apply ``operators.merge.scd2_apply`` —
+    the anti-join + broadcast-close-out + union composition that emulates
+    ``MERGE INTO`` SCD2 without a table format.
+
+    Exercises the operator itself (not a reimplementation): closed-out
+    rows carry the change's effective date as their end date, untouched
+    customers pass through current, and the new versions append as
+    current.  Scale: the change batch is keyed and broadcast against
+    current rows (one shuffle on the dimension side at most); history
+    rows never re-shuffle.
+    """
+    from ..operators.merge import scd2_apply
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    dim = cust.select(
+        F.col("c_custkey").cast("long").alias("cust_id"),
+        F.col("c_mktsegment").alias("segment"),
+        F.to_date(F.lit(SCD2_EPOCH)).alias("effective_from"),
+        F.lit(None).cast("date").alias("effective_to"),
+        F.lit(True).alias("is_current"),
+    )
+    changes = (
+        orders.filter(F.col("o_orderstatus") == "P")
+        .groupBy(F.col("o_custkey").cast("long").alias("cust_id"))
+        .agg(F.min(F.to_date("o_orderdate")).alias("effective_from"))
+        .select("cust_id", F.lit("PRIORITY").alias("segment"), "effective_from")
+    )
+    return scd2_apply(dim, changes, keys=["cust_id"]).select(
+        "cust_id", "segment", "effective_from", "effective_to", "is_current"
+    )
+
+
+Q_SCD2_CUSTOMER_SEGMENTS_SQL = f"""
+    WITH chg AS (
+        SELECT CAST(o_custkey AS BIGINT) AS cust_id,
+               MIN(CAST(o_orderdate AS DATE)) AS eff
+        FROM orders WHERE o_orderstatus = 'P'
+        GROUP BY 1
+    )
+    -- closed-out original versions (customers that received a change)
+    SELECT CAST(c_custkey AS BIGINT) AS cust_id, c_mktsegment AS segment,
+           DATE '{SCD2_EPOCH}' AS effective_from, chg.eff AS effective_to,
+           FALSE AS is_current
+    FROM customer JOIN chg ON CAST(c_custkey AS BIGINT) = chg.cust_id
+    UNION ALL
+    -- untouched customers stay current
+    SELECT CAST(c_custkey AS BIGINT), c_mktsegment,
+           DATE '{SCD2_EPOCH}', CAST(NULL AS DATE), TRUE
+    FROM customer
+    WHERE CAST(c_custkey AS BIGINT) NOT IN (SELECT cust_id FROM chg)
+    UNION ALL
+    -- new current versions from the change batch
+    SELECT cust_id, 'PRIORITY', eff, CAST(NULL AS DATE), TRUE
+    FROM chg
+"""

@@ -1482,6 +1482,18 @@ _register(
 )
 _register(
     QuerySpec(
+        name="scd2_customer_segments",
+        fn=analytics.q_scd2_customer_segments,
+        oracle=analytics.Q_SCD2_CUSTOMER_SEGMENTS_SQL,
+        description="SCD2 history maintenance driven END TO END through "
+        "operators.merge.scd2_apply: close-out + pass-through + new "
+        "current versions from a data-derived change batch — the MERGE "
+        "INTO type-2 semantics without a table format",
+        ops=("J4", "J5", "A1", "A4", "P8"),
+    )
+)
+_register(
+    QuerySpec(
         name="robust_outliers",
         fn=patterns.q_robust_outliers,
         oracle=patterns.Q_ROBUST_OUTLIERS_SQL,
@@ -1525,7 +1537,9 @@ _DRIVER_SNAPSHOT = [
     # never-driver-covered analytics tail (registered rounds 3-4)
     "selective_revenue",
     "shipping_priority",
-    "corr_stats",
+    # corr_stats rotated out in round 5 for scd2_customer_segments; the
+    # statistics family keeps profile_orders + robust_outliers driver-
+    # covered, corr_stats stays self-sweep-green
     "profile_orders",
     "multi_grain_rollup",
     "fk_integrity",
@@ -1583,9 +1597,11 @@ _DRIVER_SNAPSHOT = [
     "rolling_active_users",
     "daily_anomalies",
     # round-5 NEW analytics (market-basket association mining, MAD robust
-    # outliers) — rotated in for external driver rows on first appearance
+    # outliers, operator-driven SCD2) — rotated in for external driver
+    # rows on first appearance
     "basket_pairs",
     "robust_outliers",
+    "scd2_customer_segments",
 ]
 
 

@@ -59,3 +59,43 @@ def test_scd2_idempotent_on_empty_changes(spark):
     empty = dim.filter(F.lit(False)).select("id", "attr", "effective_from")
     out = scd2_apply(dim, empty, ["id"]).collect()
     assert len(out) == 1 and out[0].is_current
+
+
+def test_scd2_registry_query_end_to_end(spark, tmp_path):
+    """The registry composition (q_scd2_customer_segments) drives
+    scd2_apply over parquet inputs: P-order customers get their seed row
+    closed at the FIRST P-order date and a 'PRIORITY' current version;
+    everyone else passes through current."""
+    import datetime as dt
+
+    from procurement_system_bigdata_spark.queries.analytics import (
+        q_scd2_customer_segments,
+    )
+
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(
+        [(1, "BUILDING"), (2, "MACHINERY")],
+        "c_custkey long, c_mktsegment string",
+    ).write.parquet(f"{d}/customer.parquet")
+    spark.createDataFrame(
+        [
+            (100, 1, "P", dt.datetime(2024, 3, 1)),
+            (101, 1, "P", dt.datetime(2024, 1, 15)),  # earlier: wins MIN
+            (102, 1, "O", dt.datetime(2023, 1, 1)),   # non-P: ignored
+            (103, 2, "O", dt.datetime(2024, 2, 1)),   # cust 2 untouched
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_orderdate timestamp",
+    ).write.parquet(f"{d}/orders.parquet")
+
+    rows = {(r.cust_id, r.segment): r for r in
+            q_scd2_customer_segments(spark, d).collect()}
+    assert len(rows) == 3
+    closed = rows[(1, "BUILDING")]
+    assert closed.is_current is False
+    assert closed.effective_to == dt.date(2024, 1, 15)
+    new = rows[(1, "PRIORITY")]
+    assert new.is_current is True and new.effective_to is None
+    assert new.effective_from == dt.date(2024, 1, 15)
+    untouched = rows[(2, "MACHINERY")]
+    assert untouched.is_current is True and untouched.effective_to is None
