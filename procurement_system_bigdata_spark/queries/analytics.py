@@ -1567,10 +1567,15 @@ Q_SCD2_CUSTOMER_SEGMENTS_SQL = f"""
     FROM customer JOIN chg ON CAST(c_custkey AS BIGINT) = chg.cust_id
     UNION ALL
     -- untouched customers stay current
+    -- NOT EXISTS, not NOT IN: the engine side is a left ANTI join, which
+    -- keeps rows when the probe side is empty-or-NULL; NOT IN would return
+    -- zero rows if any chg.cust_id were NULL (a latent cross-engine
+    -- divergence on open-world inputs, per DESIGN.md cast discipline)
     SELECT CAST(c_custkey AS BIGINT), c_mktsegment,
            DATE '{SCD2_EPOCH}', CAST(NULL AS DATE), TRUE
-    FROM customer
-    WHERE CAST(c_custkey AS BIGINT) NOT IN (SELECT cust_id FROM chg)
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM chg
+                      WHERE chg.cust_id = CAST(c.c_custkey AS BIGINT))
     UNION ALL
     -- new current versions from the change batch
     SELECT cust_id, 'PRIORITY', eff, CAST(NULL AS DATE), TRUE
