@@ -321,3 +321,22 @@ def spark_cents(col: Column) -> Column:
     rounding mode/precision can never drift between query modules (it must
     stay in lockstep with every oracle's inline SQL form)."""
     return F.round(col * 100).cast("long")
+
+
+def spark_finite(col: Column) -> Column:
+    """NULL/NaN/±Inf guard for double columns headed into a fixed-point
+    BIGINT cast (both engines must agree BEFORE the cast): a NaN or Inf
+    reaching ``CAST(... AS BIGINT)`` throws under Spark's ANSI mode and
+    crashes DuckDB's cast outright, so every micro-unit/cents/bin pipeline
+    must filter through this ONE definition.  ``abs(x) < inf`` is false
+    for both NaN (any comparison) and ±Inf on both engines; the explicit
+    isnan term is kept for readability and NULL-propagation clarity."""
+    c = col.cast("double")
+    return c.isNotNull() & ~F.isnan(c) & (F.abs(c) < F.lit(float("inf")))
+
+
+def duck_finite(expr: str) -> str:
+    return (
+        f"{expr} IS NOT NULL AND NOT isnan(CAST({expr} AS DOUBLE)) "
+        f"AND NOT isinf(CAST({expr} AS DOUBLE))"
+    )

@@ -240,16 +240,18 @@ def _bin_sql(col: str, lo: float, hi: float, n_bins: int) -> str:
 
 
 def _finite(col: str):
-    """NULL/NaN guard (both engines must agree): NULLs used to clamp into
-    bin 0 (Spark greatest() skips nulls) and NaN crashed only the DuckDB
-    mirror's CAST — histograms now count finite values only, matching the
-    exact quantile companion's NULL-skipping semantics."""
-    c = F.col(col).cast("double")
-    return c.isNotNull() & ~F.isnan(c)
+    """NULL/NaN/Inf guard (both engines must agree): NULLs used to clamp
+    into bin 0 (Spark greatest() skips nulls), NaN crashed only the DuckDB
+    mirror's CAST, and ±Inf survived Spark's clamp into the edge bins while
+    still crashing DuckDB's CAST — histograms now count finite values only,
+    matching the exact quantile companion's NULL-skipping semantics.
+    Delegates to the shared portable definition (functions/portable.py) so
+    every fixed-point pipeline filters identically."""
+    return P.spark_finite(F.col(col))
 
 
 def _finite_sql(col: str) -> str:
-    return f"{col} IS NOT NULL AND NOT isnan(CAST({col} AS DOUBLE))"
+    return P.duck_finite(col)
 
 
 

@@ -563,7 +563,10 @@ def q_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     behavior, deterministic on both engines.
     """
     ev = load_table(spark, sf_dir, "events")
-    vals = ev.filter(F.col("value").isNotNull()).select(
+    # finite guard, not bare IS NOT NULL: a NaN/Inf value reaching the
+    # micro-unit BIGINT cast throws under ANSI mode and crashes the DuckDB
+    # mirror's CAST (the class fixed for histograms in operators/sketches)
+    vals = ev.filter(P.spark_finite(F.col("value"))).select(
         "event_type",
         P.spark_half_away(F.col("value") * 1000000.0)
         .cast("long")
@@ -572,10 +575,20 @@ def q_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     med = vals.groupBy("event_type").agg(
         F.percentile("value_u", 0.5).alias("med_u")
     )
-    devs = vals.join(F.broadcast(med), "event_type").select(
-        "event_type",
-        "med_u",
-        F.abs(F.col("value_u").cast("double") - F.col("med_u")).alias("dev_u"),
+    # devs is a COMPUTED frame (scan ⋈ median) with two consumers (the MAD
+    # aggregate and the final per-type roll-up), so the derived-corpus
+    # materialization rule applies — without it each consumer re-runs the
+    # events scan + fixed-point projection + broadcast join
+    devs = (
+        vals.join(F.broadcast(med), "event_type")
+        .select(
+            "event_type",
+            "med_u",
+            F.abs(F.col("value_u").cast("double") - F.col("med_u")).alias(
+                "dev_u"
+            ),
+        )
+        .localCheckpoint()
     )
     mad = devs.groupBy("event_type").agg(
         F.percentile("dev_u", 0.5).alias("mad_u")
@@ -603,7 +616,7 @@ _VAL_U = P.duck_half_away("value * 1000000.0")
 Q_ROBUST_OUTLIERS_SQL = f"""
     WITH vals AS (
         SELECT event_type, CAST({_VAL_U} AS BIGINT) AS value_u
-        FROM events WHERE value IS NOT NULL
+        FROM events WHERE {P.duck_finite("value")}
     ),
     med AS (
         SELECT event_type, quantile_cont(value_u, 0.5) AS med_u

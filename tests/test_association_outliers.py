@@ -87,8 +87,11 @@ def test_robust_outliers_mad_semantics(spark, tmp_path):
         [("a", 1.0)] * 4 + [("a", 100.0)]
         # type b: med 3.5, mad 1.5; only 1000.0 exceeds 3.5 +- 4.5
         + [("b", v) for v in (1.0, 2.0, 3.0, 4.0, 5.0, 1000.0)]
-        # NULL values are ignored
-        + [("b", None)]
+        # NULL / NaN / ±Inf values are ignored (the finite guard: any of
+        # these reaching the micro-unit BIGINT cast would throw under ANSI
+        # mode and crash the DuckDB mirror's CAST)
+        + [("b", None), ("b", float("nan")), ("b", float("inf")),
+           ("b", float("-inf"))]
         # type c: even count -> interpolated median 1.5 exactly
         + [("c", 1.0), ("c", 2.0)]
     )
@@ -103,7 +106,7 @@ def test_robust_outliers_mad_semantics(spark, tmp_path):
     assert a.max_abs_dev_micro == 99_000_000.0
 
     b = got["b"]
-    assert (b.n_events, b.n_outliers) == (6, 1)  # NULL row dropped
+    assert (b.n_events, b.n_outliers) == (6, 1)  # NULL/NaN/Inf rows dropped
     assert b.median_micro == 3_500_000.0
     assert b.mad_micro == 1_500_000.0
 

@@ -403,9 +403,11 @@ def test_basket_pairs_plan(spark):
 def test_robust_outliers_plan(spark):
     """Median/MAD: per-type median and MAD tables attach as broadcasts
     (vocabulary-sized at any corpus scale); the only shuffles are the keyed
-    percentile aggregations."""
+    percentile aggregations.  The deviation frame is localCheckpoint'd (two
+    consumers), so the visible plan covers the post-checkpoint half: the
+    MAD broadcast attach and the final roll-up."""
     stats = plan_stats(REGISTRY["robust_outliers"].fn(spark, SF_DIR))
     assert stats["python_udfs"] == 0
-    assert stats["broadcast_hash_joins"] >= 2
+    assert stats["broadcast_hash_joins"] >= 1  # mad attach (med is pre-ckpt)
     assert stats["sort_merge_joins"] == 0
-    assert stats["shuffles"] <= 5
+    assert stats["shuffles"] <= 3

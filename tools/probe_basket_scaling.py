@@ -96,6 +96,15 @@ def main() -> None:
         f"x16-only entries: {len(newcomers)}, all below-floor-at-base "
         f"(n_ab==16): {floor_admitted}"
     )
+    # hard-fail (exit != 0) on any statistical divergence the replication
+    # scheme cannot explain — a printed 'False' with a green exit code
+    # would let a nondeterminism regression through a scripted run
+    assert linear, "pair counts on the overlap did not scale exactly 16x"
+    assert lift_equal, "lift_micro diverged across scales on the overlap"
+    assert floor_admitted, (
+        "an x16-only top entry is not a support-floor admission — "
+        "unexplained ranking divergence"
+    )
     w1, w4, w16 = (results[c]["wall_s"] for c in (1, 4, 16))
     print(f"wall ratios: x4/x1={w4 / w1:.2f} x16/x4={w16 / w4:.2f} "
           f"(linear would be <=4.0 each)")
