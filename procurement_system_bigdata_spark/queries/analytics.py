@@ -1581,3 +1581,108 @@ Q_SCD2_CUSTOMER_SEGMENTS_SQL = f"""
     SELECT cust_id, 'PRIORITY', eff, CAST(NULL AS DATE), TRUE
     FROM chg
 """
+
+
+def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based audience overlap: for every pair of event types, the
+    estimated size of the user-set INTERSECTION by inclusion-exclusion over
+    three HyperLogLog++ sketches (|A| + |B| - |A∪B|) — the way overlap is
+    measured at 100 TB, where exact pairwise COUNT(DISTINCT) per pair is a
+    full shuffle each and sketches are map-side mergeable state.
+
+    Bounded-oracle pattern (as approx_distinct_users): the row carries the
+    EXACT per-type / union / intersection counts plus ``err_bound_checked``
+    = |estimate - exact| <= 3*rsd*(|A| + |B| + |A∪B|), the union bound over
+    the three sketches' error terms.  The DuckDB oracle recomputes the
+    exact counts with literal TRUE, so the driver's hash compare IS the
+    bound assertion.  The exact companions are the oracle harness, not the
+    production path — a deployment keeps only the sketch columns.
+
+    Scale: one distinct projection of (user, type); per-type sketches in
+    one keyed agg; pair unions via a type-vocabulary-bounded contribution
+    expansion (each distinct (user, type) row feeds the T-1 pairs that
+    contain its type) — every aggregate is map-side combinable, nothing is
+    ever joined on user_id.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    # COMPUTED frame (distinct) with three consumers -> materialization rule
+    d = ev.select("user_id", "event_type").distinct().localCheckpoint()
+    # t is type-vocabulary-sized and feeds three consumers (both cross-join
+    # sides and, via pairs, the contribution expansion + the final attach) —
+    # materialize so the per-type aggregate runs once, not per consumer
+    t = (
+        d.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("exact_n"),
+            F.approx_count_distinct("user_id", rsd=APPROX_DISTINCT_RSD).alias(
+                "approx_n"
+            ),
+        )
+        .localCheckpoint()
+    )
+    ta = t.select(
+        F.col("event_type").alias("type_a"),
+        F.col("exact_n").alias("exact_a"),
+        F.col("approx_n").alias("approx_a"),
+    )
+    tb = t.select(
+        F.col("event_type").alias("type_b"),
+        F.col("exact_n").alias("exact_b"),
+        F.col("approx_n").alias("approx_b"),
+    )
+    pairs = ta.crossJoin(tb).filter(F.col("type_a") < F.col("type_b"))
+    contrib = d.join(
+        F.broadcast(pairs.select("type_a", "type_b")),
+        (F.col("event_type") == F.col("type_a"))
+        | (F.col("event_type") == F.col("type_b")),
+    ).select("type_a", "type_b", "user_id")
+    unions = contrib.groupBy("type_a", "type_b").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_union"),
+        F.approx_count_distinct("user_id", rsd=APPROX_DISTINCT_RSD).alias(
+            "approx_union"
+        ),
+    )
+    est = F.col("approx_a") + F.col("approx_b") - F.col("approx_union")
+    exact_int = F.col("exact_a") + F.col("exact_b") - F.col("exact_union")
+    bound = APPROX_DISTINCT_BOUND * (
+        F.col("exact_a") + F.col("exact_b") + F.col("exact_union")
+    ).cast("double")
+    return (
+        unions.join(F.broadcast(pairs), ["type_a", "type_b"])
+        .select(
+            "type_a",
+            "type_b",
+            "exact_a",
+            "exact_b",
+            "exact_union",
+            exact_int.cast("long").alias("exact_intersection"),
+            (F.abs((est - exact_int).cast("double")) <= bound).alias(
+                "err_bound_checked"
+            ),
+        )
+    )
+
+
+Q_AUDIENCE_OVERLAP_SQL = """
+    WITH d AS (SELECT DISTINCT user_id, event_type FROM events),
+    t AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS exact_n
+          FROM d GROUP BY event_type),
+    pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               a.exact_n AS exact_a, b.exact_n AS exact_b
+        FROM t a JOIN t b ON a.event_type < b.event_type
+    ),
+    unions AS (
+        SELECT p.type_a, p.type_b,
+               CAST(COUNT(DISTINCT d.user_id) AS BIGINT) AS exact_union
+        FROM pairs p JOIN d
+          ON d.event_type = p.type_a OR d.event_type = p.type_b
+        GROUP BY p.type_a, p.type_b
+    )
+    SELECT p.type_a, p.type_b, p.exact_a, p.exact_b, u.exact_union,
+           CAST(p.exact_a + p.exact_b - u.exact_union AS BIGINT)
+               AS exact_intersection,
+           TRUE AS err_bound_checked
+    FROM pairs p JOIN unions u
+      ON p.type_a = u.type_a AND p.type_b = u.type_b
+"""

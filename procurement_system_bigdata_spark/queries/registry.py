@@ -1494,6 +1494,18 @@ _register(
 )
 _register(
     QuerySpec(
+        name="audience_overlap",
+        fn=analytics.q_audience_overlap,
+        oracle=analytics.Q_AUDIENCE_OVERLAP_SQL,
+        description="HLL inclusion-exclusion audience overlap per event-"
+        "type pair with the bounded-oracle pattern (err_bound_checked vs "
+        "exact counts) — map-side-mergeable sketches, type-vocabulary-"
+        "bounded pair expansion, never a join on user_id",
+        ops=("A1", "A5", "J1", "P11"),
+    )
+)
+_register(
+    QuerySpec(
         name="robust_outliers",
         fn=patterns.q_robust_outliers,
         oracle=patterns.Q_ROBUST_OUTLIERS_SQL,

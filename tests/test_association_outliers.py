@@ -1,6 +1,7 @@
-"""Planted-scenario tests for market-basket association mining and
-median/MAD robust outliers (the registry parity sweep covers corpus-level
-oracle equality; these pin the SEMANTICS on hand-built inputs)."""
+"""Planted-scenario tests for market-basket association mining, median/MAD
+robust outliers, and HLL audience overlap (the registry parity sweep covers
+corpus-level oracle equality; these pin the SEMANTICS on hand-built
+inputs)."""
 
 from __future__ import annotations
 
@@ -113,3 +114,34 @@ def test_robust_outliers_mad_semantics(spark, tmp_path):
     c = got["c"]
     assert c.median_micro == 1_500_000.0
     assert c.n_outliers == 0  # devs 0.5e6 each; mad 0.5e6; 0.5 < 3*0.5
+
+
+def test_audience_overlap_inclusion_exclusion(spark, tmp_path):
+    """Hand-built overlaps: u1 does {A,B}, u2 {A}, u3 {B,C} — exact
+    intersections derive by inclusion-exclusion, and at this cardinality
+    the HLL estimates are exact so every bound check must pass."""
+    from procurement_system_bigdata_spark.queries.analytics import (
+        q_audience_overlap,
+    )
+
+    rows = [(1, "A"), (1, "B"), (2, "A"), (3, "B"), (3, "C"),
+            (1, "A")]  # duplicate (u1, A) event must not double-count
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(
+        [(i, dt.datetime(2024, 1, 1, 12), u, t, 1.0, "{}")
+         for i, (u, t) in enumerate(rows)],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(f"{d}/events.parquet")
+
+    got = {(r.type_a, r.type_b): r for r in
+           q_audience_overlap(spark, d).collect()}
+    assert set(got) == {("A", "B"), ("A", "C"), ("B", "C")}
+    ab = got[("A", "B")]
+    assert (ab.exact_a, ab.exact_b, ab.exact_union,
+            ab.exact_intersection) == (2, 2, 3, 1)
+    ac = got[("A", "C")]
+    assert (ac.exact_union, ac.exact_intersection) == (3, 0)
+    bc = got[("B", "C")]
+    assert (bc.exact_union, bc.exact_intersection) == (2, 1)
+    assert all(r.err_bound_checked for r in got.values())

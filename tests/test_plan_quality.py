@@ -411,3 +411,13 @@ def test_robust_outliers_plan(spark):
     assert stats["broadcast_hash_joins"] >= 1  # mad attach (med is pre-ckpt)
     assert stats["sort_merge_joins"] == 0
     assert stats["shuffles"] <= 3
+
+
+def test_audience_overlap_plan(spark):
+    """Sketch overlap: pair expansion joins against the broadcast type-pair
+    list (never a shuffle on user_id for the sketch path); all aggregates
+    map-side combinable, no Python UDFs."""
+    stats = plan_stats(REGISTRY["audience_overlap"].fn(spark, SF_DIR))
+    assert stats["python_udfs"] == 0
+    assert stats["sort_merge_joins"] == 0
+    assert stats["shuffles"] <= 4
