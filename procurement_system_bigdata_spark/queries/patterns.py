@@ -641,3 +641,79 @@ Q_ROBUST_OUTLIERS_SQL = f"""
     FROM devs d JOIN mad m USING (event_type)
     GROUP BY d.event_type
 """
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams:
+    for every (from_type -> to_type) step, the transition count and the
+    row-normalized probability in ppm — the next-event model behind
+    "users who viewed then usually purchased" product analytics, and the
+    missing middle between sessionize (where) and funnel_conversion
+    (whether) in this family.
+
+    Determinism: per-user ordering is (ts_us, event_id) — the same total
+    tie-break every window query in this module uses — so lead() is
+    reproducible on both engines.  Probabilities are fixed-pointed to ppm
+    through the shared half-away primitive.
+
+    Scale: ONE shuffle on user_id for the lead() window (per-user
+    partitions, bounded by per-user event volume), then a map-side-
+    combinable count over a type² grid; the per-from totals attach back as
+    a type-vocabulary-sized broadcast.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    steps = (
+        ev.select(
+            "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "event_id",
+            F.col("event_type").alias("from_type"),
+        )
+        .withColumn("to_type", F.lead("from_type").over(w))
+        .filter(F.col("to_type").isNotNull())
+    )
+    counts = steps.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_transitions")
+    )
+    totals = counts.groupBy("from_type").agg(
+        F.sum("n_transitions").cast("long").alias("n_from")
+    )
+    prob = P.spark_half_away(
+        F.col("n_transitions").cast("double")
+        * 1000000.0
+        / F.col("n_from").cast("double")
+    ).cast("long")
+    return (
+        counts.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type", "to_type", "n_transitions", prob.alias("prob_ppm")
+        )
+    )
+
+
+_TRANS_PPM = P.duck_half_away(
+    "CAST(n_transitions AS DOUBLE) * 1000000.0 / CAST(n_from AS DOUBLE)"
+)
+
+Q_EVENT_TRANSITIONS_SQL = f"""
+    WITH steps AS (
+        SELECT event_type AS from_type,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ) AS to_type
+        FROM events
+    ),
+    counts AS (
+        SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n_transitions
+        FROM steps WHERE to_type IS NOT NULL
+        GROUP BY from_type, to_type
+    ),
+    totals AS (
+        SELECT from_type, CAST(SUM(n_transitions) AS BIGINT) AS n_from
+        FROM counts GROUP BY from_type
+    )
+    SELECT c.from_type, c.to_type, c.n_transitions,
+           CAST({_TRANS_PPM} AS BIGINT) AS prob_ppm
+    FROM counts c JOIN totals t ON c.from_type = t.from_type
+"""

@@ -1494,6 +1494,18 @@ _register(
 )
 _register(
     QuerySpec(
+        name="event_transitions",
+        fn=patterns.q_event_transitions,
+        oracle=patterns.Q_EVENT_TRANSITIONS_SQL,
+        description="First-order Markov next-event transition matrix "
+        "(counts + row-normalized ppm probabilities) — one user-keyed "
+        "lead() window, type²-grid aggregate, vocabulary-sized totals "
+        "broadcast; deterministic (ts, event_id) tie-break",
+        ops=("W1", "A1", "P11"),
+    )
+)
+_register(
+    QuerySpec(
         name="audience_overlap",
         fn=analytics.q_audience_overlap,
         oracle=analytics.Q_AUDIENCE_OVERLAP_SQL,

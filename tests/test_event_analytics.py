@@ -174,3 +174,38 @@ def test_asof_join_tied_marker_timestamps(spark, tmp_path):
 
     conftest.assert_matches_oracle(q_asof_join(spark, d), con, Q_ASOF_JOIN_SQL)
     con.close()
+
+
+def test_event_transitions_matrix(spark, tmp_path):
+    """u1: A->B->A, u2: B->B (same-ts tie broken by event_id) — counts and
+    row-normalized ppm probabilities."""
+    import datetime as dtm
+
+    from procurement_system_bigdata_spark.queries.patterns import (
+        q_event_transitions,
+    )
+
+    t0 = dtm.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # (event_id, ts, user_id, type): u2's two B events share a ts —
+        # the (ts, event_id) tie-break must order 10 before 11
+        (1, t0, 1, "A"),
+        (2, t0 + dtm.timedelta(minutes=1), 1, "B"),
+        (3, t0 + dtm.timedelta(minutes=2), 1, "A"),
+        (10, t0, 2, "B"),
+        (11, t0, 2, "B"),
+    ]
+    df = spark.createDataFrame(
+        [(i, ts, u, t, 1.0, "{}") for i, ts, u, t in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    d = str(tmp_path / "sf")
+    df.write.parquet(f"{d}/events.parquet")
+    got = {(r.from_type, r.to_type): r for r in
+           q_event_transitions(spark, d).collect()}
+    assert set(got) == {("A", "B"), ("B", "A"), ("B", "B")}
+    assert got[("A", "B")].n_transitions == 1
+    assert got[("A", "B")].prob_ppm == 1000000  # A's only transition
+    assert got[("B", "A")].prob_ppm == 500000   # B -> {A, B} evenly
+    assert got[("B", "B")].prob_ppm == 500000
