@@ -623,3 +623,94 @@ def split_leakage_report_sql(
     SELECT split_a, split_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
     FROM labeled GROUP BY split_a, split_b
     """
+
+
+WEIGHTED_SALT = "wsample:"
+# ln(HASH_P) through the SAME portable decomposition both engines evaluate,
+# embedded as one shared literal so ln(u) = ln(h+1) - LN_HASH_P is an
+# identical expression tree everywhere
+LN_HASH_P = P.py_portable_ln(P.HASH_P)
+
+
+def weighted_sample_k(
+    df: DataFrame,
+    weight_col: str = "n_chars",
+    group_cols: tuple[str, ...] = ("source",),
+    k: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k per group — the
+    Efraimidis–Spirakis exponential-key scheme made deterministic: each row
+    gets key = ln(u) / w with u = (H(salt||id)+1) / HASH_P ∈ (0, 1] and
+    w = its weight; the k LARGEST keys per group are a weighted-without-
+    replacement sample (equivalent to ranking by u^(1/w); higher weight →
+    key closer to 0 → sampled earlier).  The weighted generalization of
+    ``group_sample_k`` (uniform = all weights equal), for quality- or
+    length-weighted corpus subsampling where uniform would drown the high-
+    value tail.
+
+    Determinism/parity: u comes from the portable salted hash and ln from
+    the portable decomposition (functions/portable.py), so the key is the
+    same double BIT PATTERN on Spark, DuckDB, and the Python twin — the
+    sample is reproducible across engines, reruns, and repartitioning.
+    Non-positive/NULL weights are excluded (ln(u)/w flips sign at w<0 and
+    w=0 is undefined — both would silently corrupt the order).
+
+    Scale: pure per-row key computation (no shuffle), then ONE window
+    shuffle on the group columns; rank<=k reduces map-side first.  100-TB
+    note: the per-group partition must hold the group's rows for the
+    window sort — for k << group size, pre-filtering with a per-partition
+    top-k (mapPartitions heap or an approximate key threshold) bounds the
+    shuffle to ~k rows per partition per group; at testdata scales the
+    plain window is the right plan.
+    """
+    from pyspark.sql.window import Window
+
+    h1 = (
+        P.spark_str_hash(
+            F.concat(F.lit(WEIGHTED_SALT), F.col(id_col).cast("string"))
+        )
+        + 1
+    )
+    key = (P.spark_portable_ln(h1) - F.lit(LN_HASH_P)) / F.col(
+        weight_col
+    ).cast("double")
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.desc("sample_key"), F.col(id_col).cast("long").asc()
+    )
+    return (
+        df.filter(
+            F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
+        )
+        .withColumn("sample_key", key)
+        .withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+    )
+
+
+def weighted_sample_k_sql(
+    table: str = "documents",
+    weight_col: str = "n_chars",
+    group_cols: tuple[str, ...] = ("source",),
+    k: int = 10,
+    id_col: str = "doc_id",
+    cols: tuple[str, ...] = ("doc_id", "text", "lang", "source", "n_chars"),
+) -> str:
+    """SQL twin of ``weighted_sample_k`` (``cols`` = the Spark frame's
+    columns)."""
+    salted = f"'{WEIGHTED_SALT}' || CAST({id_col} AS VARCHAR)"
+    lnh = P.duck_portable_ln(f"({P.duck_str_hash(salted)}) + 1")
+    key = f"(({lnh}) - {LN_HASH_P!r}) / CAST({weight_col} AS DOUBLE)"
+    groups = ", ".join(group_cols)
+    col_list = ", ".join(cols)
+    return f"""
+    SELECT {col_list}, sample_key, sample_rank FROM (
+        SELECT {col_list}, sample_key,
+               ROW_NUMBER() OVER (
+                   PARTITION BY {groups}
+                   ORDER BY sample_key DESC, CAST({id_col} AS BIGINT) ASC
+               ) AS sample_rank
+        FROM (SELECT {col_list}, {key} AS sample_key FROM {table}
+              WHERE {weight_col} IS NOT NULL AND {weight_col} > 0)
+    ) WHERE sample_rank <= {k}
+    """

@@ -197,6 +197,16 @@ def q_group_sample(spark, sf_dir):
 Q_GROUP_SAMPLE_SQL = sampling.group_sample_k_sql()
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Length-weighted k-per-source sample without replacement
+    (Efraimidis–Spirakis exponential keys over the portable hash+ln, so
+    the sample is bit-reproducible across engines)."""
+    return sampling.weighted_sample_k(_docs(spark, sf_dir))
+
+
+Q_WEIGHTED_SAMPLE_SQL = sampling.weighted_sample_k_sql()
+
+
 # approximate by design -> rows-only checks; tests assert LSH candidates are
 # a subset of the exact pairs and IVF recall against the exact top-k.
 

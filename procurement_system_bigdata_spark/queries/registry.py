@@ -1494,6 +1494,18 @@ _register(
 )
 _register(
     QuerySpec(
+        name="weighted_sample",
+        fn=llmdata.q_weighted_sample,
+        oracle=llmdata.Q_WEIGHTED_SAMPLE_SQL,
+        description="Weighted sampling without replacement, k per source "
+        "(Efraimidis–Spirakis exponential keys; portable hash+ln make the "
+        "sample bit-reproducible across engines) — per-row key, one "
+        "group-keyed window shuffle",
+        ops=("W1", "P11"),
+    )
+)
+_register(
+    QuerySpec(
         name="event_transitions",
         fn=patterns.q_event_transitions,
         oracle=patterns.Q_EVENT_TRANSITIONS_SQL,

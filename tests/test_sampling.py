@@ -226,3 +226,76 @@ def test_dsir_ranks_targetlike_docs_above_dissimilar(spark):
         for r in sampling.dsir_importance(docs.repartition(7), select_n=1).collect()
     }
     assert again == {k: v.logw_micro for k, v in out.items()}
+
+
+def test_weighted_sample_matches_python_twin(spark):
+    """The Spark Efraimidis–Spirakis sample must agree bit-for-bit with a
+    pure-Python twin built from the same portable hash + portable ln —
+    key values, ranks, and the selected k-subset."""
+    from pyspark.sql import functions as F
+
+    from procurement_system_bigdata_spark.functions import portable as P
+
+    rows = [(i, f"doc {i}", "en", "src0", (i * 37) % 500 + 1)
+            for i in range(60)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    )
+    got = sampling.weighted_sample_k(docs, k=7).collect()
+    assert len(got) == 7
+
+    def py_hash(s: str) -> int:
+        acc = P.HASH_SEED
+        for ch in s:
+            acc = (acc * 31 + ord(ch)) % P.HASH_P
+        return acc
+
+    def py_key(doc_id: int, w: int) -> float:
+        h1 = py_hash(f"{sampling.WEIGHTED_SALT}{doc_id}") + 1
+        return (P.py_portable_ln(h1) - sampling.LN_HASH_P) / float(w)
+
+    expect = sorted(
+        ((py_key(i, w), -i) for i, _, _, _, w in rows), reverse=True
+    )[:7]
+    expect_ids = [-neg for _, neg in expect]
+    got_sorted = sorted(got, key=lambda r: r.sample_rank)
+    assert [r.doc_id for r in got_sorted] == expect_ids
+    for r, (k_expected, neg) in zip(got_sorted, expect):
+        assert r.sample_key == k_expected, "key not bit-identical to twin"
+
+
+def test_weighted_sample_weight_monotonicity(spark):
+    """All else equal (same ids -> same u), scaling ONE row's weight up
+    moves its key toward 0 and can only improve its rank; zero/NULL
+    weights are excluded outright."""
+    base = [(i, "t", "en", "src0", 10) for i in range(40)]
+    docs = spark.createDataFrame(
+        base, "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    )
+    first = sampling.weighted_sample_k(docs, k=5).collect()
+    unsampled = set(range(40)) - {r.doc_id for r in first}
+    target = min(unsampled)
+    boosted = [(i, t, l, s, 10_000_000 if i == target else w)
+               for i, t, l, s, w in base]
+    docs2 = spark.createDataFrame(
+        boosted, "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    )
+    second = sampling.weighted_sample_k(docs2, k=5).collect()
+    assert target in {r.doc_id for r in second}, (
+        "a 1e6x weight boost must pull the row into the k=5 sample"
+    )
+
+    with_bad = docs.union(
+        spark.createDataFrame(
+            [(100, "t", "en", "src0", 0), (101, "t", "en", "src0", None)],
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long",
+        )
+    )
+    out = sampling.weighted_sample_k(with_bad, k=100).collect()
+    assert {r.doc_id for r in out} == set(range(40)), (
+        "zero/NULL weights must be excluded"
+    )
