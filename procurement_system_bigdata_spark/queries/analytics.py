@@ -1686,3 +1686,121 @@ Q_AUDIENCE_OVERLAP_SQL = """
     FROM pairs p JOIN unions u
       ON p.type_a = u.type_a AND p.type_b = u.type_b
 """
+
+
+# PSI dials: a coarse fixed grid (20 bins over the shared histogram range —
+# the decile-family practice for drift monitors; 100 sketch bins would let
+# +1 Laplace smoothing dominate real mass at per-type volumes) and +1
+# smoothing so empty bins contribute finite, engine-identical terms.
+PSI_BINS = 20
+
+
+def q_value_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift monitor: for each event type, the
+    PSI of its value distribution against the GLOBAL value distribution —
+    the standard production check that a segment's metric distribution has
+    not drifted from the corpus it was calibrated on (PSI < 0.1 stable,
+    0.1-0.25 moderate, > 0.25 action).
+
+    Exactness: bins are the shared fixed grid (operators/sketches), counts
+    are exact BIGINTs, and each bin's term (p-q)·ln(p/q) uses Laplace +1
+    smoothing so ln arguments are the exact integer products
+    (n_tb+1)·(N_G+B) and (n_gb+1)·(N_T+B) — portable_ln over BIGINT gives
+    the same double bit pattern on both engines, and terms are fixed-
+    pointed to micro units BEFORE the per-type sum, so no float
+    accumulation order exists anywhere.  (Integer products stay under 2^63
+    for corpora below ~3e9 rows per side; past that, lift the products to
+    DECIMAL(38,0) on both engines.)
+
+    Scale: one finite-filtered scan binned map-side, ONE keyed aggregate at
+    (type × bin) cardinality; the global margin derives from the same
+    aggregate (no second scan), and the B-bin densification is a
+    vocabulary-sized cross join — everything after the first aggregate is
+    broadcast-scale.
+    """
+    from ..operators.sketches import HIST_HI, HIST_LO, _bin_col
+
+    ev = load_table(spark, sf_dir, "events")
+    binned = ev.filter(P.spark_finite(F.col("value"))).select(
+        "event_type", _bin_col("value", HIST_LO, HIST_HI, PSI_BINS).alias("bin")
+    )
+    bt = (
+        binned.groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_tb"))
+        .localCheckpoint()  # feeds margins AND the densified join
+    )
+    gb = bt.groupBy("bin").agg(F.sum("n_tb").cast("long").alias("n_gb"))
+    nt = bt.groupBy("event_type").agg(
+        F.sum("n_tb").cast("long").alias("n_t")
+    )
+    ng = gb.agg(F.sum("n_gb").cast("long").alias("n_g"))
+    grid = (
+        nt.crossJoin(F.broadcast(spark.range(PSI_BINS).select(F.col("id").alias("bin"))))
+        .join(bt, ["event_type", "bin"], "left")
+        .join(F.broadcast(gb), "bin", "left")
+        .crossJoin(F.broadcast(ng))
+        .select(
+            "event_type",
+            "n_t",
+            "n_g",
+            F.coalesce(F.col("n_tb"), F.lit(0)).alias("n_tb"),
+            F.coalesce(F.col("n_gb"), F.lit(0)).alias("n_gb"),
+        )
+    )
+    b = F.lit(PSI_BINS).cast("long")
+    p = (F.col("n_tb") + 1).cast("double") / (F.col("n_t") + b).cast("double")
+    q = (F.col("n_gb") + 1).cast("double") / (F.col("n_g") + b).cast("double")
+    ln_pq = P.spark_portable_ln(
+        (F.col("n_tb") + 1) * (F.col("n_g") + b)
+    ) - P.spark_portable_ln((F.col("n_gb") + 1) * (F.col("n_t") + b))
+    term_micro = P.spark_half_away((p - q) * ln_pq * 1000000.0).cast("long")
+    return (
+        grid.select("event_type", "n_t", term_micro.alias("tm"))
+        .groupBy("event_type")
+        .agg(
+            F.first("n_t").alias("n_events"),
+            F.sum("tm").cast("long").alias("psi_micro"),
+        )
+    )
+
+
+def _psi_sql() -> str:
+    from ..operators.sketches import HIST_HI, HIST_LO, _bin_sql
+
+    b = PSI_BINS
+    bin_expr = _bin_sql("value", HIST_LO, HIST_HI, b)
+    ln_num = P.duck_portable_ln(f"(n_tb + 1) * (n_g + {b})")
+    ln_den = P.duck_portable_ln(f"(n_gb + 1) * (n_t + {b})")
+    term = (
+        f"((CAST(n_tb + 1 AS DOUBLE) / CAST(n_t + {b} AS DOUBLE)) - "
+        f"(CAST(n_gb + 1 AS DOUBLE) / CAST(n_g + {b} AS DOUBLE))) * "
+        f"(({ln_num}) - ({ln_den})) * 1000000.0"
+    )
+    return f"""
+    WITH binned AS (
+        SELECT event_type, {bin_expr} AS bin
+        FROM events WHERE {P.duck_finite("value")}
+    ),
+    bt AS (SELECT event_type, bin, CAST(COUNT(*) AS BIGINT) AS n_tb
+           FROM binned GROUP BY 1, 2),
+    gb AS (SELECT bin, CAST(SUM(n_tb) AS BIGINT) AS n_gb FROM bt GROUP BY 1),
+    nt AS (SELECT event_type, CAST(SUM(n_tb) AS BIGINT) AS n_t
+           FROM bt GROUP BY 1),
+    ng AS (SELECT CAST(SUM(n_gb) AS BIGINT) AS n_g FROM gb),
+    grid AS (
+        SELECT nt.event_type, nt.n_t, ng.n_g,
+               COALESCE(bt.n_tb, 0) AS n_tb, COALESCE(gb.n_gb, 0) AS n_gb
+        FROM nt
+        CROSS JOIN (SELECT UNNEST(range({b})) AS bin) bins
+        LEFT JOIN bt ON bt.event_type = nt.event_type AND bt.bin = bins.bin
+        LEFT JOIN gb ON gb.bin = bins.bin
+        CROSS JOIN ng
+    )
+    SELECT event_type, ANY_VALUE(n_t) AS n_events,
+           CAST(SUM(CAST({P.duck_half_away(term)} AS BIGINT)) AS BIGINT)
+               AS psi_micro
+    FROM grid GROUP BY event_type
+    """
+
+
+Q_VALUE_PSI_SQL = _psi_sql()

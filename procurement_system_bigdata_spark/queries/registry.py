@@ -1494,6 +1494,18 @@ _register(
 )
 _register(
     QuerySpec(
+        name="value_psi",
+        fn=analytics.q_value_psi,
+        oracle=analytics.Q_VALUE_PSI_SQL,
+        description="Population-stability-index drift monitor per event "
+        "type vs the global value distribution — fixed-grid bins, Laplace-"
+        "smoothed terms via portable_ln over exact BIGINT products, micro-"
+        "fixed-pointed before the sum (no float accumulation order)",
+        ops=("A1", "A5", "P11"),
+    )
+)
+_register(
+    QuerySpec(
         name="weighted_sample",
         fn=llmdata.q_weighted_sample,
         oracle=llmdata.Q_WEIGHTED_SAMPLE_SQL,

@@ -209,3 +209,40 @@ def test_event_transitions_matrix(spark, tmp_path):
     assert got[("A", "B")].prob_ppm == 1000000  # A's only transition
     assert got[("B", "A")].prob_ppm == 500000   # B -> {A, B} evenly
     assert got[("B", "B")].prob_ppm == 500000
+
+
+def test_value_psi_detects_drift(spark, tmp_path):
+    """A type concentrated far from the global mass must score a large
+    PSI; a type mirroring the global mix scores near zero; PSI is always
+    non-negative."""
+    import datetime as dtm
+
+    from procurement_system_bigdata_spark.queries.analytics import (
+        q_value_psi,
+    )
+
+    t0 = dtm.datetime(2024, 1, 1, 12)
+    rows = []
+    # 'bulk' and 'mirror' share one distribution (values ~400, high bins);
+    # 'drift' sits at ~10, far from the global mass.  Note the reference
+    # population is the GLOBAL mix, so bulk/mirror carry a small true PSI
+    # too (they lack drift's bin-0 mass) — assertions are relative.
+    rows += [("bulk", 400.0 + (i % 5)) for i in range(2000)]
+    rows += [("mirror", 400.0 + (i % 5)) for i in range(2000)]
+    rows += [("drift", 10.0 + (i % 3)) for i in range(200)]
+    df = spark.createDataFrame(
+        [(i, t0, 1, t, v, "{}") for i, (t, v) in enumerate(rows)],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    d = str(tmp_path / "sf")
+    df.write.parquet(f"{d}/events.parquet")
+    got = {r.event_type: r for r in q_value_psi(spark, d).collect()}
+    assert set(got) == {"bulk", "mirror", "drift"}
+    assert all(r.psi_micro >= 0 for r in got.values())
+    # 0.25 (action threshold) = 250_000 micro: the drifted type is FAR out
+    assert got["drift"].psi_micro > 250_000
+    assert got["drift"].psi_micro > 10 * got["mirror"].psi_micro
+    # identical distributions at identical volume -> bit-equal PSI (the
+    # whole pipeline is integer counts + portable ln + fixed-point terms)
+    assert got["mirror"].psi_micro == got["bulk"].psi_micro
