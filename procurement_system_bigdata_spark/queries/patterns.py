@@ -673,8 +673,12 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("to_type", F.lead("from_type").over(w))
         .filter(F.col("to_type").isNotNull())
     )
-    counts = steps.groupBy("from_type", "to_type").agg(
-        F.count(F.lit(1)).cast("long").alias("n_transitions")
+    # counts is type²-sized with two consumers (totals + the final attach):
+    # materialize once so neither consumer re-runs the lead() window chain
+    counts = (
+        steps.groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_transitions"))
+        .localCheckpoint()
     )
     totals = counts.groupBy("from_type").agg(
         F.sum("n_transitions").cast("long").alias("n_from")

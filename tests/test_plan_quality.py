@@ -421,3 +421,31 @@ def test_audience_overlap_plan(spark):
     assert stats["python_udfs"] == 0
     assert stats["sort_merge_joins"] == 0
     assert stats["shuffles"] <= 4
+
+
+def test_weighted_sample_single_window_shuffle(spark):
+    """E-S weighted sampling: the key is a pure per-row projection, so the
+    ONLY exchange allowed is the group window's partitionBy."""
+    stats = plan_stats(REGISTRY["weighted_sample"].fn(spark, SF_DIR))
+    assert stats["python_udfs"] == 0
+    assert stats["shuffles"] == 1
+    assert stats["sort_merge_joins"] == 0
+
+
+def test_value_psi_plan(spark):
+    """PSI: one keyed aggregate at type-by-bin cardinality; everything
+    after it (margins, densified grid, term sum) is broadcast-scale."""
+    stats = plan_stats(REGISTRY["value_psi"].fn(spark, SF_DIR))
+    assert stats["python_udfs"] == 0
+    assert stats["sort_merge_joins"] == 0
+    assert stats["shuffles"] <= 4
+
+
+def test_event_transitions_plan(spark):
+    """Markov matrix: one user-keyed window shuffle + the grid aggregate;
+    totals attach as a broadcast."""
+    stats = plan_stats(REGISTRY["event_transitions"].fn(spark, SF_DIR))
+    assert stats["python_udfs"] == 0
+    assert stats["sort_merge_joins"] == 0
+    assert stats["broadcast_hash_joins"] >= 1
+    assert stats["shuffles"] <= 3
