@@ -1605,8 +1605,17 @@ def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ever joined on user_id.
     """
     ev = load_table(spark, sf_dir, "events")
-    # COMPUTED frame (distinct) with three consumers -> materialization rule
-    d = ev.select("user_id", "event_type").distinct().localCheckpoint()
+    # NULL user_id rows are excluded up front: COUNT(*) over the distinct
+    # pairs would count a NULL "user" in exact_a/exact_b while every
+    # DISTINCT user_id (and every HLL sketch) skips it — inflating
+    # exact_intersection identically on both engines, which the hash gate
+    # can never catch (review-confirmed with a planted NULL)
+    d = (
+        ev.filter(F.col("user_id").isNotNull())
+        .select("user_id", "event_type")
+        .distinct()
+        .localCheckpoint()  # COMPUTED frame with three consumers
+    )
     # t is type-vocabulary-sized and feeds three consumers (both cross-join
     # sides and, via pairs, the contribution expansion + the final attach) —
     # materialize so the per-type aggregate runs once, not per consumer
@@ -1631,10 +1640,19 @@ def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("approx_n").alias("approx_b"),
     )
     pairs = ta.crossJoin(tb).filter(F.col("type_a") < F.col("type_b"))
+    # membership table, not an OR predicate: joining d to the pair list on
+    # (et = type_a OR et = type_b) plans as a BroadcastNestedLoopJoin that
+    # evaluates every row against all C(T,2) pairs; exploding each pair
+    # into its two member rows makes it a plain equi BroadcastHashJoin
+    # (2 hash lookups per row) — the difference is a T/4-ish factor of
+    # per-row join work at corpus scale
+    mem = pairs.select(
+        "type_a",
+        "type_b",
+        F.explode(F.array("type_a", "type_b")).alias("member_type"),
+    )
     contrib = d.join(
-        F.broadcast(pairs.select("type_a", "type_b")),
-        (F.col("event_type") == F.col("type_a"))
-        | (F.col("event_type") == F.col("type_b")),
+        F.broadcast(mem), d.event_type == mem.member_type
     ).select("type_a", "type_b", "user_id")
     unions = contrib.groupBy("type_a", "type_b").agg(
         F.countDistinct("user_id").cast("long").alias("exact_union"),
@@ -1664,7 +1682,8 @@ def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q_AUDIENCE_OVERLAP_SQL = """
-    WITH d AS (SELECT DISTINCT user_id, event_type FROM events),
+    WITH d AS (SELECT DISTINCT user_id, event_type FROM events
+               WHERE user_id IS NOT NULL),
     t AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS exact_n
           FROM d GROUP BY event_type),
     pairs AS (
@@ -1718,15 +1737,21 @@ def q_value_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary-sized cross join — everything after the first aggregate is
     broadcast-scale.
     """
-    from ..operators.sketches import HIST_HI, HIST_LO, _bin_col
+    from ..operators.sketches import HIST_HI, HIST_LO, value_histogram_by
 
     ev = load_table(spark, sf_dir, "events")
-    binned = ev.filter(P.spark_finite(F.col("value"))).select(
-        "event_type", _bin_col("value", HIST_LO, HIST_HI, PSI_BINS).alias("bin")
-    )
+    # the binned counts ARE the shared per-group histogram sketch — reuse
+    # the sketches module's single definition (finite guard + grid) so PSI
+    # can never bin differently from every other sketch consumer
     bt = (
-        binned.groupBy("event_type", "bin")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_tb"))
+        value_histogram_by(
+            ev, "event_type", "value", HIST_LO, HIST_HI, PSI_BINS
+        )
+        .select(
+            F.col("grp").alias("event_type"),
+            "bin",
+            F.col("cnt").cast("long").alias("n_tb"),
+        )
         .localCheckpoint()  # feeds margins AND the densified join
     )
     gb = bt.groupBy("bin").agg(F.sum("n_tb").cast("long").alias("n_gb"))
@@ -1765,10 +1790,12 @@ def q_value_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _psi_sql() -> str:
-    from ..operators.sketches import HIST_HI, HIST_LO, _bin_sql
+    from ..operators.sketches import HIST_HI, HIST_LO, value_histogram_by_sql
 
     b = PSI_BINS
-    bin_expr = _bin_sql("value", HIST_LO, HIST_HI, b)
+    hist = value_histogram_by_sql(
+        "events", "event_type", "value", HIST_LO, HIST_HI, b
+    )
     ln_num = P.duck_portable_ln(f"(n_tb + 1) * (n_g + {b})")
     ln_den = P.duck_portable_ln(f"(n_gb + 1) * (n_t + {b})")
     term = (
@@ -1777,12 +1804,7 @@ def _psi_sql() -> str:
         f"(({ln_num}) - ({ln_den})) * 1000000.0"
     )
     return f"""
-    WITH binned AS (
-        SELECT event_type, {bin_expr} AS bin
-        FROM events WHERE {P.duck_finite("value")}
-    ),
-    bt AS (SELECT event_type, bin, CAST(COUNT(*) AS BIGINT) AS n_tb
-           FROM binned GROUP BY 1, 2),
+    WITH bt AS (SELECT grp AS event_type, bin, cnt AS n_tb FROM ({hist})),
     gb AS (SELECT bin, CAST(SUM(n_tb) AS BIGINT) AS n_gb FROM bt GROUP BY 1),
     nt AS (SELECT event_type, CAST(SUM(n_tb) AS BIGINT) AS n_t
            FROM bt GROUP BY 1),

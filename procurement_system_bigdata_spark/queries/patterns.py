@@ -30,6 +30,8 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle uses its native ASOF JOIN.
     """
     ev = load_table(spark, sf_dir, "events")
+    # NULL-ts guard: same divergent-NULL-ordering class as event_transitions
+    ev = ev.filter(F.col("ts").isNotNull())
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "user_id", F.col("event_id").alias("purchase_id"),
         F.unix_micros("ts").alias("pts"),
@@ -72,7 +74,7 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q_ASOF_JOIN_SQL = """
     WITH purchases AS (
         SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS pts
-        FROM events WHERE event_type = 'purchase'
+        FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
     ),
     markers AS (
         -- pre-aggregate tied timestamps to MAX(marker_id): DuckDB's ASOF
@@ -81,7 +83,7 @@ Q_ASOF_JOIN_SQL = """
         -- ignorenulls) deterministically carries the largest id — this
         -- makes the tie-break explicit and identical on both engines
         SELECT user_id, MAX(event_id) AS marker_id, epoch_us(ts) AS mts
-        FROM events WHERE event_type = 'view'
+        FROM events WHERE event_type = 'view' AND ts IS NOT NULL
         GROUP BY user_id, epoch_us(ts)
     )
     SELECT p.user_id, p.purchase_id, p.pts AS purchase_ts_us,
@@ -97,7 +99,10 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lag + conditional cumsum — the standard window composition; the
     streaming equivalent is session_window, streaming/events.py)."""
     ev = load_table(spark, sf_dir, "events")
-    base = ev.select("user_id", F.unix_micros("ts").alias("ts_us"), "event_id")
+    # NULL-ts guard: same divergent-NULL-ordering class as event_transitions
+    base = ev.filter(F.col("ts").isNotNull()).select(
+        "user_id", F.unix_micros("ts").alias("ts_us"), "event_id"
+    )
     w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     gap_us = SESSION_GAP_MIN * 60 * 1_000_000
     with_new = base.withColumn(
@@ -122,6 +127,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q_SESSIONIZE_SQL = f"""
     WITH base AS (
         SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events
+        WHERE ts IS NOT NULL
     ),
     flagged AS (
         SELECT *,
@@ -181,7 +187,8 @@ def q_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     One shuffle on user_id serves every window (same partition key).
     """
     ev = load_table(spark, sf_dir, "events")
-    base = ev.select(
+    # NULL-ts guard: same divergent-NULL-ordering class as event_transitions
+    base = ev.filter(F.col("ts").isNotNull()).select(
         "user_id",
         F.unix_micros("ts").alias("ts_us"),
         "event_id",
@@ -220,7 +227,7 @@ Q_WINDOW_FRAMES_SQL = """
     WITH base AS (
         SELECT user_id, epoch_us(ts) AS ts_us, event_id, value,
                CAST(ROUND(value * 100) AS BIGINT) AS cents
-        FROM events
+        FROM events WHERE ts IS NOT NULL
     )
     SELECT user_id, ts_us, event_id, value,
         LAG(value) OVER w AS prev_value,
@@ -664,7 +671,12 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     steps = (
-        ev.select(
+        # NULL-ts guard (whole-class fix, review round 5): Spark windows
+        # sort NULLs FIRST, DuckDB NULLS LAST — any NULL ts silently
+        # reorders one engine's stream; an unorderable event cannot take
+        # part in an ordered transition, so both engines drop it
+        ev.filter(F.col("ts").isNotNull())
+        .select(
             "user_id",
             F.unix_micros("ts").alias("ts_us"),
             "event_id",
@@ -706,7 +718,7 @@ Q_EVENT_TRANSITIONS_SQL = f"""
                LEAD(event_type) OVER (
                    PARTITION BY user_id ORDER BY epoch_us(ts), event_id
                ) AS to_type
-        FROM events
+        FROM events WHERE ts IS NOT NULL
     ),
     counts AS (
         SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n_transitions

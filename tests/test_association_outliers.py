@@ -125,7 +125,8 @@ def test_audience_overlap_inclusion_exclusion(spark, tmp_path):
     )
 
     rows = [(1, "A"), (1, "B"), (2, "A"), (3, "B"), (3, "C"),
-            (1, "A")]  # duplicate (u1, A) event must not double-count
+            (1, "A"),   # duplicate (u1, A) event must not double-count
+            (None, "A"), (None, "C")]  # NULL users: in no audience at all
     d = str(tmp_path / "sf")
     spark.createDataFrame(
         [(i, dt.datetime(2024, 1, 1, 12), u, t, 1.0, "{}")

@@ -194,6 +194,10 @@ def test_event_transitions_matrix(spark, tmp_path):
         (3, t0 + dtm.timedelta(minutes=2), 1, "A"),
         (10, t0, 2, "B"),
         (11, t0, 2, "B"),
+        # NULL ts cannot be ordered — both engines drop it (the divergent
+        # NULL-placement class: Spark windows sort NULLS FIRST, DuckDB
+        # NULLS LAST, so keeping it would reorder one engine's stream)
+        (12, None, 2, "A"),
     ]
     df = spark.createDataFrame(
         [(i, ts, u, t, 1.0, "{}") for i, ts, u, t in rows],

@@ -414,12 +414,16 @@ def test_robust_outliers_plan(spark):
 
 
 def test_audience_overlap_plan(spark):
-    """Sketch overlap: pair expansion joins against the broadcast type-pair
-    list (never a shuffle on user_id for the sketch path); all aggregates
-    map-side combinable, no Python UDFs."""
+    """Sketch overlap: the DATA-sized join (distinct (user,type) rows vs
+    the pair list) must be an equi BroadcastHashJoin against the exploded
+    membership table — an OR predicate would plan as a nested loop that
+    evaluates every row against all C(T,2) pairs (review round 5).  The
+    remaining nested-loop joins are vocab²- or 1-row-sized by construction.
+    Never a shuffle or join on user_id; all aggregates map-side combinable."""
     stats = plan_stats(REGISTRY["audience_overlap"].fn(spark, SF_DIR))
     assert stats["python_udfs"] == 0
     assert stats["sort_merge_joins"] == 0
+    assert stats["broadcast_hash_joins"] >= 2  # contrib expansion + attach
     assert stats["shuffles"] <= 4
 
 
