@@ -733,3 +733,150 @@ Q_EVENT_TRANSITIONS_SQL = f"""
            CAST({_TRANS_PPM} AS BIGINT) AS prob_ppm
     FROM counts c JOIN totals t ON c.from_type = t.from_type
 """
+
+
+def q_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per-user activity streaks over calendar days —
+    number of distinct active days, number of maximal consecutive-day
+    runs, and the longest run.  The engagement metric behind "7-day
+    streak" product features, and the canonical islands composition:
+    group key = day − row_number(day), constant exactly within a
+    consecutive run.
+
+    Scale: one user-keyed shuffle for the window; both downstream
+    aggregates stay on the user key (same partitioning, no second
+    exchange for the outer groupBy's map side).  NULL ts drops under the
+    same divergent-NULL-ordering guard as the rest of this family.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    days = (
+        ev.filter(F.col("ts").isNotNull())
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    islands = days.withColumn(
+        "grp", F.date_sub(F.col("day"), F.row_number().over(w))
+    )
+    streaks = islands.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).cast("long").alias("len"),
+        F.min("day").alias("streak_start"),
+    )
+    return streaks.groupBy("user_id").agg(
+        F.sum("len").cast("long").alias("n_active_days"),
+        F.count(F.lit(1)).cast("long").alias("n_streaks"),
+        F.max("len").cast("long").alias("longest_streak_days"),
+        F.min("streak_start").alias("first_active_day"),
+    )
+
+
+Q_USER_STREAKS_SQL = """
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        FROM events WHERE ts IS NOT NULL
+    ),
+    islands AS (
+        SELECT user_id, day,
+               day - CAST(ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY day
+               ) AS INTEGER) AS grp
+        FROM days
+    ),
+    streaks AS (
+        SELECT user_id, grp, CAST(COUNT(*) AS BIGINT) AS len,
+               MIN(day) AS streak_start
+        FROM islands GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(SUM(len) AS BIGINT) AS n_active_days,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks,
+           CAST(MAX(len) AS BIGINT) AS longest_streak_days,
+           MIN(streak_start) AS first_active_day
+    FROM streaks GROUP BY user_id
+"""
+
+
+def q_twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per (user, day) — each event's value
+    weighted by the interval until the user's NEXT event that day (the
+    last event of a day closes the window and carries no weight; days
+    with one event have no intervals and are excluded).  The standard
+    monitoring/finance aggregation where a plain AVG over-counts bursts:
+    with events at 09:00 (v=1, held 8 h) and 17:00 (v=100), AVG says
+    50.5 but the day's exposure was v=1 — TWAP says 1.
+
+    Exactness: intervals are exact BIGINT microseconds, values are
+    fixed-point micro-units, and the Σ(value·dt) accumulator is
+    DECIMAL(38,0) on both engines — the BIGINT product of a 500-unit
+    value (5e8 micro) by a near-day interval (8.6e10 µs) is ~4e19, past
+    2^63, so a LONG sum would overflow silently.  One double division at
+    the edge, half-away fixed-pointed.
+
+    Scale: one user-keyed window shuffle; the (user, day) aggregate
+    reuses the partitioning map-side.  NULL ts and non-finite values drop
+    under the shared guards.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.filter(
+        F.col("ts").isNotNull() & P.spark_finite(F.col("value"))
+    ).select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        P.spark_half_away(F.col("value") * 1000000.0)
+        .cast("long")
+        .alias("value_u"),
+    )
+    w = Window.partitionBy("user_id", "day").orderBy("ts_us", "event_id")
+    with_dt = base.withColumn(
+        "dt_us", F.lead("ts_us").over(w) - F.col("ts_us")
+    ).filter(F.col("dt_us").isNotNull())
+    agg = with_dt.groupBy("user_id", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_intervals"),
+        F.sum("dt_us").cast("long").alias("span_us"),
+        F.sum(
+            F.col("value_u").cast("decimal(38,0)") * F.col("dt_us")
+        ).alias("_vdt"),
+    )
+    twap = F.when(
+        F.col("span_us") > 0,
+        P.spark_half_away(
+            F.col("_vdt").cast("double") / F.col("span_us").cast("double")
+        ).cast("long"),
+    )
+    return agg.select(
+        "user_id", "day", "n_intervals", "span_us",
+        twap.alias("twap_micro"),
+    )
+
+
+_TWAP_VAL_U = P.duck_half_away("value * 1000000.0")
+
+Q_TWAP_DAILY_SQL = f"""
+    WITH base AS (
+        SELECT user_id, CAST(ts AS DATE) AS day, epoch_us(ts) AS ts_us,
+               event_id, CAST({_TWAP_VAL_U} AS BIGINT) AS value_u
+        FROM events
+        WHERE ts IS NOT NULL AND {P.duck_finite("value")}
+    ),
+    with_dt AS (
+        SELECT *, LEAD(ts_us) OVER (PARTITION BY user_id, day
+                                    ORDER BY ts_us, event_id) - ts_us AS dt_us
+        FROM base
+    ),
+    agg AS (
+        SELECT user_id, day,
+               CAST(COUNT(*) AS BIGINT) AS n_intervals,
+               CAST(SUM(dt_us) AS BIGINT) AS span_us,
+               SUM(CAST(value_u AS DECIMAL(38,0)) * dt_us) AS vdt
+        FROM with_dt WHERE dt_us IS NOT NULL
+        GROUP BY 1, 2
+    )
+    SELECT user_id, day, n_intervals, span_us,
+           CASE WHEN span_us > 0 THEN
+               CAST({P.duck_half_away("CAST(vdt AS DOUBLE) / CAST(span_us AS DOUBLE)")}
+                    AS BIGINT)
+           END AS twap_micro
+    FROM agg
+"""

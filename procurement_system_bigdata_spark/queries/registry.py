@@ -1494,6 +1494,29 @@ _register(
 )
 _register(
     QuerySpec(
+        name="twap_daily",
+        fn=patterns.q_twap_daily,
+        oracle=patterns.Q_TWAP_DAILY_SQL,
+        description="Time-weighted average value per (user, day): lead()-"
+        "interval weights, DECIMAL(38,0) value-time accumulator (BIGINT "
+        "would overflow at value*day-interval products), one double "
+        "division at the edge — one user-keyed window shuffle",
+        ops=("W1", "A1", "A8", "P11"),
+    )
+)
+_register(
+    QuerySpec(
+        name="user_streaks",
+        fn=patterns.q_user_streaks,
+        oracle=patterns.Q_USER_STREAKS_SQL,
+        description="Gaps-and-islands activity streaks per user (day - "
+        "row_number island key): active days, streak count, longest run "
+        "— one user-keyed window shuffle, downstream aggs reuse the key",
+        ops=("W1", "A1", "A4", "P8"),
+    )
+)
+_register(
+    QuerySpec(
         name="value_psi",
         fn=analytics.q_value_psi,
         oracle=analytics.Q_VALUE_PSI_SQL,

@@ -250,3 +250,62 @@ def test_value_psi_detects_drift(spark, tmp_path):
     # identical distributions at identical volume -> bit-equal PSI (the
     # whole pipeline is integer counts + portable ln + fixed-point terms)
     assert got["mirror"].psi_micro == got["bulk"].psi_micro
+
+
+def test_user_streaks_islands(spark, tmp_path):
+    """Days {1,2,3,5,6,9} -> streaks [3,2,1]; duplicate same-day events
+    collapse; NULL ts drops."""
+    from procurement_system_bigdata_spark.queries.patterns import (
+        q_user_streaks,
+    )
+
+    days = ["2024-01-01", "2024-01-02", "2024-01-03", "2024-01-05",
+            "2024-01-06", "2024-01-09", "2024-01-09"]  # dup day
+    df = _ev(spark, [(1, d) for d in days])
+    null_row = spark.createDataFrame(
+        [(99, None, 1, "view", 1.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    d = str(tmp_path / "sf")
+    df.union(null_row).write.parquet(f"{d}/events.parquet")
+    got = {r.user_id: r for r in q_user_streaks(spark, d).collect()}
+    r = got[1]
+    assert r.n_active_days == 6
+    assert r.n_streaks == 3
+    assert r.longest_streak_days == 3
+    assert str(r.first_active_day) == "2024-01-01"
+
+
+def test_twap_daily_interval_weighting(spark, tmp_path):
+    """09:00 v=1 (held 8 h), 17:00 v=100 (held 1 h), 18:00 v=50 (closes
+    the day, no weight): TWAP = (1*8 + 100*1)/9 = 12 exactly — far from
+    the naive AVG of 50.3.  A single-event day has no intervals and is
+    absent."""
+    import datetime as dtm
+
+    from procurement_system_bigdata_spark.queries.patterns import (
+        q_twap_daily,
+    )
+
+    d0 = dtm.datetime(2024, 1, 1, 9)
+    rows = [
+        (1, d0, 1, "view", 1.0, "{}"),
+        (2, d0 + dtm.timedelta(hours=8), 1, "view", 100.0, "{}"),
+        (3, d0 + dtm.timedelta(hours=9), 1, "view", 50.0, "{}"),
+        # user 2: single event that day -> excluded
+        (4, d0, 2, "view", 7.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    d = str(tmp_path / "sf")
+    df.write.parquet(f"{d}/events.parquet")
+    got = {(r.user_id, str(r.day)): r for r in q_twap_daily(spark, d).collect()}
+    assert set(got) == {(1, "2024-01-01")}
+    r = got[(1, "2024-01-01")]
+    assert r.n_intervals == 2
+    assert r.span_us == 9 * 3600 * 1_000_000
+    assert r.twap_micro == 12_000_000

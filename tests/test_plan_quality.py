@@ -453,3 +453,15 @@ def test_event_transitions_plan(spark):
     assert stats["sort_merge_joins"] == 0
     assert stats["broadcast_hash_joins"] >= 1
     assert stats["shuffles"] <= 3
+
+
+def test_streaks_and_twap_reuse_user_partitioning(spark):
+    """Both gaps-and-islands and TWAP shuffle once on the user key; the
+    downstream aggregates stay on (a superset of) the window key."""
+    for name, max_shuffles in (("user_streaks", 3), ("twap_daily", 2)):
+        stats = plan_stats(REGISTRY[name].fn(spark, SF_DIR))
+        assert stats["python_udfs"] == 0, name
+        assert stats["sort_merge_joins"] == 0, name
+        assert stats["shuffles"] <= max_shuffles, (
+            f"{name}: {stats['shuffles']} shuffles"
+        )
