@@ -1826,3 +1826,122 @@ def _psi_sql() -> str:
 
 
 Q_VALUE_PSI_SQL = _psi_sql()
+
+
+RFM_BUCKETS = 5
+
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: recency (days since last order, vs the
+    corpus max date — self-anchoring, no wall-clock), frequency (order
+    count), monetary (exact cents), each quintile-scored 1..5 with 5 best.
+
+    Bucketing uses an explicit floor formula over the adaptive global
+    sequence (operators/ranking.with_global_sequence — single-partition
+    sort only below 1M rows, two-phase range-sort above), NOT the window
+    NTILE: NTILE hands remainder rows to the FIRST buckets while the
+    formula spreads them by position, and only the formula is reproducible
+    from a row number on both engines.  The oracle mirrors the same
+    ROW_NUMBER + floor math.  Every order key is totally ordered (metric,
+    then custkey), so scores are deterministic.
+
+    Scale: one custkey-keyed aggregate over orders, then three rankings of
+    the CUSTOMER-level table (already reduced; the ranking operator's
+    adaptive dial owns the sort strategy).
+    """
+    from ..operators.ranking import with_global_sequence
+
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        orders.groupBy(F.col("o_custkey").cast("long").alias("c_custkey"))
+        .agg(
+            F.max(F.to_date("o_orderdate")).alias("last_order"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(_cents(F.col("o_totalprice"))).cast("long").alias(
+                "monetary_cents"
+            ),
+        )
+        .localCheckpoint()  # three ranking consumers + the max-date reduce
+    )
+    ref = per_cust.agg(F.max("last_order").alias("ref_date"))
+    base = per_cust.crossJoin(F.broadcast(ref)).select(
+        "c_custkey",
+        F.datediff(F.col("ref_date"), F.col("last_order"))
+        .cast("long")
+        .alias("recency_days"),
+        "n_orders",
+        "monetary_cents",
+    )
+    n_total = base.count()
+
+    def score(df, order_cols, col_name):
+        seq = with_global_sequence(df, order_cols, seq_col="_seq")
+        # explicit floor on BOTH engines: a bare double->BIGINT cast
+        # truncates in Spark but ROUNDS in DuckDB (the documented
+        # cast-discipline class — this very line diverged without it)
+        bucket = F.floor(
+            F.lit(RFM_BUCKETS) * (F.col("_seq") - 1) / F.lit(n_total)
+        ).cast("long") + 1
+        return seq.withColumn(col_name, bucket.cast("long")).drop("_seq")
+
+    # best first in every ordering: recency ASC (fresh buyers), others DESC
+    out = score(base, [F.asc("recency_days"), F.asc("c_custkey")], "_r_inv")
+    out = score(
+        out, [F.desc("n_orders"), F.asc("c_custkey")], "_f_inv"
+    )
+    out = score(
+        out, [F.desc("monetary_cents"), F.asc("c_custkey")], "_m_inv"
+    )
+    flip = lambda c: (F.lit(RFM_BUCKETS + 1) - F.col(c)).cast("long")  # noqa: E731
+    return out.select(
+        "c_custkey",
+        "recency_days",
+        "n_orders",
+        (F.col("monetary_cents") / 100.0).alias("monetary"),
+        flip("_r_inv").alias("r_score"),
+        flip("_f_inv").alias("f_score"),
+        flip("_m_inv").alias("m_score"),
+    )
+
+
+Q_RFM_SEGMENTS_SQL = f"""
+    WITH per_cust AS (
+        SELECT CAST(o_custkey AS BIGINT) AS c_custkey,
+               MAX(CAST(o_orderdate AS DATE)) AS last_order,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS monetary_cents
+        FROM orders GROUP BY 1
+    ),
+    ref AS (SELECT MAX(last_order) AS ref_date FROM per_cust),
+    base AS (
+        SELECT c_custkey,
+               CAST(date_diff('day', last_order, ref_date) AS BIGINT)
+                   AS recency_days,
+               n_orders, monetary_cents
+        FROM per_cust CROSS JOIN ref
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM base),
+    ranked AS (
+        SELECT base.*, n_total,
+            ROW_NUMBER() OVER (ORDER BY recency_days ASC, c_custkey ASC)
+                AS r_seq,
+            ROW_NUMBER() OVER (ORDER BY n_orders DESC, c_custkey ASC)
+                AS f_seq,
+            ROW_NUMBER() OVER (ORDER BY monetary_cents DESC, c_custkey ASC)
+                AS m_seq
+        FROM base CROSS JOIN n
+    )
+    SELECT c_custkey, recency_days, n_orders,
+           monetary_cents / 100.0 AS monetary,
+           CAST({RFM_BUCKETS} + 1
+                - (CAST(floor({RFM_BUCKETS} * (r_seq - 1) / n_total) AS BIGINT) + 1)
+                AS BIGINT) AS r_score,
+           CAST({RFM_BUCKETS} + 1
+                - (CAST(floor({RFM_BUCKETS} * (f_seq - 1) / n_total) AS BIGINT) + 1)
+                AS BIGINT) AS f_score,
+           CAST({RFM_BUCKETS} + 1
+                - (CAST(floor({RFM_BUCKETS} * (m_seq - 1) / n_total) AS BIGINT) + 1)
+                AS BIGINT) AS m_score
+    FROM ranked
+"""

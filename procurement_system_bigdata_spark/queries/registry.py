@@ -1494,6 +1494,18 @@ _register(
 )
 _register(
     QuerySpec(
+        name="rfm_segments",
+        fn=analytics.q_rfm_segments,
+        oracle=analytics.Q_RFM_SEGMENTS_SQL,
+        description="RFM customer segmentation: recency/frequency/monetary "
+        "quintiles via the adaptive global-sequence ranking + explicit "
+        "floor bucketing (NTILE's remainder placement is not reproducible "
+        "from a row number) — corpus-max-anchored recency, exact cents",
+        ops=("W2", "A1", "A4", "A2", "P11"),
+    )
+)
+_register(
+    QuerySpec(
         name="twap_daily",
         fn=patterns.q_twap_daily,
         oracle=patterns.Q_TWAP_DAILY_SQL,

@@ -309,3 +309,45 @@ def test_twap_daily_interval_weighting(spark, tmp_path):
     assert r.n_intervals == 2
     assert r.span_us == 9 * 3600 * 1_000_000
     assert r.twap_micro == 12_000_000
+
+
+def test_rfm_segments_quintiles(spark, tmp_path):
+    """10 customers, one order each: recency best for low custkeys (later
+    dates), monetary best for high custkeys — quintile edges land exactly
+    on the floor formula, and tied frequency breaks by custkey."""
+    import datetime as dtm
+
+    from procurement_system_bigdata_spark.queries.analytics import (
+        q_rfm_segments,
+    )
+
+    rows = [
+        (i, i, "O",
+         float(100 * i),
+         dtm.datetime(2024, 1, 20 - i),  # cust 1: Jan 19 (freshest)
+         "P")
+        for i in range(1, 11)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    d = str(tmp_path / "sf")
+    df.write.parquet(f"{d}/orders.parquet")
+    got = {r.c_custkey: r for r in q_rfm_segments(spark, d).collect()}
+    assert len(got) == 10
+    # recency: seq == custkey -> buckets of 2 -> scores 5,5,4,4,...,1,1
+    assert [got[i].r_score for i in range(1, 11)] == [
+        5, 5, 4, 4, 3, 3, 2, 2, 1, 1
+    ]
+    # monetary: descending in custkey -> mirrored
+    assert [got[i].m_score for i in range(1, 11)] == [
+        1, 1, 2, 2, 3, 3, 4, 4, 5, 5
+    ]
+    # frequency all tied at 1 order: custkey tiebreak -> same as recency
+    assert [got[i].f_score for i in range(1, 11)] == [
+        5, 5, 4, 4, 3, 3, 2, 2, 1, 1
+    ]
+    assert got[1].recency_days == 0  # corpus-max anchored
+    assert got[10].recency_days == 9
