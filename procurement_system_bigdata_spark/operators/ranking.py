@@ -86,3 +86,56 @@ def with_global_sequence(
         .withColumn(seq_col, (F.col("_local_rn") + F.col("_offset")).cast("long"))
         .drop("_pid", "_local_rn", "_offset")
     )
+
+
+def with_running_total(
+    df: DataFrame,
+    order_by: list[Column],
+    value_col: str,
+    total_col: str = "running_total",
+    num_partitions: int | None = None,
+    single_partition_max_rows: int = SINGLE_PARTITION_MAX_ROWS,
+) -> DataFrame:
+    """Add an inclusive running total of ``value_col`` in ``order_by``
+    order — the prefix-sum sibling of :func:`with_global_sequence`, same
+    adaptive strategy: a one-task ordered window below the size gate, and
+    above it the two-phase composition (range partition → per-partition
+    local cumsum → O(#partitions) offset prefix → broadcast offsets back).
+    Both produce the identical totals.
+
+    ``value_col`` must be an exact integer column (cents / micro-units —
+    the repo's fixed-point discipline): a DOUBLE running total would be
+    partitioning-dependent in the two-phase path.  ``order_by`` must be a
+    deterministic total order (unique tiebreaker), as for ROW_NUMBER.
+    """
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    df = df.localCheckpoint(eager=False)
+    if df.count() <= single_partition_max_rows:
+        w = Window.orderBy(*order_by).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        return df.withColumn(
+            total_col, F.sum(value_col).over(w).cast("long")
+        )
+    parted = df.repartitionByRange(n, *order_by)
+    w = Window.partitionBy("_pid").orderBy(*order_by).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    local = (
+        parted.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_local_cum", F.sum(value_col).over(w))
+    ).localCheckpoint(eager=False)  # pin ONE range partitioning (see above)
+    totals = local.groupBy("_pid").agg(
+        F.sum(value_col).alias("_psum")
+    )
+    off_w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.withColumn(
+        "_offset", F.coalesce(F.sum("_psum").over(off_w), F.lit(0))
+    ).select("_pid", "_offset")
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(
+            total_col, (F.col("_local_cum") + F.col("_offset")).cast("long")
+        )
+        .drop("_pid", "_local_cum", "_offset")
+    )

@@ -1945,3 +1945,91 @@ Q_RFM_SEGMENTS_SQL = f"""
                 AS BIGINT) AS m_score
     FROM ranked
 """
+
+
+# ABC thresholds in percent of cumulative revenue share: A-parts build the
+# first 70%, B the next 20% (to 90%), C the tail — the classic Pareto
+# inventory-classification dials.
+ABC_A_PCT = 70
+ABC_B_PCT = 90
+
+
+def q_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto inventory classification: parts ranked by revenue, the
+    running cumulative revenue share classifies each part A (builds the
+    first 70% of revenue), B (to 90%), or C — the procurement analysis the
+    reference's domain lives on (stock the A-parts, spot-buy the C-tail).
+
+    Exactness: revenue in exact cents, the running total through the
+    adaptive two-phase prefix-sum operator (operators/ranking.
+    with_running_total — never a data-sized single-partition window above
+    the gate), and the class boundaries as pure BIGINT cross-products
+    (cum*100 vs pct*total) so no division or double appears anywhere.
+
+    Scale: one partkey-keyed aggregate over lineitem, then the prefix sum
+    over the PART-level table (|part|-bounded); the grand total attaches
+    as a 1-row broadcast.
+    """
+    from ..operators.ranking import with_running_total
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_part = (
+        li.groupBy(F.col("l_partkey").cast("long").alias("p_partkey"))
+        .agg(F.sum(_cents(rev)).cast("long").alias("revenue_cents"))
+        .localCheckpoint()  # running total + grand total consumers
+    )
+    total = per_part.agg(
+        F.sum("revenue_cents").cast("long").alias("total_cents")
+    )
+    running = with_running_total(
+        per_part,
+        [F.desc("revenue_cents"), F.asc("p_partkey")],
+        "revenue_cents",
+        total_col="cum_cents",
+    )
+    cls = (
+        F.when(
+            F.col("cum_cents") * 100 <= ABC_A_PCT * F.col("total_cents"),
+            F.lit("A"),
+        )
+        .when(
+            F.col("cum_cents") * 100 <= ABC_B_PCT * F.col("total_cents"),
+            F.lit("B"),
+        )
+        .otherwise(F.lit("C"))
+    )
+    return (
+        running.crossJoin(F.broadcast(total))
+        .select(
+            "p_partkey",
+            (F.col("revenue_cents") / 100.0).alias("revenue"),
+            "cum_cents",
+            cls.alias("abc_class"),
+        )
+    )
+
+
+Q_ABC_ANALYSIS_SQL = f"""
+    WITH per_part AS (
+        SELECT CAST(l_partkey AS BIGINT) AS p_partkey,
+               CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                        AS BIGINT)) AS BIGINT) AS revenue_cents
+        FROM lineitem GROUP BY 1
+    ),
+    total AS (SELECT CAST(SUM(revenue_cents) AS BIGINT) AS total_cents
+              FROM per_part),
+    running AS (
+        SELECT p_partkey, revenue_cents,
+               CAST(SUM(revenue_cents) OVER (
+                   ORDER BY revenue_cents DESC, p_partkey ASC
+                   ROWS UNBOUNDED PRECEDING
+               ) AS BIGINT) AS cum_cents
+        FROM per_part
+    )
+    SELECT p_partkey, revenue_cents / 100.0 AS revenue, cum_cents,
+           CASE WHEN cum_cents * 100 <= {ABC_A_PCT} * total_cents THEN 'A'
+                WHEN cum_cents * 100 <= {ABC_B_PCT} * total_cents THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM running CROSS JOIN total
+"""

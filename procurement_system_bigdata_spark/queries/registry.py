@@ -1494,6 +1494,18 @@ _register(
 )
 _register(
     QuerySpec(
+        name="abc_analysis",
+        fn=analytics.q_abc_analysis,
+        oracle=analytics.Q_ABC_ANALYSIS_SQL,
+        description="ABC/Pareto inventory classification by cumulative "
+        "revenue share — adaptive two-phase prefix sum (ranking."
+        "with_running_total), exact cents, BIGINT cross-product class "
+        "boundaries (no division, no doubles)",
+        ops=("W2", "A1", "A2", "P11", "O1"),
+    )
+)
+_register(
+    QuerySpec(
         name="rfm_segments",
         fn=analytics.q_rfm_segments,
         oracle=analytics.Q_RFM_SEGMENTS_SQL,

@@ -351,3 +351,33 @@ def test_rfm_segments_quintiles(spark, tmp_path):
     ]
     assert got[1].recency_days == 0  # corpus-max anchored
     assert got[10].recency_days == 9
+
+
+def test_abc_analysis_pareto_classes(spark, tmp_path):
+    """Revenues 70/15/10/5 (in revenue order): cumulative shares 70/85/95/
+    100 -> classes A (<=70), B (<=90), C, C — boundary-exact BIGINT math
+    (the 70-share part sits EXACTLY on the A edge and must be A)."""
+    from procurement_system_bigdata_spark.queries.analytics import (
+        q_abc_analysis,
+    )
+
+    rows = [
+        # one lineitem per part; extendedprice = revenue (discount 0)
+        (1, 1, 70.0, 0.0),
+        (2, 2, 15.0, 0.0),
+        (3, 3, 10.0, 0.0),
+        (4, 4, 5.0, 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_extendedprice double, "
+        "l_discount double",
+    )
+    d = str(tmp_path / "sf")
+    df.write.parquet(f"{d}/lineitem.parquet")
+    got = {r.p_partkey: r for r in q_abc_analysis(spark, d).collect()}
+    assert {k: v.abc_class for k, v in got.items()} == {
+        1: "A", 2: "B", 3: "C", 4: "C"
+    }
+    assert got[1].cum_cents == 7000
+    assert got[4].cum_cents == 10000

@@ -293,3 +293,47 @@ def test_wav_roundtrip_tolerance(rate, n):
     # error budget: half-step rounding plus the 32767-encode / 32768-decode
     # scale asymmetry (|x| <= 1) -> under two quantization steps total
     assert float(np.max(np.abs(x - y))) <= 2.0 / 32768.0
+
+
+def test_running_total_two_phase_equals_window(spark):
+    """The two-phase prefix sum must equal the single-partition running
+    window exactly, on exact integer values, at every row."""
+    from procurement_system_bigdata_spark.operators.ranking import (
+        with_running_total,
+    )
+
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_quantity").cast("long") * 100).alias("qty_cents"),
+        "l_extendedprice",
+    )
+    order = [
+        F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber")
+    ]
+    key = lambda r: (r.l_extendedprice, r.l_orderkey, r.l_linenumber)  # noqa: E731
+    fast = {
+        key(r): r.running_total
+        for r in with_running_total(
+            li, order, "qty_cents",
+            num_partitions=7, single_partition_max_rows=0,
+        ).collect()
+    }
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    slow = {
+        key(r): r.running_total
+        for r in li.withColumn(
+            "running_total", F.sum("qty_cents").over(w).cast("long")
+        ).collect()
+    }
+    assert len(fast) == li.count()
+    assert fast == slow
+    adaptive = {
+        key(r): r.running_total
+        for r in with_running_total(li, order, "qty_cents").collect()
+    }
+    assert adaptive == slow
