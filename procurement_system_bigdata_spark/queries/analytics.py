@@ -2033,3 +2033,74 @@ Q_ABC_ANALYSIS_SQL = f"""
                 ELSE 'C' END AS abc_class
     FROM running CROSS JOIN total
 """
+
+
+def q_backlog_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog over time: per calendar day, orders placed,
+    orders completed (an order completes when its LAST lineitem ships),
+    and the running backlog (cumulative placed − completed) — the ops
+    burndown curve behind "are we falling behind demand".
+
+    Built on the adaptive two-phase prefix sum (ranking.with_running_total)
+    over the DAY-keyed net table: exact integer counts, day as the unique
+    total order, so the curve is deterministic and partitioning-invariant.
+    Orders with no lineitems never complete and hold the backlog up — the
+    correct semantics for a procurement queue.
+
+    Scale: one orderkey-keyed aggregate over lineitem (completion days),
+    two day-keyed counts, a day-span-sized merge, and the prefix sum over
+    the day table (always tiny relative to facts).
+    """
+    from ..operators.ranking import with_running_total
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    placed = orders.groupBy(
+        F.to_date("o_orderdate").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_placed"))
+    completed = (
+        li.groupBy(F.col("l_orderkey"))
+        .agg(F.max(F.to_date("l_shipdate")).alias("done_day"))
+        .groupBy(F.col("done_day").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_completed"))
+    )
+    net = (
+        placed.join(completed, "day", "full_outer")
+        .select(
+            "day",
+            F.coalesce(F.col("n_placed"), F.lit(0)).alias("n_placed"),
+            F.coalesce(F.col("n_completed"), F.lit(0)).alias("n_completed"),
+        )
+        .withColumn(
+            "net", (F.col("n_placed") - F.col("n_completed")).cast("long")
+        )
+    )
+    return with_running_total(
+        net, [F.asc("day")], "net", total_col="backlog"
+    ).drop("net")
+
+
+Q_BACKLOG_CURVE_SQL = """
+    WITH placed AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n_placed
+        FROM orders GROUP BY 1
+    ),
+    completed AS (
+        SELECT done_day AS day, CAST(COUNT(*) AS BIGINT) AS n_completed
+        FROM (SELECT l_orderkey, MAX(CAST(l_shipdate AS DATE)) AS done_day
+              FROM lineitem GROUP BY 1)
+        GROUP BY 1
+    ),
+    net AS (
+        SELECT COALESCE(p.day, c.day) AS day,
+               COALESCE(n_placed, 0) AS n_placed,
+               COALESCE(n_completed, 0) AS n_completed
+        FROM placed p FULL OUTER JOIN completed c ON p.day = c.day
+    )
+    SELECT day, n_placed, n_completed,
+           CAST(SUM(n_placed - n_completed) OVER (
+               ORDER BY day ASC ROWS UNBOUNDED PRECEDING
+           ) AS BIGINT) AS backlog
+    FROM net
+"""

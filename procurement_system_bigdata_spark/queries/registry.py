@@ -1494,6 +1494,17 @@ _register(
 )
 _register(
     QuerySpec(
+        name="backlog_curve",
+        fn=analytics.q_backlog_curve,
+        oracle=analytics.Q_BACKLOG_CURVE_SQL,
+        description="Open-order backlog burndown per day (placed − last-"
+        "lineitem completions, cumulative) on the adaptive two-phase "
+        "prefix sum — day-keyed, exact integers, partitioning-invariant",
+        ops=("W2", "A1", "A4", "J5", "P8"),
+    )
+)
+_register(
+    QuerySpec(
         name="abc_analysis",
         fn=analytics.q_abc_analysis,
         oracle=analytics.Q_ABC_ANALYSIS_SQL,

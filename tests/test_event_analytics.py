@@ -381,3 +381,41 @@ def test_abc_analysis_pareto_classes(spark, tmp_path):
     }
     assert got[1].cum_cents == 7000
     assert got[4].cum_cents == 10000
+
+
+def test_backlog_curve_semantics(spark, tmp_path):
+    """Orders placed Jan 1 (x2) and Jan 2; order 1 completes when its LAST
+    lineitem ships (Jan 3, not Jan 2); order 3 never ships and holds the
+    backlog at 1 forever."""
+    import datetime as dtm
+
+    from procurement_system_bigdata_spark.queries.analytics import (
+        q_backlog_curve,
+    )
+
+    orders = spark.createDataFrame(
+        [
+            (1, 1, "O", 10.0, dtm.datetime(2024, 1, 1), "P"),
+            (2, 2, "O", 10.0, dtm.datetime(2024, 1, 1), "P"),
+            (3, 3, "O", 10.0, dtm.datetime(2024, 1, 2), "P"),
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    li = spark.createDataFrame(
+        [
+            (1, 1, dtm.datetime(2024, 1, 2)),
+            (1, 2, dtm.datetime(2024, 1, 3)),  # last item -> completes Jan 3
+            (2, 1, dtm.datetime(2024, 1, 2)),
+        ],
+        "l_orderkey long, l_linenumber long, l_shipdate timestamp",
+    )
+    d = str(tmp_path / "sf")
+    orders.write.parquet(f"{d}/orders.parquet")
+    li.write.parquet(f"{d}/lineitem.parquet")
+    got = {str(r.day): r for r in q_backlog_curve(spark, d).collect()}
+    assert got["2024-01-01"].backlog == 2           # 2 placed
+    assert got["2024-01-02"].n_completed == 1       # order 2 only
+    assert got["2024-01-02"].backlog == 2           # +1 placed, -1 done
+    assert got["2024-01-03"].backlog == 1           # order 1 completes
+    assert got["2024-01-03"].n_placed == 0
