@@ -27,12 +27,50 @@ from pyspark.sql.window import Window
 SINGLE_PARTITION_MAX_ROWS = 1_000_000
 
 
+def _two_phase(
+    df: DataFrame,
+    order_by: list[Column],
+    n: int,
+    local_fn,
+    part_agg: Column,
+    combine_fn,
+):
+    """Shared two-phase scaffold for order-dependent global computations
+    (sequence numbering, running totals): range partition by the sort key,
+    compute the per-partition LOCAL form (``local_fn(window) -> Column`` as
+    ``_local``), reduce one row per partition (``part_agg`` as ``_pagg``),
+    prefix those over an O(#partitions) window into ``_offset``, broadcast
+    back, and combine (``combine_fn(local, offset) -> Column``).
+
+    The two correctness-critical subtleties live HERE, once: the lazy
+    localCheckpoint that pins ONE sampled range partitioning for both the
+    aggregate branch and the join (repartitionByRange SAMPLES boundaries —
+    two unpinned branches could see different partitionings), and the
+    offsets window being over partition AGGREGATES, never data rows."""
+    parted = df.repartitionByRange(n, *order_by)
+    w = Window.partitionBy("_pid").orderBy(*order_by)
+    local = (
+        parted.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_local", local_fn(w))
+    ).localCheckpoint(eager=False)
+    per_part = local.groupBy("_pid").agg(part_agg.alias("_pagg"))
+    off_w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = per_part.withColumn(
+        "_offset", F.coalesce(F.sum("_pagg").over(off_w), F.lit(0))
+    ).select("_pid", "_offset")
+    return (
+        local.join(F.broadcast(offsets), "_pid"),
+        combine_fn(F.col("_local"), F.col("_offset")),
+    )
+
+
 def with_global_sequence(
     df: DataFrame,
     order_by: list[Column],
     seq_col: str = "seq",
     num_partitions: int | None = None,
     single_partition_max_rows: int = SINGLE_PARTITION_MAX_ROWS,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Add a 1-based global sequence column ordered by ``order_by`` without a
     single-partition sort of large data.  ``order_by`` must be a
@@ -45,7 +83,8 @@ def with_global_sequence(
     (a one-task sort of bounded data beats the two-phase machinery's extra
     stages — the same size-based call AQE makes for joins), above it the
     two-phase range-sort numbering runs.  Both produce the identical
-    sequence.
+    sequence.  Callers that already know the row count pass ``n_rows`` to
+    skip the count job (review round 5: RFM ran three redundant counts).
     """
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     # repartitionByRange launches a SAMPLING JOB that executes the input
@@ -55,36 +94,19 @@ def with_global_sequence(
     # sampler) the one that computes and caches the input; every later pass
     # reads the blocks.  Measured at sf0.1: supplier_orders 3.4-5.0s -> ~2.4s.
     df = df.localCheckpoint(eager=False)
-    if df.count() <= single_partition_max_rows:
+    if (n_rows if n_rows is not None else df.count()) <= single_partition_max_rows:
         w = Window.orderBy(*order_by)
         return df.withColumn(seq_col, F.row_number().over(w).cast("long"))
-    parted = df.repartitionByRange(n, *order_by)
-    w = Window.partitionBy("_pid").orderBy(*order_by)
-    local = (
-        parted.withColumn("_pid", F.spark_partition_id())
-        .withColumn("_local_rn", F.row_number().over(w))
+    joined, combined = _two_phase(
+        df,
+        order_by,
+        n,
+        local_fn=lambda w: F.row_number().over(w),
+        part_agg=F.count(F.lit(1)),
+        combine_fn=lambda local, offset: (local + offset).cast("long"),
     )
-    # Barrier: repartitionByRange SAMPLES its range boundaries, so two plan
-    # branches over `parted` could see different partitionings.  A LAZY
-    # localCheckpoint pins one materialization for both the counts branch
-    # and the join (partitions are computed once on first use and all
-    # readers hit the same blocks — the same mechanism persist relies on,
-    # without eager's extra up-front job).  localCheckpoint (not .persist()):
-    # CacheManager entries are never released without an explicit unpersist —
-    # a leak across driver invocations — while checkpoint blocks are dropped
-    # by the ContextCleaner as soon as the DataFrame goes out of scope.
-    local = local.localCheckpoint(eager=False)
-    counts = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
-    # prefix-sum over ~#partitions rows: the single-partition window here is
-    # over partition COUNTS, not data rows — O(partitions), always tiny
-    off_w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.withColumn(
-        "_offset", F.coalesce(F.sum("_cnt").over(off_w), F.lit(0))
-    ).select("_pid", "_offset")
-    return (
-        local.join(F.broadcast(offsets), "_pid")
-        .withColumn(seq_col, (F.col("_local_rn") + F.col("_offset")).cast("long"))
-        .drop("_pid", "_local_rn", "_offset")
+    return joined.withColumn(seq_col, combined).drop(
+        "_pid", "_local", "_offset"
     )
 
 
@@ -95,47 +117,39 @@ def with_running_total(
     total_col: str = "running_total",
     num_partitions: int | None = None,
     single_partition_max_rows: int = SINGLE_PARTITION_MAX_ROWS,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Add an inclusive running total of ``value_col`` in ``order_by``
     order — the prefix-sum sibling of :func:`with_global_sequence`, same
-    adaptive strategy: a one-task ordered window below the size gate, and
-    above it the two-phase composition (range partition → per-partition
-    local cumsum → O(#partitions) offset prefix → broadcast offsets back).
-    Both produce the identical totals.
+    adaptive strategy over the shared two-phase scaffold.  Both paths
+    produce identical totals.
 
     ``value_col`` must be an exact integer column (cents / micro-units —
     the repo's fixed-point discipline): a DOUBLE running total would be
-    partitioning-dependent in the two-phase path.  ``order_by`` must be a
+    partitioning-dependent in the two-phase path.  NULL values count as 0
+    (made explicit with an internal coalesce: the window SUM skips NULLs
+    but a NULL would poison the two-phase local cumsum — review round 5
+    found the paths diverging on NULL input).  ``order_by`` must be a
     deterministic total order (unique tiebreaker), as for ROW_NUMBER.
     """
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     df = df.localCheckpoint(eager=False)
-    if df.count() <= single_partition_max_rows:
+    value = F.coalesce(F.col(value_col).cast("long"), F.lit(0))
+    if (n_rows if n_rows is not None else df.count()) <= single_partition_max_rows:
         w = Window.orderBy(*order_by).rowsBetween(
             Window.unboundedPreceding, Window.currentRow
         )
-        return df.withColumn(
-            total_col, F.sum(value_col).over(w).cast("long")
-        )
-    parted = df.repartitionByRange(n, *order_by)
-    w = Window.partitionBy("_pid").orderBy(*order_by).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+        return df.withColumn(total_col, F.sum(value).over(w).cast("long"))
+    joined, combined = _two_phase(
+        df,
+        order_by,
+        n,
+        local_fn=lambda w: F.sum(value).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+        part_agg=F.sum(value),
+        combine_fn=lambda local, offset: (local + offset).cast("long"),
     )
-    local = (
-        parted.withColumn("_pid", F.spark_partition_id())
-        .withColumn("_local_cum", F.sum(value_col).over(w))
-    ).localCheckpoint(eager=False)  # pin ONE range partitioning (see above)
-    totals = local.groupBy("_pid").agg(
-        F.sum(value_col).alias("_psum")
-    )
-    off_w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = totals.withColumn(
-        "_offset", F.coalesce(F.sum("_psum").over(off_w), F.lit(0))
-    ).select("_pid", "_offset")
-    return (
-        local.join(F.broadcast(offsets), "_pid")
-        .withColumn(
-            total_col, (F.col("_local_cum") + F.col("_offset")).cast("long")
-        )
-        .drop("_pid", "_local_cum", "_offset")
+    return joined.withColumn(total_col, combined).drop(
+        "_pid", "_local", "_offset"
     )

@@ -1875,32 +1875,34 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_total = base.count()
 
     def score(df, order_cols, col_name):
-        seq = with_global_sequence(df, order_cols, seq_col="_seq")
+        # n_rows: the count is already in hand — without it each of the
+        # three rankings re-ran its own count job (review round 5)
+        seq = with_global_sequence(
+            df, order_cols, seq_col="_seq", n_rows=n_total
+        )
+        # score = B - floor(B*(seq-1)/n) directly (seq 1 = best = B);
         # explicit floor on BOTH engines: a bare double->BIGINT cast
         # truncates in Spark but ROUNDS in DuckDB (the documented
         # cast-discipline class — this very line diverged without it)
-        bucket = F.floor(
+        sc = F.lit(RFM_BUCKETS) - F.floor(
             F.lit(RFM_BUCKETS) * (F.col("_seq") - 1) / F.lit(n_total)
-        ).cast("long") + 1
-        return seq.withColumn(col_name, bucket.cast("long")).drop("_seq")
+        ).cast("long")
+        return seq.withColumn(col_name, sc.cast("long")).drop("_seq")
 
     # best first in every ordering: recency ASC (fresh buyers), others DESC
-    out = score(base, [F.asc("recency_days"), F.asc("c_custkey")], "_r_inv")
+    out = score(base, [F.asc("recency_days"), F.asc("c_custkey")], "r_score")
+    out = score(out, [F.desc("n_orders"), F.asc("c_custkey")], "f_score")
     out = score(
-        out, [F.desc("n_orders"), F.asc("c_custkey")], "_f_inv"
+        out, [F.desc("monetary_cents"), F.asc("c_custkey")], "m_score"
     )
-    out = score(
-        out, [F.desc("monetary_cents"), F.asc("c_custkey")], "_m_inv"
-    )
-    flip = lambda c: (F.lit(RFM_BUCKETS + 1) - F.col(c)).cast("long")  # noqa: E731
     return out.select(
         "c_custkey",
         "recency_days",
         "n_orders",
         (F.col("monetary_cents") / 100.0).alias("monetary"),
-        flip("_r_inv").alias("r_score"),
-        flip("_f_inv").alias("f_score"),
-        flip("_m_inv").alias("m_score"),
+        "r_score",
+        "f_score",
+        "m_score",
     )
 
 
@@ -1934,14 +1936,14 @@ Q_RFM_SEGMENTS_SQL = f"""
     )
     SELECT c_custkey, recency_days, n_orders,
            monetary_cents / 100.0 AS monetary,
-           CAST({RFM_BUCKETS} + 1
-                - (CAST(floor({RFM_BUCKETS} * (r_seq - 1) / n_total) AS BIGINT) + 1)
+           CAST({RFM_BUCKETS}
+                - CAST(floor({RFM_BUCKETS} * (r_seq - 1) / n_total) AS BIGINT)
                 AS BIGINT) AS r_score,
-           CAST({RFM_BUCKETS} + 1
-                - (CAST(floor({RFM_BUCKETS} * (f_seq - 1) / n_total) AS BIGINT) + 1)
+           CAST({RFM_BUCKETS}
+                - CAST(floor({RFM_BUCKETS} * (f_seq - 1) / n_total) AS BIGINT)
                 AS BIGINT) AS f_score,
-           CAST({RFM_BUCKETS} + 1
-                - (CAST(floor({RFM_BUCKETS} * (m_seq - 1) / n_total) AS BIGINT) + 1)
+           CAST({RFM_BUCKETS}
+                - CAST(floor({RFM_BUCKETS} * (m_seq - 1) / n_total) AS BIGINT)
                 AS BIGINT) AS m_score
     FROM ranked
 """
@@ -1988,15 +1990,15 @@ def q_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue_cents",
         total_col="cum_cents",
     )
+    # DECIMAL(38,0) cross-products: cum*100 exceeds 2^63 once total
+    # revenue passes ~9.2e16 cents (~SF 4000), where Spark's long multiply
+    # WRAPS silently (non-ANSI) while DuckDB raises — the widen keeps the
+    # "no division, no doubles" claim honest at any scale (review round 5)
+    cum_d = F.col("cum_cents").cast("decimal(38,0)")
+    tot_d = F.col("total_cents").cast("decimal(38,0)")
     cls = (
-        F.when(
-            F.col("cum_cents") * 100 <= ABC_A_PCT * F.col("total_cents"),
-            F.lit("A"),
-        )
-        .when(
-            F.col("cum_cents") * 100 <= ABC_B_PCT * F.col("total_cents"),
-            F.lit("B"),
-        )
+        F.when(cum_d * 100 <= ABC_A_PCT * tot_d, F.lit("A"))
+        .when(cum_d * 100 <= ABC_B_PCT * tot_d, F.lit("B"))
         .otherwise(F.lit("C"))
     )
     return (
@@ -2028,8 +2030,12 @@ Q_ABC_ANALYSIS_SQL = f"""
         FROM per_part
     )
     SELECT p_partkey, revenue_cents / 100.0 AS revenue, cum_cents,
-           CASE WHEN cum_cents * 100 <= {ABC_A_PCT} * total_cents THEN 'A'
-                WHEN cum_cents * 100 <= {ABC_B_PCT} * total_cents THEN 'B'
+           CASE WHEN CAST(cum_cents AS DECIMAL(38,0)) * 100
+                     <= {ABC_A_PCT} * CAST(total_cents AS DECIMAL(38,0))
+                THEN 'A'
+                WHEN CAST(cum_cents AS DECIMAL(38,0)) * 100
+                     <= {ABC_B_PCT} * CAST(total_cents AS DECIMAL(38,0))
+                THEN 'B'
                 ELSE 'C' END AS abc_class
     FROM running CROSS JOIN total
 """

@@ -337,3 +337,28 @@ def test_running_total_two_phase_equals_window(spark):
         for r in with_running_total(li, order, "qty_cents").collect()
     }
     assert adaptive == slow
+
+
+def test_running_total_null_values_identical_on_both_paths(spark):
+    """NULL values count as 0 on BOTH adaptive paths (review round 5: the
+    two-phase local cumsum used to return NULL where the one-task window
+    skipped the NULL and carried the running sum through)."""
+    from procurement_system_bigdata_spark.operators.ranking import (
+        with_running_total,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 5), (2, None), (3, 7), (4, None)], "k long, v long"
+    )
+    order = [F.asc("k")]
+    small = {
+        r.k: r.running_total
+        for r in with_running_total(df, order, "v").collect()
+    }
+    two_phase = {
+        r.k: r.running_total
+        for r in with_running_total(
+            df, order, "v", num_partitions=3, single_partition_max_rows=0
+        ).collect()
+    }
+    assert small == two_phase == {1: 5, 2: 5, 3: 12, 4: 12}
