@@ -1372,6 +1372,67 @@ MAX_BASKET = 50
 BASKET_TOP_K = 100
 
 
+def _basket_tables(spark: SparkSession, sf_dir: str):
+    """(capped, item_counts, pair_counts): the shared market-basket core.
+
+    capped = distinct (order, part) with baskets over MAX_BASKET dropped
+    (C(basket,2) is quadratic in basket size — the hot-token cap's basket
+    analog), localCheckpoint'd because it feeds FOUR consumers (both self-
+    join sides, item frequencies, the basket count) and is a COMPUTED
+    corpus (distinct + window filter), so the derived-corpus
+    materialization rule applies (measured: 18 exchanges -> 8, one
+    lineitem scan instead of 4).  pair_counts is support-floored at
+    MIN_PAIR_SUPPORT."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").cast("long").alias("ok"),
+        F.col("l_partkey").cast("long").alias("pk"),
+    ).distinct()
+    w = Window.partitionBy("ok")
+    capped = (
+        items.withColumn("bsz", F.count(F.lit(1)).over(w))
+        .filter(F.col("bsz") <= MAX_BASKET)
+        .select("ok", "pk")
+        .localCheckpoint()
+    )
+    item_counts = capped.groupBy("pk").agg(
+        F.count(F.lit(1)).cast("long").alias("n_item")
+    )
+    a, b = capped.alias("a"), capped.alias("b")
+    pair_counts = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
+        .groupBy(
+            F.col("a.pk").alias("part_a"), F.col("b.pk").alias("part_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+        .filter(F.col("n_ab") >= MIN_PAIR_SUPPORT)
+    )
+    return capped, item_counts, pair_counts
+
+
+# Shared SQL core mirroring _basket_tables (items/capped/ic/pc CTE bodies).
+_BASKET_SQL_CTES = """
+    items AS (
+        SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS ok,
+                        CAST(l_partkey AS BIGINT) AS pk
+        FROM lineitem
+    ),
+    capped AS (
+        SELECT ok, pk FROM (
+            SELECT ok, pk, COUNT(*) OVER (PARTITION BY ok) AS bsz FROM items
+        ) WHERE bsz <= {max_basket}
+    ),
+    ic AS (SELECT pk, CAST(COUNT(*) AS BIGINT) AS n_item
+           FROM capped GROUP BY pk),
+    pc AS (
+        SELECT a.pk AS part_a, b.pk AS part_b, CAST(COUNT(*) AS BIGINT) AS n_ab
+        FROM capped a JOIN capped b ON a.ok = b.ok AND a.pk < b.pk
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {min_support}
+    )
+"""
+
+
 def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket association mining: for every pair of parts co-ordered
     in the same order, the classic support / confidence / lift statistics,
@@ -1390,38 +1451,9 @@ def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pointed to integer ppm/micro units through the shared half-away primitive
     (functions/portable.py) so both engines emit identical BIGINTs.
     """
-    li = load_table(spark, sf_dir, "lineitem")
-    items = li.select(
-        F.col("l_orderkey").cast("long").alias("ok"),
-        F.col("l_partkey").cast("long").alias("pk"),
-    ).distinct()
-    w = Window.partitionBy("ok")
-    # localCheckpoint: the capped item set feeds FOUR consumers (both self-
-    # join sides, item frequencies, the basket count) and is a COMPUTED
-    # corpus (distinct + window filter), so the derived-corpus
-    # materialization rule applies (DESIGN.md text-scan minimization) —
-    # without it Catalyst re-runs the scan+distinct+window chain per
-    # consumer (measured: 18 exchanges -> 8, one lineitem scan instead of 4)
-    capped = (
-        items.withColumn("bsz", F.count(F.lit(1)).over(w))
-        .filter(F.col("bsz") <= MAX_BASKET)
-        .select("ok", "pk")
-        .localCheckpoint()
-    )
+    capped, item_counts, pair_counts = _basket_tables(spark, sf_dir)
     n_orders = capped.agg(
         F.countDistinct("ok").cast("long").alias("n_orders")
-    )
-    item_counts = capped.groupBy("pk").agg(
-        F.count(F.lit(1)).cast("long").alias("n_item")
-    )
-    a, b = capped.alias("a"), capped.alias("b")
-    pair_counts = (
-        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
-        .groupBy(
-            F.col("a.pk").alias("part_a"), F.col("b.pk").alias("part_b")
-        )
-        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
-        .filter(F.col("n_ab") >= MIN_PAIR_SUPPORT)
     )
     ia = item_counts.select(
         F.col("pk").alias("part_a"), F.col("n_item").alias("n_a")
@@ -1474,25 +1506,9 @@ _LIFT = P.duck_half_away(
 )
 
 Q_BASKET_PAIRS_SQL = f"""
-    WITH items AS (
-        SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS ok,
-                        CAST(l_partkey AS BIGINT) AS pk
-        FROM lineitem
-    ),
-    capped AS (
-        SELECT ok, pk FROM (
-            SELECT ok, pk, COUNT(*) OVER (PARTITION BY ok) AS bsz FROM items
-        ) WHERE bsz <= {MAX_BASKET}
-    ),
+    WITH {_BASKET_SQL_CTES.format(max_basket=MAX_BASKET,
+                                  min_support=MIN_PAIR_SUPPORT)},
     n AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_orders FROM capped),
-    ic AS (SELECT pk, CAST(COUNT(*) AS BIGINT) AS n_item
-           FROM capped GROUP BY pk),
-    pc AS (
-        SELECT a.pk AS part_a, b.pk AS part_b, CAST(COUNT(*) AS BIGINT) AS n_ab
-        FROM capped a JOIN capped b ON a.ok = b.ok AND a.pk < b.pk
-        GROUP BY 1, 2
-        HAVING COUNT(*) >= {MIN_PAIR_SUPPORT}
-    ),
     joined AS (
         SELECT part_a, part_b, n_ab, ia.n_item AS n_a, ib.n_item AS n_b,
                n_orders
@@ -2109,4 +2125,88 @@ Q_BACKLOG_CURVE_SQL = """
                ORDER BY day ASC ROWS UNBOUNDED PRECEDING
            ) AS BIGINT) AS backlog
     FROM net
+"""
+
+
+ITEM_REC_K = 5
+
+
+def q_item_item_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering ("customers also bought"): for
+    every part, the top-5 co-ordered parts by co-occurrence cosine
+    n_ab / sqrt(n_a·n_b) — the memory-based recommender baseline, built
+    on the shared market-basket core (_basket_tables: basket cap, support
+    floor, one materialized item set).
+
+    Cosine over counts, not lift: lift over-rewards rare coincidences
+    (two 1-basket parts co-occurring once score lift≈N), while cosine
+    normalizes by both popularities symmetrically — the right default for
+    a candidate generator.  sqrt is IEEE correctly-rounded on both
+    engines (the daily_anomalies precedent), operands are exact BIGINTs
+    cast once, and the score fixed-points through the shared half-away —
+    bit-identical cross-engine.  Per-anchor ranking tie-breaks on
+    (cosine DESC, neighbor ASC): a deterministic total order.
+
+    Scale: the undirected pair table unpivots to directed edges (2×|pairs|,
+    linear), frequencies attach as the vocabulary-sized broadcast, and the
+    top-5 filter is a per-anchor window — keyed by part, bounded state.
+    """
+    _, item_counts, pair_counts = _basket_tables(spark, sf_dir)
+    directed = pair_counts.selectExpr(
+        "part_a AS part", "part_b AS rec", "n_ab"
+    ).unionByName(
+        pair_counts.selectExpr("part_b AS part", "part_a AS rec", "n_ab")
+    )
+    ip = item_counts.select(
+        F.col("pk").alias("part"), F.col("n_item").alias("n_part")
+    )
+    ir = item_counts.select(
+        F.col("pk").alias("rec"), F.col("n_item").alias("n_rec")
+    )
+    cosine = P.spark_half_away(
+        F.col("n_ab").cast("double")
+        * 1000000.0
+        / F.sqrt(F.col("n_part").cast("double") * F.col("n_rec").cast("double"))
+    ).cast("long")
+    w = Window.partitionBy("part").orderBy(
+        F.desc("cosine_micro"), F.asc("rec")
+    )
+    return (
+        directed.join(F.broadcast(ip), "part")
+        .join(F.broadcast(ir), "rec")
+        .withColumn("cosine_micro", cosine)
+        .withColumn("rec_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rec_rank") <= ITEM_REC_K)
+        .select("part", "rec", "n_ab", "cosine_micro", "rec_rank")
+    )
+
+
+_COSINE = P.duck_half_away(
+    "CAST(n_ab AS DOUBLE) * 1000000.0"
+    " / sqrt(CAST(n_part AS DOUBLE) * CAST(n_rec AS DOUBLE))"
+)
+
+Q_ITEM_ITEM_RECS_SQL = f"""
+    WITH {_BASKET_SQL_CTES.format(max_basket=MAX_BASKET,
+                                  min_support=MIN_PAIR_SUPPORT)},
+    directed AS (
+        SELECT part_a AS part, part_b AS rec, n_ab FROM pc
+        UNION ALL
+        SELECT part_b AS part, part_a AS rec, n_ab FROM pc
+    ),
+    scored AS (
+        SELECT d.part, d.rec, d.n_ab,
+               CAST({_COSINE} AS BIGINT) AS cosine_micro
+        FROM directed d
+        JOIN (SELECT pk AS part, n_item AS n_part FROM ic) ip USING (part)
+        JOIN (SELECT pk AS rec, n_item AS n_rec FROM ic) ir USING (rec)
+    )
+    SELECT part, rec, n_ab, cosine_micro,
+           CAST(rec_rank AS BIGINT) AS rec_rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY part ORDER BY cosine_micro DESC, rec ASC
+        ) AS rec_rank
+        FROM scored
+    ) WHERE rec_rank <= {ITEM_REC_K}
 """

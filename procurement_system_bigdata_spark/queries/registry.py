@@ -1494,6 +1494,18 @@ _register(
 )
 _register(
     QuerySpec(
+        name="item_item_recs",
+        fn=analytics.q_item_item_recs,
+        oracle=analytics.Q_ITEM_ITEM_RECS_SQL,
+        description="Item-item collaborative filtering (top-5 co-ordered "
+        "parts by co-occurrence cosine) on the shared market-basket core "
+        "— directed unpivot of the pair table, vocabulary-sized frequency "
+        "broadcasts, per-anchor window top-k",
+        ops=("W1", "A1", "J1", "P11"),
+    )
+)
+_register(
+    QuerySpec(
         name="backlog_curve",
         fn=analytics.q_backlog_curve,
         oracle=analytics.Q_BACKLOG_CURVE_SQL,

@@ -146,3 +146,29 @@ def test_audience_overlap_inclusion_exclusion(spark, tmp_path):
     bc = got[("B", "C")]
     assert (bc.exact_union, bc.exact_intersection) == (2, 1)
     assert all(r.err_bound_checked for r in got.values())
+
+
+def test_item_item_recs_cosine_and_symmetry(spark, tmp_path):
+    """Co-occurrence cosine: parts 10/20 co-occur in 2 of each's 3
+    baskets -> cosine 2/3 exactly; the directed unpivot must emit BOTH
+    directions; a part's recommendation list never contains itself."""
+    from procurement_system_bigdata_spark.queries.analytics import (
+        q_item_item_recs,
+    )
+
+    rows = [
+        (1, 10), (1, 20),
+        (2, 10), (2, 20),
+        (3, 10), (3, 30),
+        (4, 20), (4, 30),
+    ]
+    d = str(tmp_path / "sf")
+    _li(spark, rows).write.parquet(f"{d}/lineitem.parquet")
+    got = {(r.part, r.rec): r for r in q_item_item_recs(spark, d).collect()}
+    # (10,20) co-occur twice; n_10 = n_20 = 3 -> cosine = 2/3
+    assert got[(10, 20)].cosine_micro == 666667  # half-away of 2/3 * 1e6
+    assert got[(20, 10)].cosine_micro == 666667  # symmetric direction
+    assert got[(10, 20)].n_ab == 2
+    # (10,30) and (20,30) co-occur once each: below MIN_PAIR_SUPPORT=2
+    assert (10, 30) not in got and (30, 20) not in got
+    assert all(p != r for p, r in got)
