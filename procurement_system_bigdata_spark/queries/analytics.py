@@ -1377,12 +1377,13 @@ def _basket_tables(spark: SparkSession, sf_dir: str):
 
     capped = distinct (order, part) with baskets over MAX_BASKET dropped
     (C(basket,2) is quadratic in basket size — the hot-token cap's basket
-    analog), localCheckpoint'd because it feeds FOUR consumers (both self-
-    join sides, item frequencies, the basket count) and is a COMPUTED
-    corpus (distinct + window filter), so the derived-corpus
-    materialization rule applies (measured: 18 exchanges -> 8, one
-    lineitem scan instead of 4).  pair_counts is support-floored at
-    MIN_PAIR_SUPPORT."""
+    analog), localCheckpoint'd because it is a COMPUTED corpus (distinct +
+    window filter) with at least three consumers in every caller (both
+    pair self-join sides + item frequencies; basket_pairs adds its basket
+    count), so the derived-corpus materialization rule applies (measured:
+    18 exchanges -> 8, one lineitem scan instead of 4).  pair_counts is
+    support-floored at MIN_PAIR_SUPPORT and returned LAZY — callers with
+    more than one consumer checkpoint it themselves."""
     li = load_table(spark, sf_dir, "lineitem")
     items = li.select(
         F.col("l_orderkey").cast("long").alias("ok"),
@@ -1981,8 +1982,11 @@ def q_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: revenue in exact cents, the running total through the
     adaptive two-phase prefix-sum operator (operators/ranking.
     with_running_total — never a data-sized single-partition window above
-    the gate), and the class boundaries as pure BIGINT cross-products
-    (cum*100 vs pct*total) so no division or double appears anywhere.
+    the gate), and the class boundaries as exact DECIMAL(38,0)
+    cross-products (cum*100 vs pct*total) — no division or double
+    anywhere.  The operands are BIGINT cents, so the products cap at
+    ~9.2e20, far inside the 38-digit width on both engines (probed:
+    DuckDB keeps DECIMAL(38,0)*int exact decimal, no double fallback).
 
     Scale: one partkey-keyed aggregate over lineitem, then the prefix sum
     over the PART-level table (|part|-bounded); the grand total attaches
@@ -2152,6 +2156,9 @@ def q_item_item_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-5 filter is a per-anchor window — keyed by part, bounded state.
     """
     _, item_counts, pair_counts = _basket_tables(spark, sf_dir)
+    # pair_counts feeds BOTH union branches (differently projected, so no
+    # exchange reuse) — materialize the costliest subtree once
+    pair_counts = pair_counts.localCheckpoint()
     directed = pair_counts.selectExpr(
         "part_a AS part", "part_b AS rec", "n_ab"
     ).unionByName(
