@@ -2156,9 +2156,11 @@ def q_item_item_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-5 filter is a per-anchor window — keyed by part, bounded state.
     """
     _, item_counts, pair_counts = _basket_tables(spark, sf_dir)
-    # pair_counts feeds BOTH union branches (differently projected, so no
-    # exchange reuse) — materialize the costliest subtree once
+    # pair_counts feeds BOTH union branches and item_counts both frequency
+    # projections (differently projected, so no exchange reuse) —
+    # materialize each once; both are vocabulary/pair-bounded
     pair_counts = pair_counts.localCheckpoint()
+    item_counts = item_counts.localCheckpoint()
     directed = pair_counts.selectExpr(
         "part_a AS part", "part_b AS rec", "n_ab"
     ).unionByName(

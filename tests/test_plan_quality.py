@@ -465,3 +465,14 @@ def test_streaks_and_twap_reuse_user_partitioning(spark):
         assert stats["shuffles"] <= max_shuffles, (
             f"{name}: {stats['shuffles']} shuffles"
         )
+
+
+def test_item_item_recs_plan(spark):
+    """Recommender: frequencies attach as broadcasts; the only shuffle is
+    the per-anchor ranking window (the pair table is checkpointed, so the
+    union branches read blocks, not the self-join)."""
+    stats = plan_stats(REGISTRY["item_item_recs"].fn(spark, SF_DIR))
+    assert stats["python_udfs"] == 0
+    assert stats["sort_merge_joins"] == 0
+    assert stats["broadcast_hash_joins"] >= 2
+    assert stats["shuffles"] <= 2
