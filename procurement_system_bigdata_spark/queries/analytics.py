@@ -2219,3 +2219,77 @@ Q_ITEM_ITEM_RECS_SQL = f"""
         FROM scored
     ) WHERE rec_rank <= {ITEM_REC_K}
 """
+
+
+LEAD_LATE_DAYS = 90
+
+
+def q_supplier_leadtime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier lead-time scorecard: per supplier, shipment count, median
+    and p75 lead time (ship date − order date, integer days), the maximum,
+    and the share of shipments over LEAD_LATE_DAYS in ppm — the SLA review
+    table a procurement team runs before renewal.
+
+    Exactness: lead times are exact integer days; the quantile fractions
+    are 0.5 and 0.75 ONLY — dyadic rationals whose interpolation products
+    (f·lo, f·(hi−lo)) are exact in doubles for day-scale integers, so
+    Spark's percentile and DuckDB's quantile_cont agree bitwise whichever
+    algebraic form each engine uses.  A p95 would NOT be safe: 0.95 has no
+    exact binary form, and the engines' different interpolation orderings
+    could differ in the last ulp (the unigram_logprob lesson).  Late share
+    fixed-points through the shared half-away.
+
+    Scale: one orderkey-keyed broadcast of order dates onto lineitem
+    (orders is the smaller side per order-to-lineitem fanout; at 100 TB
+    both are facts and this becomes the co-bucketed join — operators/
+    bucketing), then ONE supplier-keyed aggregate.  Exact percentile sorts
+    per group; approx_percentile is the documented at-scale swap.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        F.to_date("o_orderdate").alias("order_day"),
+    )
+    leads = li.select("l_orderkey", "l_suppkey", F.to_date("l_shipdate").alias("ship_day")).join(
+        F.broadcast(orders), "l_orderkey"
+    ).select(
+        F.col("l_suppkey").cast("long").alias("supp_id"),
+        F.datediff("ship_day", "order_day").cast("long").alias("lead_days"),
+    )
+    late_ppm = P.spark_half_away(
+        F.sum(
+            F.when(F.col("lead_days") > LEAD_LATE_DAYS, 1).otherwise(0)
+        ).cast("double")
+        * 1000000.0
+        / F.count(F.lit(1)).cast("double")
+    ).cast("long")
+    return leads.groupBy("supp_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shipments"),
+        F.percentile("lead_days", 0.5).alias("median_lead_days"),
+        F.percentile("lead_days", 0.75).alias("p75_lead_days"),
+        F.max("lead_days").alias("max_lead_days"),
+        late_ppm.alias("late_ppm"),
+    )
+
+
+_LATE_PPM = P.duck_half_away(
+    "CAST(SUM(CASE WHEN lead_days > {late} THEN 1 ELSE 0 END) AS DOUBLE)"
+    " * 1000000.0 / CAST(COUNT(*) AS DOUBLE)"
+).format(late=LEAD_LATE_DAYS)
+
+Q_SUPPLIER_LEADTIME_SQL = f"""
+    WITH leads AS (
+        SELECT CAST(l.l_suppkey AS BIGINT) AS supp_id,
+               CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+                              CAST(l.l_shipdate AS DATE)) AS BIGINT)
+                   AS lead_days
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT supp_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shipments,
+           quantile_cont(lead_days, 0.5) AS median_lead_days,
+           quantile_cont(lead_days, 0.75) AS p75_lead_days,
+           MAX(lead_days) AS max_lead_days,
+           CAST({_LATE_PPM} AS BIGINT) AS late_ppm
+    FROM leads GROUP BY supp_id
+"""

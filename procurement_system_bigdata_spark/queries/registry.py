@@ -1494,6 +1494,18 @@ _register(
 )
 _register(
     QuerySpec(
+        name="supplier_leadtime",
+        fn=analytics.q_supplier_leadtime,
+        oracle=analytics.Q_SUPPLIER_LEADTIME_SQL,
+        description="Supplier lead-time SLA scorecard: median/p75/max "
+        "ship-minus-order days + late share in ppm — dyadic quantile "
+        "fractions only (0.5/0.75: bit-exact interpolation over integer "
+        "days; 0.95 would ulp-diverge), one supplier-keyed aggregate",
+        ops=("J1", "A1", "A4", "P9", "P11"),
+    )
+)
+_register(
+    QuerySpec(
         name="item_item_recs",
         fn=analytics.q_item_item_recs,
         oracle=analytics.Q_ITEM_ITEM_RECS_SQL,

@@ -419,3 +419,39 @@ def test_backlog_curve_semantics(spark, tmp_path):
     assert got["2024-01-02"].backlog == 2           # +1 placed, -1 done
     assert got["2024-01-03"].backlog == 1           # order 1 completes
     assert got["2024-01-03"].n_placed == 0
+
+
+def test_supplier_leadtime_scorecard(spark, tmp_path):
+    """Supplier 7 ships at 10/20/100 days: median 20, p75 interpolates to
+    60 exactly ((20+100)/2 at f=0.5 of the upper gap... computed as
+    20 + 0.5*(100-20) = 60), late share 1/3 -> 333333 ppm."""
+    import datetime as dtm
+
+    from procurement_system_bigdata_spark.queries.analytics import (
+        q_supplier_leadtime,
+    )
+
+    d0 = dtm.datetime(2024, 1, 1)
+    orders = spark.createDataFrame(
+        [(i, 1, "O", 1.0, d0, "P") for i in (1, 2, 3)],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    li = spark.createDataFrame(
+        [
+            (1, 7, d0 + dtm.timedelta(days=10)),
+            (2, 7, d0 + dtm.timedelta(days=20)),
+            (3, 7, d0 + dtm.timedelta(days=100)),
+        ],
+        "l_orderkey long, l_suppkey long, l_shipdate timestamp",
+    )
+    d = str(tmp_path / "sf")
+    orders.write.parquet(f"{d}/orders.parquet")
+    li.write.parquet(f"{d}/lineitem.parquet")
+    got = {r.supp_id: r for r in q_supplier_leadtime(spark, d).collect()}
+    r = got[7]
+    assert r.n_shipments == 3
+    assert r.median_lead_days == 20.0
+    assert r.p75_lead_days == 60.0  # index 0.75*2 = 1.5 -> 20 + 0.5*80
+    assert r.max_lead_days == 100
+    assert r.late_ppm == 333333
