@@ -1664,74 +1664,62 @@ _DRIVER_SNAPSHOT = [
     "row_counts",
     "pricing_summary",
     "adhoc_sql",
-    # never-driver-covered analytics tail (registered rounds 3-4)
-    "selective_revenue",
-    "shipping_priority",
-    # corr_stats rotated out in round 5 for scd2_customer_segments; the
-    # statistics family keeps profile_orders + robust_outliers driver-
-    # covered, corr_stats stays self-sweep-green
-    "profile_orders",
-    "multi_grain_rollup",
-    "fk_integrity",
-    "hll_mergeable_users",
-    "funnel_conversion",
-    # never-driver-covered sketches (histogram_quantiles rotated out in
-    # round 5 for basket_pairs; value_histogram_by keeps the histogram
-    # family driver-covered, histogram_quantiles stays self-sweep-green)
-    "value_histogram_by",
-    "cms_heavy_hitters",
-    # never-driver-covered sampling / mixing
-    "source_mixture",
-    "stratified_sample",
-    # never-driver-covered text / dedup / embedding extensions
-    "unigram_logprob",
-    "embedding_dim_stats",
-    "decontamination",
-    "exact_substring_pairs",
-    "repetition_signals",
-    "pii_scrub",
-    "boilerplate_ngrams",
-    "bm25_search",
-    # char_entropy rotated out in round 5 for robust_outliers; the text-
-    # statistics family keeps four driver-covered reps (unigram_logprob,
-    # repetition_signals, pii_scrub, bm25_search), char_entropy stays
-    # self-sweep-green
-    "doc_chunks",
-    "quality_classifier",
-    "source_quality_report",
-    "dedup_ngram_jaccard_capped",
-    "semantic_decontamination",
-    # newly oracle-bearing ANN reports (ex err:no_oracle rows)
-    "embedding_ann_lsh",
-    "embedding_ivf_topk",
-    "embedding_quantized_topk",
-    # round-5 additions (never driver-covered; the dedup/similarity family
-    # representatives they displace — dedup_exact, dedup_minhash_lsh,
-    # embedding_topk, embedding_quantize — hold hash-matched driver rows in
-    # CORRECTNESS_r01-r04 and stay under self-sweep + pytest coverage)
-    "temperature_mixture",
-    "training_shards",
-    "vocab_coverage",
-    "bpe_top_pairs",
-    # round-5 NEW operators (edit-distance join, containment, event
-    # analytics) — rotated in so this round's additions get external
-    # driver rows; they displace five family-redundant entries whose
-    # snapshot siblings keep the family covered (value_histogram ->
-    # value_histogram_by, token_cms_sketch -> cms_heavy_hitters,
-    # group_sample -> stratified_sample, big_orders/small_qty_revenue ->
-    # selective_revenue/shipping_priority), all five staying green under
-    # the self-sweep and pytest parity
-    "edit_distance_pairs",
-    "containment_pairs",
-    "retention_cohorts",
-    "rolling_active_users",
-    "daily_anomalies",
-    # round-5 NEW analytics (market-basket association mining, MAD robust
-    # outliers, operator-driven SCD2) — rotated in for external driver
-    # rows on first appearance
-    "basket_pairs",
-    "robust_outliers",
-    "scd2_customer_segments",
+    # --- round-6 rotation (judge ask #1): every slot below goes to a query
+    # that has NEVER had an external driver row in CORRECTNESS_r01-r05.
+    # All 39 rotated-out round-5 entries hold hash-matched r05 rows and
+    # stay green under the self-sweep + pytest.  Residual never-covered
+    # after this rotation: 13 family-redundant diagnostics (group_sample,
+    # token_cms_sketch, value_histogram, histogram_quantiles,
+    # small_qty_revenue, corr_stats, char_entropy, shard_balance,
+    # cross_source_overlap, dedup_method_agreement, corpus_card,
+    # dataset_diff, split_leakage) whose family siblings are driver-green.
+    # ---------------------------------------------------------------------
+    # the 12 TPC-H Q5-Q22 olap shapes (registered round 5, never covered)
+    "regional_revenue",
+    "nation_trade_volume",
+    "market_share",
+    "product_profit",
+    "returned_item_revenue",
+    "priority_line_mix",
+    "promo_revenue",
+    "top_revenue_supplier",
+    "supplier_part_variety",
+    "disjunctive_revenue",
+    "excess_share_suppliers",
+    "sole_late_supplier",
+    # the remaining TPC-H-shaped analytics (Q13/Q11/Q22)
+    "customer_distribution",
+    "parts_above_share",
+    "rich_inactive_customers",
+    # round-5 second-wave analytics (never covered)
+    "k_anonymity",
+    "supplier_leadtime",
+    "item_item_recs",
+    "backlog_curve",
+    "abc_analysis",
+    "rfm_segments",
+    "twap_daily",
+    "user_streaks",
+    "value_psi",
+    "weighted_sample",
+    "event_transitions",
+    "audience_overlap",
+    # round-4 LM / decontamination / incremental-ingest ops (never covered)
+    "dsir_importance",
+    "bigram_lm_score",
+    "bloom_decontamination",
+    "incremental_exact",
+    "incremental_neardup",
+    # remaining never-covered corpus ops (cross_source_canonicals and
+    # delivery_pipeline additionally carry the round-6 closure-free big-SF
+    # oracles, so their first external rows land together with that fix)
+    "cross_source_canonicals",
+    "delivery_pipeline",
+    "hard_negatives",
+    "zipf_spectrum",
+    "source_contamination",
+    "lm_perplexity_buckets",
+    "span_removal",
 ]
 
 

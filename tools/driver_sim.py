@@ -1,4 +1,4 @@
-"""Driver simulation per .claude/skills/verify: vanilla session, oracle compare.
+"""Driver simulation: vanilla session, DuckDB oracle compare.
 
 Run FROM OUTSIDE the repo cwd (e.g. ``cd /tmp && python /root/repo/tools/
 driver_sim.py [query ...]``) so the import path matches the external
