@@ -867,10 +867,12 @@ _register(
     QuerySpec(
         name="packed_sequences",
         fn=llmdata.q_packed_sequences,
-        oracle=None,  # sequential greedy state; semantics closed-form tested
+        oracle=llmdata.Q_PACKED_SEQUENCES_SQL,
         description="Greedy training-sequence packing of document chunks "
         "into fixed word budgets (applyInPandas, state sharded per doc); "
-        "rows-only",
+        "BOUNDED oracle (round-6): exact per-doc chunk totals + packed-"
+        "exactly-once / budget / contiguous-span / greedy-maximal booleans "
+        "that uniquely pin greedy first-fit, asserted TRUE in-oracle",
         ops=("EXT-text",),
     )
 )
@@ -878,9 +880,12 @@ _register(
     QuerySpec(
         name="doc_pagerank",
         fn=llmdata.q_doc_pagerank,
-        oracle=None,  # iterative double math; closed-form graph tests instead
+        oracle=llmdata.Q_DOC_PAGERANK_SQL,
         description="PageRank over the SimHash near-dup graph (DataFrame-"
-        "Pregel, dangling-mass corrected); rows-only",
+        "Pregel, dangling-mass corrected); BOUNDED oracle (round-6): "
+        "per-node degree recomputed by DuckDB from the SimHash pair SQL "
+        "(binds the edge set) + rank>=1-d floor and sum(rank)=n mass-"
+        "conservation booleans asserted TRUE in-oracle",
         ops=("EXT-graph",),
     )
 )
@@ -1163,10 +1168,13 @@ _register(
     QuerySpec(
         name="bpe_fertility",
         fn=llmdata.q_bpe_fertility,
-        oracle=None,  # the merge list is iterative state (see bpe_merges);
-        # segmentation itself is reference-pinned in tests
-        description="Learned-BPE segmentation of the corpus with per-doc "
-        "fertility (tokens/word)",
+        oracle=llmdata.Q_BPE_FERTILITY_SQL,
+        description="Learned-BPE segmentation of the corpus; BOUNDED "
+        "oracle (round-6): exact per-doc word counts + the learned FIRST "
+        "merge hash-checked against bpe_top_pairs_sql rank 1 (cross-engine "
+        "learner consistency) + tokens-reconstruct-every-word and "
+        "1<=tokens<=chars booleans asserted TRUE in-oracle; the full merge "
+        "list stays pinned to the published algorithm in tests",
         ops=("EXT-tokenizer",),
     )
 )
