@@ -176,3 +176,40 @@ def write_training_shards(
         .partitionBy("shard_id")
         .parquet(path)
     )
+
+
+def shard_key_exprs(doc_id_col, n_shards: int = N_SHARDS):
+    """(shard_id, h2) column expressions for a doc_id column — the exact
+    keys ``training_shards`` uses, exported so the delivery audit can
+    re-derive shard assignment and within-shard order independently of the
+    window output it is checking."""
+    h1 = _scramble(
+        P.spark_str_hash(
+            F.concat(F.lit(_SHARD_SALT), doc_id_col.cast("string"))
+        )
+    )
+    h2 = _scramble(
+        P.spark_str_hash(
+            F.concat(F.lit(_ORDER_SALT), doc_id_col.cast("string"))
+        )
+    )
+    return (h1 % n_shards), h2
+
+
+def shard_id_sql(doc_id_expr: str, n_shards: int = N_SHARDS) -> str:
+    """DuckDB expression for the shard assignment of a doc_id expression —
+    the oracle-side twin of ``shard_key_exprs`` (subset-independent, so an
+    audit can recompute it for docs outside the delivered set)."""
+    h1 = _duck_scramble(
+        P.duck_str_hash(f"'{_SHARD_SALT}' || CAST({doc_id_expr} AS VARCHAR)")
+    )
+    return f"({h1}) % {n_shards}"
+
+
+def n_tokens_sql(text_expr: str) -> str:
+    """DuckDB expression for the token count ``training_shards`` reports."""
+    nt = P.duck_norm_text(text_expr)
+    return (
+        f"CAST(CASE WHEN {nt} IS NULL OR {nt} = '' THEN 0 "
+        f"ELSE len({P.duck_words(nt)}) END AS BIGINT)"
+    )

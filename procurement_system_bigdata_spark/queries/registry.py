@@ -513,10 +513,13 @@ _register(
         fn=llmdata.q_dedup_clusters,
         oracle=llmdata.Q_DEDUP_CLUSTERS_SQL,
         description="Near-dup clusters: iterative min-label connected "
-        "components over minhash-LSH pairs (Pregel-style DataFrame loop; "
-        "oracle = recursive-CTE transitive closure)",
+        "components (Pregel-style DataFrame loop) with the CLOSURE-FREE "
+        "correctness certificate (round-6): oracle recomputes per-doc "
+        "degree from the pair SQL, Spark-side booleans (label<=id, "
+        "root-iff-hop0, hop-witness forest, no cross-cluster edge) jointly "
+        "prove exact components — runs at every SF; the recursive-CTE "
+        "mirror stays pinned at small SF in tests",
         ops=("EXT-clustering",),
-        oracle_scale_bound="recursive-CTE transitive closure over the ~900k-edge dense near-dup graph",
     )
 )
 _register(
@@ -534,13 +537,16 @@ _register(
         name="corpus_curation",
         fn=llmdata.q_corpus_curation,
         oracle=llmdata.Q_CORPUS_CURATION_SQL,
-        description="End-to-end corpus curation: quality filter -> keep "
-        "near-dup cluster canonicals -> deterministic split (composed plan)",
+        description="End-to-end corpus curation (quality filter -> keep "
+        "near-dup cluster canonicals -> deterministic split), audited "
+        "CLOSURE-FREE (round-6): oracle recomputes quality/split/degree "
+        "per quality-passed doc; certificate booleans prove the cluster "
+        "labels; kept_consistent_ok/split_match_ok bind the real composed "
+        "output — runs at every SF",
         ops=("EXT-pipeline",),
-        oracle_scale_bound="embeds the dedup_clusters recursive-CTE closure",
         # not a bench headline for the same reason as dedup_minhash_lsh:
         # on the 31-word-vocabulary corpus the near-dup graph is dense
-        # (output-volume-bound, 86s at sf0.1); bench.py times the SAME
+        # (output-volume-bound at sf0.1); bench.py times the SAME
         # composition on the realistic-vocabulary derived corpus instead
         # (curation_prod_realvocab)
     )
@@ -1098,10 +1104,13 @@ _register(
         name="cross_source_canonicals",
         fn=llmdata.q_cross_source_canonicals,
         oracle=llmdata.Q_CROSS_SOURCE_CANONICALS_SQL,
-        description="Priority-aware dedup canonicals: near-dup clusters "
-        "keep the most-trusted source's copy (Dolma-style source ordering)",
+        description="Priority-aware dedup canonicals (near-dup clusters "
+        "keep the most-trusted source's copy, Dolma-style), audited "
+        "CLOSURE-FREE (round-6): oracle recomputes prio/degree; "
+        "certificate booleans prove the labels; keep_rule_ok cross-checks "
+        "the window canonical against an independent min(struct) "
+        "aggregation — runs at every SF",
         ops=("EXT-dedup",),
-        oracle_scale_bound="embeds the dedup_clusters recursive-CTE closure",
     )
 )
 
@@ -1199,9 +1208,11 @@ _register(
         fn=llmdata.q_delivery_pipeline,
         oracle=llmdata.Q_DELIVERY_PIPELINE_SQL,
         description="Capstone: quality gate -> near-dup canonicals -> train "
-        "split -> hash shards, one composed plan, oracle-checked end to end",
+        "split -> hash shards, audited CLOSURE-FREE (round-6): oracle "
+        "recomputes split/shard_id/n_tokens/degree per quality-passed doc; "
+        "certificate booleans prove the labels; member/shard/pos booleans "
+        "bind the real delivered shards — runs at every SF",
         ops=("EXT-pipeline", "EXT-dedup", "EXT-sampling", "EXT-delivery"),
-        oracle_scale_bound="embeds the dedup_clusters recursive-CTE closure",
     )
 )
 
