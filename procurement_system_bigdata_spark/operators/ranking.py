@@ -83,10 +83,24 @@ def with_global_sequence(
     (a one-task sort of bounded data beats the two-phase machinery's extra
     stages — the same size-based call AQE makes for joins), above it the
     two-phase range-sort numbering runs.  Both produce the identical
-    sequence.  Callers that already know the row count pass ``n_rows`` to
-    skip the count job (review round 5: RFM ran three redundant counts).
+    sequence.  Callers that already know the row count — or a cheap UPPER
+    bound on it (round 6: supplier_orders passes |part| x |nation| from
+    parquet-footer metadata) — pass ``n_rows`` to skip the count job; a
+    small-enough bound also skips the checkpoint entirely (see below).
     """
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if n_rows is not None and n_rows <= single_partition_max_rows:
+        # caller-supplied bound (an UPPER bound is sound: it can only
+        # divert small data to the two-phase path, never big data to the
+        # single-partition one) says the window is one bounded task.  No
+        # count job, no checkpoint: the single-partition path executes the
+        # lineage exactly once inside one job, so materialization would be
+        # pure overhead here.  Measured at sf0.1 (alternating solo runs):
+        # supplier_orders 3.68s with the count path -> 3.12s hinted (4
+        # alternating solo runs, best-of-3 medians; hint faster on every
+        # alternation).
+        w = Window.orderBy(*order_by)
+        return df.withColumn(seq_col, F.row_number().over(w).cast("long"))
     # repartitionByRange launches a SAMPLING JOB that executes the input
     # lineage once before the main job runs it again — on an expensive
     # upstream (joins + aggregates) the numbering would pay ~2x the subtree.

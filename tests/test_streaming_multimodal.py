@@ -755,8 +755,22 @@ def test_transform_with_state_spend_totals_equal_batch(spark, events_parquet_dir
     exact-cents aggregate across multiple micro-batches (RocksDB state
     store, as the operator requires).  Skips without google.protobuf —
     the transformWithState runner's wire protocol needs it (documented
-    gate in streaming/events.py)."""
-    pytest.importorskip("google.protobuf.descriptor")
+    gate in streaming/events.py).
+
+    HARD ENV BLOCKER (verified round 6): pyspark 4.1.2's
+    pyspark/sql/streaming/proto/StateMessage_pb2.py requires the
+    google.protobuf runtime, which (a) is not installed, (b) exists
+    nowhere on disk as a wheel/egg, and (c) cannot be fetched — the
+    sandbox has no package network (pip download: NewConnectionError).
+    Vendoring the full Apache-licensed runtime (~30k LoC of third-party
+    code) would defeat the repo's copy/padding audits, so the skip stays,
+    with the applyInPandasWithState twin covering identical semantics on
+    the same RocksDB state store."""
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="hard env blocker: protobuf runtime absent and unfetchable "
+        "(no package network); see docstring + DESIGN.md",
+    )
     import pyspark.sql.functions as F
 
     src = tempfile.mkdtemp(prefix="events_tws_")
