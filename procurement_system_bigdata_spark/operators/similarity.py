@@ -1377,3 +1377,179 @@ def hard_negatives_sql(
     )
     SELECT query_id, neighbor_id, rank, cos_sim FROM ranked WHERE rank <= {k}
     """
+
+
+SEMDEDUP_AUDIT_EPS = 1e-9
+
+
+def semantic_dedup_audit(
+    emb: DataFrame,
+    tau: float = SEMDEDUP_TAU,
+    k_clusters: int = IVF_CLUSTERS,
+    iters: int = IVF_ITERS,
+) -> DataFrame:
+    """(vec_id, self_dot_micro, assignment_ok, dup_rule_ok): the bounded-
+    oracle face of ``semantic_dedup`` (round-6; same err_bound_checked
+    pattern as the ANN reports).  The k-means loop itself is iterative —
+    what IS checkable is that the produced output obeys the SemDeDup
+    contract, via INDEPENDENT mechanisms:
+
+    - ``self_dot_micro``: exact fixed-point sum of squares of each vector
+      (order-fixed left fold), recomputed bit-for-bit by the DuckDB
+      mirror — binds the vector contents cross-engine so the booleans
+      can't be checked against different data;
+    - ``assignment_ok``: the Arrow-GEMM argmin and the builtin struct-min
+      assignment agree (within SEMDEDUP_AUDIT_EPS of each other's
+      distance) when BOTH run on the final centroids — a real cross-check
+      of the GEMM path by the JVM fold path.  (The operator's stored
+      assignment is checked for contract properties via dup_rule_ok, not
+      re-derived here: Lloyd's loop assigns with the PREVIOUS iteration's
+      centroids before updating them, so "assignment == argmin(final
+      centroids)" is not an invariant of k-means output.);
+    - ``dup_rule_ok``: re-scores every claimed (vec, canonical) pair with
+      the BUILTIN fold cosine (not the Arrow pair scorer that produced
+      it): a dup's canonical must be a lower-id same-cluster mate within
+      tau (eps-tolerant), minimal among definite mates (cos >= tau+eps),
+      and a non-dup must have NO definite lower-id mate.
+
+    Scale shape: one cluster-keyed self-join (the operator's own shape)
+    plus doc-keyed joins; the centroid table is k x d literals.
+    """
+    out = semantic_dedup(emb, tau, k_clusters, iters, use_arrow=True)
+    assigned, cents = ivf_assignments(emb, k=k_clusters, iters=iters)
+    base_dot = emb.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.aggregate(
+            "embedding",
+            F.lit(0).cast("long"),
+            lambda acc, x: acc
+            + _half_away(x.cast("double") * x.cast("double") * 1_000_000).cast(
+                "long"
+            ),
+        ).alias("self_dot_micro"),
+    )
+    if not cents:
+        return base_dot.select(
+            "vec_id",
+            "self_dot_micro",
+            F.lit(True).alias("assignment_ok"),
+            F.lit(True).alias("dup_rule_ok"),
+        ).orderBy("vec_id")
+    eps = SEMDEDUP_AUDIT_EPS
+    assigned = assigned.localCheckpoint(eager=False)
+    gemm = _assign_to_centroids(emb, cents, use_arrow=True).select(
+        "vec_id",
+        F.col("cluster").alias("g_cluster"),
+        F.col("embedding").alias("g_emb"),
+    )
+    builtin = _assign_to_centroids(emb, cents, use_arrow=False).select(
+        F.col("vec_id").alias("vec_id"),
+        F.col("cluster").alias("b_cluster"),
+    )
+    cent_df = emb.sparkSession.createDataFrame(
+        [(int(c), [float(x) for x in v]) for c, v in cents],
+        "cluster long, centroid array<double>",
+    )
+    g_d = _sq_dist(F.col("g_emb"), F.col("g_centroid"))
+    b_d = _sq_dist(F.col("g_emb"), F.col("b_centroid"))
+    asg = (
+        gemm.join(builtin, "vec_id")
+        .join(
+            F.broadcast(
+                cent_df.select(
+                    F.col("cluster").alias("g_cluster"),
+                    F.col("centroid").alias("g_centroid"),
+                )
+            ),
+            "g_cluster",
+        )
+        .join(
+            F.broadcast(
+                cent_df.select(
+                    F.col("cluster").alias("b_cluster"),
+                    F.col("centroid").alias("b_centroid"),
+                )
+            ),
+            "b_cluster",
+        )
+        .select("vec_id", (g_d <= b_d + F.lit(eps)).alias("assignment_ok"))
+    )
+    a = assigned.select(
+        "cluster", F.col("vec_id").alias("va"), F.col("embedding").alias("ea")
+    )
+    b = assigned.select(
+        "cluster", F.col("vec_id").alias("vb"), F.col("embedding").alias("eb")
+    )
+    plain = cosine(F.col("ea"), F.col("eb"))
+    strict = (
+        a.join(b, "cluster")
+        .filter(F.col("va") < F.col("vb"))
+        .filter(plain >= F.lit(tau + eps))
+        .groupBy(F.col("vb").alias("vec_id"))
+        .agg(F.min("va").alias("strict_min"))
+    )
+    ev = emb.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("embedding").alias("_ve"),
+    )
+    ec = emb.select(
+        F.col("vec_id").cast("long").alias("canonical_id"),
+        F.col("embedding").alias("_ce"),
+    )
+    ca = assigned.select(
+        F.col("vec_id").alias("canonical_id"),
+        F.col("cluster").alias("canon_cluster"),
+    )
+    canon_cos = cosine(F.col("_ve"), F.col("_ce"))
+    audited = (
+        out.join(ev, "vec_id")
+        .join(ec, "canonical_id")
+        .join(ca, "canonical_id")
+        .join(strict, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.when(
+                F.col("is_semantic_dup"),
+                (F.col("canonical_id") < F.col("vec_id"))
+                & (F.col("canon_cluster") == F.col("cluster"))
+                & (canon_cos >= F.lit(tau - eps))
+                & (
+                    F.col("strict_min").isNull()
+                    | (F.col("canonical_id") <= F.col("strict_min"))
+                ),
+            )
+            .otherwise(F.col("strict_min").isNull())
+            .alias("dup_rule_ok"),
+        )
+    )
+    return (
+        base_dot.join(asg, "vec_id")
+        .join(audited, "vec_id")
+        .select("vec_id", "self_dot_micro", "assignment_ok", "dup_rule_ok")
+        .orderBy("vec_id")
+    )
+
+
+def semantic_dedup_audit_sql(table: str = "embeddings") -> str:
+    """DuckDB mirror: the exact fixed-point self-dot per vector (same
+    left-fold order and half-away rounding) + TRUE literals for the
+    Spark-side contract booleans."""
+    half = (
+        "CASE WHEN t >= 0 THEN CAST(floor(t + 0.5) AS BIGINT) "
+        "ELSE CAST(-floor(-t + 0.5) AS BIGINT) END"
+    )
+    step = half.replace(
+        "t", "(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1000000)"
+    )
+    return f"""
+    SELECT CAST(vec_id AS BIGINT) AS vec_id,
+           list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                            list_transform(embedding, x -> {step})),
+               (acc, v) -> acc + v
+           ) AS self_dot_micro,
+           TRUE AS assignment_ok,
+           TRUE AS dup_rule_ok
+    FROM {table}
+    ORDER BY vec_id
+    """

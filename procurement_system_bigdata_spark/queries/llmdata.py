@@ -248,12 +248,19 @@ Q_SOURCE_QUALITY_REPORT_SQL = text.source_quality_report_sql()
 
 
 def q_semantic_dedup(spark, sf_dir):
-    """SemDeDup over the embeddings table (k-means clusters -> within-
-    cluster cosine dups, lowest-id canonicals).  Iterative -> rows-only."""
-    return (
-        similarity.semantic_dedup(_emb(spark, sf_dir))
-        .orderBy("vec_id")
-    )
+    """SemDeDup over the embeddings table, audited (round-6): the k-means
+    loop is iterative, so the query emits the bounded-oracle report —
+    an exact fixed-point self-dot per vector (DuckDB recomputes it
+    bit-for-bit, binding the vector contents) plus Spark-side booleans
+    checked through INDEPENDENT mechanisms: the Arrow-GEMM cluster
+    assignment cross-checked by the builtin struct-min path, and every
+    dup/canonical claim re-scored with the JVM fold cosine (lower-id,
+    same-cluster, >= tau, minimal).  See
+    operators/similarity.semantic_dedup_audit."""
+    return similarity.semantic_dedup_audit(_emb(spark, sf_dir))
+
+
+Q_SEMANTIC_DEDUP_SQL = similarity.semantic_dedup_audit_sql()
 
 
 def q_lang_id(spark, sf_dir):
@@ -546,6 +553,7 @@ def semantic_curate(
     docs: DataFrame,
     emb: DataFrame,
     tau: float | None = None,
+    sem: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup-style corpus curation: quality-classifier gate ->
     embedding-semantic dedup (keep cluster canonicals) -> deterministic
@@ -567,12 +575,14 @@ def semantic_curate(
         .filter(F.col("passes"))
         .select("doc_id", "quality_logit")
     )
-    canon = (
-        sim.semantic_dedup(
+    if sem is None:
+        # the audited registry query passes the semantic-dedup table in so
+        # the k-means loop runs once for the composition AND its audit
+        sem = sim.semantic_dedup(
             emb, tau=tau if tau is not None else sim.SEMDEDUP_TAU
         )
-        .filter(~F.col("is_semantic_dup"))
-        .select(F.col("vec_id").alias("doc_id"), "cluster")
+    canon = sem.filter(~F.col("is_semantic_dup")).select(
+        F.col("vec_id").alias("doc_id"), "cluster"
     )
     split = sampling.train_val_test_split(docs).select("doc_id", "split")
     meta_cols = [c for c in ("lang", "source") if c in docs.columns]
@@ -585,9 +595,85 @@ def semantic_curate(
 
 
 def q_semantic_curation(spark, sf_dir):
-    return semantic_curate(
-        _docs(spark, sf_dir), _emb(spark, sf_dir)
-    ).orderBy("doc_id")
+    """SemDeDup-style curation, audited (round-6): rows = classifier-passed
+    docs that have an embedding (oracle-recomputable: the classifier logit
+    is bit-exact per its own oracle, split is hash-deterministic), plus
+    Spark-side booleans binding the real composed output: the curated set
+    is EXACTLY the non-dup survivors (kept_consistent_ok) carrying the
+    recomputed split (split_match_ok).  The k-means loop runs ONCE — the
+    same semantic-dedup table feeds the composition and the audit."""
+    from ..operators import text as text_ops
+
+    docs = _docs(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
+    sem = similarity.semantic_dedup(emb).localCheckpoint(eager=False)
+    curated = semantic_curate(docs, emb, sem=sem).select(
+        "doc_id",
+        F.col("split").alias("curated_split"),
+        F.lit(True).alias("in_curated"),
+    )
+    base = (
+        docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"), "lang", "source"
+        )
+        .join(
+            text_ops.quality_classifier(docs)
+            .filter(F.col("passes"))
+            .select("doc_id", "quality_logit"),
+            "doc_id",
+        )
+        .join(
+            sem.select(
+                F.col("vec_id").alias("doc_id"), "is_semantic_dup"
+            ),
+            "doc_id",
+        )
+        .join(
+            sampling.train_val_test_split(docs).select("doc_id", "split"),
+            "doc_id",
+        )
+    )
+    return (
+        base.join(curated, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "quality_logit",
+            "split",
+            (
+                F.coalesce("in_curated", F.lit(False))
+                == ~F.col("is_semantic_dup")
+            ).alias("kept_consistent_ok"),
+            (
+                F.col("in_curated").isNull()
+                | (F.col("curated_split") == F.col("split"))
+            ).alias("split_match_ok"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _semantic_curation_sql() -> str:
+    from ..operators import text as text_ops
+
+    return f"""
+    WITH qc AS ({text_ops.quality_classifier_sql()}),
+    sp AS ({sampling.train_val_test_split_sql()})
+    SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.lang, d.source,
+           q.quality_logit, s.split,
+           TRUE AS kept_consistent_ok,
+           TRUE AS split_match_ok
+    FROM documents d
+    JOIN qc q ON CAST(d.doc_id AS BIGINT) = q.doc_id AND q.passes
+    JOIN (SELECT DISTINCT CAST(vec_id AS BIGINT) AS doc_id
+          FROM embeddings) e ON CAST(d.doc_id AS BIGINT) = e.doc_id
+    JOIN sp s ON d.doc_id = s.doc_id
+    ORDER BY doc_id
+    """
+
+
+Q_SEMANTIC_CURATION_SQL = _semantic_curation_sql()
 
 
 def q_exact_substring_pairs(spark, sf_dir):

@@ -911,9 +911,13 @@ _register(
     QuerySpec(
         name="semantic_dedup",
         fn=llmdata.q_semantic_dedup,
-        oracle=None,  # iterative k-means; semantics pinned by tests
-        description="SemDeDup semantic deduplication: k-means clusters -> "
-        "within-cluster cosine dups, lowest-id canonicals (rows-only)",
+        oracle=llmdata.Q_SEMANTIC_DEDUP_SQL,
+        description="SemDeDup semantic deduplication (k-means clusters -> "
+        "within-cluster cosine dups, lowest-id canonicals); BOUNDED oracle "
+        "(round-6): exact fixed-point self-dot per vector recomputed by "
+        "DuckDB + Spark-side contract booleans via independent mechanisms "
+        "(GEMM assignment vs builtin argmin; dup/canonical claims "
+        "re-scored with the JVM fold cosine), asserted TRUE in-oracle",
         ops=("EXT-dedup", "EXT-similarity"),
     )
 )
@@ -921,10 +925,12 @@ _register(
     QuerySpec(
         name="semantic_curation",
         fn=llmdata.q_semantic_curation,
-        oracle=None,  # k-means underneath; composition semantics tested
-        description="SemDeDup-style curation: classifier gate -> embedding "
-        "semantic-dedup canonicals -> deterministic split (composed plan, "
-        "doc_id-keyed joins share one exchange); rows-only",
+        oracle=llmdata.Q_SEMANTIC_CURATION_SQL,
+        description="SemDeDup-style curation (classifier gate -> embedding "
+        "semantic-dedup canonicals -> deterministic split); BOUNDED oracle "
+        "(round-6): rows = classifier-passed embedded docs with bit-exact "
+        "logit + recomputed split; kept_consistent_ok/split_match_ok bind "
+        "the real composed output, asserted TRUE in-oracle",
         ops=("EXT-pipeline", "EXT-dedup", "EXT-similarity"),
     )
 )

@@ -169,3 +169,66 @@ def test_bpe_first_merge_matches_top_pairs(spark, duck):
         "WHERE rank = 1"
     ).fetchone()
     assert (merges.left_sym, merges.right_sym) == top
+
+
+# --- semantic_dedup / semantic_curation (round-6 second tranche) ------------
+
+
+def test_semantic_dedup_matches_bounded_oracle(spark, duck):
+    from procurement_system_bigdata_spark.queries import llmdata as ld
+
+    assert_matches_oracle(
+        ld.q_semantic_dedup(spark, SF_DIR), duck, ld.Q_SEMANTIC_DEDUP_SQL
+    )
+
+
+def test_semantic_curation_matches_bounded_oracle(spark, duck):
+    from procurement_system_bigdata_spark.queries import llmdata as ld
+
+    assert_matches_oracle(
+        ld.q_semantic_curation(spark, SF_DIR), duck, ld.Q_SEMANTIC_CURATION_SQL
+    )
+
+
+def test_semantic_dup_rule_not_vacuous(spark):
+    # hand-built embedding table: 0 and 1 nearly identical (dup), 2 far
+    from procurement_system_bigdata_spark.operators import similarity as sim
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9999, 0.0141, 0.0, 0.0]),
+        (2, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r for r in sim.semantic_dedup(emb, k_clusters=2, iters=2).collect()}
+    assert out[1].is_semantic_dup and out[1].canonical_id == 0
+    assert not out[0].is_semantic_dup and not out[2].is_semantic_dup
+    audit = {
+        r.vec_id: r
+        for r in sim.semantic_dedup_audit(emb, k_clusters=2, iters=2).collect()
+    }
+    assert all(r.assignment_ok and r.dup_rule_ok for r in audit.values())
+
+    # the checker itself must flip on a fabricated wrong canonical: claim
+    # vec 2 (far) is a dup of 0 — re-scoring with the fold cosine must fail
+    from pyspark.sql import functions as F
+
+    from procurement_system_bigdata_spark.operators.similarity import (
+        SEMDEDUP_TAU,
+        cosine,
+    )
+
+    fake = spark.createDataFrame(
+        [(2, 0)], "vec_id long, canonical_id long"
+    )
+    ev = emb.select(F.col("vec_id"), F.col("embedding").alias("_ve"))
+    ec = emb.select(
+        F.col("vec_id").alias("canonical_id"), F.col("embedding").alias("_ce")
+    )
+    row = (
+        fake.join(ev, "vec_id")
+        .join(ec, "canonical_id")
+        .select((cosine(F.col("_ve"), F.col("_ce")) >= SEMDEDUP_TAU).alias("ok"))
+        .first()
+    )
+    assert not row.ok
