@@ -630,3 +630,152 @@ def certified_cross_source_canonicals_sql(
     FROM {table} d
     LEFT JOIN deg g ON CAST(d.doc_id AS BIGINT) = g.node
     """
+
+
+def cluster_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    train_pct: int = 80,
+    val_pct: int = 10,
+    labels: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_id, component, split): leakage-SAFE train/val/test split —
+    the repair for what ``split_leakage`` detects.  Hashing each doc
+    independently lets near-duplicate pairs straddle the train/test
+    boundary (eval contamination); the fix every serious pipeline applies
+    is to key the split hash on the CLUSTER, not the doc, so whole
+    near-dup clusters land in one split.  Implemented as the per-doc hash
+    split evaluated on the component's canonical id: singletons keep
+    exactly their plain-split assignment (the split stays incremental and
+    stratification-friendly), clusters inherit their canonical's.
+
+    Scale: the component table is the dedup_clusters shuffle; the split
+    itself is a narrow map over it.
+    """
+    from ..functions import portable as P
+
+    if labels is None:
+        nodes = docs.select(F.col("doc_id").cast("long").alias("node"))
+        edges = pairs.select(
+            F.col("doc_a").cast("long").alias("src"),
+            F.col("doc_b").cast("long").alias("dst"),
+        )
+        labels = connected_components(nodes, edges)
+    bucket = P.spark_str_hash(F.col("component").cast("string")) % 100
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        "component",
+        F.when(bucket < train_pct, F.lit("train"))
+        .when(bucket < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
+def cluster_safe_split_audit(
+    docs: DataFrame,
+    pairs: DataFrame,
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """Bounded-oracle report for ``cluster_safe_split`` (round-6): per doc
+    (doc_id, degree, singleton_split, label_le_ok, root_ok, witness_ok,
+    edges_within_ok, no_leakage_ok).
+
+    ``singleton_split`` carries the ACTUAL assigned split for degree-0
+    docs (for a singleton, component == doc_id, so the oracle recomputes
+    it as the plain doc-hash split — binding real output values for the
+    corpus majority) and NULL for clustered docs (whose canonical the
+    oracle cannot derive without a closure).  The certificate booleans
+    prove the component labels; ``no_leakage_ok`` re-checks the operator's
+    headline contract over the real pair table: no near-dup edge straddles
+    two splits."""
+    from ..functions import portable as P
+
+    nodes = docs.select(F.col("doc_id").cast("long").alias("node"))
+    edges = pairs.select(
+        F.col("doc_a").cast("long").alias("src"),
+        F.col("doc_b").cast("long").alias("dst"),
+    ).localCheckpoint(eager=False)
+    labels = connected_components(nodes, edges, with_hops=True).localCheckpoint(
+        eager=False
+    )
+    cert = components_certificate(nodes, edges, labels)
+    out = cluster_safe_split(
+        docs, pairs, train_pct, val_pct, labels=labels.select("node", "component")
+    ).localCheckpoint(eager=False)
+    s_src = out.select(F.col("doc_id").alias("src"), F.col("split").alias("split_src"))
+    s_dst = out.select(F.col("doc_id").alias("dst"), F.col("split").alias("split_dst"))
+    leaky = (
+        edges.join(s_src, "src")
+        .join(s_dst, "dst")
+        .filter(F.col("split_src") != F.col("split_dst"))
+        .select(F.col("src").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.lit(False).alias("no_leakage_ok"))
+    )
+    return (
+        out.join(
+            cert.select(
+                F.col("node").alias("doc_id"),
+                "degree",
+                "label_le_ok",
+                "root_ok",
+                "witness_ok",
+                "edges_within_ok",
+            ),
+            "doc_id",
+        )
+        .join(leaky, "doc_id", "left")
+        .select(
+            "doc_id",
+            "degree",
+            F.when(F.col("degree") == 0, F.col("split")).alias(
+                "singleton_split"
+            ),
+            "label_le_ok",
+            "root_ok",
+            "witness_ok",
+            "edges_within_ok",
+            F.coalesce("no_leakage_ok", F.lit(True)).alias("no_leakage_ok"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def cluster_safe_split_audit_sql(
+    pairs_sql: str,
+    table: str = "documents",
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> str:
+    from ..functions import portable as P
+
+    bucket = f"({P.duck_str_hash('CAST(d.doc_id AS VARCHAR)')}) % 100"
+    return f"""
+    WITH pairs AS ({pairs_sql}),
+    sym AS (
+        SELECT DISTINCT doc_a AS src, doc_b AS dst FROM pairs
+        UNION
+        SELECT DISTINCT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    deg AS (
+        SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS degree
+        FROM sym GROUP BY src
+    )
+    SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+           COALESCE(g.degree, 0) AS degree,
+           CASE WHEN COALESCE(g.degree, 0) = 0 THEN
+               CASE WHEN {bucket} < {train_pct} THEN 'train'
+                    WHEN {bucket} < {train_pct + val_pct} THEN 'val'
+                    ELSE 'test' END
+           END AS singleton_split,
+           TRUE AS label_le_ok,
+           TRUE AS root_ok,
+           TRUE AS witness_ok,
+           TRUE AS edges_within_ok,
+           TRUE AS no_leakage_ok
+    FROM {table} d
+    LEFT JOIN deg g ON CAST(d.doc_id AS BIGINT) = g.node
+    ORDER BY doc_id
+    """

@@ -1188,3 +1188,123 @@ def dedup_method_agreement_sql(table: str = "documents") -> str:
                 f"CAST({common} AS BIGINT) AS n_common"
             )
     return f"WITH {ctes}\n" + "\nUNION ALL\n".join(selects)
+
+
+def minhash_estimate_vs_exact(
+    docs: DataFrame,
+    shingle_n: int = 1,
+    threshold: float = 0.9,
+    k: int = P.MINHASH_K_ORACLE,
+    n_bands: int = P.MINHASH_BANDS_ORACLE,
+) -> DataFrame:
+    """(doc_a, doc_b, k_eq, n_common, n_union, est_jaccard, exact_jaccard,
+    abs_err): sketch-accuracy report for the MinHash estimator over the
+    confirmed near-dup pairs — per pair, how many of the k signature
+    components agree (the estimator: E[k_eq/k] = Jaccard) next to the
+    exact set Jaccard.  The table a pipeline reads before trusting an
+    UNCONFIRMED minhash dial at scale (where the exact-confirm join is the
+    cost being traded away).
+
+    Everything is exact integers + one identically-shaped division per
+    engine, so the DuckDB mirror is a FULL oracle — no bounds needed.
+    Scale shape: the pair set and signature/token tables are the LSH
+    operator's own; the report adds two signature joins and two token-set
+    joins on pair keys — linear in pairs.
+    """
+    if k % n_bands:
+        raise ValueError(f"n_bands={n_bands} must divide k={k}")
+    pairs = minhash_lsh_pairs(
+        docs, shingle_n, threshold, k=k, n_bands=n_bands
+    ).select("doc_a", "doc_b")
+    sigs = minhash_signatures(docs, shingle_n, k).localCheckpoint(eager=False)
+    sig_arr = F.array(*[F.col(f"m{i}") for i in range(k)])
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), sig_arr.alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), sig_arr.alias("sig_b"))
+    tok = _doc_token_hashes(docs, shingle_n)
+    doc_sets = (
+        tok.groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("h")).alias("hs"))
+        .localCheckpoint(eager=False)
+    )
+    ta = doc_sets.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
+    tb = doc_sets.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
+    k_eq = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    ).cast("long")
+    n_common = F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b"))).cast(
+        "long"
+    )
+    n_union = (
+        F.size(F.col("hs_a")) + F.size(F.col("hs_b"))
+    ).cast("long") - n_common
+    est = F.col("k_eq").cast("double") / F.lit(float(k))
+    exact = F.col("n_common").cast("double") / F.col("n_union").cast("double")
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            k_eq.alias("k_eq"),
+            n_common.alias("n_common"),
+            n_union.alias("n_union"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "k_eq",
+            "n_common",
+            "n_union",
+            est.alias("est_jaccard"),
+            exact.alias("exact_jaccard"),
+            F.abs(est - exact).alias("abs_err"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def minhash_estimate_vs_exact_sql(
+    table: str = "documents",
+    shingle_n: int = 1,
+    threshold: float = 0.9,
+    k: int = P.MINHASH_K_ORACLE,
+) -> str:
+    tok = _duck_doc_token_hashes(table, shingle_n)
+    minhash_cols = ", ".join(
+        f"MIN(({P.MINHASH_A_ORACLE[i]} * h + {P.MINHASH_B_ORACLE[i]}) % {P.HASH_P}) AS m{i}"
+        for i in range(k)
+    )
+    eq_sum = " + ".join(
+        f"CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END" for i in range(k)
+    )
+    return f"""
+    WITH pairs AS ({minhash_lsh_pairs_sql(table, shingle_n, threshold)}),
+    tok0 AS ({tok}),
+    sigs AS (SELECT doc_id, {minhash_cols} FROM tok0 GROUP BY doc_id),
+    doc_sets AS (SELECT doc_id, list_sort(list(DISTINCT h)) AS hs
+                 FROM tok0 GROUP BY doc_id),
+    rep AS (
+        SELECT p.doc_a, p.doc_b,
+               CAST({eq_sum} AS BIGINT) AS k_eq,
+               CAST(len(list_intersect(ta.hs, tb.hs)) AS BIGINT) AS n_common,
+               CAST(len(ta.hs) + len(tb.hs)
+                    - len(list_intersect(ta.hs, tb.hs)) AS BIGINT) AS n_union
+        FROM pairs p
+        JOIN sigs a ON a.doc_id = p.doc_a
+        JOIN sigs b ON b.doc_id = p.doc_b
+        JOIN doc_sets ta ON ta.doc_id = p.doc_a
+        JOIN doc_sets tb ON tb.doc_id = p.doc_b
+    )
+    SELECT doc_a, doc_b, k_eq, n_common, n_union,
+           CAST(k_eq AS DOUBLE) / {float(k)} AS est_jaccard,
+           CAST(n_common AS DOUBLE) / CAST(n_union AS DOUBLE) AS exact_jaccard,
+           abs(CAST(k_eq AS DOUBLE) / {float(k)}
+               - CAST(n_common AS DOUBLE) / CAST(n_union AS DOUBLE)) AS abs_err
+    FROM rep
+    ORDER BY doc_a, doc_b
+    """

@@ -1666,3 +1666,94 @@ def corpus_card_sql(table: str = "documents") -> str:
                AS mean_doc_tokens
     FROM base, top_lang, vocab
     """
+
+
+NOVELTY_N = 3
+
+
+def ngram_novelty(docs: DataFrame, n: int = NOVELTY_N) -> DataFrame:
+    """(doc_id, n_grams, n_novel, novelty): per-document n-gram NOVELTY —
+    the fraction of the doc's distinct word n-grams whose FIRST occurrence
+    (minimum doc_id over the corpus) is this document.  The additive
+    complement of near-dup detection: dedup asks "how much of this doc is
+    elsewhere", novelty asks "how much did this doc add when it arrived" —
+    the signal curriculum/mixing pipelines use to up-weight
+    diversity-contributing documents and to spot crawl snapshots that add
+    nothing (Lee et al. 2022 §5 measure novel tokens the same
+    first-occurrence way).
+
+    Scale shape: one distinct-(doc, gram) explode, one gram-keyed min
+    aggregate (map-side combined; group cardinality = corpus distinct
+    grams), one join back on the gram key reusing the same partitioning,
+    one doc-keyed count.  No self-join, nothing quadratic; the ratio is a
+    single exactly-rounded division over exact BIGINTs (bit-equal
+    cross-engine)."""
+    words = P.spark_words(P.spark_norm_text(F.col("text")))
+    grams = (
+        docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.explode(P.spark_word_shingles(words, n)).alias("g"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds the min-agg AND the join back
+    )
+    first = grams.groupBy("g").agg(F.min("doc_id").alias("owner"))
+    per_doc = (
+        grams.join(first, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(
+                F.when(F.col("owner") == F.col("doc_id"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+    base = docs.select(F.col("doc_id").cast("long").alias("doc_id"))
+    return (
+        base.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0).cast("long")).alias("n_grams"),
+            F.coalesce("n_novel", F.lit(0).cast("long")).alias("n_novel"),
+            F.when(
+                F.coalesce("n_grams", F.lit(0)) > 0,
+                F.col("n_novel").cast("double")
+                / F.col("n_grams").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def ngram_novelty_sql(table: str = "documents", n: int = NOVELTY_N) -> str:
+    nt = P.duck_norm_text("text")
+    shingles = P.duck_word_shingles("ws", n)
+    return f"""
+    WITH grams AS (
+        SELECT DISTINCT doc_id, unnest({shingles}) AS g
+        FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id, {P.duck_words('nt')} AS ws
+              FROM (SELECT doc_id, {nt} AS nt FROM {table}))
+    ),
+    first AS (SELECT g, MIN(doc_id) AS owner FROM grams GROUP BY g),
+    per_doc AS (
+        SELECT grams.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(SUM(CASE WHEN f.owner = grams.doc_id THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_novel
+        FROM grams JOIN first f ON grams.g = f.g
+        GROUP BY grams.doc_id
+    )
+    SELECT b.doc_id,
+           COALESCE(p.n_grams, 0) AS n_grams,
+           COALESCE(p.n_novel, 0) AS n_novel,
+           CASE WHEN COALESCE(p.n_grams, 0) > 0
+                THEN CAST(p.n_novel AS DOUBLE) / CAST(p.n_grams AS DOUBLE)
+                ELSE 0.0 END AS novelty
+    FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM {table}) b
+    LEFT JOIN per_doc p ON b.doc_id = p.doc_id
+    ORDER BY b.doc_id
+    """

@@ -1477,3 +1477,43 @@ def q_containment_pairs(spark, sf_dir):
 Q_CONTAINMENT_PAIRS_SQL = dedup.ngram_containment_pairs_sql(
     "documents", shingle_n=3, threshold=0.6
 )
+
+
+# --- round-6 second wave: novelty / sketch accuracy / leakage repair -------
+
+def q_ngram_novelty(spark, sf_dir):
+    """Per-doc first-occurrence n-gram novelty (the additive complement of
+    near-dup detection) — operators/text.py ngram_novelty."""
+    return text.ngram_novelty(_docs(spark, sf_dir))
+
+
+Q_NGRAM_NOVELTY_SQL = text.ngram_novelty_sql()
+
+
+def q_minhash_accuracy(spark, sf_dir):
+    """MinHash estimator accuracy vs exact Jaccard over the confirmed
+    near-dup pairs (full integer oracle) — operators/dedup.py
+    minhash_estimate_vs_exact at the oracle dial."""
+    return dedup.minhash_estimate_vs_exact(_docs(spark, sf_dir))
+
+
+Q_MINHASH_ACCURACY_SQL = dedup.minhash_estimate_vs_exact_sql()
+
+
+def q_cluster_safe_split(spark, sf_dir):
+    """Leakage-SAFE split (whole near-dup clusters share one split — the
+    repair for what split_leakage detects), audited closure-free with the
+    components certificate + a no-edge-straddles-splits recheck —
+    operators/clustering.py cluster_safe_split_audit."""
+    docs = _docs(spark, sf_dir)
+    return clustering.cluster_safe_split_audit(
+        docs,
+        dedup.minhash_lsh_pairs(
+            docs, k=P.MINHASH_K_ORACLE, n_bands=P.MINHASH_BANDS_ORACLE
+        ),
+    )
+
+
+Q_CLUSTER_SAFE_SPLIT_SQL = clustering.cluster_safe_split_audit_sql(
+    dedup.minhash_lsh_pairs_sql()
+)

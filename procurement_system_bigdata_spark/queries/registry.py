@@ -1660,6 +1660,50 @@ _register(
     )
 )
 
+
+# --- round-6 second wave ----------------------------------------------------
+
+_register(
+    QuerySpec(
+        name="ngram_novelty",
+        fn=llmdata.q_ngram_novelty,
+        oracle=llmdata.Q_NGRAM_NOVELTY_SQL,
+        description="Per-doc first-occurrence n-gram novelty share (the "
+        "additive complement of dedup: how much a doc ADDED when it "
+        "arrived; Lee et al. 2022 measure novel tokens this way) - one "
+        "gram-keyed min aggregate + join-back, nothing quadratic",
+        ops=("EXT-text", "EXT-dedup"),
+    )
+)
+
+_register(
+    QuerySpec(
+        name="minhash_accuracy",
+        fn=llmdata.q_minhash_accuracy,
+        oracle=llmdata.Q_MINHASH_ACCURACY_SQL,
+        description="MinHash sketch-accuracy report: per confirmed "
+        "near-dup pair, matching-component estimate vs exact set Jaccard "
+        "(all exact integers + one identical division per engine -> FULL "
+        "oracle) - what a pipeline reads before trusting an unconfirmed "
+        "minhash dial at 100 TB",
+        ops=("EXT-dedup", "EXT-sketch"),
+    )
+)
+
+_register(
+    QuerySpec(
+        name="cluster_safe_split",
+        fn=llmdata.q_cluster_safe_split,
+        oracle=llmdata.Q_CLUSTER_SAFE_SPLIT_SQL,
+        description="Leakage-SAFE split: whole near-dup clusters share one "
+        "split (the REPAIR for what split_leakage detects); BOUNDED "
+        "oracle: degree + singleton splits recomputed by DuckDB, cluster "
+        "labels proven by the components certificate, plus a no-edge-"
+        "straddles-splits recheck over the real pair table",
+        ops=("EXT-sampling", "EXT-dedup", "EXT-clustering"),
+    )
+)
+
 # ---------------------------------------------------------------------------
 # Driver snapshot ordering (round-4 judge ask #2).  The external driver's
 # CORRECTNESS gate samples the FIRST ``DRIVER_SNAPSHOT_N`` registry entries,

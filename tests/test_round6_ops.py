@@ -1,0 +1,142 @@
+"""Round-6 second wave: ngram novelty, minhash sketch accuracy, and the
+cluster-safe (leakage-repairing) split."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from procurement_system_bigdata_spark.functions import portable as P
+from procurement_system_bigdata_spark.operators import clustering, dedup, text
+from procurement_system_bigdata_spark.queries import llmdata
+from tests.conftest import SF_DIR, assert_matches_oracle
+
+
+def test_ngram_novelty_matches_oracle(spark, duck):
+    assert_matches_oracle(
+        llmdata.q_ngram_novelty(spark, SF_DIR), duck, llmdata.Q_NGRAM_NOVELTY_SQL
+    )
+
+
+def test_ngram_novelty_closed_form(spark):
+    # doc 0 introduces all grams; doc 1 repeats doc 0 exactly (novelty 0);
+    # doc 2 shares a prefix (one old gram, one new); doc 3 too short
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d"),
+            (1, "a b c d"),
+            (2, "b c d e"),
+            (3, "x y"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in text.ngram_novelty(docs).collect()}
+    assert got[0].n_grams == 2 and got[0].n_novel == 2 and got[0].novelty == 1.0
+    assert got[1].n_grams == 2 and got[1].n_novel == 0 and got[1].novelty == 0.0
+    # doc 2 grams: "b c d" (seen in doc 0) and "c d e" (new)
+    assert got[2].n_grams == 2 and got[2].n_novel == 1 and got[2].novelty == 0.5
+    assert got[3].n_grams == 0 and got[3].novelty == 0.0
+
+
+def test_minhash_accuracy_matches_oracle(spark, duck):
+    assert_matches_oracle(
+        llmdata.q_minhash_accuracy(spark, SF_DIR),
+        duck,
+        llmdata.Q_MINHASH_ACCURACY_SQL,
+    )
+
+
+def test_minhash_accuracy_identical_docs_estimate_exact(spark):
+    # two identical docs: every signature component matches and exact
+    # jaccard is 1.0 -> abs_err must be 0
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma delta"), (1, "alpha beta gamma delta")],
+        "doc_id long, text string",
+    )
+    rows = dedup.minhash_estimate_vs_exact(docs).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.k_eq == P.MINHASH_K_ORACLE
+    assert r.est_jaccard == 1.0 and r.exact_jaccard == 1.0 and r.abs_err == 0.0
+
+
+def test_cluster_safe_split_matches_oracle(spark, duck):
+    assert_matches_oracle(
+        llmdata.q_cluster_safe_split(spark, SF_DIR),
+        duck,
+        llmdata.Q_CLUSTER_SAFE_SPLIT_SQL,
+    )
+
+
+def test_cluster_safe_split_heals_leakage(spark):
+    # find doc ids whose plain hash splits differ, pair them as near-dups:
+    # the plain split LEAKS, the cluster-safe split must not
+    from procurement_system_bigdata_spark.operators import sampling
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(40)], "doc_id long, text string"
+    )
+    plain = {
+        r.doc_id: r.split
+        for r in sampling.train_val_test_split(
+            docs.withColumn("source", F.lit("s"))
+        ).collect()
+    }
+    cross = [
+        (a, b)
+        for a in plain
+        for b in plain
+        if a < b and plain[a] != plain[b]
+    ][:3]
+    assert cross, "fixture needs at least one cross-split pair"
+    pairs = spark.createDataFrame(cross, "doc_a long, doc_b long")
+    safe = clustering.cluster_safe_split(docs, pairs)
+    s = {r.doc_id: (r.component, r.split) for r in safe.collect()}
+    for a, b in cross:
+        assert s[a] == s[b]  # same component -> same split
+    # singletons keep their plain assignment
+    in_pairs = {x for ab in cross for x in ab}
+    for d, sp in plain.items():
+        if d not in in_pairs:
+            assert s[d][1] == sp
+    # and the audit's no_leakage/no-vacuity: audit all-TRUE on this graph
+    audit = clustering.cluster_safe_split_audit(docs, pairs)
+    bad = audit.filter(
+        ~F.col("no_leakage_ok")
+        | ~F.col("edges_within_ok")
+        | ~F.col("witness_ok")
+        | ~F.col("root_ok")
+        | ~F.col("label_le_ok")
+    )
+    assert bad.count() == 0
+
+
+def test_cluster_safe_split_audit_flags_plain_split_leak(spark):
+    # feed the leakage checker a DELIBERATELY per-doc split over a
+    # cross-split pair: no_leakage_ok must flip for the straddling docs
+    from procurement_system_bigdata_spark.operators import sampling
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(40)], "doc_id long, text string"
+    )
+    plain = {
+        r.doc_id: r.split
+        for r in sampling.train_val_test_split(
+            docs.withColumn("source", F.lit("s"))
+        ).collect()
+    }
+    cross = next(
+        (a, b) for a in plain for b in plain if a < b and plain[a] != plain[b]
+    )
+    edges = spark.createDataFrame([cross], "src long, dst long")
+    sym = edges.unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    splits = spark.createDataFrame(
+        [(d, sp) for d, sp in plain.items()], "doc_id long, split string"
+    )
+    s_src = splits.select(F.col("doc_id").alias("src"), F.col("split").alias("ss"))
+    s_dst = splits.select(F.col("doc_id").alias("dst"), F.col("split").alias("sd"))
+    leaks = (
+        sym.join(s_src, "src").join(s_dst, "dst").filter(F.col("ss") != F.col("sd"))
+    )
+    assert leaks.count() == 2  # both directions of the straddling pair
