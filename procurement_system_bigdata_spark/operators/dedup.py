@@ -1308,3 +1308,139 @@ def minhash_estimate_vs_exact_sql(
     FROM rep
     ORDER BY doc_a, doc_b
     """
+
+
+SELF_SPAN_N = 3
+
+
+def remove_self_repetition(docs: DataFrame, n: int = SELF_SPAN_N) -> DataFrame:
+    """(doc_id, n_words, n_removed, clean_text): WITHIN-document repetition
+    excision — every word position covered by an n-gram occurrence whose
+    same-document FIRST occurrence is earlier gets removed; the first
+    occurrence survives intact.  The in-document analog of
+    ``remove_shared_spans`` (Lee et al. 2022 semantics applied to
+    self-repeats): boilerplate loops, template spam and decoding
+    degeneracies repeat inside one document where cross-doc dedup never
+    looks — Gopher's repetition QUALITY GATES (repetition_signals) flag
+    such docs; this operator is the salvage path that keeps the unique
+    prefix instead of dropping the document.
+
+    Scale shape: one (doc, gram)-keyed min aggregate + join back (both
+    shuffles carry (doc_id, hash, pos) ints), position expansion bounded
+    by n x repeats, survivors rebuilt per doc.  No self-join, nothing
+    quadratic; deterministic by construction (positions decide)."""
+    words = P.spark_words(P.spark_norm_text(F.col("text")))
+    base = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), words.alias("ws")
+    ).select("doc_id", F.filter(F.col("ws"), lambda w: w != "").alias("ws"))
+    pos_words = base.select("doc_id", F.posexplode("ws").alias("pos", "w"))
+    grams = (
+        base.select(
+            "doc_id",
+            F.posexplode(P.spark_word_shingles(F.col("ws"), n)).alias("i", "g"),
+        )
+        .select("doc_id", "i", F.md5("g").alias("gh"))
+        .localCheckpoint(eager=False)  # feeds firsts AND the repeat join
+    )
+    firsts = grams.groupBy("doc_id", "gh").agg(F.min("i").alias("i0"))
+    covered = (
+        grams.join(firsts, ["doc_id", "gh"])
+        .filter(F.col("i") > F.col("i0"))
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("i"), F.col("i") + F.lit(n - 1))).alias(
+                "pos"
+            ),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds the anti-join AND n_removed
+    )
+    survivors = (
+        pos_words.join(covered, ["doc_id", "pos"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda s: s["w"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+    )
+    ids = docs.select(F.col("doc_id").cast("long").alias("doc_id"))
+    n_cov = covered.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_removed"))
+    return (
+        ids.join(survivors, "doc_id", "left")
+        .join(n_cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            (
+                F.coalesce(F.col("n_kept"), F.lit(0).cast("long"))
+                + F.coalesce(F.col("n_removed"), F.lit(0).cast("long"))
+            ).alias("n_words"),
+            F.coalesce(F.col("n_removed"), F.lit(0).cast("long")).alias(
+                "n_removed"
+            ),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def remove_self_repetition_sql(
+    table: str = "documents", n: int = SELF_SPAN_N
+) -> str:
+    nt = P.duck_norm_text("text")
+    shingles = P.duck_word_shingles("ws", n)
+    return f"""
+    WITH base AS (
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               list_filter({P.duck_words('nt')}, w -> w <> '') AS ws
+        FROM (SELECT doc_id, {nt} AS nt FROM {table})
+    ),
+    pw AS (
+        SELECT doc_id,
+               CAST(generate_subscripts(ws, 1) - 1 AS BIGINT) AS pos,
+               unnest(ws) AS w
+        FROM base
+    ),
+    grams AS (
+        SELECT doc_id, CAST(i - 1 AS BIGINT) AS i, md5(g) AS gh
+        FROM (SELECT doc_id,
+                     generate_subscripts(gs, 1) AS i,
+                     unnest(gs) AS g
+              FROM (SELECT doc_id, {shingles} AS gs FROM base))
+    ),
+    firsts AS (
+        SELECT doc_id, gh, MIN(i) AS i0 FROM grams GROUP BY doc_id, gh
+    ),
+    covered AS (
+        SELECT DISTINCT g.doc_id, g.i + off.o AS pos
+        FROM grams g
+        JOIN firsts f ON g.doc_id = f.doc_id AND g.gh = f.gh AND g.i > f.i0
+        CROSS JOIN (SELECT unnest(range(0, {n})) AS o) off
+    ),
+    survivors AS (
+        SELECT pw.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_kept,
+               string_agg(pw.w, ' ' ORDER BY pw.pos) AS clean_text
+        FROM pw
+        LEFT JOIN covered c ON pw.doc_id = c.doc_id AND pw.pos = c.pos
+        WHERE c.doc_id IS NULL
+        GROUP BY pw.doc_id
+    ),
+    n_cov AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_removed
+        FROM covered GROUP BY doc_id
+    )
+    SELECT ids.doc_id,
+           COALESCE(s.n_kept, 0) + COALESCE(nc.n_removed, 0) AS n_words,
+           COALESCE(nc.n_removed, 0) AS n_removed,
+           COALESCE(s.clean_text, '') AS clean_text
+    FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM {table}) ids
+    LEFT JOIN survivors s ON ids.doc_id = s.doc_id
+    LEFT JOIN n_cov nc ON ids.doc_id = nc.doc_id
+    ORDER BY ids.doc_id
+    """

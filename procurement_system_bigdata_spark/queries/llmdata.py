@@ -1517,3 +1517,14 @@ def q_cluster_safe_split(spark, sf_dir):
 Q_CLUSTER_SAFE_SPLIT_SQL = clustering.cluster_safe_split_audit_sql(
     dedup.minhash_lsh_pairs_sql()
 )
+
+
+def q_self_repetition_removal(spark, sf_dir):
+    """Within-document repetition excision (keep each n-gram's first
+    occurrence, remove later repeats) — the salvage path for docs the
+    Gopher-style repetition gates would drop whole; operators/dedup.py
+    remove_self_repetition."""
+    return dedup.remove_self_repetition(_docs(spark, sf_dir))
+
+
+Q_SELF_REPETITION_SQL = dedup.remove_self_repetition_sql()

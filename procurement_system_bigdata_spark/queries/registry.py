@@ -1704,6 +1704,20 @@ _register(
     )
 )
 
+_register(
+    QuerySpec(
+        name="self_repetition_removal",
+        fn=llmdata.q_self_repetition_removal,
+        oracle=llmdata.Q_SELF_REPETITION_SQL,
+        description="Within-document repetition excision: word positions "
+        "covered by an n-gram repeat (same doc, earlier first occurrence) "
+        "are removed, first occurrence kept - the salvage complement of "
+        "the Gopher repetition gates and the in-doc analog of span_removal "
+        "(Lee et al. 2022); full oracle incl. rebuilt clean_text",
+        ops=("EXT-dedup", "EXT-text"),
+    )
+)
+
 # ---------------------------------------------------------------------------
 # Driver snapshot ordering (round-4 judge ask #2).  The external driver's
 # CORRECTNESS gate samples the FIRST ``DRIVER_SNAPSHOT_N`` registry entries,

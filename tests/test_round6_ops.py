@@ -140,3 +140,34 @@ def test_cluster_safe_split_audit_flags_plain_split_leak(spark):
         sym.join(s_src, "src").join(s_dst, "dst").filter(F.col("ss") != F.col("sd"))
     )
     assert leaks.count() == 2  # both directions of the straddling pair
+
+
+def test_self_repetition_matches_oracle(spark, duck):
+    assert_matches_oracle(
+        llmdata.q_self_repetition_removal(spark, SF_DIR),
+        duck,
+        llmdata.Q_SELF_REPETITION_SQL,
+    )
+
+
+def test_self_repetition_closed_form(spark):
+    # "a b c a b c d": 3-grams at 0..4 = [abc, bca, cab, abc, bcd];
+    # "abc" repeats at i=3 -> positions 3,4,5 removed, keep "a b c d"
+    docs = spark.createDataFrame(
+        [(0, "a b c a b c d"), (1, "x y z w")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in dedup.remove_self_repetition(docs).collect()}
+    assert got[0].n_words == 7 and got[0].n_removed == 3
+    assert got[0].clean_text == "a b c d"
+    assert got[1].n_removed == 0 and got[1].clean_text == "x y z w"
+
+
+def test_self_repetition_keeps_first_occurrence_only(spark):
+    # pure loop doc: "p q r p q r p q r" -> first window kept, the two
+    # later repeats excised entirely
+    docs = spark.createDataFrame(
+        [(0, "p q r p q r p q r")], "doc_id long, text string"
+    )
+    r = dedup.remove_self_repetition(docs).first()
+    assert r.n_words == 9 and r.clean_text == "p q r" and r.n_removed == 6
