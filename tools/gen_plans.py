@@ -25,11 +25,14 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 PLAN_NOTES = {
     "supplier_orders": (
         "NOTE: the final Sort+Window here is the ADAPTIVE numbering path — "
-        "with_global_sequence counts its materialized input (cached blocks) "
-        "and uses a single-partition window only below 1M rows; above that "
-        "the two-phase range-sort numbering runs (operators/ranking.py). "
-        "At this SF the purchase-order set is dim-product bounded (~27k "
-        "rows), so the one-task sort is the cheaper correct plan."
+        "the caller passes the |part| x |nation| upper bound (two parquet-"
+        "footer metadata counts, round 6), so with_global_sequence uses the "
+        "single-partition window below 1M possible rows WITHOUT a count "
+        "job or checkpoint (full lineage stays visible in this plan); "
+        "above the bound the two-phase range-sort numbering runs "
+        "(operators/ranking.py — it kicks in at sf1, where the bound is "
+        "5M).  At this SF the purchase-order set is dim-product bounded "
+        "(~27k rows), so the one-task sort is the cheaper correct plan."
     ),
 }
 
