@@ -1805,6 +1805,17 @@ _DRIVER_SNAPSHOT = [
     "span_removal",
 ]
 
+# Round-7 rotation queue (never driver-covered after this round's snapshot,
+# ordered by priority): the five round-6 newly-oracle-bearing queries
+# (packed_sequences, doc_pagerank, bpe_fertility, semantic_dedup,
+# semantic_curation), the round-6 second wave (ngram_novelty,
+# minhash_accuracy, cluster_safe_split, self_repetition_removal), then the
+# 13 family-redundant diagnostics (group_sample, token_cms_sketch,
+# value_histogram, histogram_quantiles, small_qty_revenue, corr_stats,
+# char_entropy, shard_balance, cross_source_overlap, dedup_method_agreement,
+# corpus_card, dataset_diff, split_leakage) — 22 total, all green in the
+# self-sweep, fits in one more rotation with 17 slots to spare.
+
 
 def _apply_driver_order() -> None:
     assert len(_DRIVER_SNAPSHOT) == DRIVER_SNAPSHOT_N
