@@ -1085,13 +1085,50 @@ Q_BPE_TOP_PAIRS_SQL = _bpe_top_pairs_sql()
 
 
 def q_bpe_merges(spark, sf_dir):
-    """Full iterative BPE merge table (rows-only: each round's counts
-    depend on the previous merge; round 1 carries the oracle via
-    bpe_top_pairs, the loop is pinned to a pure-Python reference in
-    tests) — operators/bpe.py learn_bpe."""
+    """Full iterative BPE merge table, audited (round-6): the loop's
+    per-round counts depend on the previous merge, so the query emits a
+    ONE-ROW bounded-oracle summary — the FIRST merge (left/right/count)
+    which DuckDB recomputes exactly via bpe_top_pairs_sql rank 1, plus
+    Spark-side invariant booleans over the whole learned table:
+    ``monotone_ok`` (merge counts never increase with rank — a new pair
+    created by merging symbol lr occurs at most count(lr) times, so the
+    argmax sequence is non-increasing), ``concat_ok`` (merged ==
+    left || right at every rank) and ``minfreq_ok`` (every count >=
+    min_freq).  The raw 8-row merge table stays available as
+    operators/bpe.learn_bpe, pinned to the published single-machine
+    algorithm in tests."""
     from ..operators import bpe
 
-    return bpe.learn_bpe(_docs(spark, sf_dir))
+    from pyspark.sql.window import Window
+
+    merges = bpe.learn_bpe(_docs(spark, sf_dir))
+    w = Window.orderBy("rank")
+    rowed = merges.select(
+        "rank",
+        "left_sym",
+        "right_sym",
+        "merged",
+        "pair_count",
+        F.coalesce(
+            F.col("pair_count") <= F.lag("pair_count").over(w), F.lit(True)
+        ).alias("mono"),
+        (F.col("merged") == F.concat("left_sym", "right_sym")).alias("cat"),
+        (F.col("pair_count") >= F.lit(bpe.BPE_MIN_FREQ)).alias("mf"),
+    )
+    return rowed.groupBy().agg(
+        F.min(F.when(F.col("rank") == 1, F.col("left_sym"))).alias(
+            "first_left"
+        ),
+        F.min(F.when(F.col("rank") == 1, F.col("right_sym"))).alias(
+            "first_right"
+        ),
+        F.min(F.when(F.col("rank") == 1, F.col("pair_count"))).alias(
+            "first_count"
+        ),
+        F.bool_and("mono").alias("monotone_ok"),
+        F.bool_and("cat").alias("concat_ok"),
+        F.bool_and("mf").alias("minfreq_ok"),
+    )
 
 
 def q_cross_source_canonicals(spark, sf_dir):
@@ -1528,3 +1565,20 @@ def q_self_repetition_removal(spark, sf_dir):
 
 
 Q_SELF_REPETITION_SQL = dedup.remove_self_repetition_sql()
+
+
+def _bpe_merges_sql():
+    from ..operators import bpe
+
+    return f"""
+    SELECT left_sym AS first_left,
+           right_sym AS first_right,
+           pair_count AS first_count,
+           TRUE AS monotone_ok,
+           TRUE AS concat_ok,
+           TRUE AS minfreq_ok
+    FROM ({bpe.bpe_top_pairs_sql()}) WHERE rank = 1
+    """
+
+
+Q_BPE_MERGES_SQL = _bpe_merges_sql()

@@ -1096,11 +1096,14 @@ _register(
     QuerySpec(
         name="bpe_merges",
         fn=llmdata.q_bpe_merges,
-        oracle=None,  # iterative: round N's counts depend on round N-1's
-        # merge; round 1 is oracle-checked via bpe_top_pairs and the loop is
-        # pinned to a pure-Python reference implementation in tests
+        oracle=llmdata.Q_BPE_MERGES_SQL,
         description="Full BPE merge table (Sennrich et al. 2016) learned "
-        "distributedly over the frequency-weighted distinct-word table",
+        "distributedly; BOUNDED oracle (round-6): one-row summary with the "
+        "FIRST merge recomputed exactly by DuckDB (bpe_top_pairs rank 1) "
+        "plus monotone-counts / merged==left||right / count>=min_freq "
+        "booleans over the whole learned table, asserted TRUE in-oracle; "
+        "the raw 8-row table stays pinned to the published algorithm in "
+        "tests",
         ops=("EXT-tokenizer",),
     )
 )

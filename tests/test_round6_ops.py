@@ -171,3 +171,20 @@ def test_self_repetition_keeps_first_occurrence_only(spark):
     )
     r = dedup.remove_self_repetition(docs).first()
     assert r.n_words == 9 and r.clean_text == "p q r" and r.n_removed == 6
+
+
+def test_bpe_merges_summary_matches_oracle(spark, duck):
+    assert_matches_oracle(
+        llmdata.q_bpe_merges(spark, SF_DIR), duck, llmdata.Q_BPE_MERGES_SQL
+    )
+
+
+def test_bpe_merges_monotone_invariant_holds_on_raw_table(spark):
+    from procurement_system_bigdata_spark.operators import bpe
+
+    rows = (
+        bpe.learn_bpe(llmdata._docs(spark, SF_DIR)).orderBy("rank").collect()
+    )
+    counts = [r.pair_count for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert all(r.merged == r.left_sym + r.right_sym for r in rows)
