@@ -560,3 +560,182 @@ def dedup_ingest_batch_fn(out_dir: str, index_dir: str):
             shutil.rmtree(old)
 
     return apply_batch
+
+
+def neardup_ingest_foreachbatch(
+    docs: DataFrame,
+    out_dir: str,
+    index_dir: str,
+    threshold: float = 0.9,
+    k: int | None = None,
+    n_bands: int | None = None,
+):
+    """Streaming NEAR-duplicate admission: the continuous twin of
+    ``operators/dedup.incremental_neardup_pairs``, completing the ingest
+    story (exact streaming dedup exists above; this is the fuzzy one).
+    Each micro-batch is banded against the accumulated MinHash index —
+    never an old-old self-join, never a corpus text rescan — and a doc is
+    ADMITTED iff it has no confirmed (exact-Jaccard >= threshold) near-dup
+    in the corpus nor a lower-id one inside its own batch.  Admitted docs
+    append under ``out_dir/batch=<id>``; the index (per-doc signature
+    columns + sorted token-set array, the two artifacts the batch operator
+    documents as THE production persisted form) swaps atomically with the
+    same marker + staging + recover-rename protocol as
+    dedup_ingest_foreachbatch, so replays are exactly-once-per-content.
+
+    Scale: per batch one tokenize+sign shuffle over the BATCH, one keyed
+    join against the (band, key) index, confirm only on candidates; the
+    index grows by admitted docs only.
+    """
+    return docs.writeStream.foreachBatch(
+        neardup_ingest_batch_fn(out_dir, index_dir, threshold, k, n_bands)
+    )
+
+
+def neardup_ingest_batch_fn(
+    out_dir: str,
+    index_dir: str,
+    threshold: float = 0.9,
+    k: int | None = None,
+    n_bands: int | None = None,
+):
+    """Per-micro-batch commit function behind neardup_ingest_foreachbatch,
+    exposed for crash-window / replay tests (same contract as
+    dedup_ingest_batch_fn)."""
+    import json
+    import os
+    import shutil
+
+    from ..functions import portable as P
+    from ..operators import dedup as dd
+
+    k = k if k is not None else P.MINHASH_K_ORACLE
+    n_bands = n_bands if n_bands is not None else P.MINHASH_BANDS_ORACLE
+    if k % n_bands:
+        raise ValueError(f"n_bands={n_bands} must divide k={k}")
+    r = k // n_bands
+
+    def _sig_rows(batch_df: DataFrame) -> DataFrame:
+        sigs = dd.minhash_signatures(batch_df, 1, k)
+        tok = dd._doc_token_hashes(batch_df, 1)
+        hs = tok.groupBy("doc_id").agg(
+            F.sort_array(F.collect_set("h")).alias("hs")
+        )
+        return sigs.join(hs, "doc_id")
+
+    def _stack(rows: DataFrame, out_id: str) -> DataFrame:
+        bands = rows.select("doc_id", *dd._band_key_cols(r, n_bands))
+        return bands.select(
+            F.col("doc_id").alias(out_id),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.col(f"band{b}").alias("key"),
+                        )
+                        for b in range(n_bands)
+                    ]
+                )
+            ).alias("bk"),
+        ).select(
+            out_id, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+        )
+
+    def _confirmed(cand: DataFrame, left: DataFrame, right: DataFrame):
+        la = left.select(F.col("doc_id").alias("new_id"), F.col("hs").alias("hs_a"))
+        rb = right.select(
+            F.col("doc_id").alias("other_id"), F.col("hs").alias("hs_b")
+        )
+        n_common = F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b")))
+        jac = n_common.cast("double") / (
+            F.size(F.col("hs_a")) + F.size(F.col("hs_b")) - n_common
+        )
+        return (
+            cand.join(la, "new_id")
+            .join(rb, "other_id")
+            .select("new_id", "other_id", jac.alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold)
+        )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        old = f"{index_dir}.old"
+        if os.path.exists(old) and not os.path.exists(index_dir):
+            os.rename(old, index_dir)
+        marker = os.path.join(index_dir, "_committed_batch")
+        committed = -1
+        if os.path.exists(marker):
+            with open(marker) as f:
+                committed = json.load(f)["batch_id"]
+        _sweep_stale_staging(index_dir, committed)
+        if batch_id <= committed:
+            return
+        batch_rows = _sig_rows(batch_df).localCheckpoint()
+        new_stack = _stack(batch_rows, "new_id").localCheckpoint(eager=False)
+        dupped_ids = None
+        index = (
+            spark.read.parquet(index_dir) if os.path.exists(index_dir) else None
+        )
+        if index is not None:
+            idx_stack = _stack(index, "corpus_id")
+            cand = (
+                new_stack.join(
+                    idx_stack,
+                    (new_stack.band == idx_stack.band)
+                    & (new_stack.key == idx_stack.key),
+                )
+                .select("new_id", F.col("corpus_id").alias("other_id"))
+                .distinct()
+            )
+            dupped_ids = _confirmed(cand, batch_rows, index).select(
+                F.col("new_id").alias("doc_id")
+            )
+        a, b = new_stack.alias("a"), new_stack.alias("b")
+        intra_cand = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.key") == F.col("b.key"))
+                & (F.col("a.new_id") > F.col("b.new_id")),
+            )
+            .select(
+                F.col("a.new_id").alias("new_id"),
+                F.col("b.new_id").alias("other_id"),
+            )
+            .distinct()
+        )
+        intra_dupped = _confirmed(intra_cand, batch_rows, batch_rows).select(
+            F.col("new_id").alias("doc_id")
+        )
+        dupped = (
+            intra_dupped
+            if dupped_ids is None
+            else dupped_ids.unionAll(intra_dupped)
+        ).distinct()
+        admitted_rows = batch_rows.join(dupped, "doc_id", "left_anti")
+        admitted_docs = admitted_rows.select("doc_id").join(
+            batch_df.select(F.col("doc_id").cast("long").alias("doc_id"), "text"),
+            "doc_id",
+        )
+        admitted_docs.write.mode("overwrite").parquet(
+            f"{out_dir}/batch={batch_id}"
+        )
+        new_index = (
+            admitted_rows
+            if index is None
+            else index.unionByName(admitted_rows)
+        )
+        staged = f"{index_dir}._staging_v{batch_id}"
+        new_index.write.mode("overwrite").parquet(staged)
+        with open(os.path.join(staged, "_committed_batch"), "w") as f:
+            json.dump({"batch_id": batch_id}, f)
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        if os.path.exists(index_dir):
+            os.rename(index_dir, old)
+        os.rename(staged, index_dir)
+        if os.path.exists(old):
+            shutil.rmtree(old)
+
+    return apply_batch

@@ -188,3 +188,86 @@ def test_bpe_merges_monotone_invariant_holds_on_raw_table(spark):
     counts = [r.pair_count for r in rows]
     assert counts == sorted(counts, reverse=True)
     assert all(r.merged == r.left_sym + r.right_sym for r in rows)
+
+
+# --- streaming near-dup admission -------------------------------------------
+
+
+def test_streaming_neardup_ingest_admits_and_indexes(spark, tmp_path):
+    from procurement_system_bigdata_spark.streaming import events as se
+
+    out = str(tmp_path / "out")
+    idx = str(tmp_path / "idx")
+    fn = se.neardup_ingest_batch_fn(out, idx, threshold=0.9)
+
+    def batch(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    # batch 0: two distinct docs + an intra-batch near-dup of doc 10
+    b0 = batch(
+        [
+            (10, "alpha beta gamma delta epsilon"),
+            (11, "alpha beta gamma delta epsilon"),  # dup of 10 (lower id)
+            (12, "one two three four five"),
+        ]
+    )
+    fn(b0, 0)
+    got0 = {r.doc_id for r in spark.read.parquet(f"{out}/batch=0").collect()}
+    assert got0 == {10, 12}
+
+    # batch 1: a corpus near-dup (of 10) and a fresh doc
+    b1 = batch(
+        [
+            (20, "alpha beta gamma delta epsilon"),  # dup of corpus 10
+            (21, "six seven eight nine ten"),
+        ]
+    )
+    fn(b1, 1)
+    got1 = {r.doc_id for r in spark.read.parquet(f"{out}/batch=1").collect()}
+    assert got1 == {21}
+
+    # replay of a committed batch is a no-op (marker skip)
+    fn(b1, 1)
+    assert {
+        r.doc_id for r in spark.read.parquet(f"{out}/batch=1").collect()
+    } == {21}
+
+    # the index holds exactly the admitted docs' signatures
+    idx_ids = {r.doc_id for r in spark.read.parquet(idx).collect()}
+    assert idx_ids == {10, 12, 21}
+
+    # batch 2 still sees batch-0 content through the index
+    b2 = batch([(30, "one two three four five")])  # dup of corpus 12
+    fn(b2, 2)
+    assert spark.read.parquet(f"{out}/batch=2").count() == 0
+
+
+def test_streaming_neardup_ingest_equals_batch_operator(spark, tmp_path):
+    # corpus-vs-new semantics agree with the batch incremental operator:
+    # docs the batch operator pairs up are exactly the ones the stream drops
+    from procurement_system_bigdata_spark.functions import portable as P
+    from procurement_system_bigdata_spark.operators import dedup as dd
+    from procurement_system_bigdata_spark.streaming import events as se
+
+    corpus = spark.createDataFrame(
+        [(i, f"w{i} x{i} y{i} z{i}") for i in range(1, 6)]
+        + [(6, "common words shared by docs")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(100, "common words shared by docs"), (101, "totally new content here")],
+        "doc_id long, text string",
+    )
+    pairs = dd.incremental_neardup_pairs(
+        new, corpus, k=P.MINHASH_K_ORACLE, n_bands=P.MINHASH_BANDS_ORACLE
+    )
+    dropped_by_batch_op = {r.new_id for r in pairs.collect()}
+    assert dropped_by_batch_op == {100}
+
+    out = str(tmp_path / "out2")
+    idx = str(tmp_path / "idx2")
+    fn = se.neardup_ingest_batch_fn(out, idx, threshold=0.9)
+    fn(corpus, 0)
+    fn(new, 1)
+    admitted = {r.doc_id for r in spark.read.parquet(f"{out}/batch=1").collect()}
+    assert admitted == {101}
