@@ -714,3 +714,118 @@ def weighted_sample_k_sql(
               WHERE {weight_col} IS NOT NULL AND {weight_col} > 0)
     ) WHERE sample_rank <= {k}
     """
+
+
+BUDGET_SALT = "budget|"
+BUDGET_PPM = 400_000  # default: cap each source at 40% of its tokens
+
+
+def budget_cap_sample(
+    docs: DataFrame,
+    budget_ppm: int = BUDGET_PPM,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, source, n_tokens, cum_tokens, kept): MIXTURE REALIZATION —
+    deterministically select documents until each source's token budget is
+    hit.  ``temperature_mixture_weights`` says how much of each source a
+    training run should see; this operator turns that into an actual doc
+    set: docs are taken in salted-hash order (a fixed uniform permutation —
+    reproducible, repartition-stable, monotone in the budget) and a doc is
+    kept while its source's RUNNING token total, itself included, stays
+    within ``budget_ppm`` parts-per-million of the source's total tokens.
+    The first doc of a source is always kept (a budget that rounds below
+    one document still delivers something — silently-empty sources are the
+    failure mode the mixture ops flag everywhere else).
+
+    Scale shape: one scan computes tokens, one source-keyed window does the
+    ordered cumsum (the same single-shuffle shape as group_sample_k), and
+    the per-source totals ride a vocabulary-sized broadcast.  Exact BIGINT
+    token math; the budget compare is integer cross-multiplication (no
+    doubles) — bit-identical in the DuckDB mirror.
+    """
+    from pyspark.sql.window import Window
+
+    norm = P.spark_norm_text(F.col("text"))
+    n_words = F.when(
+        F.coalesce(F.length(norm), F.lit(0)) == 0, F.lit(0)
+    ).otherwise(F.size(P.spark_words(norm)))
+    base = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(source_col).alias("source"),
+        n_words.cast("long").alias("n_tokens"),
+    ).localCheckpoint(eager=False)  # feeds the totals AND the window
+    totals = base.groupBy("source").agg(
+        F.sum("n_tokens").alias("src_tokens")
+    )
+    h = P.spark_str_hash(
+        F.concat(F.lit(BUDGET_SALT), F.col("doc_id").cast("string"))
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(h.asc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    rw = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    cum = base.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.sum("n_tokens").over(w).cast("long").alias("cum_tokens"),
+        F.row_number().over(rw).alias("_rn"),
+    )
+    kept = (
+        F.col("cum_tokens") * F.lit(1_000_000)
+        <= F.col("src_tokens") * F.lit(budget_ppm)
+    ) | (F.col("_rn") == 1)
+    return (
+        cum.join(F.broadcast(totals), "source")
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            "cum_tokens",
+            kept.alias("kept"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def budget_cap_sample_sql(
+    table: str = "documents",
+    budget_ppm: int = BUDGET_PPM,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> str:
+    nt = P.duck_norm_text("text")
+    h = P.duck_str_hash(f"'{BUDGET_SALT}' || CAST({id_col} AS VARCHAR)")
+    return f"""
+    WITH base AS (
+        SELECT CAST({id_col} AS BIGINT) AS doc_id,
+               {source_col} AS source,
+               CAST(CASE WHEN nt IS NULL OR nt = '' THEN 0
+                    ELSE len({P.duck_words('nt')}) END AS BIGINT) AS n_tokens,
+               {h} AS hkey
+        FROM (SELECT {id_col}, {source_col}, {nt} AS nt FROM {table})
+    ),
+    cum AS (
+        SELECT doc_id, source, n_tokens,
+               CAST(SUM(n_tokens) OVER (
+                   PARTITION BY source ORDER BY hkey ASC, doc_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum_tokens,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source ORDER BY hkey ASC, doc_id ASC
+               ) AS rn
+        FROM base
+    ),
+    totals AS (
+        SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS src_tokens
+        FROM base GROUP BY source
+    )
+    SELECT c.doc_id, c.source, c.n_tokens, c.cum_tokens,
+           (c.cum_tokens * 1000000 <= t.src_tokens * {budget_ppm})
+               OR (c.rn = 1) AS kept
+    FROM cum c JOIN totals t ON c.source = t.source
+    ORDER BY c.doc_id
+    """

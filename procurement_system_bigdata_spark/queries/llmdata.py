@@ -1582,3 +1582,13 @@ def _bpe_merges_sql():
 
 
 Q_BPE_MERGES_SQL = _bpe_merges_sql()
+
+
+def q_budget_cap_sample(spark, sf_dir):
+    """Mixture realization: deterministic per-source token-budget document
+    selection (running-total gate in salted-hash order, exact BIGINT
+    cross-multiplication) — operators/sampling.budget_cap_sample."""
+    return sampling.budget_cap_sample(_docs(spark, sf_dir))
+
+
+Q_BUDGET_CAP_SAMPLE_SQL = sampling.budget_cap_sample_sql()

@@ -1808,6 +1808,21 @@ _DRIVER_SNAPSHOT = [
     "span_removal",
 ]
 
+_register(
+    QuerySpec(
+        name="budget_cap_sample",
+        fn=llmdata.q_budget_cap_sample,
+        oracle=llmdata.Q_BUDGET_CAP_SAMPLE_SQL,
+        description="Mixture REALIZATION: per-source token-budget doc "
+        "selection - docs taken in salted-hash order while the running "
+        "token total stays within budget_ppm of the source total (first "
+        "doc always kept); exact BIGINT cross-multiplication, one "
+        "source-keyed window shuffle, full oracle",
+        ops=("EXT-sampling", "EXT-delivery"),
+    )
+)
+
+
 # Round-7 rotation queue (never driver-covered after this round's snapshot,
 # ordered by priority): the five round-6 newly-oracle-bearing queries
 # (packed_sequences, doc_pagerank, bpe_fertility, semantic_dedup,

@@ -271,3 +271,51 @@ def test_streaming_neardup_ingest_equals_batch_operator(spark, tmp_path):
     fn(new, 1)
     admitted = {r.doc_id for r in spark.read.parquet(f"{out}/batch=1").collect()}
     assert admitted == {101}
+
+
+# --- budget_cap_sample -------------------------------------------------------
+
+
+def test_budget_cap_sample_matches_oracle(spark, duck):
+    assert_matches_oracle(
+        llmdata.q_budget_cap_sample(spark, SF_DIR),
+        duck,
+        llmdata.Q_BUDGET_CAP_SAMPLE_SQL,
+    )
+
+
+def test_budget_cap_sample_properties(spark):
+    from procurement_system_bigdata_spark.operators import sampling
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (10 + i)), "s" + str(i % 2)) for i in range(20)],
+        "doc_id long, text string, source string",
+    )
+    out = sampling.budget_cap_sample(
+        docs, budget_ppm=300_000, source_col="source"
+    ).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r)
+    for src, rows in by_src.items():
+        total = sum(r.n_tokens for r in rows)
+        kept = [r for r in rows if r.kept]
+        assert kept, f"source {src} delivered nothing"
+        kept_tokens = sum(r.n_tokens for r in kept)
+        # within budget, modulo the always-keep-first-doc floor
+        assert kept_tokens * 1_000_000 <= total * 300_000 + max(
+            r.n_tokens for r in rows
+        ) * 1_000_000
+
+    # monotone: raising the budget only ADDS kept docs
+    lo = {
+        r.doc_id
+        for r in sampling.budget_cap_sample(docs, budget_ppm=200_000).collect()
+        if r.kept
+    }
+    hi = {
+        r.doc_id
+        for r in sampling.budget_cap_sample(docs, budget_ppm=600_000).collect()
+        if r.kept
+    }
+    assert lo <= hi
