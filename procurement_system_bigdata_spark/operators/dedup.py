@@ -1196,6 +1196,7 @@ def minhash_estimate_vs_exact(
     threshold: float = 0.9,
     k: int = P.MINHASH_K_ORACLE,
     n_bands: int = P.MINHASH_BANDS_ORACLE,
+    fast_hash: bool = False,
 ) -> DataFrame:
     """(doc_a, doc_b, k_eq, n_common, n_union, est_jaccard, exact_jaccard,
     abs_err): sketch-accuracy report for the MinHash estimator over the
@@ -1214,13 +1215,15 @@ def minhash_estimate_vs_exact(
     if k % n_bands:
         raise ValueError(f"n_bands={n_bands} must divide k={k}")
     pairs = minhash_lsh_pairs(
-        docs, shingle_n, threshold, k=k, n_bands=n_bands
+        docs, shingle_n, threshold, k=k, n_bands=n_bands, fast_hash=fast_hash
     ).select("doc_a", "doc_b")
-    sigs = minhash_signatures(docs, shingle_n, k).localCheckpoint(eager=False)
+    sigs = minhash_signatures(docs, shingle_n, k, fast_hash).localCheckpoint(
+        eager=False
+    )
     sig_arr = F.array(*[F.col(f"m{i}") for i in range(k)])
     sa = sigs.select(F.col("doc_id").alias("doc_a"), sig_arr.alias("sig_a"))
     sb = sigs.select(F.col("doc_id").alias("doc_b"), sig_arr.alias("sig_b"))
-    tok = _doc_token_hashes(docs, shingle_n)
+    tok = _doc_token_hashes(docs, shingle_n, fast_hash)
     doc_sets = (
         tok.groupBy("doc_id")
         .agg(F.sort_array(F.collect_set("h")).alias("hs"))
