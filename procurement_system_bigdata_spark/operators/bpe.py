@@ -355,8 +355,16 @@ def bpe_fertility_audit_sql(
     ),
     all_docs AS (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM {table}),
     first_pair AS (
-        SELECT left_sym, right_sym
-        FROM ({bpe_top_pairs_sql(table, min_freq=min_freq)}) WHERE rank = 1
+        -- TOTAL (round-7 advisor fix): an aggregate with no GROUP BY always
+        -- yields exactly one row, so a degenerate corpus where no pair
+        -- reaches min_freq produces ('', '') here — matching the Spark
+        -- side's empty-merges convention — instead of an empty CROSS JOIN
+        -- wiping out the whole per-doc report
+        SELECT COALESCE(MAX(CASE WHEN rank = 1 THEN left_sym END), '')
+                   AS left_sym,
+               COALESCE(MAX(CASE WHEN rank = 1 THEN right_sym END), '')
+                   AS right_sym
+        FROM ({bpe_top_pairs_sql(table, min_freq=min_freq)})
     )
     SELECT a.doc_id,
            COALESCE(p.n_words, 0) AS n_words,

@@ -410,6 +410,15 @@ def components_certificate(
     recomputes it from the pair SQL binds the EDGE SET cross-engine — the
     certificate then cannot be gamed by checking against a different graph.
 
+    COVERAGE (round-7, advisor fix): the report is driven from ``nodes``,
+    not from ``labels`` — a labeling that silently drops a node (e.g. a
+    missing isolate) now yields a row for that node with every proof
+    boolean FALSE, making incompleteness visible WITHIN Spark instead of
+    relying on the DuckDB mirror's one-row-per-document shape to notice
+    the absence.  Label rows for ids outside ``nodes`` make claims about a
+    different node set; they are out of the per-node proof's scope and are
+    bound cross-engine by the mirror's row count.
+
     Scale: three node-keyed hash joins over the symmetric edge list + one
     distinct — the same shuffle family as one propagation round; no
     closure, no quadratic blowup.
@@ -451,22 +460,31 @@ def components_certificate(
         .select("node", F.lit(True).alias("has_witness"))
     )
     return (
-        lbl.join(deg, "node", "left")
+        nodes.select(F.col("node").cast("long").alias("node"))
+        .join(lbl, "node", "left")
+        .join(deg, "node", "left")
         .join(cross_nodes, "node", "left")
         .join(witnesses, "node", "left")
         .select(
             "node",
             F.coalesce("degree", F.lit(0).cast("long")).alias("degree"),
-            (F.col("component") <= F.col("node")).alias("label_le_ok"),
-            (
-                (F.col("component") == F.col("node")) == (F.col("hop") == 0)
+            # every boolean coalesces to FALSE when the label row is
+            # missing: an uncovered node fails its proof, by construction
+            F.coalesce(
+                F.col("component") <= F.col("node"), F.lit(False)
+            ).alias("label_le_ok"),
+            F.coalesce(
+                (F.col("component") == F.col("node")) == (F.col("hop") == 0),
+                F.lit(False),
             ).alias("root_ok"),
-            (
-                (F.col("hop") == 0) | F.coalesce("has_witness", F.lit(False))
+            F.coalesce(
+                (F.col("hop") == 0) | F.coalesce("has_witness", F.lit(False)),
+                F.lit(False),
             ).alias("witness_ok"),
-            F.coalesce("edges_within_ok", F.lit(True)).alias(
-                "edges_within_ok"
-            ),
+            (
+                F.coalesce("edges_within_ok", F.lit(True))
+                & F.col("component").isNotNull()
+            ).alias("edges_within_ok"),
         )
     )
 
@@ -672,6 +690,32 @@ def cluster_safe_split(
     )
 
 
+def leaky_endpoints(edges: DataFrame, splits: DataFrame) -> DataFrame:
+    """(doc_id, no_leakage_ok=FALSE) for EVERY endpoint of an edge whose two
+    docs sit in different splits.  The edge list is symmetrized first
+    (round-7 advisor fix): the raw (doc_a, doc_b) pairs are directed, and
+    flagging only the src side left doc_b of a straddling edge unflagged —
+    detection still fired (doc_a mismatched the TRUE-literal oracle) but
+    the per-doc report was asymmetric relative to its contract."""
+    s_src = splits.select(
+        F.col("doc_id").alias("src"), F.col("split").alias("split_src")
+    )
+    s_dst = splits.select(
+        F.col("doc_id").alias("dst"), F.col("split").alias("split_dst")
+    )
+    sym_edges = edges.unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return (
+        sym_edges.join(s_src, "src")
+        .join(s_dst, "dst")
+        .filter(F.col("split_src") != F.col("split_dst"))
+        .select(F.col("src").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.lit(False).alias("no_leakage_ok"))
+    )
+
+
 def cluster_safe_split_audit(
     docs: DataFrame,
     pairs: DataFrame,
@@ -704,16 +748,7 @@ def cluster_safe_split_audit(
     out = cluster_safe_split(
         docs, pairs, train_pct, val_pct, labels=labels.select("node", "component")
     ).localCheckpoint(eager=False)
-    s_src = out.select(F.col("doc_id").alias("src"), F.col("split").alias("split_src"))
-    s_dst = out.select(F.col("doc_id").alias("dst"), F.col("split").alias("split_dst"))
-    leaky = (
-        edges.join(s_src, "src")
-        .join(s_dst, "dst")
-        .filter(F.col("split_src") != F.col("split_dst"))
-        .select(F.col("src").alias("doc_id"))
-        .distinct()
-        .select("doc_id", F.lit(False).alias("no_leakage_ok"))
-    )
+    leaky = leaky_endpoints(edges, out)
     return (
         out.join(
             cert.select(

@@ -1097,11 +1097,18 @@ def q_bpe_merges(spark, sf_dir):
     min_freq).  The raw 8-row merge table stays available as
     operators/bpe.learn_bpe, pinned to the published single-machine
     algorithm in tests."""
+    return bpe_merges_summary(_docs(spark, sf_dir))
+
+
+def bpe_merges_summary(docs):
+    """The audited one-row merge-table summary over an arbitrary docs frame
+    (split out round-7 so the empty-merge-corpus convention — one all-NULL
+    row — is directly testable against the totalized oracle)."""
     from ..operators import bpe
 
     from pyspark.sql.window import Window
 
-    merges = bpe.learn_bpe(_docs(spark, sf_dir))
+    merges = bpe.learn_bpe(docs)
     w = Window.orderBy("rank")
     rowed = merges.select(
         "rank",
@@ -1570,13 +1577,18 @@ Q_SELF_REPETITION_SQL = dedup.remove_self_repetition_sql()
 def _bpe_merges_sql():
     from ..operators import bpe
 
+    # TOTAL (round-7 advisor fix, same convention as bpe_fertility_audit_sql):
+    # the aggregate yields one row even when no pair reaches min_freq, and on
+    # that empty-merge corpus every column is NULL — exactly the one-row
+    # all-NULL summary the Spark side's groupBy().agg emits (min over empty
+    # = NULL, bool_and over empty = NULL).
     return f"""
-    SELECT left_sym AS first_left,
-           right_sym AS first_right,
-           pair_count AS first_count,
-           TRUE AS monotone_ok,
-           TRUE AS concat_ok,
-           TRUE AS minfreq_ok
+    SELECT MAX(CASE WHEN rank = 1 THEN left_sym END) AS first_left,
+           MAX(CASE WHEN rank = 1 THEN right_sym END) AS first_right,
+           MAX(CASE WHEN rank = 1 THEN pair_count END) AS first_count,
+           CASE WHEN COUNT(*) = 0 THEN NULL ELSE TRUE END AS monotone_ok,
+           CASE WHEN COUNT(*) = 0 THEN NULL ELSE TRUE END AS concat_ok,
+           CASE WHEN COUNT(*) = 0 THEN NULL ELSE TRUE END AS minfreq_ok
     FROM ({bpe.bpe_top_pairs_sql()}) WHERE rank = 1
     """
 

@@ -1816,8 +1816,10 @@ _register(
         description="Mixture REALIZATION: per-source token-budget doc "
         "selection - docs taken in salted-hash order while the running "
         "token total stays within budget_ppm of the source total (first "
-        "doc always kept); exact BIGINT cross-multiplication, one "
-        "source-keyed window shuffle, full oracle",
+        "doc always kept); exact BIGINT cross-multiplication, adaptive "
+        "cumsum (per-source window at oracle scale, keyed two-phase "
+        "prefix sum above the row bound — never one-task-per-source), "
+        "full oracle",
         ops=("EXT-sampling", "EXT-delivery"),
     )
 )
