@@ -230,12 +230,25 @@ def synthesize_image(media_id: int, width: int = 32, height: int = 24) -> bytes:
     return encode_ppm(np.stack([r, g, b], axis=-1))
 
 
+# Synthesis contract for the WAV test clips — the audit oracle
+# (multimodal.audio_features_audit) checks decoded features against these
+# closed forms, so they are named constants rather than inline literals.
+TONE_FREQ_BASE = 100.0
+TONE_FREQ_STEP = 25.0
+TONE_FREQ_MOD = 32
+TONE_AMP = 0.5
+
+
+def tone_freq(media_id: int) -> float:
+    """The pure-tone frequency synthesize_wav assigns to ``media_id``."""
+    return TONE_FREQ_BASE + (media_id % TONE_FREQ_MOD) * TONE_FREQ_STEP
+
+
 def synthesize_wav(media_id: int, rate: int = 8000, n: int = 1600) -> bytes:
     """Deterministic PCM WAV test clip: a pure tone whose frequency is
     seeded by media_id (0.2s at 8kHz)."""
-    freq = 100.0 + (media_id % 32) * 25.0
     t = np.arange(n, dtype=np.float64) / rate
-    return encode_wav(0.5 * np.sin(2 * np.pi * freq * t), rate)
+    return encode_wav(TONE_AMP * np.sin(2 * np.pi * tone_freq(media_id) * t), rate)
 
 
 # ---------------------------------------------------------------------------
