@@ -1193,6 +1193,7 @@ def lsh_ann_report(
     emb: DataFrame,
     tau: float = NEARDUP_TAU,
     recall_floor: float = LSH_REPORT_RECALL_FLOOR,
+    sample_queries: int | None = None,
 ) -> DataFrame:
     """Bounded-oracle report for lsh_ann_candidates: ONE row the oracle
     recomputes exactly except for three asserted-TRUE booleans.
@@ -1204,15 +1205,28 @@ def lsh_ann_report(
     (builtin-fold scorer), ``recall_ok`` = found/exact >= floor (vacuously
     TRUE on a corpus with no exact pairs).  use_arrow=False so candidate
     scores share the oracle's fold discipline; the GEMM production path
-    keeps its own probe/tests."""
+    keeps its own probe/tests.
+
+    ``sample_queries=k`` (round-6 judge ask #7) makes the audit itself
+    scale-runnable: the exact baseline — the one inherently QUADRATIC
+    piece of the report — is restricted to pairs whose smaller endpoint is
+    an anchor (``vec_a < k``, a deterministic prefix, same convention as
+    N_QUERY_VECS), turning O(N^2) into O(k*N); the candidate set is
+    restricted by the same predicate so subset/score/recall keep their
+    exact meaning over the sampled sub-universe.  None (default) = the
+    full all-pairs audit the driver gate runs."""
     import warnings
 
     exact = cosine_neardup_pairs(emb, tau)
+    if sample_queries is not None:
+        exact = exact.filter(F.col("vec_a") < sample_queries)
     with warnings.catch_warnings():
         # the report COMPUTES the exact quadratic baseline to judge the
         # candidates, so the low-tau escape is inherent here, not a hazard
         warnings.simplefilter("ignore", RuntimeWarning)
         cand = lsh_ann_candidates(emb, tau, use_arrow=False, allow_low_tau=True)
+    if sample_queries is not None:
+        cand = cand.filter(F.col("vec_a") < sample_queries)
     ex_stats = exact.agg(
         F.count(F.lit(1)).alias("n_exact_pairs"),
         F.coalesce(F.sum(_micro(F.col("cos_sim"))), F.lit(0).cast("long")).alias(
@@ -1253,12 +1267,17 @@ def lsh_ann_report(
     )
 
 
-def lsh_ann_report_sql(table: str = "embeddings", tau: float = NEARDUP_TAU) -> str:
+def lsh_ann_report_sql(
+    table: str = "embeddings",
+    tau: float = NEARDUP_TAU,
+    sample_queries: int | None = None,
+) -> str:
     cos = duck_cosine("a.embedding", "b.embedding")
+    anchor = f"AND a.vec_id < {sample_queries}" if sample_queries is not None else ""
     return f"""
     WITH pairs AS (
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {cos} AS cos_sim
-        FROM {table} a JOIN {table} b ON a.vec_id < b.vec_id
+        FROM {table} a JOIN {table} b ON a.vec_id < b.vec_id {anchor}
         WHERE {cos} >= {tau}
     )
     SELECT CAST({int(round(tau * 1_000_000))} AS BIGINT) AS tau_micro,

@@ -371,3 +371,25 @@ def test_audio_features_oracle_matches(spark, duck):
     assert_matches_oracle(
         llmdata.q_audio_features(spark, SF_DIR), duck, llmdata.Q_AUDIO_FEATURES_SQL
     )
+
+
+# --- samplable ANN audit (VERDICT r06 ask #7) --------------------------------
+
+
+def test_lsh_ann_report_sampled_dial_oracle_green(spark, duck):
+    """The anchor-sampled audit hash-matches its own sampled oracle, and
+    with the anchor prefix covering every vector it reproduces the full
+    audit row exactly."""
+    from procurement_system_bigdata_spark.operators import similarity
+    from tests.conftest import SF_DIR
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    assert_matches_oracle(
+        similarity.lsh_ann_report(emb, sample_queries=10),
+        duck,
+        similarity.lsh_ann_report_sql(sample_queries=10),
+    )
+    n = emb.count()
+    full = similarity.lsh_ann_report(emb).collect()
+    sampled_all = similarity.lsh_ann_report(emb, sample_queries=n).collect()
+    assert [tuple(r) for r in full] == [tuple(r) for r in sampled_all]

