@@ -91,7 +91,7 @@ def fingerprint_dedup_sql(table: str = "documents") -> str:
 
 
 def _doc_token_hashes(
-    docs: DataFrame, shingle_n: int, fast_hash: bool = False
+    docs: DataFrame, shingle_n: int, fast_hash: bool = False, wide: bool = False
 ) -> DataFrame:
     """(doc_id, h): distinct hashes of word n-gram shingles (n=1 -> word
     set).
@@ -106,14 +106,28 @@ def _doc_token_hashes(
     exact set Jaccard over the same hashed token sets, so precision is
     exact and only the (already statistical) LSH candidate sampling
     changes.  Production dial; oracle-mirrored queries keep the default.
+
+    ``wide=True`` (round-7): 128-bit md5 keys for EQUALITY-ONLY consumers
+    (exact_substring_pairs, jaccard/containment indexes).  The narrow
+    31-fold lives mod 2^31-1 because minhash's affine transforms must not
+    overflow BIGINT — but for pure gram-equality joins that modulus is a
+    birthday trap: the round-7 sf1 probe measured 70 fabricated pairs in
+    exact_substring_pairs at just 50k docs (~2.5M distinct grams), and at
+    corpus scale unconfirmed narrow-hash joins would be dominated by
+    collisions.  md5 is engine-portable (identical in DuckDB), 128-bit
+    (collision-free at any feasible corpus), and JVM-native codegen — it
+    IS the fast dial, so ``fast_hash`` is ignored when wide.  Only minhash
+    signature paths, whose estimates are confirmed downstream, keep the
+    narrow fold.
     """
     words = P.spark_words(P.spark_norm_text(F.col("text")))
     tokens = words if shingle_n == 1 else P.spark_word_shingles(words, shingle_n)
-    h = (
-        F.pmod(F.xxhash64(F.col("t")), F.lit(P.HASH_P))
-        if fast_hash
-        else P.spark_str_hash(F.col("t"))
-    )
+    if wide:
+        h = F.md5(F.col("t"))
+    elif fast_hash:
+        h = F.pmod(F.xxhash64(F.col("t")), F.lit(P.HASH_P))
+    else:
+        h = P.spark_str_hash(F.col("t"))
     return (
         docs.select(F.col("doc_id").cast("long").alias("doc_id"), tokens.alias("tok"))
         .select("doc_id", F.explode("tok").alias("t"))
@@ -122,14 +136,15 @@ def _doc_token_hashes(
     )
 
 
-def _duck_doc_token_hashes(table: str, shingle_n: int) -> str:
+def _duck_doc_token_hashes(table: str, shingle_n: int, wide: bool = False) -> str:
     words = P.duck_words(P.duck_norm_text("text"))
     tokens = "ws" if shingle_n == 1 else P.duck_word_shingles("ws", shingle_n)
     inner = (
         f"SELECT CAST(doc_id AS BIGINT) AS doc_id, {words} AS ws FROM {table}"
     )
+    h = "md5(t)" if wide else P.duck_str_hash("t")
     return f"""
-    SELECT DISTINCT doc_id, {P.duck_str_hash("t")} AS h
+    SELECT DISTINCT doc_id, {h} AS h
     FROM (SELECT doc_id, unnest({tokens}) AS t FROM ({inner}))
     """
 
@@ -196,7 +211,7 @@ def ngram_jaccard_pairs(
     # scans in the capped registry shape; (doc_id, h) rows are 16 bytes vs
     # re-reading and re-shingling documents
     tok = _cap_hot_tokens(
-        _doc_token_hashes(docs, shingle_n), max_doc_freq
+        _doc_token_hashes(docs, shingle_n, wide=True), max_doc_freq
     ).localCheckpoint()
     sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = tok.alias("a"), tok.alias("b")
@@ -220,7 +235,7 @@ def ngram_jaccard_pairs_sql(
     threshold: float = 0.5,
     max_doc_freq: int | None = None,
 ) -> str:
-    tok = _duck_doc_token_hashes(table, shingle_n)
+    tok = _duck_doc_token_hashes(table, shingle_n, wide=True)
     if max_doc_freq is not None:
         # mirror of _cap_hot_tokens: drop tokens whose posting list exceeds
         # the cap BEFORE sizes/intersections (QUALIFY = post-window filter)
@@ -822,7 +837,6 @@ def incremental_neardup_pairs_sql(
 def exact_substring_pairs(
     docs: DataFrame,
     min_gram_words: int = 8,
-    fast_hash: bool = False,
     max_doc_freq: int | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, n_shared_grams): document pairs sharing at least one
@@ -842,9 +856,12 @@ def exact_substring_pairs(
     None = exact, the oracle-parity default).
     """
     # posting-table checkpoint: both sides of the self-join re-scan and
-    # re-shingle the text otherwise (same fix as ngram_jaccard_pairs)
+    # re-shingle the text otherwise (same fix as ngram_jaccard_pairs).
+    # md5 gram keys (wide=True): "pairs sharing a VERBATIM n-gram" is an
+    # exactness CLAIM — the round-7 sf1 probe caught the narrow 31-bit
+    # keys fabricating 70 pairs from birthday collisions at only 50k docs.
     tok = _cap_hot_tokens(
-        _doc_token_hashes(docs, min_gram_words, fast_hash), max_doc_freq
+        _doc_token_hashes(docs, min_gram_words, wide=True), max_doc_freq
     ).localCheckpoint()
     a = tok.select(F.col("doc_id").alias("doc_a"), "h")
     b = tok.select(F.col("doc_id").alias("doc_b"), "h")
@@ -859,7 +876,7 @@ def exact_substring_pairs(
 def exact_substring_pairs_sql(
     table: str = "documents", min_gram_words: int = 8
 ) -> str:
-    tok = _duck_doc_token_hashes(table, min_gram_words)
+    tok = _duck_doc_token_hashes(table, min_gram_words, wide=True)
     return f"""
     WITH tok AS ({tok})
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -1043,7 +1060,7 @@ def ngram_containment_pairs(
     ``max_doc_freq`` is the same Zipf hot-gram cap (broadcast anti-join).
     """
     tok = _cap_hot_tokens(
-        _doc_token_hashes(docs, shingle_n), max_doc_freq
+        _doc_token_hashes(docs, shingle_n, wide=True), max_doc_freq
     ).localCheckpoint()
     sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = tok.alias("a"), tok.alias("b")
@@ -1083,7 +1100,7 @@ def ngram_containment_pairs_sql(
     threshold: float = 0.6,
     max_doc_freq: int | None = None,
 ) -> str:
-    tok = _duck_doc_token_hashes(table, shingle_n)
+    tok = _duck_doc_token_hashes(table, shingle_n, wide=True)
     if max_doc_freq is not None:
         tok = f"""
         SELECT doc_id, h FROM ({tok})

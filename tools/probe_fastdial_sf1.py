@@ -14,8 +14,8 @@ What is CHECKED (engine-vs-engine — Spark portable dial vs Spark fast
 dial — on invariants that do not depend on the hash family):
 
 - ``exact_substring_pairs``: the output is a pure function of n-gram
-  EQUALITY, so any collision-free hash family yields the identical pair
-  set -> full-frame equality between dials.
+  EQUALITY; the md5-keyed operator must equal a DuckDB ground truth
+  joined on the gram STRINGS (collision-free by construction).
 - ``bloom_decontaminate``: ``n_grams`` is hash-independent (equal between
   dials), and BOTH dials must preserve the zero-false-negative guarantee
   (flagged set is a superset of the exact decontaminate hits).
@@ -74,26 +74,57 @@ def timed(label: str, fn):
     return out, dt
 
 
-# --- exact_substring_pairs: dial outputs must be identical -----------------
+# --- exact_substring_pairs: md5 keys vs STRING-equality ground truth --------
+# History: the first run of this probe compared the old narrow (31-bit)
+# portable dial against the old xxhash64-mod dial and caught them
+# DISAGREEING (1292 vs 1362 pairs at 50k docs) — birthday collisions in
+# the 2^31-1 space fabricating pairs, in an operator whose contract is
+# "pairs sharing a VERBATIM n-gram".  The operator now uses 128-bit md5
+# keys (single dial: portable AND codegen-fast AND collision-free), so
+# the check here is the strongest one: the Spark output must equal a
+# DuckDB ground truth joined on the GRAM STRINGS themselves.
 print("exact_substring_pairs", flush=True)
-rows_p, t_p = timed(
-    "portable", lambda: sorted(
+import duckdb
+
+from procurement_system_bigdata_spark.functions import portable as P
+
+rows_md5, t_md5 = timed(
+    "md5 keys", lambda: sorted(
         tuple(r) for r in dedup.exact_substring_pairs(docs).collect()
     )
 )
-rows_f, t_f = timed(
-    "fast_hash", lambda: sorted(
-        tuple(r) for r in dedup.exact_substring_pairs(docs, fast_hash=True).collect()
+
+
+def _string_truth():
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF1}/documents.parquet')"
     )
-)
-assert rows_p == rows_f, (
-    f"dial mismatch: portable {len(rows_p)} pairs vs fast {len(rows_f)}"
+    words = P.duck_words(P.duck_norm_text("text"))
+    grams = P.duck_word_shingles("ws", 8)
+    sql = f"""
+    WITH tok AS (
+        SELECT DISTINCT doc_id, t
+        FROM (SELECT doc_id, unnest({grams}) AS t
+              FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id, {words} AS ws
+                    FROM documents))
+    )
+    SELECT a.doc_id, b.doc_id, CAST(COUNT(*) AS BIGINT)
+    FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """
+    return sorted(tuple(r) for r in con.execute(sql).fetchall())
+
+
+truth, t_truth = timed("string ground truth (duckdb)", _string_truth)
+assert rows_md5 == truth, (
+    f"md5 output diverges from string truth: {len(rows_md5)} vs {len(truth)}"
 )
 report["exact_substring_pairs"] = {
-    "portable_sec": t_p,
-    "fast_sec": t_f,
-    "n_pairs": len(rows_p),
-    "identical": True,
+    "md5_sec": t_md5,
+    "string_truth_sec": t_truth,
+    "n_pairs": len(rows_md5),
+    "matches_string_ground_truth": True,
 }
 
 # --- bloom_decontaminate: superset-of-exact under BOTH dials ---------------
