@@ -393,3 +393,20 @@ def test_lsh_ann_report_sampled_dial_oracle_green(spark, duck):
     full = similarity.lsh_ann_report(emb).collect()
     sampled_all = similarity.lsh_ann_report(emb, sample_queries=n).collect()
     assert [tuple(r) for r in full] == [tuple(r) for r in sampled_all]
+
+
+# --- supplier_orders production sink dial (VERDICT r06 ask #8) ---------------
+
+
+def test_supplier_orders_unordered_dial_same_rows(spark):
+    """ordered=False skips only the sink-edge global sort: identical row
+    SET (incl. the minted order_ids), order unconstrained."""
+    from tests.conftest import SF_DIR
+    from procurement_system_bigdata_spark.queries import procurement
+
+    ordered = procurement.q_supplier_orders(spark, SF_DIR).collect()
+    unordered = procurement.q_supplier_orders(spark, SF_DIR, ordered=False).collect()
+    assert sorted(map(tuple, ordered)) == sorted(map(tuple, unordered))
+    # and the ordered dial actually is sorted by (total_cost DESC, ...)
+    keys = [(-r.total_cost, r.sku_id, r.warehouse_id) for r in ordered]
+    assert keys == sorted(keys)
