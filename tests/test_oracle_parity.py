@@ -19,12 +19,13 @@ def test_query_matches_oracle(spark, duck, name):
     assert_matches_oracle(spec.fn(spark, SF_DIR), duck, spec.oracle)
 
 
-@pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
-def test_rows_only_query_runs(spark, name):
-    spec = REGISTRY[name]
-    df = spec.fn(spark, SF_DIR)
-    assert df.count() >= 0
-    assert len(df.schema.fields) > 0
+def test_no_rows_only_queries_remain():
+    """Round 7 closed the last two rows-only entries (media_resize /
+    audio_features gained closed-form oracles): every registry query is now
+    hash-checkable.  This pins the invariant so a future query can't
+    silently register without an oracle (a deliberate rows-only addition
+    should update this test with its justification)."""
+    assert ROWS_ONLY_QUERIES == []
 
 
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
