@@ -349,7 +349,14 @@ def minhash_lsh_pairs(
     # arrays + array_intersect: cost is |candidates| * O(set size), instead
     # of an inverted-index pair explosion (which degenerates quadratically
     # when the vocabulary is tiny / posting lists are hot).
-    tok = _doc_token_hashes(docs, shingle_n, fast_hash)
+    #
+    # round-8: the confirm sets are 128-bit md5 (wide=True) — these keys
+    # never feed the BIGINT affine transforms, and the narrow 31-fold's
+    # birthday collisions would INFLATE the confirmed Jaccard at corpus
+    # scale (same defect class as the round-7 exact_substring fix), making
+    # "estimates are confirmed downstream" circular.  Narrow stays only
+    # where signatures need it (minhash_signatures above).
+    tok = _doc_token_hashes(docs, shingle_n, wide=True)
     doc_sets = (
         tok.groupBy("doc_id")
         .agg(F.sort_array(F.collect_set("h")).alias("hs"))
@@ -374,6 +381,7 @@ def minhash_lsh_pairs_sql(table: str = "documents", shingle_n: int = 1, threshol
     side of the registry query passes the same dial explicitly."""
     r = P.MINHASH_K_ORACLE // P.MINHASH_BANDS_ORACLE
     tok = _duck_doc_token_hashes(table, shingle_n)
+    tokw = _duck_doc_token_hashes(table, shingle_n, wide=True)
     minhash_cols = ", ".join(
         f"MIN(({P.MINHASH_A_ORACLE[i]} * h + {P.MINHASH_B_ORACLE[i]}) % {P.HASH_P}) AS m{i}"
         for i in range(P.MINHASH_K_ORACLE)
@@ -389,6 +397,7 @@ def minhash_lsh_pairs_sql(table: str = "documents", shingle_n: int = 1, threshol
     )
     return f"""
     WITH tok0 AS ({tok}),
+    tokw AS ({tokw}),
     sigs AS (SELECT doc_id, {minhash_cols} FROM tok0 GROUP BY doc_id),
     bands AS (SELECT doc_id, {band_cols} FROM sigs),
     stacked AS ({band_union}),
@@ -398,7 +407,7 @@ def minhash_lsh_pairs_sql(table: str = "documents", shingle_n: int = 1, threshol
           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
     ),
     doc_sets AS (SELECT doc_id, list_sort(list(DISTINCT h)) AS hs
-                 FROM tok0 GROUP BY doc_id)
+                 FROM tokw GROUP BY doc_id)
     SELECT cand.doc_a, cand.doc_b,
            CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
                / (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))) AS jaccard
@@ -761,8 +770,10 @@ def incremental_neardup_pairs(
     )
 
     def _sets(docs: DataFrame, out_id: str, out_hs: str) -> DataFrame:
+        # wide=True: confirm keys never feed affine transforms (round-8,
+        # same rationale as minhash_lsh_pairs)
         return (
-            _doc_token_hashes(docs, shingle_n, fast_hash)
+            _doc_token_hashes(docs, shingle_n, wide=True)
             .groupBy("doc_id")
             .agg(F.sort_array(F.collect_set("h")).alias(out_hs))
             .withColumnRenamed("doc_id", out_id)
@@ -791,6 +802,7 @@ def incremental_neardup_pairs_sql(
     """DuckDB mirror at the ORACLE dial; new batch = doc_id % new_mod == 0."""
     r = P.MINHASH_K_ORACLE // P.MINHASH_BANDS_ORACLE
     tok = _duck_doc_token_hashes(table, shingle_n)
+    tokw = _duck_doc_token_hashes(table, shingle_n, wide=True)
     minhash_cols = ", ".join(
         f"MIN(({P.MINHASH_A_ORACLE[i]} * h + {P.MINHASH_B_ORACLE[i]}) % {P.HASH_P}) AS m{i}"
         for i in range(P.MINHASH_K_ORACLE)
@@ -806,6 +818,7 @@ def incremental_neardup_pairs_sql(
     )
     return f"""
     WITH tok0 AS ({tok}),
+    tokw AS ({tokw}),
     sigs AS (SELECT doc_id, {minhash_cols} FROM tok0 GROUP BY doc_id),
     bands AS (SELECT doc_id, {band_cols} FROM sigs),
     stacked AS ({band_union}),
@@ -816,7 +829,7 @@ def incremental_neardup_pairs_sql(
         WHERE a.doc_id % {new_mod} = 0 AND b.doc_id % {new_mod} <> 0
     ),
     doc_sets AS (SELECT doc_id, list_sort(list(DISTINCT h)) AS hs
-                 FROM tok0 GROUP BY doc_id)
+                 FROM tokw GROUP BY doc_id)
     SELECT cand.new_id, cand.corpus_id,
            CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
                / (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))) AS jaccard
@@ -1240,7 +1253,9 @@ def minhash_estimate_vs_exact(
     sig_arr = F.array(*[F.col(f"m{i}") for i in range(k)])
     sa = sigs.select(F.col("doc_id").alias("doc_a"), sig_arr.alias("sig_a"))
     sb = sigs.select(F.col("doc_id").alias("doc_b"), sig_arr.alias("sig_b"))
-    tok = _doc_token_hashes(docs, shingle_n, fast_hash)
+    # wide=True: the EXACT side of the accuracy report must not itself be
+    # hash-collision-inflated (round-8; narrow stays for sigs/k_eq only)
+    tok = _doc_token_hashes(docs, shingle_n, wide=True)
     doc_sets = (
         tok.groupBy("doc_id")
         .agg(F.sort_array(F.collect_set("h")).alias("hs"))
@@ -1295,6 +1310,7 @@ def minhash_estimate_vs_exact_sql(
     k: int = P.MINHASH_K_ORACLE,
 ) -> str:
     tok = _duck_doc_token_hashes(table, shingle_n)
+    tokw = _duck_doc_token_hashes(table, shingle_n, wide=True)
     minhash_cols = ", ".join(
         f"MIN(({P.MINHASH_A_ORACLE[i]} * h + {P.MINHASH_B_ORACLE[i]}) % {P.HASH_P}) AS m{i}"
         for i in range(k)
@@ -1305,9 +1321,10 @@ def minhash_estimate_vs_exact_sql(
     return f"""
     WITH pairs AS ({minhash_lsh_pairs_sql(table, shingle_n, threshold)}),
     tok0 AS ({tok}),
+    tokw AS ({tokw}),
     sigs AS (SELECT doc_id, {minhash_cols} FROM tok0 GROUP BY doc_id),
     doc_sets AS (SELECT doc_id, list_sort(list(DISTINCT h)) AS hs
-                 FROM tok0 GROUP BY doc_id),
+                 FROM tokw GROUP BY doc_id),
     rep AS (
         SELECT p.doc_a, p.doc_b,
                CAST({eq_sum} AS BIGINT) AS k_eq,

