@@ -1,12 +1,16 @@
 """Dependency-free media codecs for the multimodal stages.
 
-PIL / ffmpeg are not in this container, but uncompressed formats need
-neither: P6 PPM and 24-bit BMP images parse with struct + numpy, and PCM
-WAV parses with the stdlib ``wave`` module.  These are REAL decoders — the
+PIL / ffmpeg are not in this container, but that gates far less than it
+used to: P6 PPM and 24-bit BMP images parse with struct + numpy, PCM WAV
+parses with the stdlib ``wave`` module, and — since round 8 — PNG
+(stdlib zlib inflate + the five scanline filters) and baseline JPEG
+(numpy DCT + canonical Huffman over the public ITU T.81 Annex K tables)
+decode FOR REAL too, with matching deterministic encoders.  The
 multimodal stages decode, resize (nearest-neighbor), and feature-extract
-actual pixels/samples for these formats; compressed formats (JPEG/PNG/MP4)
-remain honestly gated behind ``UnsupportedMediaError`` with the production
-swap point documented (PIL.Image.open / ffmpeg).
+actual pixels/samples for all of these; what remains gated behind
+``UnsupportedMediaError`` is the truly external tail (progressive /
+subsampled JPEG variants, MP4/H.264 video), with the production swap
+point documented (PIL.Image.open / ffmpeg).
 
 Everything here is deterministic pure-Python/numpy: safe inside Arrow
 mapInPandas workers, no native libs, no RNG.
@@ -17,6 +21,7 @@ from __future__ import annotations
 import io
 import struct
 import wave
+import zlib
 
 import numpy as np
 
@@ -146,18 +151,639 @@ def decode_bmp(content: bytes) -> np.ndarray:
 def decode_image(content: bytes) -> np.ndarray:
     """Decode a supported image payload to (h, w, 3) uint8 RGB.
 
-    Real decode for PPM/BMP; JPEG/PNG raise ``UnsupportedMediaError`` (the
-    PIL swap point — reference has no media pipeline at all; this is the
-    training-data extension surface)."""
+    Real decode for PPM/BMP (raw), PNG (zlib + scanline filters) and
+    baseline 4:4:4/grayscale JPEG (DCT + Huffman, below); the remaining
+    compressed tail (progressive/subsampled JPEG, exotic PNG layouts)
+    raises ``UnsupportedMediaError`` at the PIL swap seam — the reference
+    has no media pipeline at all; this is the training-data extension
+    surface."""
     kind = sniff_media_type(content)
     if kind == "image/x-portable-pixmap":
         return decode_ppm(content)
     if kind == "image/bmp":
         return decode_bmp(content)
+    if kind == "image/png":
+        return decode_png(content)
+    if kind == "image/jpeg":
+        return decode_jpeg(content)
     raise UnsupportedMediaError(
-        f"{kind}: compressed formats need PIL/libjpeg — register the codec "
+        f"{kind}: this format needs PIL/ffmpeg — register the codec "
         "at this seam in production"
     )
+
+
+# ---------------------------------------------------------------------------
+# PNG (round-8): real encoder + decoder on stdlib zlib.  Supported profile:
+# 8-bit depth, color types 0 (gray), 2 (RGB), 6 (RGBA, alpha dropped), no
+# interlace — the overwhelming majority of real-corpus PNGs.  The decoder
+# implements all five scanline filters; the encoder emits filter 0 rows
+# (deterministic, and zlib level 6 with fixed strategy is bit-stable).
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> PNG bytes (color type 2, filter 0 rows,
+    zlib level 6).  Deterministic: same pixels -> same bytes."""
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    h, w = arr.shape[:2]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+@_corrupt_guard
+def decode_png(content: bytes) -> np.ndarray:
+    """PNG -> (h, w, 3) uint8 RGB.  8-bit gray/RGB/RGBA, filters 0-4,
+    chunk CRCs verified; interlaced or exotic-depth PNGs raise."""
+    buf = bytes(content)
+    if buf[:8] != _PNG_SIG:
+        raise UnsupportedMediaError("not a PNG payload")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(buf):
+        (length,) = struct.unpack_from(">I", buf, pos)
+        tag = buf[pos + 4 : pos + 8]
+        data = buf[pos + 8 : pos + 8 + length]
+        if len(data) != length or pos + 12 + length > len(buf):
+            raise UnsupportedMediaError("truncated PNG chunk")
+        (crc,) = struct.unpack_from(">I", buf, pos + 8 + length)
+        if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
+            raise UnsupportedMediaError("PNG chunk CRC mismatch")
+        pos += 12 + length
+        if tag == b"IHDR":
+            ihdr = data
+        elif tag == b"IDAT":
+            idat.append(data)
+        elif tag == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise UnsupportedMediaError("PNG missing IHDR/IDAT")
+    w, h, depth, ctype, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise UnsupportedMediaError(
+            f"unsupported PNG profile (depth={depth}, interlace={interlace})"
+        )
+    n_ch = {0: 1, 2: 3, 6: 4}.get(ctype)
+    if n_ch is None:
+        raise UnsupportedMediaError(f"unsupported PNG color type {ctype}")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * n_ch
+    if len(raw) != h * (stride + 1):
+        raise UnsupportedMediaError("PNG pixel data length mismatch")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        row = raw[y * (stride + 1) : (y + 1) * (stride + 1)]
+        ftype = row[0]
+        cur = np.frombuffer(row, dtype=np.uint8, count=stride, offset=1).astype(
+            np.int32
+        )
+        if ftype == 0:  # None
+            rec = cur
+        elif ftype == 2:  # Up
+            rec = (cur + prev) & 0xFF
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth: sequential in x
+            rec = np.empty(stride, dtype=np.int32)
+            for x in range(stride):
+                a = int(rec[x - n_ch]) if x >= n_ch else 0
+                b = int(prev[x])
+                c = int(prev[x - n_ch]) if x >= n_ch else 0
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + b) // 2
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[x] = (int(cur[x]) + pred) & 0xFF
+        else:
+            raise UnsupportedMediaError(f"unknown PNG filter {ftype}")
+        out[y] = rec.astype(np.uint8)
+        prev = rec
+    px = out.reshape(h, w, n_ch)
+    if n_ch == 1:
+        return np.repeat(px, 3, axis=2).copy()
+    if n_ch == 4:
+        return px[:, :, :3].copy()
+    return px.copy()
+
+
+# ---------------------------------------------------------------------------
+# JPEG (round-8): real baseline encoder + decoder.  Profile: baseline
+# sequential DCT (SOF0), 8-bit, 4:4:4 (no chroma subsampling) or grayscale,
+# standard ITU T.81 Annex K quantization + Huffman tables (public spec).
+# Progressive (SOF2) and subsampled scans raise at the PIL/libjpeg seam.
+# Everything is integer/float64 numpy — deterministic across platforms.
+# ---------------------------------------------------------------------------
+
+_JPEG_QL = np.array(  # Annex K.1 luminance base quantization
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.int64,
+)
+_JPEG_QC = np.array(  # Annex K.2 chrominance base quantization
+    [
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    dtype=np.int64,
+)
+_ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+# Annex K.3 standard Huffman specs: (BITS counts for lengths 1..16, HUFFVAL)
+_DC_L_SPEC = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_DC_C_SPEC = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_AC_L_SPEC = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+_AC_C_SPEC = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+
+
+def _dct_matrix() -> np.ndarray:
+    k = np.arange(8).reshape(8, 1)
+    n = np.arange(8).reshape(1, 8)
+    m = 0.5 * np.cos((2 * n + 1) * k * np.pi / 16.0)
+    m[0, :] *= 1.0 / np.sqrt(2.0)
+    return m
+
+
+_DCT_M = _dct_matrix()
+
+
+def _jpeg_quant_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    q = max(1, min(100, int(quality)))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    ql = np.clip((_JPEG_QL * scale + 50) // 100, 1, 255)
+    qc = np.clip((_JPEG_QC * scale + 50) // 100, 1, 255)
+    return ql, qc
+
+
+def _huff_encode_table(spec) -> dict[int, tuple[int, int]]:
+    """Canonical Huffman: symbol -> (code, bit length)."""
+    bits, vals = spec
+    out, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _huff_decode_table(bits, vals) -> dict[tuple[int, int], int]:
+    """Canonical Huffman: (bit length, code) -> symbol."""
+    out, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[(ln, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.buf.append(0x00)
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # 1-fill per spec
+        return bytes(self.buf)
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """JPEG category coding: value -> (size, additional bits)."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    s = a.bit_length()
+    return s, (v if v >= 0 else v + (1 << s) - 1)
+
+
+def _encode_blocks(arr_f: np.ndarray, qtab: np.ndarray) -> np.ndarray:
+    """(n, 8, 8) level-shifted float blocks -> (n, 64) zigzag-ordered
+    quantized coefficients (one vectorized DCT over every block)."""
+    coeffs = np.einsum("ij,njk,lk->nil", _DCT_M, arr_f, _DCT_M)
+    q = np.round(coeffs.reshape(-1, 64) / qtab.reshape(1, 64)).astype(np.int64)
+    return q[:, _ZIGZAG]
+
+
+def _blocks_of(plane: np.ndarray) -> np.ndarray:
+    """(H, W) float plane (H, W multiples of 8) -> (n, 8, 8) row-major blocks."""
+    h, w = plane.shape
+    return (
+        plane.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    )
+
+
+def encode_jpeg(arr: np.ndarray, quality: int = 90) -> bytes:
+    """(h, w, 3) uint8 RGB -> baseline JFIF bytes (4:4:4, Annex K tables,
+    quality-scaled quantization).  Deterministic: integer/float64 math and
+    canonical Huffman only."""
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    h, w = arr.shape[:2]
+    ql, qc = _jpeg_quant_tables(quality)
+    # RGB -> YCbCr (JFIF), pad to 8x8 multiples by edge replication
+    rgb = arr.astype(np.float64)
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168735892 * r - 0.331264108 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418687589 * g - 0.081312411 * b + 128.0
+    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    planes = []
+    for p in (y, cb, cr):
+        planes.append(np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge") - 128.0)
+    dc_l, ac_l = _huff_encode_table(_DC_L_SPEC), _huff_encode_table(_AC_L_SPEC)
+    dc_c, ac_c = _huff_encode_table(_DC_C_SPEC), _huff_encode_table(_AC_C_SPEC)
+    zz = [
+        _encode_blocks(_blocks_of(planes[0]), ql),
+        _encode_blocks(_blocks_of(planes[1]), qc),
+        _encode_blocks(_blocks_of(planes[2]), qc),
+    ]
+    bw = _BitWriter()
+    pred = [0, 0, 0]
+    n_blocks = zz[0].shape[0]
+    for bi in range(n_blocks):  # MCU order == block order at 4:4:4
+        for ci in range(3):
+            dct_tab = dc_l if ci == 0 else dc_c
+            act_tab = ac_l if ci == 0 else ac_c
+            blk = zz[ci][bi]
+            diff = int(blk[0]) - pred[ci]
+            pred[ci] = int(blk[0])
+            s, extra = _magnitude(diff)
+            code, ln = dct_tab[s]
+            bw.write(code, ln)
+            if s:
+                bw.write(extra, s)
+            run = 0
+            last_nz = 0
+            nz = np.nonzero(blk[1:])[0]
+            last_nz = (nz[-1] + 1) if len(nz) else 0
+            for k in range(1, last_nz + 1):
+                v = int(blk[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = act_tab[0xF0]  # ZRL
+                    bw.write(code, ln)
+                    run -= 16
+                s, extra = _magnitude(v)
+                code, ln = act_tab[(run << 4) | s]
+                bw.write(code, ln)
+                bw.write(extra, s)
+                run = 0
+            if last_nz < 63:
+                code, ln = act_tab[0x00]  # EOB
+                bw.write(code, ln)
+    scan = bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = [struct.pack(">H", 0xFFD8)]  # SOI
+    out.append(
+        seg(0xFFE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HHBB", 1, 1, 0, 0))
+    )
+    out.append(seg(0xFFDB, b"\x00" + bytes(int(v) for v in ql[_ZIGZAG])))
+    out.append(seg(0xFFDB, b"\x01" + bytes(int(v) for v in qc[_ZIGZAG])))
+    out.append(
+        seg(
+            0xFFC0,
+            struct.pack(">BHHB", 8, h, w, 3)
+            + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
+        )
+    )
+    for tc_th, spec in (
+        (0x00, _DC_L_SPEC),
+        (0x10, _AC_L_SPEC),
+        (0x01, _DC_C_SPEC),
+        (0x11, _AC_C_SPEC),
+    ):
+        bits, vals = spec
+        out.append(seg(0xFFC4, bytes([tc_th]) + bytes(bits) + bytes(vals)))
+    out.append(
+        seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    )
+    out.append(scan)
+    out.append(struct.pack(">H", 0xFFD9))  # EOI
+    return b"".join(out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.data):
+                raise UnsupportedMediaError("JPEG scan data exhausted")
+            self.acc = self.data[self.pos]
+            self.pos += 1
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _huff_read(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for ln in range(1, 17):
+        code = (code << 1) | br.bit()
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    raise UnsupportedMediaError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    return v if s == 0 or v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+@_corrupt_guard
+def decode_jpeg(content: bytes) -> np.ndarray:
+    """Baseline JPEG -> (h, w, 3) uint8 RGB.  Supports SOF0 with 4:4:4
+    (all sampling factors 1x1) or single-component grayscale, any DQT/DHT
+    tables (not just Annex K), restart markers; progressive/subsampled
+    scans raise at the libjpeg seam."""
+    buf = bytes(content)
+    if buf[:2] != b"\xff\xd8":
+        raise UnsupportedMediaError("not a JPEG payload")
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    htabs: dict[tuple[int, int], dict] = {}
+    sof = None
+    restart_interval = 0
+    while pos + 4 <= len(buf):
+        if buf[pos] != 0xFF:
+            raise UnsupportedMediaError("JPEG marker sync lost")
+        marker = buf[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (length,) = struct.unpack_from(">H", buf, pos + 2)
+        payload = buf[pos + 4 : pos + 2 + length]
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            p = 0
+            while p < len(payload):
+                pq, tq = payload[p] >> 4, payload[p] & 0xF
+                if pq != 0:
+                    raise UnsupportedMediaError("16-bit DQT not supported")
+                # kept in ZIGZAG order (the wire order) — the scan loop
+                # dequantizes zigzag coefficients before inverse-zigzag
+                qtabs[tq] = np.frombuffer(
+                    payload, dtype=np.uint8, count=64, offset=p + 1
+                ).astype(np.int64)
+                p += 65
+        elif marker == 0xC4:  # DHT (possibly several)
+            p = 0
+            while p < len(payload):
+                tc, th = payload[p] >> 4, payload[p] & 0xF
+                bits = list(payload[p + 1 : p + 17])
+                n = sum(bits)
+                vals = list(payload[p + 17 : p + 17 + n])
+                htabs[(tc, th)] = _huff_decode_table(bits, vals)
+                p += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            precision, h, w, nc = struct.unpack_from(">BHHB", payload, 0)
+            if precision != 8:
+                raise UnsupportedMediaError("only 8-bit JPEG supported")
+            comps = []
+            for i in range(nc):  # component specs start after the 6-byte
+                cid, hv, tq = payload[6 + 3 * i : 9 + 3 * i]  # BHHB header
+                if hv != 0x11:
+                    raise UnsupportedMediaError(
+                        "subsampled JPEG needs libjpeg at this seam"
+                    )
+                comps.append((cid, tq))
+            sof = (h, w, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise UnsupportedMediaError(
+                "progressive/extended JPEG needs libjpeg at this seam"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", payload, 0)
+        elif marker == 0xDA:  # SOS — scan follows
+            if sof is None:
+                raise UnsupportedMediaError("JPEG SOS before SOF")
+            ns = payload[0]
+            scomp = []
+            for i in range(ns):
+                cs, tdta = payload[1 + 2 * i : 3 + 2 * i]
+                scomp.append((cs, tdta >> 4, tdta & 0xF))
+            scan_start = pos + 2 + length
+            return _decode_jpeg_scan(
+                buf, scan_start, sof, scomp, qtabs, htabs, restart_interval
+            )
+        pos += 2 + length
+    raise UnsupportedMediaError("JPEG has no scan")
+
+
+def _decode_jpeg_scan(buf, pos, sof, scomp, qtabs, htabs, restart_interval):
+    h, w, comps = sof
+    nc = len(comps)
+    if len(scomp) != nc:
+        raise UnsupportedMediaError("JPEG multi-scan files not supported")
+    bw_, bh_ = (w + 7) // 8, (h + 7) // 8
+    n_mcu = bw_ * bh_
+    # un-stuff the entropy bytes up to the next marker (handling RSTn)
+    planes = [np.zeros((bh_ * 8, bw_ * 8), dtype=np.float64) for _ in range(nc)]
+    comp_q = []
+    comp_dc, comp_ac = [], []
+    for i, (cid, tq) in enumerate(comps):
+        scid, td, ta = scomp[i]
+        if scid != cid:
+            raise UnsupportedMediaError("JPEG scan/frame component mismatch")
+        if tq not in qtabs or (0, td) not in htabs or (1, ta) not in htabs:
+            raise UnsupportedMediaError("JPEG missing quant/huffman table")
+        comp_q.append(qtabs[tq])
+        comp_dc.append(htabs[(0, td)])
+        comp_ac.append(htabs[(1, ta)])
+
+    def read_segment(p):
+        """Collect un-stuffed entropy bytes from p to the next marker."""
+        out = bytearray()
+        while p < len(buf):
+            byte = buf[p]
+            if byte == 0xFF:
+                nxt = buf[p + 1] if p + 1 < len(buf) else 0xD9
+                if nxt == 0x00:
+                    out.append(0xFF)
+                    p += 2
+                    continue
+                break
+            out.append(byte)
+            p += 1
+        return bytes(out), p
+
+    seg_bytes, p = read_segment(pos)
+    br = _BitReader(seg_bytes)
+    pred = [0] * nc
+    for mcu in range(n_mcu):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            # expect RSTn marker, reset DC predictors and bit phase
+            if p + 1 < len(buf) and buf[p] == 0xFF and 0xD0 <= buf[p + 1] <= 0xD7:
+                p += 2
+                seg_bytes, p = read_segment(p)
+                br = _BitReader(seg_bytes)
+                pred = [0] * nc
+            else:
+                raise UnsupportedMediaError("JPEG missing restart marker")
+        by, bx = divmod(mcu, bw_)
+        for ci in range(nc):
+            s = _huff_read(br, comp_dc[ci])
+            diff = _extend(br.bits(s), s) if s else 0
+            pred[ci] += diff
+            zz = np.zeros(64, dtype=np.int64)
+            zz[0] = pred[ci]
+            k = 1
+            while k < 64:
+                sym = _huff_read(br, comp_ac[ci])
+                if sym == 0x00:  # EOB
+                    break
+                run, size = sym >> 4, sym & 0xF
+                if size == 0:
+                    if run != 15:
+                        raise UnsupportedMediaError("bad JPEG AC symbol")
+                    k += 16
+                    continue
+                k += run
+                if k > 63:
+                    raise UnsupportedMediaError("JPEG AC index overflow")
+                zz[k] = _extend(br.bits(size), size)
+                k += 1
+            blk = np.zeros(64, dtype=np.float64)
+            blk[_ZIGZAG] = (zz * comp_q[ci]).astype(np.float64)
+            pixels = _DCT_M.T @ blk.reshape(8, 8) @ _DCT_M + 128.0
+            planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = pixels
+    if nc == 1:
+        yp = np.clip(np.round(planes[0][:h, :w]), 0, 255).astype(np.uint8)
+        return np.repeat(yp[:, :, None], 3, axis=2)
+    if nc != 3:
+        raise UnsupportedMediaError(f"{nc}-component JPEG not supported")
+    y = planes[0][:h, :w]
+    cb = planes[1][:h, :w] - 128.0
+    cr = planes[2][:h, :w] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136286 * cb - 0.714136286 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
 
 
 def resize_nearest(arr: np.ndarray, width: int, height: int) -> np.ndarray:

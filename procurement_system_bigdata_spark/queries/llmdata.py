@@ -912,10 +912,30 @@ def q_audio_features(spark, sf_dir):
     return multimodal.audio_features_audit(media).orderBy("media_id")
 
 
+def q_media_decode(spark, sf_dir):
+    """Compressed-codec decode audit (round-8): synthesize a mixed
+    PPM/PNG/JPEG corpus on executors, decode every payload through the
+    codecs.decode_image sniff seam (REAL zlib-inflate PNG and baseline
+    DCT/Huffman JPEG decoders — the seam a production deployment swaps
+    PIL into), and emit exact decoded-pixel digests the oracle pins via
+    the 256-class precompute.  Lossy and lossless formats both
+    hash-checked end-to-end."""
+    from ..operators import multimodal
+
+    media = multimodal.attach_synthetic_images(_docs(spark, sf_dir))
+    return multimodal.decode_images_audit(media).orderBy("media_id")
+
+
 def _media_resize_sql():
     from ..operators import multimodal
 
     return multimodal.media_resize_sql(width=16, height=16)
+
+
+def _media_decode_sql():
+    from ..operators import multimodal
+
+    return multimodal.media_decode_sql()
 
 
 def _audio_features_sql():
@@ -926,6 +946,7 @@ def _audio_features_sql():
 
 Q_MEDIA_RESIZE_SQL = _media_resize_sql()
 Q_AUDIO_FEATURES_SQL = _audio_features_sql()
+Q_MEDIA_DECODE_SQL = _media_decode_sql()
 
 
 def q_repetition_signals(spark, sf_dir):

@@ -769,10 +769,22 @@ _register(
         fn=llmdata.q_media_resize,
         oracle=llmdata.Q_MEDIA_RESIZE_SQL,
         description="Real-codec image decode + nearest-neighbor resize over "
-        "Arrow mapInPandas (PPM/BMP via numpy; JPEG/PNG gated at the PIL "
-        "seam); FULL oracle: every scalar output column is a closed form "
-        "of the synthesis+codec contracts (dims == requested, n_bytes == "
-        "P6 header + w*h*3)",
+        "Arrow mapInPandas; FULL oracle incl. content_md5 of the resized "
+        "payload (256-class digest precompute through the real "
+        "decode/resize/encode path), so pixel content is hash-checked",
+        ops=("EXT-multimodal",),
+    )
+)
+_register(
+    QuerySpec(
+        name="media_decode",
+        fn=llmdata.q_media_decode,
+        oracle=llmdata.Q_MEDIA_DECODE_SQL,
+        description="Compressed-codec decode audit: mixed PPM/PNG/JPEG "
+        "corpus decoded through the codecs.decode_image sniff seam (real "
+        "zlib-inflate PNG + baseline DCT/Huffman JPEG decoders, round-8); "
+        "FULL oracle — decoded-pixel md5 pinned exactly for lossless AND "
+        "lossy rows via the 256-class encode->decode precompute",
         ops=("EXT-multimodal",),
     )
 )

@@ -1,0 +1,270 @@
+"""Round-8 additions: real PNG/JPEG codecs + the media_decode audit,
+wide-md5 confirm keys for the minhash family, self-describing ANN audit.
+
+The codecs are the round's seam-opening deliverable (VERDICT r07 ask #2):
+PNG rides stdlib zlib + the five scanline filters; JPEG is baseline
+sequential DCT with the public ITU T.81 Annex K tables.  Tests cover
+round-trips, foreign-filter decode, defect flips (a broken kernel must
+flip the audit booleans / digests), and oracle parity for the new query.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from conftest import SF_DIR, assert_matches_oracle
+
+from procurement_system_bigdata_spark.catalog import load_table
+from procurement_system_bigdata_spark.operators import codecs, multimodal
+
+
+# --- PNG ---------------------------------------------------------------------
+
+
+def test_png_roundtrip_exact():
+    rng = np.random.default_rng(11)
+    for shape in [(24, 32, 3), (7, 5, 3), (1, 1, 3), (64, 3, 3)]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        assert np.array_equal(codecs.decode_png(codecs.encode_png(img)), img)
+
+
+def test_png_decodes_all_five_filters():
+    """A hand-filtered PNG using filters 0..4 across rows must reconstruct
+    the original pixels — exercising the Sub/Up/Average/Paeth paths our
+    own encoder (filter 0 only) never produces."""
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (10, 9, 3), dtype=np.uint8)
+    stride = 27
+    rows, prev = [], np.zeros(stride, dtype=np.int32)
+    for y in range(10):
+        cur = img[y].reshape(-1).astype(np.int32)
+        f = y % 5
+        if f == 0:
+            filt = cur
+        elif f == 1:
+            filt = cur.copy()
+            filt[3:] = (cur[3:] - cur[:-3]) % 256
+        elif f == 2:
+            filt = (cur - prev) % 256
+        elif f == 3:
+            a = np.concatenate([[0, 0, 0], cur[:-3]])
+            filt = (cur - (a + prev) // 2) % 256
+        else:
+            filt = np.empty(stride, dtype=np.int32)
+            for x in range(stride):
+                a = cur[x - 3] if x >= 3 else 0
+                b = prev[x]
+                c = prev[x - 3] if x >= 3 else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                filt[x] = (cur[x] - pred) % 256
+        rows.append(bytes([f]) + bytes(filt.astype(np.uint8)))
+        prev = cur
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 9, 10, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"".join(rows)))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(codecs.decode_png(png), img)
+
+
+def test_png_gray_and_rgba_profiles():
+    """Gray expands to RGB; RGBA drops alpha — both via hand-built files."""
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    gray = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    raw = b"".join(b"\x00" + gray[y].tobytes() for y in range(3))
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 3, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    out = codecs.decode_png(png)
+    assert out.shape == (3, 4, 3)
+    assert np.array_equal(out[..., 0], gray) and np.array_equal(out[..., 2], gray)
+
+    rgba = np.random.default_rng(5).integers(0, 256, (3, 4, 4), dtype=np.uint8)
+    raw = b"".join(b"\x00" + rgba[y].tobytes() for y in range(3))
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 3, 8, 6, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(codecs.decode_png(png), rgba[:, :, :3])
+
+
+def test_png_crc_corruption_detected():
+    img = np.zeros((4, 4, 3), dtype=np.uint8)
+    buf = bytearray(codecs.encode_png(img))
+    buf[-9] ^= 0xFF  # flip a byte inside IEND's CRC region / IDAT tail
+    with pytest.raises(codecs.UnsupportedMediaError):
+        codecs.decode_png(bytes(buf))
+
+
+# --- JPEG --------------------------------------------------------------------
+
+
+def test_jpeg_roundtrip_error_bounds():
+    """Lossy but bounded: smooth gradients reconstruct within ~1 level at
+    q90; noise (the worst case for DCT) within ~8 mean abs; exact dims
+    for non-multiple-of-8 sizes."""
+    rng = np.random.default_rng(13)
+    grad = codecs.decode_ppm(codecs.synthesize_image(5))
+    dec = codecs.decode_jpeg(codecs.encode_jpeg(grad, 90))
+    assert dec.shape == grad.shape
+    assert np.abs(dec.astype(float) - grad.astype(float)).mean() < 1.5
+
+    noise = rng.integers(0, 256, (24, 32, 3), dtype=np.uint8)
+    dec2 = codecs.decode_jpeg(codecs.encode_jpeg(noise, 90))
+    assert np.abs(dec2.astype(float) - noise.astype(float)).mean() < 10.0
+
+    odd = rng.integers(0, 256, (13, 11, 3), dtype=np.uint8)
+    assert codecs.decode_jpeg(codecs.encode_jpeg(odd, 75)).shape == (13, 11, 3)
+
+
+def test_jpeg_quality_dial_monotone():
+    """Lower quality -> smaller payload and larger reconstruction error
+    (sanity that the IJG quality scaling actually reaches the tables)."""
+    img = codecs.decode_ppm(codecs.synthesize_image(9))
+    sizes, errs = [], []
+    for q in (95, 75, 40, 10):
+        jp = codecs.encode_jpeg(img, q)
+        sizes.append(len(jp))
+        dec = codecs.decode_jpeg(jp)
+        errs.append(np.abs(dec.astype(float) - img.astype(float)).mean())
+    assert sizes == sorted(sizes, reverse=True)
+    assert errs == sorted(errs)
+
+
+def test_jpeg_encode_deterministic():
+    img = codecs.decode_ppm(codecs.synthesize_image(17))
+    assert codecs.encode_jpeg(img, 90) == codecs.encode_jpeg(img, 90)
+    assert codecs.encode_png(img) == codecs.encode_png(img)
+
+
+def test_decode_image_sniff_dispatch():
+    """The PIL-swap seam: decode_image routes by magic bytes across all
+    four real image codecs."""
+    img = codecs.decode_ppm(codecs.synthesize_image(3))
+    assert np.array_equal(codecs.decode_image(codecs.encode_ppm(img)), img)
+    assert np.array_equal(codecs.decode_image(codecs.encode_png(img)), img)
+    jp = codecs.decode_image(codecs.encode_jpeg(img, 90))
+    assert jp.shape == img.shape
+    with pytest.raises(codecs.UnsupportedMediaError):
+        codecs.decode_image(b"RIFF....WAVE")  # audio payload at image seam
+
+
+# --- media_decode audit ------------------------------------------------------
+
+
+def test_media_decode_oracle_green(spark, duck):
+    from procurement_system_bigdata_spark.queries import llmdata
+
+    assert_matches_oracle(
+        llmdata.q_media_decode(spark, SF_DIR), duck, llmdata.Q_MEDIA_DECODE_SQL
+    )
+
+
+def test_media_decode_covers_all_three_formats(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    media = multimodal.attach_synthetic_images(docs)
+    out = multimodal.decode_images_audit(media).collect()
+    assert len(out) == docs.count()  # nothing dead-lettered
+    kinds = {r.media_type for r in out}
+    assert kinds == {"image/x-portable-pixmap", "image/png", "image/jpeg"}
+    assert all(r.err_ok for r in out)
+    assert all(
+        (r.width, r.height) == (multimodal.DECODE_WIDTH, multimodal.DECODE_HEIGHT)
+        for r in out
+    )
+    # lossless rows share the gradient digest; jpeg rows differ from it
+    by_kind = {}
+    for r in out:
+        by_kind.setdefault((r.media_type, r.media_id % 256), set()).add(r.pixel_md5)
+    for (kind, cls), digests in by_kind.items():
+        assert len(digests) == 1, (kind, cls)
+
+
+def test_media_decode_defect_flips_audit(spark):
+    """A pixel-level defect in the decode path must flip err_ok and the
+    digest — the property that makes the oracle a real gate.  Simulated by
+    auditing a corpus whose JPEG rows were encoded at a much coarser
+    quality than the contract assumes."""
+    docs = load_table(spark, SF_DIR, "documents").limit(30)
+    ids = docs.selectExpr("CAST(doc_id AS LONG) AS media_id")
+    import pandas as pd
+
+    w, h = multimodal.DECODE_WIDTH, multimodal.DECODE_HEIGHT
+
+    def bad_batches(it):
+        for pdf in it:
+            contents, types = [], []
+            for mid in pdf["media_id"]:
+                arr = codecs.decode_ppm(codecs.synthesize_image(int(mid), w, h))
+                contents.append(codecs.encode_jpeg(arr, 5))  # contract says 90
+                types.append("image/jpeg")
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "content": contents,
+                    "media_type": types,
+                    "n_bytes": [len(c) for c in contents],
+                }
+            )
+
+    bad = ids.mapInPandas(bad_batches, schema=multimodal.MEDIA_SCHEMA)
+    rows = multimodal.decode_images_audit(bad).collect()
+    assert rows and not any(r.err_ok for r in rows)
+
+
+# --- wide-md5 confirm keys (advisor round-7 finding) -------------------------
+
+
+def test_minhash_confirm_uses_wide_keys(spark):
+    """The confirm-side token sets must be md5 strings (collision-free
+    equality), while signatures keep the narrow affine-compatible fold —
+    checked structurally via the plan schema of each subtree."""
+    from procurement_system_bigdata_spark.operators import dedup
+
+    docs = load_table(spark, SF_DIR, "documents").limit(50)
+    wide = dedup._doc_token_hashes(docs, 1, wide=True)
+    narrow = dedup._doc_token_hashes(docs, 1)
+    assert dict(wide.dtypes)["h"] == "string"
+    assert dict(narrow.dtypes)["h"] == "bigint"
+    # pairs output unchanged in shape; jaccard computed over wide sets
+    pairs = dedup.minhash_lsh_pairs(docs, k=6, n_bands=2)
+    assert [f[0] for f in pairs.dtypes] == ["doc_a", "doc_b", "jaccard"]
+
+
+def test_ann_report_self_describes_sampling(spark):
+    from procurement_system_bigdata_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(40)
+    [full] = similarity.lsh_ann_report(emb).collect()
+    [sampled] = similarity.lsh_ann_report(emb, sample_queries=7).collect()
+    assert full.n_anchors == 0
+    assert sampled.n_anchors == 7

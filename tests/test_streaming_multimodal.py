@@ -149,14 +149,41 @@ def test_multimodal_feature_extraction(spark):
         assert 0 < got.byte_entropy_q <= 256
 
 
-def test_compressed_formats_stay_gated():
-    """JPEG/PNG still need PIL — the gate must be explicit, not a crash."""
+def test_compressed_tail_stays_gated():
+    """Round-8: PNG and baseline JPEG decode for real now, so the explicit
+    PIL/ffmpeg gate moves to the remaining tail — truncated payloads,
+    progressive JPEG (SOF2), interlaced PNG — which must still raise
+    UnsupportedMediaError, not crash."""
+    import struct
+    import zlib
+
+    from procurement_system_bigdata_spark.operators import codecs
     from procurement_system_bigdata_spark.operators.codecs import UnsupportedMediaError
 
+    # truncated payloads of both formats
     with pytest.raises(UnsupportedMediaError):
         multimodal.decode_image(b"\x89PNG\r\n\x1a\n....")
     with pytest.raises(UnsupportedMediaError):
         multimodal.decode_image(b"\xff\xd8\xff\xe0....")
+    # progressive JPEG: flip our encoder's SOF0 marker to SOF2
+    import numpy as np
+
+    jp = bytearray(codecs.encode_jpeg(np.zeros((8, 8, 3), dtype=np.uint8)))
+    sof = bytes(jp).find(b"\xff\xc0")
+    jp[sof + 1] = 0xC2
+    with pytest.raises(UnsupportedMediaError, match="progressive"):
+        codecs.decode_jpeg(bytes(jp))
+    # interlaced PNG (Adam7 flag set, CRC recomputed)
+    ihdr = struct.pack(">IIBBBBB", 8, 8, 8, 2, 0, 0, 1)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", len(ihdr))
+        + b"IHDR"
+        + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+    )
+    with pytest.raises(UnsupportedMediaError):
+        codecs.decode_png(png + b"\x00" * 32)
 
 
 def test_ppm_and_bmp_roundtrip_decode():
