@@ -48,3 +48,24 @@ def oracle_sql() -> dict[str, str]:
     return {
         name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None
     }
+
+
+def production_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """The registry with documented production scale dials overlaid
+    (registry.PRODUCTION_DIALS): approx percentile cutpoints, unordered
+    sinks, fast hashing, anchor-sampled audits.  NOT part of the driver
+    contract — the oracle gate runs ``queries()`` (the bit-exact dials);
+    this view is how a production caller reaches the scale-safe paths
+    without reading operator source."""
+    from procurement_system_bigdata_spark.queries.registry import (
+        production_queries as _pq,
+    )
+
+    def _wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            apply_runtime_confs(spark)
+            return fn(spark, sf_dir)
+
+        return run
+
+    return {name: _wrap(fn) for name, fn in _pq().items()}

@@ -36,9 +36,13 @@ def q_dedup_fingerprint(spark, sf_dir):
 Q_DEDUP_FINGERPRINT_SQL = dedup.fingerprint_dedup_sql()
 
 
-def q_dedup_minhash_lsh(spark, sf_dir):
+def q_dedup_minhash_lsh(spark, sf_dir, production: bool = False):
     # oracle dial, explicitly: the operator DEFAULT is the production dial
-    # (128/32); the DuckDB mirror runs the cheap (6/2) banding
+    # (128/32); the DuckDB mirror runs the cheap (6/2) banding.
+    # production=True flips to the full (128, 32) banding + xxhash64
+    # signature hashing (registry.production_queries()).
+    if production:
+        return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), fast_hash=True)
     return dedup.minhash_lsh_pairs(
         _docs(spark, sf_dir), k=P.MINHASH_K_ORACLE, n_bands=P.MINHASH_BANDS_ORACLE
     )
@@ -147,16 +151,26 @@ ANN_SAMPLE_QUERIES: int | None = (
 )
 
 
-def q_embedding_ann_lsh(spark, sf_dir):
+#: anchor count the production profile pins explicitly (vs the env dial):
+#: O(k*N) audit cost, self-described in the report's n_anchors column.
+ANN_PRODUCTION_ANCHORS = 100
+
+
+def q_embedding_ann_lsh(spark, sf_dir, sample_queries: int | None = None):
     """Bounded-oracle LSH ANN report (round-4 judge ask #1): the candidate
     pairs are judged against the exact >=tau pair set IN the emitted row —
     exact pair count + fixed-point exact score sum (DuckDB recomputes both)
     plus subset/score/recall booleans the oracle asserts TRUE.  The raw
     candidate-pair frame stays available as
     similarity.lsh_ann_candidates.  SPARK_GRAFT_ANN_SAMPLE_QUERIES=k
-    selects the anchor-sampled audit dial (see similarity.lsh_ann_report)."""
+    selects the anchor-sampled audit dial (see similarity.lsh_ann_report);
+    an explicit ``sample_queries`` (the production profile's route)
+    overrides the env value and is recorded in the n_anchors column."""
     return similarity.lsh_ann_report(
-        _emb(spark, sf_dir), sample_queries=ANN_SAMPLE_QUERIES
+        _emb(spark, sf_dir),
+        sample_queries=(
+            sample_queries if sample_queries is not None else ANN_SAMPLE_QUERIES
+        ),
     )
 
 
@@ -849,18 +863,22 @@ def _decontamination_sql():
 Q_DECONTAMINATION_SQL = _decontamination_sql()
 
 
-def q_bloom_decontamination(spark, sf_dir):
+def q_bloom_decontamination(spark, sf_dir, fast_hash: bool = False):
     """Bloom-filter decontamination over the SAME benchmark carve-out as
     ``decontamination``: constant-size membership state, zero false
     negatives, oracle hash-checks the real FP behavior of the
-    (m_bits, k) dial — operators/decontam.py."""
+    (m_bits, k) dial — operators/decontam.py.  ``fast_hash=True`` is the
+    production dial (xxhash64 gram hashing, measured 5.5x at sf1;
+    registry.production_queries())."""
     from ..operators import decontam
 
     docs = _docs(spark, sf_dir)
     mod = decontam.DECONTAM_BENCH_MOD
     corpus = docs.filter(F.col("doc_id") % mod != 0)
     bench = docs.filter(F.col("doc_id") % mod == 0)
-    return decontam.bloom_decontaminate(corpus, bench, n=decontam.DECONTAM_NGRAM)
+    return decontam.bloom_decontaminate(
+        corpus, bench, n=decontam.DECONTAM_NGRAM, fast_hash=fast_hash
+    )
 
 
 def _bloom_decontamination_sql():
@@ -1272,10 +1290,12 @@ def _source_contamination_sql():
 Q_SOURCE_CONTAMINATION_SQL = _source_contamination_sql()
 
 
-def q_lm_perplexity_buckets(spark, sf_dir):
+def q_lm_perplexity_buckets(spark, sf_dir, approx: bool = False):
     """CCNet head/middle/tail LM-fluency terciles per source —
-    operators/text.py lm_perplexity_buckets."""
-    return text.lm_perplexity_buckets(_docs(spark, sf_dir))
+    operators/text.py lm_perplexity_buckets.  ``approx=True`` is the
+    production dial (approx_percentile cutpoints + map-side bucketing, no
+    per-source sort; reachable via registry.production_queries())."""
+    return text.lm_perplexity_buckets(_docs(spark, sf_dir), approx=approx)
 
 
 Q_LM_PERPLEXITY_BUCKETS_SQL = text.lm_perplexity_buckets_sql()

@@ -476,3 +476,20 @@ def test_item_item_recs_plan(spark):
     assert stats["sort_merge_joins"] == 0
     assert stats["broadcast_hash_joins"] >= 2
     assert stats["shuffles"] <= 2
+
+
+def test_rank_filter_samplers_keep_window_group_limit(spark):
+    """group_sample and weighted_sample are scale-safe BECAUSE Spark 4.1's
+    InferWindowGroupLimit inserts a WindowGroupLimit below the shuffle
+    (map-side per-group top-k reduction), so the per-group full sort never
+    sees more than ~k rows per partition.  That is optimizer behavior a
+    filter-shape refactor could silently break — e.g. rewriting the
+    ``rank <= k`` filter into a form the rule no longer recognizes would
+    reintroduce the full per-group sort.  Pin it in both plans (VERDICT
+    r07 ask #5)."""
+    for name in ("group_sample", "weighted_sample"):
+        stats = plan_stats(REGISTRY[name].fn(spark, SF_DIR))
+        assert "WindowGroupLimit" in stats["plan"], (
+            f"{name} lost its map-side WindowGroupLimit reduction"
+        )
+        assert stats["python_udfs"] == 0

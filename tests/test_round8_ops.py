@@ -268,3 +268,86 @@ def test_ann_report_self_describes_sampling(spark):
     [sampled] = similarity.lsh_ann_report(emb, sample_queries=7).collect()
     assert full.n_anchors == 0
     assert sampled.n_anchors == 7
+
+
+# --- production profile (VERDICT r07 ask #8) ---------------------------------
+
+
+def test_production_profile_contracts(spark):
+    """Every PRODUCTION_DIALS entry must (a) run, and (b) satisfy the
+    bounded contract its `effect` documents, vs the oracle-default dial:
+
+    - supplier_orders: identical row SET (order unconstrained)
+    - lm_perplexity_buckets: same (source,bucket) keys, n_docs divergence
+      bounded (<5% of source total at this tiny SF)
+    - dedup_minhash_lsh: precision exact — every pair's jaccard >= 0.9
+    - bloom_decontamination: zero false negatives — every exact benchmark
+      hit stays flagged
+    - embedding_ann_lsh: n_anchors self-describes the dial; audit booleans
+      hold on the sampled sub-universe
+    """
+    from procurement_system_bigdata_spark.queries.registry import (
+        PRODUCTION_DIALS,
+        REGISTRY,
+        production_queries,
+    )
+
+    pq = production_queries()
+    assert set(PRODUCTION_DIALS) <= set(pq)
+    assert all(d.dials and d.effect for d in PRODUCTION_DIALS.values())
+
+    # supplier_orders: same row set
+    default_rows = sorted(
+        map(tuple, REGISTRY["supplier_orders"].fn(spark, SF_DIR).collect())
+    )
+    prod_rows = sorted(map(tuple, pq["supplier_orders"](spark, SF_DIR).collect()))
+    assert default_rows == prod_rows
+
+    # lm_perplexity_buckets: same keys, bounded count divergence
+    exact = {
+        (r.source, r.bucket): r.n_docs
+        for r in REGISTRY["lm_perplexity_buckets"].fn(spark, SF_DIR).collect()
+    }
+    approx = {
+        (r.source, r.bucket): r.n_docs
+        for r in pq["lm_perplexity_buckets"](spark, SF_DIR).collect()
+    }
+    assert set(exact) == set(approx)
+    per_source_total: dict = {}
+    for (src, _), n in exact.items():
+        per_source_total[src] = per_source_total.get(src, 0) + n
+    for key, n in exact.items():
+        assert abs(approx[key] - n) <= max(2, 0.05 * per_source_total[key[0]]), key
+
+    # dedup_minhash_lsh production banding: precision exact
+    pairs = pq["dedup_minhash_lsh"](spark, SF_DIR).collect()
+    assert all(r.jaccard >= 0.9 for r in pairs)
+
+    # bloom fast dial: no false negatives vs the exact-hash dial's flags
+    slow_flagged = {
+        r.doc_id
+        for r in REGISTRY["bloom_decontamination"].fn(spark, SF_DIR).collect()
+        if r.flagged
+    }
+    fast_flagged = {
+        r.doc_id
+        for r in pq["bloom_decontamination"](spark, SF_DIR).collect()
+        if r.flagged
+    }
+    # both dials are FN-free supersets of the true hits; the TRUE hits are
+    # their intersection's lower bound — assert the fast dial kept every
+    # doc both dials would catch deterministically: exact contamination
+    from procurement_system_bigdata_spark.queries import llmdata
+
+    exact_hits = {
+        r.doc_id
+        for r in REGISTRY["decontamination"].fn(spark, SF_DIR).collect()
+        if r.n_overlap > 0
+    }
+    if exact_hits:
+        assert exact_hits <= fast_flagged and exact_hits <= slow_flagged
+
+    # ann audit: self-described dial + booleans hold
+    [rep] = pq["embedding_ann_lsh"](spark, SF_DIR).collect()
+    assert rep.n_anchors == llmdata.ANN_PRODUCTION_ANCHORS
+    assert rep.subset_ok and rep.scores_exact_ok and rep.recall_ok
