@@ -250,5 +250,111 @@ def main() -> None:
     )
 
 
+def main_ab(ref: str, runs: int) -> None:
+    """Automated alternating A/B protocol (round-7 judge ask #6).
+
+    Three rounds in a row, refuting a cross-round bench delta required
+    hand-building a worktree and alternating solo runs (DESIGN.md
+    "Benchmarking discipline": host drift of +-15-35% between measurement
+    days reproduces on the OLD code itself, and the calibration anchor
+    under-corrects because shuffle/IO drift differently than codegen).
+    This automates exactly that protocol: check out ``ref`` into a
+    throwaway worktree, run ``runs`` interleaved HEAD/ref pairs of the
+    full bench as SEQUENTIAL subprocesses (one JVM alive at a time — two
+    concurrent local[32] contexts inflate timings 3-4x), and emit
+    per-query MEDIANS plus head/ref ratios in one JSON line.  Only these
+    same-session medians are regression evidence; raw cross-round
+    BENCH_r*.json deltas are weather."""
+    import statistics
+    import subprocess
+    import tempfile
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    wt = os.path.join(tempfile.gettempdir(), "bench_ab_worktree")
+    subprocess.run(
+        ["git", "-C", repo, "worktree", "remove", "--force", wt],
+        capture_output=True,
+    )
+    add = subprocess.run(
+        ["git", "-C", repo, "worktree", "add", "--detach", wt, ref],
+        capture_output=True,
+        text=True,
+    )
+    if add.returncode != 0:
+        raise SystemExit(f"worktree add failed: {add.stderr.strip()}")
+    try:
+        results: dict[str, list[dict]] = {"head": [], "ref": []}
+        for i in range(runs):
+            for side, cwd in (("head", repo), ("ref", wt)):
+                child = subprocess.run(
+                    [sys.executable, os.path.join(cwd, "bench.py")],
+                    capture_output=True,
+                    text=True,
+                    cwd=cwd,
+                    env=os.environ.copy(),
+                )
+                line = child.stdout.strip().splitlines()[-1] if child.stdout.strip() else ""
+                try:
+                    results[side].append(json.loads(line))
+                except json.JSONDecodeError:
+                    raise SystemExit(
+                        f"{side} run {i} produced no JSON line "
+                        f"(rc={child.returncode}): {child.stderr[-500:]}"
+                    )
+
+        def medians(rows: list[dict]) -> dict[str, float]:
+            names = set.intersection(*(set(r["queries"]) for r in rows))
+            return {
+                n: round(statistics.median(r["queries"][n] for r in rows), 4)
+                for n in sorted(names)
+            }
+
+        head_med, ref_med = medians(results["head"]), medians(results["ref"])
+        common = sorted(set(head_med) & set(ref_med))
+        print(
+            json.dumps(
+                {
+                    "metric": "ab_alternating_medians",
+                    "unit": "sec",
+                    "ab": {
+                        "ref": ref,
+                        "runs_per_side": runs,
+                        "order": "interleaved head/ref, sequential solo "
+                        "subprocesses, one session",
+                        "head_medians": head_med,
+                        "ref_medians": ref_med,
+                        "ratio_head_over_ref": {
+                            n: round(head_med[n] / ref_med[n], 3)
+                            for n in common
+                            if ref_med[n]
+                        },
+                        "total_head": round(sum(head_med[n] for n in common), 4),
+                        "total_ref": round(sum(ref_med[n] for n in common), 4),
+                        "calibration_head": [
+                            r.get("calibration_sec") for r in results["head"]
+                        ],
+                        "calibration_ref": [
+                            r.get("calibration_sec") for r in results["ref"]
+                        ],
+                    },
+                }
+            )
+        )
+    finally:
+        subprocess.run(
+            ["git", "-C", repo, "worktree", "remove", "--force", wt],
+            capture_output=True,
+        )
+
+
 if __name__ == "__main__":
-    main()
+    if "--ab" in sys.argv:
+        ref_arg = sys.argv[sys.argv.index("--ab") + 1]
+        n_runs = (
+            int(sys.argv[sys.argv.index("--runs") + 1])
+            if "--runs" in sys.argv
+            else 3
+        )
+        main_ab(ref_arg, n_runs)
+    else:
+        main()
