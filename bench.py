@@ -224,6 +224,19 @@ def main() -> None:
     # workload itself changes (and say so in DESIGN.md).
     CALIBRATION_REF = 0.2973
     drift = CALIBRATION_REF / calibration_sec if calibration_sec else None
+    # Latest alternating-A/B medians (bench.py --ab <ref>), if one has been
+    # run: same-session medians are the ONLY bench numbers comparable
+    # across code versions (cross-round raw deltas are host weather —
+    # DESIGN.md "Benchmarking discipline"), so the per-round record carries
+    # them alongside the raw timings.
+    ab_block = None
+    ab_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), AB_LATEST)
+    if os.path.exists(ab_path):
+        try:
+            with open(ab_path) as f:
+                ab_block = json.load(f)
+        except (json.JSONDecodeError, OSError):
+            ab_block = None
     print(
         json.dumps(
             {
@@ -311,35 +324,37 @@ def main_ab(ref: str, runs: int) -> None:
 
         head_med, ref_med = medians(results["head"]), medians(results["ref"])
         common = sorted(set(head_med) & set(ref_med))
-        print(
-            json.dumps(
-                {
-                    "metric": "ab_alternating_medians",
-                    "unit": "sec",
-                    "ab": {
-                        "ref": ref,
-                        "runs_per_side": runs,
-                        "order": "interleaved head/ref, sequential solo "
-                        "subprocesses, one session",
-                        "head_medians": head_med,
-                        "ref_medians": ref_med,
-                        "ratio_head_over_ref": {
-                            n: round(head_med[n] / ref_med[n], 3)
-                            for n in common
-                            if ref_med[n]
-                        },
-                        "total_head": round(sum(head_med[n] for n in common), 4),
-                        "total_ref": round(sum(ref_med[n] for n in common), 4),
-                        "calibration_head": [
-                            r.get("calibration_sec") for r in results["head"]
-                        ],
-                        "calibration_ref": [
-                            r.get("calibration_sec") for r in results["ref"]
-                        ],
-                    },
-                }
-            )
-        )
+        out = {
+            "metric": "ab_alternating_medians",
+            "unit": "sec",
+            "ab": {
+                "ref": ref,
+                "runs_per_side": runs,
+                "sf": results["head"][0].get("sf"),
+                "order": "interleaved head/ref, sequential solo "
+                "subprocesses, one session",
+                "head_medians": head_med,
+                "ref_medians": ref_med,
+                "ratio_head_over_ref": {
+                    n: round(head_med[n] / ref_med[n], 3)
+                    for n in common
+                    if ref_med[n]
+                },
+                "total_head": round(sum(head_med[n] for n in common), 4),
+                "total_ref": round(sum(ref_med[n] for n in common), 4),
+                "calibration_head": [
+                    r.get("calibration_sec") for r in results["head"]
+                ],
+                "calibration_ref": [
+                    r.get("calibration_sec") for r in results["ref"]
+                ],
+            },
+        }
+        # persist so plain bench runs (the per-round driver record) carry
+        # the latest same-session A/B evidence in their JSON line
+        with open(os.path.join(repo, AB_LATEST), "w") as f:
+            json.dump(out["ab"], f, indent=1)
+        print(json.dumps(out))
     finally:
         subprocess.run(
             ["git", "-C", repo, "worktree", "remove", "--force", wt],

@@ -181,14 +181,23 @@ for dial, offset in (
         f"N={N_total} never-under={under == 0}",
     )
 
-# --- 4. Bloom gram-level FP rate ---------------------------------------------
+# --- 4. Bloom: FN at saturation + calibrated FP vs formula -------------------
+# Two regimes, because one corpus can't measure both:
+#   a) toy-vocab sf1 carve (the registry query's own shape): ~30k inserted
+#      grams nearly saturate m=2^15 bits AND almost every corpus gram IS a
+#      true benchmark gram — so the meaningful invariant there is the
+#      superset guarantee (zero false negatives over ~30k true hits), not
+#      the FP rate (≈1 negative exists to measure it on).
+#   b) realvocab corpus with a SMALL benchmark slice sized for kn/m ≈ 0.5,
+#      where the formula predicts a mid-range FP ≈ 2-3% and the disjoint
+#      group structure supplies ~2.7M TRUE negatives — a real test of the
+#      Kirsch-Mitzenmacher double-hash independence assumption under both
+#      dials (measured must track (1-e^{-kn/m})^k, not just sit under a
+#      saturated bound).
 
 mod = decontam.DECONTAM_BENCH_MOD
 n_gram = decontam.DECONTAM_NGRAM
 m_bits, k_hashes = decontam.BLOOM_M_BITS, decontam.BLOOM_K
-tdocs = spark.read.parquet(f"{SF1}/documents.parquet")
-corpus = tdocs.filter(F.col("doc_id") % mod != 0)
-bench = tdocs.filter(F.col("doc_id") % mod == 0)
 
 
 def gram_set(df):
@@ -199,18 +208,15 @@ def gram_set(df):
     )
 
 
-corpus_g = gram_set(corpus).localCheckpoint()
-bench_g = gram_set(bench).localCheckpoint()
-n_inserted = bench_g.count()
-fp_bound = (1.0 - math.exp(-k_hashes * n_inserted / m_bits)) ** k_hashes
-
-for dial in ("portable", "xxhash64"):
+def bloom_measure(corpus_g, bench_g, dial):
     if dial == "portable":
         h_e = P.spark_str_hash(F.col("g"))
         hs_e = P.spark_str_hash2(F.col("g"))
     else:
         h_e = F.pmod(F.xxhash64(F.col("g")), F.lit(P.HASH_P))
-        hs_e = F.pmod(F.xxhash64(F.lit(decontam._BLOOM_STRIDE_SALT), F.col("g")), F.lit(P.HASH_P))
+        hs_e = F.pmod(
+            F.xxhash64(F.lit(decontam._BLOOM_STRIDE_SALT), F.col("g")), F.lit(P.HASH_P)
+        )
     bits = (
         bench_g.select(h_e.alias("h"), hs_e.alias("hs"))
         .select(F.explode(decontam._bloom_positions(F.col("h"), F.col("hs"), m_bits, k_hashes)).alias("bit"))
@@ -231,16 +237,55 @@ for dial in ("portable", "xxhash64"):
     n_true = flagged.join(bench_g, "g").count()
     n_probed = corpus_g.count()
     n_true_total = corpus_g.join(bench_g, "g").count()
+    return n_flagged, n_true, n_probed, n_true_total
+
+
+# 4a: toy carve — superset guarantee at saturation
+tdocs = spark.read.parquet(f"{SF1}/documents.parquet")
+toy_corpus_g = gram_set(tdocs.filter(F.col("doc_id") % mod != 0)).localCheckpoint()
+toy_bench_g = gram_set(tdocs.filter(F.col("doc_id") % mod == 0)).localCheckpoint()
+n_ins_toy = toy_bench_g.count()
+for dial in ("portable", "xxhash64"):
+    n_flagged, n_true, n_probed, n_true_total = bloom_measure(
+        toy_corpus_g, toy_bench_g, dial
+    )
+    fn = n_true_total - n_true
+    report(
+        "bloom-fn-at-saturation", dial, f"FN={fn}", "0",
+        fn == 0,
+        f"n_ins={n_ins_toy} true_hits={n_true_total} (toy vocab, filter "
+        f"saturated — FP unmeasurable here: {n_probed - n_true_total} negatives)",
+    )
+
+# 4b: realvocab, calibrated load — measured FP must TRACK the formula
+target_load = 0.5  # kn/m
+n_target = int(target_load * m_bits / k_hashes)  # ~4096 grams
+# deterministic benchmark slice: smallest doc_ids with %7==0 until the
+# gram budget is met (realvocab grams ~53/doc -> ~78 docs)
+slice_docs = int(n_target / 50)
+real_bench = rdocs.filter(
+    (F.col("doc_id") % mod == 0) & (F.col("doc_id") < slice_docs * mod)
+)
+real_corpus = rdocs.filter(F.col("doc_id") % mod != 0)
+rb_g = gram_set(real_bench).localCheckpoint()
+rc_g = gram_set(real_corpus).localCheckpoint()
+n_ins = rb_g.count()
+fp_formula = (1.0 - math.exp(-k_hashes * n_ins / m_bits)) ** k_hashes
+for dial in ("portable", "xxhash64"):
+    n_flagged, n_true, n_probed, n_true_total = bloom_measure(rc_g, rb_g, dial)
     fn = n_true_total - n_true
     neg = n_probed - n_true_total
     fp_rate = (n_flagged - n_true) / neg if neg else 0.0
+    # tracking band: binomial noise on ~2.7M negatives is tiny; the band is
+    # dominated by the formula's own approximation (+-30%)
+    ok = fn == 0 and 0.7 * fp_formula <= fp_rate <= 1.3 * fp_formula
     report(
-        "bloom-fp-rate", dial, f"{fp_rate:.4f}", f"{fp_bound:.4f}",
-        fp_rate <= max(fp_bound * 1.5, 1e-4) and fn == 0,
-        f"n_ins={n_inserted} flagged={n_flagged} true={n_true} FN={fn}",
+        "bloom-fp-vs-formula", dial, f"{fp_rate:.4f}", f"{fp_formula:.4f}",
+        ok,
+        f"n_ins={n_ins} negatives={neg} FN={fn}",
     )
 
 print()
 n_fail = sum(1 for r in rows if not r[4])
-print(f"families checked: 4, dials: {len(rows)}, failures: {n_fail}")
+print(f"families checked: 5, dial-checks: {len(rows)}, failures: {n_fail}")
 sys.exit(1 if n_fail else 0)
