@@ -124,6 +124,10 @@ EXTRA_BENCH = {
 }
 
 
+#: where --ab persists its medians block; plain runs embed it if present
+AB_LATEST = "bench_ab_latest.json"
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -258,6 +262,7 @@ def main() -> None:
                 "r02_set_subtotal_normalized": (
                     round(r02_subtotal * drift, 4) if drift else None
                 ),
+                **({"ab": ab_block} if ab_block else {}),
             }
         )
     )
