@@ -200,8 +200,14 @@ synthesize_wav = codecs.synthesize_wav
 def attach_synthetic_media(docs: DataFrame, every_n_audio: int = 2) -> DataFrame:
     """Media table with REAL decodable payloads (PPM images, WAV audio),
     generated deterministically from doc_id inside an Arrow batch stage —
-    payloads are born on the executors, never on the driver."""
-    ids = docs.select(F.col("doc_id").cast("long").alias("media_id"))
+    payloads are born on the executors, never on the driver.
+
+    Repartitioned to the session's parallelism like
+    attach_synthetic_images (round-8): the id projection of one small
+    parquet is 1-2 splits, which would serialize the per-row codec work."""
+    ids = docs.select(F.col("doc_id").cast("long").alias("media_id")).repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, F.col("media_id")
+    )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -451,8 +457,18 @@ def attach_synthetic_images(docs: DataFrame) -> DataFrame:
     """Mixed-format image table with REAL compressed payloads: media_id % 3
     selects P6 PPM (raw) / PNG (zlib-compressed) / baseline JPEG (lossy),
     all encoding the same deterministic gradient.  Payloads are born on
-    executors inside the Arrow batch stage, like attach_synthetic_media."""
-    ids = docs.select(F.col("doc_id").cast("long").alias("media_id"))
+    executors inside the Arrow batch stage, like attach_synthetic_media.
+
+    The id frame is repartitioned to the session's parallelism: the
+    testdata documents parquet is one small file -> 1-2 byte-sized scan
+    splits, which would serialize the CPU-dense synth+encode+decode
+    stages on a couple of tasks (same failure mode as DESIGN.md
+    "Bytes-based splits starve CPU-dense operators"); a real media corpus
+    arrives in thousands of splits.  Deterministic hash partitioning on
+    media_id, so derived answers are unchanged."""
+    ids = docs.select(F.col("doc_id").cast("long").alias("media_id")).repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, F.col("media_id")
+    )
     # captured as plain ints: the closure must reference only codecs
     # (registered by value) and locals, never this module (workers do not
     # have the package importable — see the register_pickle_by_value note)

@@ -617,7 +617,12 @@ def neardup_ingest_batch_fn(
 
     def _sig_rows(batch_df: DataFrame) -> DataFrame:
         sigs = dd.minhash_signatures(batch_df, 1, k)
-        tok = dd._doc_token_hashes(batch_df, 1)
+        # wide=True (round-8): the persisted confirm-set artifact uses
+        # 128-bit md5 keys like the batch operators — narrow-key birthday
+        # collisions would inflate the confirmed Jaccard at corpus scale
+        # (signatures above keep the narrow fold their affine transforms
+        # need)
+        tok = dd._doc_token_hashes(batch_df, 1, wide=True)
         hs = tok.groupBy("doc_id").agg(
             F.sort_array(F.collect_set("h")).alias("hs")
         )
