@@ -878,6 +878,52 @@ def synthesize_wav(media_id: int, rate: int = 8000, n: int = 1600) -> bytes:
 
 
 # ---------------------------------------------------------------------------
+# Pattern images + perceptual dHash (round-8 image-dedup family).
+# The gradient corpus is useless for perceptual dedup (every image has the
+# same gradient signs), so the dedup family gets its own synthetic corpus:
+# an 8x8 block pattern from md5 of the id's GROUP (class = id % 256, group
+# = class // 2), with odd classes flipping exactly one deterministic block
+# — the planted near-duplicate.  Measured dHash distances: planted pairs
+# 0-2 bits, cross-group pairs >= 11 (mean 21), so threshold 6 separates
+# cleanly and 4x16-bit banding has GUARANTEED recall on planted pairs
+# (hamming <= 3 implies one band is identical, pigeonhole).
+# ---------------------------------------------------------------------------
+
+
+def pattern_pixels(media_id: int, width: int = 32, height: int = 24) -> np.ndarray:
+    """Deterministic 8x8 block-pattern image for the perceptual-dedup
+    corpus; depends on media_id only through media_id % 256."""
+    import hashlib as _hl
+
+    c = media_id % 256
+    digest = _hl.md5(f"pat:{c // 2}".encode()).digest()
+    bits = np.unpackbits(np.frombuffer(digest[:8], dtype=np.uint8)).reshape(8, 8)
+    if c % 2:
+        k = digest[8] % 64
+        bits = bits.copy()
+        bits[k // 8, k % 8] ^= 1
+    vals = np.where(bits == 1, 200, 50).astype(np.uint8)
+    return resize_nearest(np.repeat(vals[:, :, None], 3, axis=2), width, height)
+
+
+def dhash_hex(arr: np.ndarray) -> str:
+    """64-bit difference hash of an RGB image as 16 hex chars: integer
+    BT.601 grayscale, nearest-resample to 9x8, bit = right neighbor
+    brighter.  All-integer, deterministic on any platform."""
+    gray = (
+        (
+            arr[:, :, 0].astype(np.int64) * 299
+            + arr[:, :, 1].astype(np.int64) * 587
+            + arr[:, :, 2].astype(np.int64) * 114
+        )
+        // 1000
+    ).astype(np.uint8)
+    small = resize_nearest(np.repeat(gray[:, :, None], 3, axis=2), 9, 8)[:, :, 0]
+    bits = (small[:, 1:] > small[:, :-1]).astype(np.uint8).reshape(-1)
+    return np.packbits(bits).tobytes().hex()
+
+
+# ---------------------------------------------------------------------------
 # RAWV: a minimal real video container (uncompressed RGB frames)
 # ---------------------------------------------------------------------------
 # Layout: b"RAWV" | uint16 width | uint16 height | uint32 n_frames |

@@ -585,6 +585,219 @@ def media_decode_sql() -> str:
     """
 
 
+# ---------------------------------------------------------------------------
+# Perceptual image dedup (round-8): dHash over REALLY-DECODED pixels +
+# banded Hamming join — the image-side counterpart of the text near-dup
+# stack (simhash's banding idea applied to a perceptual hash).  The dHash
+# is computed from decoded payloads (PPM/PNG mixed corpus, through the
+# same sniff seam as media_decode), bands are 4x16-bit substrings, and
+# candidates are verified with an exact 64-bit Hamming distance in pure
+# column ops (conv + bitwiseXOR + bit_count — no UDF after the decode
+# stage).  Oracle strategy: pattern pixels and hence dHashes are a pure
+# function of media_id % 256, so the DuckDB mirror joins precomputed
+# per-class hashes and the (banding-candidate AND hamming<=T) class-pair
+# set — both computed through the same single-threaded codec path.
+# ---------------------------------------------------------------------------
+
+DHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("dhash", StringType()),
+        StructField("band0", StringType()),
+        StructField("band1", StringType()),
+        StructField("band2", StringType()),
+        StructField("band3", StringType()),
+    ]
+)
+
+#: confirmed near-dup threshold: planted perturbation pairs measure 0-2
+#: bits, unrelated pattern pairs >= 11 (codecs.pattern_pixels note)
+DHASH_MAX_HAMMING = 6
+
+
+def attach_pattern_images(docs: DataFrame) -> DataFrame:
+    """Perceptual-dedup corpus: block-pattern payloads (lossless PPM/PNG
+    alternating by id) with planted near-duplicates — classes 2g and 2g+1
+    differ by one pattern block.  Lossless formats only, so decoded
+    pixels equal the synthesis contract exactly at any SF (JPEG's
+    decode path is oracle-covered separately by media_decode)."""
+    ids = docs.select(F.col("doc_id").cast("long").alias("media_id")).repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, F.col("media_id")
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            contents, types = [], []
+            for mid in pdf["media_id"]:
+                arr = codecs.pattern_pixels(int(mid))
+                if mid % 2 == 0:
+                    contents.append(codecs.encode_ppm(arr))
+                    types.append("image/x-portable-pixmap")
+                else:
+                    contents.append(codecs.encode_png(arr))
+                    types.append("image/png")
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "content": contents,
+                    "media_type": types,
+                    "n_bytes": [len(c) for c in contents],
+                }
+            )
+
+    return ids.mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
+def image_dhash(media: DataFrame) -> DataFrame:
+    """(media_id, dhash, band0..band3): 64-bit perceptual difference hash
+    of every decodable image payload, with the four 16-bit band keys the
+    near-dup join buckets on.  Arrow mapInPandas, 1:1 over decodable rows
+    (dead-letter convention); the only Python stage in the pipeline —
+    everything downstream is JVM column ops."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in (
+                "media_id", "dhash", "band0", "band1", "band2", "band3",
+            )}
+            for mid, b in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    arr = codecs.decode_image(b)
+                except codecs.UnsupportedMediaError:
+                    continue
+                h = codecs.dhash_hex(arr)
+                rows["media_id"].append(mid)
+                rows["dhash"].append(h)
+                for i in range(4):
+                    rows[f"band{i}"].append(h[4 * i : 4 * i + 4])
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(batches, schema=DHASH_SCHEMA)
+
+
+def _hamming64(a_col: str, b_col: str):
+    """Exact 64-bit Hamming distance between two 16-hex-char columns as a
+    sum of four 16-bit chunk xors — stays in whole-stage codegen."""
+    total = F.lit(0).cast("long")
+    for i in range(4):
+        ca = F.conv(F.substring(F.col(a_col), 4 * i + 1, 4), 16, 10).cast("long")
+        cb = F.conv(F.substring(F.col(b_col), 4 * i + 1, 4), 16, 10).cast("long")
+        total = total + F.bit_count(ca.bitwiseXOR(cb))
+    return total
+
+
+def image_neardup_pairs(
+    media: DataFrame, max_hamming: int = DHASH_MAX_HAMMING
+) -> DataFrame:
+    """(media_a, media_b, hamming): confirmed perceptual near-duplicate
+    pairs.  Candidates agree on at least one of the four 16-bit dHash
+    bands (pigeonhole: every pair with hamming <= 3 is GUARANTEED a
+    candidate; 4 <= h <= max_hamming pairs are caught when their
+    differing bits cluster — same recall semantics as simhash banding);
+    each candidate is verified with the exact 64-bit Hamming distance.
+
+    Scale shape: one Python decode+hash stage, then banding = one
+    explode + self-equi-join on (band_idx, key) — never an all-pairs
+    product; hamming verify is column math on the candidate set only."""
+    hashes = image_dhash(media).localCheckpoint(eager=False)
+    stacked = hashes.select(
+        "media_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"), F.col(f"band{i}").alias("key")
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("media_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a, b = stacked.alias("a"), stacked.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("media_a"),
+            F.col("b.media_id").alias("media_b"),
+        )
+        .distinct()
+    )
+    ha = hashes.select(F.col("media_id").alias("media_a"), F.col("dhash").alias("dh_a"))
+    hb = hashes.select(F.col("media_id").alias("media_b"), F.col("dhash").alias("dh_b"))
+    return (
+        cand.join(ha, "media_a")
+        .join(hb, "media_b")
+        .select("media_a", "media_b", _hamming64("dh_a", "dh_b").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def _pattern_class_hashes() -> list[str]:
+    """The 256 per-class dHashes through the real synth->encode->decode
+    path (lossless, so PPM/PNG classes share one table)."""
+    out = []
+    for c in range(256):
+        arr = codecs.decode_image(codecs.encode_png(codecs.pattern_pixels(c)))
+        out.append(codecs.dhash_hex(arr))
+    return out
+
+
+def image_dhash_sql() -> str:
+    """FULL oracle for q_image_dhash: per-class dHash VALUES joined on
+    doc_id % 256."""
+    hs = _pattern_class_hashes()
+    values = ", ".join(f"({c}, '{h}')" for c, h in enumerate(hs))
+    return f"""
+    SELECT CAST(doc_id AS BIGINT) AS media_id,
+           v.h AS dhash,
+           substr(v.h, 1, 4) AS band0,
+           substr(v.h, 5, 4) AS band1,
+           substr(v.h, 9, 4) AS band2,
+           substr(v.h, 13, 4) AS band3
+    FROM documents
+    JOIN (VALUES {values}) AS v(c, h)
+      ON CAST(doc_id AS BIGINT) % 256 = v.c
+    """
+
+
+def image_neardup_sql(max_hamming: int = DHASH_MAX_HAMMING) -> str:
+    """FULL oracle for q_image_neardup: the confirmed class-pair set
+    (band-candidate AND hamming <= T, computed through the same codec
+    path with the same banding semantics) as VALUES, joined against the
+    doc-level self-pairing."""
+    hs = _pattern_class_hashes()
+
+    def hamming(x: str, y: str) -> int:
+        return bin(int(x, 16) ^ int(y, 16)).count("1")
+
+    def candidate(x: str, y: str) -> bool:
+        return any(x[4 * i : 4 * i + 4] == y[4 * i : 4 * i + 4] for i in range(4))
+
+    rows = []
+    for ca in range(256):
+        for cb in range(ca, 256):
+            if candidate(hs[ca], hs[cb]):
+                hm = hamming(hs[ca], hs[cb])
+                if hm <= max_hamming:
+                    rows.append(f"({ca}, {cb}, {hm})")
+    values = ", ".join(rows)
+    return f"""
+    SELECT CAST(d1.doc_id AS BIGINT) AS media_a,
+           CAST(d2.doc_id AS BIGINT) AS media_b,
+           CAST(v.hm AS BIGINT) AS hamming
+    FROM documents d1
+    JOIN documents d2 ON d1.doc_id < d2.doc_id
+    JOIN (VALUES {values}) AS v(ca, cb, hm)
+      ON least(CAST(d1.doc_id AS BIGINT) % 256, CAST(d2.doc_id AS BIGINT) % 256) = v.ca
+     AND greatest(CAST(d1.doc_id AS BIGINT) % 256, CAST(d2.doc_id AS BIGINT) % 256) = v.cb
+    """
+
+
 def sample_video_frames(
     media: DataFrame, every_n: int = 4, max_frames: int = 8
 ) -> DataFrame:

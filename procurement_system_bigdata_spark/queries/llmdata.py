@@ -944,6 +944,29 @@ def q_media_decode(spark, sf_dir):
     return multimodal.decode_images_audit(media).orderBy("media_id")
 
 
+def q_image_dhash(spark, sf_dir):
+    """Perceptual 64-bit difference hash over really-decoded PPM/PNG
+    payloads (round-8): the per-image artifact the image-dedup join
+    buckets on; FULL oracle via the 256-class precompute."""
+    from ..operators import multimodal
+
+    media = multimodal.attach_pattern_images(_docs(spark, sf_dir))
+    return multimodal.image_dhash(media).orderBy("media_id")
+
+
+def q_image_neardup(spark, sf_dir):
+    """Perceptual image near-dup pairs (round-8): banded dHash candidates
+    (4x16-bit bands, guaranteed recall at hamming<=3) verified with the
+    exact 64-bit Hamming distance in pure column ops; the corpus plants
+    one-block perturbation pairs that measure 0-2 bits apart while
+    unrelated patterns sit >=11.  FULL oracle: the confirmed class-pair
+    set is precomputed through the same codec + banding semantics."""
+    from ..operators import multimodal
+
+    media = multimodal.attach_pattern_images(_docs(spark, sf_dir))
+    return multimodal.image_neardup_pairs(media).orderBy("media_a", "media_b")
+
+
 def _media_resize_sql():
     from ..operators import multimodal
 
@@ -962,9 +985,23 @@ def _audio_features_sql():
     return multimodal.audio_features_audit_sql()
 
 
+def _image_dhash_sql():
+    from ..operators import multimodal
+
+    return multimodal.image_dhash_sql()
+
+
+def _image_neardup_sql():
+    from ..operators import multimodal
+
+    return multimodal.image_neardup_sql()
+
+
 Q_MEDIA_RESIZE_SQL = _media_resize_sql()
 Q_AUDIO_FEATURES_SQL = _audio_features_sql()
 Q_MEDIA_DECODE_SQL = _media_decode_sql()
+Q_IMAGE_DHASH_SQL = _image_dhash_sql()
+Q_IMAGE_NEARDUP_SQL = _image_neardup_sql()
 
 
 def q_repetition_signals(spark, sf_dir):

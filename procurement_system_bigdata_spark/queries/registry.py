@@ -790,6 +790,30 @@ _register(
 )
 _register(
     QuerySpec(
+        name="image_dhash",
+        fn=llmdata.q_image_dhash,
+        oracle=llmdata.Q_IMAGE_DHASH_SQL,
+        description="Perceptual 64-bit difference hash over really-decoded "
+        "PPM/PNG payloads + the 4x16-bit band keys (round-8); FULL oracle "
+        "via the 256-class synth->encode->decode precompute",
+        ops=("EXT-multimodal", "EXT-dedup"),
+    )
+)
+_register(
+    QuerySpec(
+        name="image_neardup",
+        fn=llmdata.q_image_neardup,
+        oracle=llmdata.Q_IMAGE_NEARDUP_SQL,
+        description="Perceptual image near-dup pairs: banded dHash "
+        "candidates verified with exact 64-bit Hamming in column ops "
+        "(conv+xor+bit_count, no UDF past the decode stage); planted "
+        "one-block perturbations at 0-2 bits vs >=11 for unrelated "
+        "patterns; FULL class-pair oracle",
+        ops=("EXT-multimodal", "EXT-dedup"),
+    )
+)
+_register(
+    QuerySpec(
         name="audio_features",
         fn=llmdata.q_audio_features,
         oracle=llmdata.Q_AUDIO_FEATURES_SQL,
@@ -1778,6 +1802,8 @@ _DRIVER_SNAPSHOT = [
     # r04 cohort.
     # ---------------------------------------------------------------------
     "media_decode",
+    "image_dhash",
+    "image_neardup",
     "big_orders",
     "top_parts_by_revenue",
     "distinct_counts",
@@ -1801,8 +1827,10 @@ _DRIVER_SNAPSHOT = [
     "embedding_quantize",
     "lang_id",
     "text_quality",
-    "token_counts",
-    "tf_idf",
+    # (token_counts, tf_idf displaced this round by the two new
+    # image-dedup queries — policy: new oracle-bearing queries outrank
+    # equally-stale rotation candidates; both return next round as the
+    # stalest survivors)
     # --- filler slots (13): permanent pins on the bench headliners and
     # the scale-critical dedup/curation paths, so the external gate keeps
     # exercising the code most likely to regress.

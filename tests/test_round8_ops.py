@@ -351,3 +351,88 @@ def test_production_profile_contracts(spark):
     [rep] = pq["embedding_ann_lsh"](spark, SF_DIR).collect()
     assert rep.n_anchors == llmdata.ANN_PRODUCTION_ANCHORS
     assert rep.subset_ok and rep.scores_exact_ok and rep.recall_ok
+
+
+# --- perceptual image dedup (round-8 extension) ------------------------------
+
+
+def test_dhash_matches_closed_form(spark):
+    """The distributed dHash equals the single-threaded codec-path value
+    for every class present in the corpus."""
+    docs = load_table(spark, SF_DIR, "documents").limit(64)
+    media = multimodal.attach_pattern_images(docs)
+    rows = multimodal.image_dhash(media).collect()
+    assert rows
+    for r in rows:
+        arr = codecs.decode_image(codecs.encode_png(codecs.pattern_pixels(r.media_id)))
+        assert r.dhash == codecs.dhash_hex(arr)
+        assert r.dhash == "".join([r.band0, r.band1, r.band2, r.band3])
+
+
+def test_hamming64_column_matches_python(spark):
+    import random
+
+    rng = random.Random(5)
+    pairs = [
+        (
+            "%016x" % rng.getrandbits(64),
+            "%016x" % rng.getrandbits(64),
+        )
+        for _ in range(50)
+    ]
+    df = spark.createDataFrame(pairs, ["dh_a", "dh_b"]).select(
+        "dh_a", "dh_b", multimodal._hamming64("dh_a", "dh_b").alias("h")
+    )
+    for r in df.collect():
+        assert r.h == bin(int(r.dh_a, 16) ^ int(r.dh_b, 16)).count("1"), (
+            r.dh_a,
+            r.dh_b,
+        )
+
+
+def test_image_neardup_finds_planted_pairs(spark):
+    """Docs whose classes are a planted (2g, 2g+1) perturbation pair — or
+    the same class — must appear as confirmed near-dups; unrelated-group
+    pairs must not."""
+    docs = load_table(spark, SF_DIR, "documents")
+    media = multimodal.attach_pattern_images(docs)
+    pairs = {
+        (r.media_a, r.media_b): r.hamming
+        for r in multimodal.image_neardup_pairs(media).collect()
+    }
+    ids = [r.doc_id for r in docs.select("doc_id").collect()]
+    by_group = {}
+    for i in ids:
+        by_group.setdefault((i % 256) // 2, []).append(i)
+    n_same_group_checked = 0
+    for group, members in by_group.items():
+        members.sort()
+        for x in range(len(members)):
+            for y in range(x + 1, len(members)):
+                a, b = members[x], members[y]
+                assert (a, b) in pairs, (a, b, group)
+                assert pairs[(a, b)] <= multimodal.DHASH_MAX_HAMMING
+                n_same_group_checked += 1
+    assert n_same_group_checked > 0
+    # every reported pair's CLASS pair must be in the exhaustively-computed
+    # confirmed set (mostly same-group; one legitimate cross-group
+    # perceptual collision exists at exactly hamming 6: classes 119/181)
+    hs = multimodal._pattern_class_hashes()
+
+    def _ham(x, y):
+        return bin(int(x, 16) ^ int(y, 16)).count("1")
+
+    for (a, b), hm in pairs.items():
+        ca, cb = sorted((a % 256, b % 256))
+        assert _ham(hs[ca], hs[cb]) == hm <= multimodal.DHASH_MAX_HAMMING, (a, b)
+
+
+def test_image_neardup_oracle_green(spark, duck):
+    from procurement_system_bigdata_spark.queries import llmdata
+
+    assert_matches_oracle(
+        llmdata.q_image_neardup(spark, SF_DIR), duck, llmdata.Q_IMAGE_NEARDUP_SQL
+    )
+    assert_matches_oracle(
+        llmdata.q_image_dhash(spark, SF_DIR), duck, llmdata.Q_IMAGE_DHASH_SQL
+    )
