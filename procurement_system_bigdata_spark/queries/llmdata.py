@@ -967,6 +967,79 @@ def q_image_neardup(spark, sf_dir):
     return multimodal.image_neardup_pairs(media).orderBy("media_a", "media_b")
 
 
+def q_image_dedup_clusters(spark, sf_dir):
+    """Full perceptual image-dedup pipeline (round-8): decoded-pixel dHash
+    -> banded Hamming near-dup pairs -> connected components (the same
+    DataFrame-Pregel operator the text stack uses) -> per-image component
+    + cluster size; keep/drop decision is media_id == component.  FULL
+    oracle: class-level components are union-find-precomputed from the
+    confirmed class-pair set, and the doc-level component is the MIN doc
+    id over the class-component partition (same-class docs are cliques,
+    so class components induce the doc components exactly)."""
+    from ..operators import clustering, multimodal
+
+    media = multimodal.attach_pattern_images(_docs(spark, sf_dir))
+    pairs = multimodal.image_neardup_pairs(media).select(
+        F.col("media_a").alias("doc_a"), F.col("media_b").alias("doc_b")
+    )
+    ids = media.select(F.col("media_id").alias("doc_id"))
+    return (
+        clustering.dedup_clusters(ids, pairs)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            F.col("component").alias("canonical_media_id"),
+            "cluster_size",
+        )
+        .orderBy("media_id")
+    )
+
+
+def _image_dedup_clusters_sql():
+    # Class-level components induce the doc-level components EXACTLY when
+    # every class has >=1 doc (then the doc graph contains a realization
+    # of every class edge; same-class docs are cliques).  All testdata SFs
+    # satisfy this (>=500 docs, classes are doc_id % 256 so ids 0..255
+    # already cover them); a corpus missing a bridge class could split a
+    # doc component the class view merges — the Spark side is the general
+    # answer, this oracle is exact for the registry corpora.
+    from ..operators import multimodal
+
+    hs = multimodal._pattern_class_hashes()
+
+    def hamming(x, y):
+        return bin(int(x, 16) ^ int(y, 16)).count("1")
+
+    def candidate(x, y):
+        return any(x[4 * i : 4 * i + 4] == y[4 * i : 4 * i + 4] for i in range(4))
+
+    # union-find over the confirmed class-pair graph (256 nodes)
+    parent = list(range(256))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for ca in range(256):
+        for cb in range(ca + 1, 256):
+            if candidate(hs[ca], hs[cb]) and hamming(hs[ca], hs[cb]) <= multimodal.DHASH_MAX_HAMMING:
+                ra, rb = find(ca), find(cb)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    comp = {c: find(c) for c in range(256)}
+    values = ", ".join(f"({c}, {comp[c]})" for c in range(256))
+    return f"""
+    SELECT CAST(doc_id AS BIGINT) AS media_id,
+           MIN(CAST(doc_id AS BIGINT)) OVER (PARTITION BY v.comp)
+               AS canonical_media_id,
+           COUNT(*) OVER (PARTITION BY v.comp) AS cluster_size
+    FROM documents
+    JOIN (VALUES {values}) AS v(c, comp)
+      ON CAST(doc_id AS BIGINT) % 256 = v.c
+    """
+
+
 def _media_resize_sql():
     from ..operators import multimodal
 
@@ -1002,6 +1075,7 @@ Q_AUDIO_FEATURES_SQL = _audio_features_sql()
 Q_MEDIA_DECODE_SQL = _media_decode_sql()
 Q_IMAGE_DHASH_SQL = _image_dhash_sql()
 Q_IMAGE_NEARDUP_SQL = _image_neardup_sql()
+Q_IMAGE_DEDUP_CLUSTERS_SQL = _image_dedup_clusters_sql()
 
 
 def q_repetition_signals(spark, sf_dir):

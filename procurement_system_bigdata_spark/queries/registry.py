@@ -814,6 +814,19 @@ _register(
 )
 _register(
     QuerySpec(
+        name="image_dedup_clusters",
+        fn=llmdata.q_image_dedup_clusters,
+        oracle=llmdata.Q_IMAGE_DEDUP_CLUSTERS_SQL,
+        description="Full perceptual image-dedup pipeline: dHash -> banded "
+        "Hamming pairs -> DataFrame-Pregel connected components -> "
+        "canonical per cluster; FULL oracle via union-find over the "
+        "confirmed class-pair graph (exact when every class is populated, "
+        "true at all registry SFs)",
+        ops=("EXT-multimodal", "EXT-dedup", "EXT-clustering"),
+    )
+)
+_register(
+    QuerySpec(
         name="audio_features",
         fn=llmdata.q_audio_features,
         oracle=llmdata.Q_AUDIO_FEATURES_SQL,
@@ -1804,6 +1817,7 @@ _DRIVER_SNAPSHOT = [
     "media_decode",
     "image_dhash",
     "image_neardup",
+    "image_dedup_clusters",
     "big_orders",
     "top_parts_by_revenue",
     "distinct_counts",
@@ -1826,11 +1840,10 @@ _DRIVER_SNAPSHOT = [
     "embedding_neardup",
     "embedding_quantize",
     "lang_id",
-    "text_quality",
-    # (token_counts, tf_idf displaced this round by the two new
-    # image-dedup queries — policy: new oracle-bearing queries outrank
-    # equally-stale rotation candidates; both return next round as the
-    # stalest survivors)
+    # (text_quality, token_counts, tf_idf displaced this round by the
+    # three new image-dedup queries — policy: new oracle-bearing queries
+    # outrank equally-stale rotation candidates; all three return next
+    # round as the stalest survivors)
     # --- filler slots (13): permanent pins on the bench headliners and
     # the scale-critical dedup/curation paths, so the external gate keeps
     # exercising the code most likely to regress.

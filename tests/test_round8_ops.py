@@ -436,3 +436,25 @@ def test_image_neardup_oracle_green(spark, duck):
     assert_matches_oracle(
         llmdata.q_image_dhash(spark, SF_DIR), duck, llmdata.Q_IMAGE_DHASH_SQL
     )
+
+
+def test_image_dedup_clusters_oracle_green(spark, duck):
+    from procurement_system_bigdata_spark.queries import llmdata
+
+    assert_matches_oracle(
+        llmdata.q_image_dedup_clusters(spark, SF_DIR),
+        duck,
+        llmdata.Q_IMAGE_DEDUP_CLUSTERS_SQL,
+    )
+
+
+def test_image_dedup_clusters_canonical_semantics(spark):
+    from procurement_system_bigdata_spark.queries import llmdata
+
+    rows = llmdata.q_image_dedup_clusters(spark, SF_DIR).collect()
+    by_comp = {}
+    for r in rows:
+        by_comp.setdefault(r.canonical_media_id, []).append(r)
+    for comp, members in by_comp.items():
+        assert comp == min(m.media_id for m in members)  # min-id canonical
+        assert all(m.cluster_size == len(members) for m in members)
