@@ -173,6 +173,28 @@ BLOOM_M_BITS = 1 << 15
 BLOOM_K = 4
 _BLOOM_STRIDE_SALT = "bl2|"
 
+#: auto-sizing target for m_bits=None (round-8): the sf1 hash-truth probe
+#: showed the FIXED m saturating at 30k inserted grams (theoretical FP
+#: 0.90) — correct oracle behavior, wrong production shape.  A real
+#: benchmark set's size isn't known at code-authoring time, so production
+#: sizes the filter from the measured insert count.
+BLOOM_TARGET_FP = 0.01
+
+
+def bloom_m_for(n_items: int, target_fp: float = BLOOM_TARGET_FP, k_hashes: int = BLOOM_K) -> int:
+    """Smallest power-of-two m with (1 - e^{-k n / m})^k <= target_fp.
+
+    Inverts the standard Bloom FP formula (validated against measurement
+    to 4 decimals by tools/probe_hash_truth_sf1.py): m >= -k n /
+    ln(1 - p^(1/k)).  Power-of-two so the modulus stays cheap and sizes
+    are stable across small n drifts."""
+    import math
+
+    if n_items <= 0:
+        return BLOOM_M_BITS
+    m = -k_hashes * n_items / math.log(1.0 - target_fp ** (1.0 / k_hashes))
+    return 1 << max(15, math.ceil(math.log2(m)))
+
 
 def _bloom_positions(h, hs, m: int, k: int):
     """Spark: array of the k bit positions from the two independent base
@@ -192,9 +214,10 @@ def bloom_decontaminate(
     corpus: DataFrame,
     benchmarks: DataFrame,
     n: int = 13,
-    m_bits: int = BLOOM_M_BITS,
+    m_bits: int | None = BLOOM_M_BITS,
     k_hashes: int = BLOOM_K,
     fast_hash: bool = False,
+    target_fp: float = BLOOM_TARGET_FP,
 ) -> DataFrame:
     """(doc_id, n_grams, n_flagged, flagged) for EVERY corpus document:
     ``n_flagged`` counts the doc's distinct normalized n-grams whose k Bloom
@@ -207,12 +230,31 @@ def bloom_decontaminate(
     (JVM-native, no per-character fold) — the production dial, same as
     minhash's; the oracle-mirrored registry query keeps the portable pair.
 
+    ``m_bits=None`` (round-8 production dial) sizes the filter from the
+    MEASURED distinct benchmark gram count via :func:`bloom_m_for` —
+    the sf1 hash-truth probe showed the fixed default saturating at 30k
+    inserted grams (theoretical FP 0.90).  Costs one count() over the
+    bench gram set (the small side by construction); the oracle-mirrored
+    registry query keeps the fixed deterministic m.
+
     Scale shape: ONE aggregation builds the filter (distinct positions of
     the benchmark grams — in production a packed m-bit bitmap, see module
     note), broadcast to the corpus scan; corpus grams explode to k position
     rows, match map-side, and the only shuffles are the per-doc counts,
     keyed on doc_id like every other per-doc scorer.
     """
+    if m_bits is None:
+        bench_words = P.spark_words(P.spark_norm_text(F.col("text")))
+        n_ins = (
+            benchmarks.select(
+                F.explode(
+                    F.array_distinct(P.spark_word_shingles(bench_words, n))
+                ).alias("g")
+            )
+            .distinct()
+            .count()
+        )
+        m_bits = bloom_m_for(n_ins, target_fp, k_hashes)
     if fast_hash:
         h_expr = F.pmod(F.xxhash64(F.col("g")), F.lit(P.HASH_P))
         hs_expr = F.pmod(

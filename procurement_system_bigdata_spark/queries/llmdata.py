@@ -863,7 +863,9 @@ def _decontamination_sql():
 Q_DECONTAMINATION_SQL = _decontamination_sql()
 
 
-def q_bloom_decontamination(spark, sf_dir, fast_hash: bool = False):
+def q_bloom_decontamination(
+    spark, sf_dir, fast_hash: bool = False, auto_size: bool = False
+):
     """Bloom-filter decontamination over the SAME benchmark carve-out as
     ``decontamination``: constant-size membership state, zero false
     negatives, oracle hash-checks the real FP behavior of the
@@ -877,7 +879,11 @@ def q_bloom_decontamination(spark, sf_dir, fast_hash: bool = False):
     corpus = docs.filter(F.col("doc_id") % mod != 0)
     bench = docs.filter(F.col("doc_id") % mod == 0)
     return decontam.bloom_decontaminate(
-        corpus, bench, n=decontam.DECONTAM_NGRAM, fast_hash=fast_hash
+        corpus,
+        bench,
+        n=decontam.DECONTAM_NGRAM,
+        m_bits=None if auto_size else decontam.BLOOM_M_BITS,
+        fast_hash=fast_hash,
     )
 
 

@@ -1954,11 +1954,13 @@ PRODUCTION_DIALS: dict[str, ProductionDial] = {
     ),
     "bloom_decontamination": ProductionDial(
         fn=lambda spark, sf_dir: llmdata.q_bloom_decontamination(
-            spark, sf_dir, fast_hash=True
+            spark, sf_dir, fast_hash=True, auto_size=True
         ),
-        dials="fast_hash=True",
-        effect="xxhash64 gram hashing (5.5x at sf1); zero false negatives "
-        "preserved, only the (already statistical) FP pattern changes",
+        dials="fast_hash=True, auto_size=True (m_bits=None)",
+        effect="xxhash64 gram hashing (5.5x at sf1) + filter sized from "
+        "the measured benchmark gram count for ~1% theoretical FP "
+        "(the fixed oracle m saturates past ~30k grams — r8 probe); "
+        "zero false negatives preserved under any m",
     ),
     "embedding_ann_lsh": ProductionDial(
         fn=lambda spark, sf_dir: llmdata.q_embedding_ann_lsh(

@@ -458,3 +458,45 @@ def test_image_dedup_clusters_canonical_semantics(spark):
     for comp, members in by_comp.items():
         assert comp == min(m.media_id for m in members)  # min-id canonical
         assert all(m.cluster_size == len(members) for m in members)
+
+
+# --- Bloom auto-sizing (round-8 production dial) ------------------------------
+
+
+def test_bloom_m_for_inverts_fp_formula():
+    import math
+
+    from procurement_system_bigdata_spark.operators import decontam
+
+    for n, p in ((1_000, 0.01), (30_000, 0.01), (1_000_000, 0.001)):
+        m = decontam.bloom_m_for(n, p)
+        fp = (1.0 - math.exp(-decontam.BLOOM_K * n / m)) ** decontam.BLOOM_K
+        assert fp <= p, (n, p, m, fp)
+        # and the next-smaller power of two would exceed the target
+        # (unless clamped at the 2^15 floor)
+        if m > (1 << 15):
+            fp_half = (1.0 - math.exp(-decontam.BLOOM_K * n / (m // 2))) ** decontam.BLOOM_K
+            assert fp_half > p, (n, p, m)
+    assert decontam.bloom_m_for(0) == decontam.BLOOM_M_BITS
+
+
+def test_bloom_auto_size_keeps_superset_guarantee(spark):
+    """auto_size changes m (and therefore the FP pattern) but never drops
+    a true hit: every exactly-contaminated doc stays flagged."""
+    from conftest import SF_DIR as _sf
+    from procurement_system_bigdata_spark.queries import llmdata
+    from procurement_system_bigdata_spark.queries.registry import REGISTRY
+
+    auto = {
+        r.doc_id
+        for r in llmdata.q_bloom_decontamination(
+            spark, _sf, fast_hash=True, auto_size=True
+        ).collect()
+        if r.flagged
+    }
+    exact_hits = {
+        r.doc_id
+        for r in REGISTRY["decontamination"].fn(spark, _sf).collect()
+        if r.n_overlap > 0
+    }
+    assert exact_hits and exact_hits <= auto

@@ -49,3 +49,28 @@ for label, sf_dir in (
     wall = time.perf_counter() - t0
     n = docs.count()
     print(f"{label:20s} wall={wall:7.2f}s  rows={n}  rows/s={n / wall:8.0f}")
+
+
+# --- image-dedup family scaling (round-8 second wave) -------------------------
+# Pairs are class-multiplicity-quadratic BY ANSWER (same-class cliques), so
+# the engine-cost question is the banding join + verify, not output volume:
+# time the full pipeline at 1x/10x/100x and report pairs/s alongside wall.
+
+from procurement_system_bigdata_spark.operators import multimodal as mm
+
+for label, sf_dir in (
+    ("sf0.01 (500 docs)", "/root/testdata/sf0.01"),
+    ("sf0.1 (5k docs)", "/root/testdata/sf0.1"),
+    ("sf1 (50k docs)", "/root/repo/testdata_sf1"),
+):
+    docs = load_table(spark, sf_dir, "documents")
+    media = mm.attach_pattern_images(docs.selectExpr("doc_id"))
+    t0 = time.perf_counter()
+    pairs = mm.image_neardup_pairs(media)
+    pairs.write.format("noop").mode("overwrite").save()
+    wall = time.perf_counter() - t0
+    n_pairs = pairs.count()
+    print(
+        f"image_neardup {label:18s} wall={wall:7.2f}s  pairs={n_pairs}  "
+        f"pairs/s={n_pairs / wall:9.0f}"
+    )
