@@ -264,13 +264,45 @@ def minhash_signatures(
     (k=128; with 32 bands of r=4 the candidate-probability knee sits at
     Jaccard ~(1/32)^(1/4) = 0.42); the oracle-mirrored registry query
     passes the small P.MINHASH_K_ORACLE dial explicitly."""
-    a_coef, b_coef = P.minhash_params(k)
     tok = _doc_token_hashes(docs, shingle_n, fast_hash)
-    aggs = [
-        F.min((F.lit(a_coef[i]) * F.col("h") + F.lit(b_coef[i])) % P.HASH_P).alias(f"m{i}")
+    return tok.groupBy("doc_id").agg(*_signature_aggs(k))
+
+
+def _signature_aggs(k: int, h_col: str = "h"):
+    """The K min() affine-transform aggregates over a token-hash column —
+    shared by minhash_signatures and the fused one-tokenize path."""
+    a_coef, b_coef = P.minhash_params(k)
+    return [
+        F.min(
+            (F.lit(a_coef[i]) * F.col(h_col) + F.lit(b_coef[i])) % P.HASH_P
+        ).alias(f"m{i}")
         for i in range(k)
     ]
-    return tok.groupBy("doc_id").agg(*aggs)
+
+
+def _doc_token_hashes_both(
+    docs: DataFrame, shingle_n: int, fast_hash: bool = False
+) -> DataFrame:
+    """(doc_id, h, hw): ONE tokenize pass emitting BOTH the narrow
+    affine-compatible hash (signatures) and the wide md5 key (confirm
+    sets) — round-8 fusion.  minhash_lsh_pairs previously ran two full
+    tokenize+explode+distinct pipelines over the corpus (one per hash
+    width, ~2x the dominant stage cost at sf0.1); one distinct on the
+    3-column row is semantically identical because h is a function of the
+    token and hw is collision-free, so distinct-(doc_id,h,hw) ==
+    distinct-token."""
+    words = P.spark_words(P.spark_norm_text(F.col("text")))
+    tokens = words if shingle_n == 1 else P.spark_word_shingles(words, shingle_n)
+    if fast_hash:
+        h = F.pmod(F.xxhash64(F.col("t")), F.lit(P.HASH_P))
+    else:
+        h = P.spark_str_hash(F.col("t"))
+    return (
+        docs.select(F.col("doc_id").cast("long").alias("doc_id"), tokens.alias("tok"))
+        .select("doc_id", F.explode("tok").alias("t"))
+        .select("doc_id", h.alias("h"), F.md5(F.col("t")).alias("hw"))
+        .distinct()
+    )
 
 
 def _band_key_cols(r: int, n_bands: int):
@@ -306,15 +338,23 @@ def minhash_lsh_pairs(
     if k % n_bands:
         raise ValueError(f"n_bands={n_bands} must divide k={k}")
     r = k // n_bands
+    # ONE tokenize pass for BOTH hash widths (round-8 fusion,
+    # _doc_token_hashes_both): the signature aggregates read the narrow
+    # column and the confirm sets read the wide column off the same
+    # materialized (doc_id, h, hw) table — previously two full
+    # tokenize+explode+distinct pipelines ran over the corpus.
+    tok2 = _doc_token_hashes_both(docs, shingle_n, fast_hash).localCheckpoint(
+        eager=False
+    )
     # Materialize the signature table once (lazy localCheckpoint — the
     # engine's standard compute-once block, ContextCleaner-reclaimed): the
     # band stack references it n_bands times and the candidate self-join
-    # twice more, so without pinning the whole tokenize+hash+K-agg subtree
-    # re-executes per reference (measured 3x wall on the production dial).
-    # At 100 TB this is also the right artifact shape — signatures are
-    # 100-1000x smaller than the corpus and production pipelines persist
-    # them; same for the per-doc token-set arrays used by the confirm step.
-    sigs = minhash_signatures(docs, shingle_n, k, fast_hash).localCheckpoint(
+    # twice more, so without pinning the K-agg subtree re-executes per
+    # reference (measured 3x wall on the production dial).  At 100 TB this
+    # is also the right artifact shape — signatures are 100-1000x smaller
+    # than the corpus and production pipelines persist them; same for the
+    # per-doc token-set arrays used by the confirm step.
+    sigs = tok2.groupBy("doc_id").agg(*_signature_aggs(k)).localCheckpoint(
         eager=False
     )
     bands = sigs.select("doc_id", *_band_key_cols(r, n_bands))
@@ -350,16 +390,15 @@ def minhash_lsh_pairs(
     # of an inverted-index pair explosion (which degenerates quadratically
     # when the vocabulary is tiny / posting lists are hot).
     #
-    # round-8: the confirm sets are 128-bit md5 (wide=True) — these keys
-    # never feed the BIGINT affine transforms, and the narrow 31-fold's
-    # birthday collisions would INFLATE the confirmed Jaccard at corpus
-    # scale (same defect class as the round-7 exact_substring fix), making
-    # "estimates are confirmed downstream" circular.  Narrow stays only
-    # where signatures need it (minhash_signatures above).
-    tok = _doc_token_hashes(docs, shingle_n, wide=True)
+    # round-8: the confirm sets are 128-bit md5 (the wide column) — these
+    # keys never feed the BIGINT affine transforms, and the narrow
+    # 31-fold's birthday collisions would INFLATE the confirmed Jaccard at
+    # corpus scale (same defect class as the round-7 exact_substring fix),
+    # making "estimates are confirmed downstream" circular.  Narrow stays
+    # only where signatures need it (the aggregates above).
     doc_sets = (
-        tok.groupBy("doc_id")
-        .agg(F.sort_array(F.collect_set("h")).alias("hs"))
+        tok2.groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("hw")).alias("hs"))
         .localCheckpoint(eager=False)
     )
     sa = doc_sets.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
@@ -743,10 +782,17 @@ def incremental_neardup_pairs(
         raise ValueError(f"n_bands={n_bands} must divide k={k}")
     r = k // n_bands
 
-    def _stack(docs: DataFrame, out_id: str) -> DataFrame:
-        sigs = minhash_signatures(docs, shingle_n, k, fast_hash).localCheckpoint(
-            eager=False
-        )
+    # one tokenize pass per SIDE for both hash widths (round-8 fusion,
+    # same shape as minhash_lsh_pairs)
+    tok_new = _doc_token_hashes_both(new_docs, shingle_n, fast_hash).localCheckpoint(
+        eager=False
+    )
+    tok_corpus = _doc_token_hashes_both(
+        corpus_docs, shingle_n, fast_hash
+    ).localCheckpoint(eager=False)
+
+    def _stack(tok2: DataFrame, out_id: str) -> DataFrame:
+        sigs = tok2.groupBy("doc_id").agg(*_signature_aggs(k))
         bands = sigs.select("doc_id", *_band_key_cols(r, n_bands))
         return bands.select(
             F.col("doc_id").alias(out_id),
@@ -763,24 +809,23 @@ def incremental_neardup_pairs(
         ).select(out_id, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
 
     cand = (
-        _stack(new_docs, "new_id")
-        .join(_stack(corpus_docs, "corpus_id"), ["band", "key"])
+        _stack(tok_new, "new_id")
+        .join(_stack(tok_corpus, "corpus_id"), ["band", "key"])
         .select("new_id", "corpus_id")
         .distinct()
     )
 
-    def _sets(docs: DataFrame, out_id: str, out_hs: str) -> DataFrame:
-        # wide=True: confirm keys never feed affine transforms (round-8,
+    def _sets(tok2: DataFrame, out_id: str, out_hs: str) -> DataFrame:
+        # wide column: confirm keys never feed affine transforms (round-8,
         # same rationale as minhash_lsh_pairs)
         return (
-            _doc_token_hashes(docs, shingle_n, wide=True)
-            .groupBy("doc_id")
-            .agg(F.sort_array(F.collect_set("h")).alias(out_hs))
+            tok2.groupBy("doc_id")
+            .agg(F.sort_array(F.collect_set("hw")).alias(out_hs))
             .withColumnRenamed("doc_id", out_id)
         )
 
-    sa = _sets(new_docs, "new_id", "hs_a")
-    sb = _sets(corpus_docs, "corpus_id", "hs_b")
+    sa = _sets(tok_new, "new_id", "hs_a")
+    sb = _sets(tok_corpus, "corpus_id", "hs_b")
     n_common = F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b")))
     jac = n_common.cast("double") / (
         F.size(F.col("hs_a")) + F.size(F.col("hs_b")) - n_common
