@@ -616,15 +616,14 @@ def neardup_ingest_batch_fn(
     r = k // n_bands
 
     def _sig_rows(batch_df: DataFrame) -> DataFrame:
-        sigs = dd.minhash_signatures(batch_df, 1, k)
-        # wide=True (round-8): the persisted confirm-set artifact uses
-        # 128-bit md5 keys like the batch operators — narrow-key birthday
-        # collisions would inflate the confirmed Jaccard at corpus scale
-        # (signatures above keep the narrow fold their affine transforms
-        # need)
-        tok = dd._doc_token_hashes(batch_df, 1, wide=True)
-        hs = tok.groupBy("doc_id").agg(
-            F.sort_array(F.collect_set("h")).alias("hs")
+        # fused one-tokenize pass (round-8): narrow column feeds the
+        # signature aggregates, wide md5 column feeds the persisted
+        # confirm-set artifact — narrow-key birthday collisions would
+        # inflate the confirmed Jaccard at corpus scale
+        tok2 = dd._doc_token_hashes_both(batch_df, 1)
+        sigs = tok2.groupBy("doc_id").agg(*dd._signature_aggs(k))
+        hs = tok2.groupBy("doc_id").agg(
+            F.sort_array(F.collect_set("hw")).alias("hs")
         )
         return sigs.join(hs, "doc_id")
 
