@@ -50,7 +50,7 @@ def _corrupt_guard(fn):
             return fn(*args, **kwargs)
         except UnsupportedMediaError:
             raise
-        except (ValueError, struct.error, EOFError, IndexError) as e:
+        except (ValueError, struct.error, EOFError, IndexError, OverflowError) as e:
             raise UnsupportedMediaError(
                 f"corrupt {fn.__name__} payload: {type(e).__name__}: {e}"
             ) from e
@@ -747,6 +747,8 @@ def _decode_jpeg_scan(buf, pos, sof, scomp, qtabs, htabs, restart_interval):
         by, bx = divmod(mcu, bw_)
         for ci in range(nc):
             s = _huff_read(br, comp_dc[ci])
+            if s > 15:  # DC category > 15 is impossible in a valid stream
+                raise UnsupportedMediaError("corrupt JPEG DC size symbol")
             diff = _extend(br.bits(s), s) if s else 0
             pred[ci] += diff
             zz = np.zeros(64, dtype=np.int64)

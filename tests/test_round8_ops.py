@@ -500,3 +500,77 @@ def test_bloom_auto_size_keeps_superset_guarantee(spark):
         if r.n_overlap > 0
     }
     assert exact_hits and exact_hits <= auto
+
+
+# --- codec robustness fuzz (round-8): malformed payloads never crash ---------
+
+
+def test_codec_fuzz_never_crashes():
+    """Random and mutated payloads must either decode to a valid array or
+    raise UnsupportedMediaError — never any other exception and never a
+    hang.  At 100 TB corpus scale malformed files are a certainty, and
+    the mapInPandas dead-letter convention only catches
+    UnsupportedMediaError."""
+    import random
+
+    rng = random.Random(17)
+    base = codecs.decode_ppm(codecs.synthesize_image(7))
+    valid = {
+        "ppm": codecs.encode_ppm(base),
+        "png": codecs.encode_png(base),
+        "jpeg": codecs.encode_jpeg(base, 90),
+    }
+
+    def try_decode(payload):
+        try:
+            out = codecs.decode_image(payload)
+            assert out.ndim == 3 and out.shape[2] == 3 and out.dtype == np.uint8
+        except codecs.UnsupportedMediaError:
+            pass  # the one allowed failure mode
+
+    # pure random bytes behind each magic prefix
+    magics = [b"P6", b"BM", b"\x89PNG\r\n\x1a\n", b"\xff\xd8\xff\xe0", b"\xff\xd8\xff\xdb"]
+    for _ in range(60):
+        m = magics[rng.randrange(len(magics))]
+        try_decode(m + bytes(rng.randrange(256) for _ in range(rng.randrange(0, 400))))
+
+    # truncations of valid payloads at every byte class
+    for payload in valid.values():
+        for cut in range(0, len(payload), max(1, len(payload) // 40)):
+            try_decode(payload[:cut])
+
+    # single-byte corruptions of valid payloads
+    for payload in valid.values():
+        buf = bytearray(payload)
+        for _ in range(60):
+            i = rng.randrange(len(buf))
+            old = buf[i]
+            buf[i] = rng.randrange(256)
+            try_decode(bytes(buf))
+            buf[i] = old
+
+
+def test_codec_fuzz_hypothesis_roundtrip():
+    """Property-based: any uint8 RGB array round-trips PNG exactly and
+    JPEG within the noise bound; both encoders are deterministic."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from hypothesis.extra.numpy import arrays
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        arrays(
+            np.uint8,
+            st.tuples(
+                st.integers(1, 20), st.integers(1, 20), st.just(3)
+            ),
+        )
+    )
+    def prop(img):
+        assert np.array_equal(codecs.decode_png(codecs.encode_png(img)), img)
+        jp = codecs.encode_jpeg(img, 85)
+        assert jp == codecs.encode_jpeg(img, 85)
+        dec = codecs.decode_jpeg(jp)
+        assert dec.shape == img.shape
+
+    prop()
