@@ -926,6 +926,46 @@ def dhash_hex(arr: np.ndarray) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Audio fingerprint corpus + zero-crossing signature (round-8 audio-dedup
+# family).  Tone class c = media_id % 128: group = c % 64 fixes the base
+# frequency (200 + group*55 Hz, top 3,667 Hz < the 4 kHz Nyquist), classes
+# c >= 64 are the PLANTED near-duplicates — the same tone detuned +2 Hz.
+# The fingerprint is the per-window zero-crossing count of the DECODED
+# samples (8 windows x 200 samples): detune moves each window count by
+# <= 1, adjacent groups by ~2.75 — measured planted max-dev <= 1,
+# cross-group min max-dev = 2, so tolerance 1 separates exactly.
+# ---------------------------------------------------------------------------
+
+FP_TONE_CLASSES = 128
+FP_TONE_GROUPS = 64
+FP_WINDOWS = 8
+
+
+def fp_tone_freq(media_id: int) -> float:
+    c = media_id % FP_TONE_CLASSES
+    return 200.0 + (c % FP_TONE_GROUPS) * 55.0 + (2.0 if c >= FP_TONE_GROUPS else 0.0)
+
+
+def synthesize_fp_tone(media_id: int, rate: int = 8000, n: int = 1600) -> bytes:
+    """Deterministic PCM WAV for the audio-dedup corpus (0.2 s, 8 kHz)."""
+    t = np.arange(n, dtype=np.float64) / rate
+    return encode_wav(0.5 * np.sin(2 * np.pi * fp_tone_freq(media_id) * t), rate)
+
+
+def audio_zc_fingerprint(content: bytes, n_windows: int = FP_WINDOWS) -> list[int]:
+    """Per-window zero-crossing counts of the decoded samples — the
+    robust audio signature the near-dup join buckets on.  All-integer
+    after the sign reads; deterministic."""
+    x, _rate = decode_wav(content)
+    w = len(x) // n_windows
+    out = []
+    for i in range(n_windows):
+        seg = x[i * w : (i + 1) * w]
+        out.append(int(np.sum(np.signbit(seg[1:]) != np.signbit(seg[:-1]))))
+    return out
+
+
+# ---------------------------------------------------------------------------
 # RAWV: a minimal real video container (uncompressed RGB frames)
 # ---------------------------------------------------------------------------
 # Layout: b"RAWV" | uint16 width | uint16 height | uint32 n_frames |

@@ -798,6 +798,195 @@ def image_neardup_sql(max_hamming: int = DHASH_MAX_HAMMING) -> str:
     """
 
 
+# ---------------------------------------------------------------------------
+# Audio fingerprint dedup (round-8): the audio analog of the dHash family.
+# Fingerprint = per-window zero-crossing counts of REALLY-DECODED PCM
+# samples; candidates join on (window, grid, (zc+grid)//2) with grid in
+# {0,1} — the two offset bucket grids GUARANTEE every max-dev<=1 pair
+# shares a key in EVERY window (|a-b|<=1 implies a//2==b//2 or
+# (a+1)//2==(b+1)//2) — and are verified with the exact max per-window
+# deviation in column ops.  Oracle: fingerprints are a pure function of
+# media_id % 128, so per-class signatures and the confirmed class-pair
+# set are precomputed through the same decode path (the image family's
+# 256-class pattern at 128 classes).
+# ---------------------------------------------------------------------------
+
+AUDIO_FP_SCHEMA = StructType(
+    [StructField("media_id", LongType())]
+    + [StructField(f"w{i}", LongType()) for i in range(codecs.FP_WINDOWS)]
+)
+
+#: confirmed near-dup tolerance: planted detune pairs measure max-dev <= 1,
+#: adjacent tone groups >= 2 (codecs tone-family note)
+AUDIO_FP_MAX_DEV = 1
+
+
+def attach_fp_tones(docs: DataFrame) -> DataFrame:
+    """Audio-dedup corpus: PCM WAV tones with planted +2 Hz detune pairs
+    (classes c and c+64 share a base frequency)."""
+    ids = docs.select(F.col("doc_id").cast("long").alias("media_id")).repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, F.col("media_id")
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            contents = [codecs.synthesize_fp_tone(int(m)) for m in pdf["media_id"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "content": contents,
+                    "media_type": "audio/wav",
+                    "n_bytes": [len(c) for c in contents],
+                }
+            )
+
+    return ids.mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
+def audio_fingerprints(media: DataFrame) -> DataFrame:
+    """(media_id, w0..w7): per-window zero-crossing fingerprint of every
+    decodable audio payload (Arrow mapInPandas, 1:1 over decodable rows,
+    dead-letter convention)."""
+    n_windows = codecs.FP_WINDOWS
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {"media_id": []}
+            for i in range(n_windows):
+                rows[f"w{i}"] = []
+            for mid, b in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    fp = codecs.audio_zc_fingerprint(b, n_windows)
+                except codecs.UnsupportedMediaError:
+                    continue
+                rows["media_id"].append(mid)
+                for i in range(n_windows):
+                    rows[f"w{i}"].append(fp[i])
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(batches, schema=AUDIO_FP_SCHEMA)
+
+
+def audio_neardup_pairs(
+    media: DataFrame, max_dev: int = AUDIO_FP_MAX_DEV
+) -> DataFrame:
+    """(media_a, media_b, max_dev): confirmed audio near-duplicate pairs.
+    Candidate recall is EXACT for the confirmed set (two offset grids per
+    window, see module note); the verify computes the exact max
+    per-window zero-crossing deviation — pure column math after the
+    decode stage, same engineering shape as image_neardup_pairs."""
+    n_windows = codecs.FP_WINDOWS
+    fps = audio_fingerprints(media).localCheckpoint(eager=False)
+    stacked = fps.select(
+        "media_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(w * 2 + g).alias("band"),
+                        ((F.col(f"w{w}") + F.lit(g)) / 2).cast("long").alias("key"),
+                    )
+                    for w in range(n_windows)
+                    for g in (0, 1)
+                ]
+            )
+        ).alias("bk"),
+    ).select("media_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a, b = stacked.alias("a"), stacked.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("media_a"),
+            F.col("b.media_id").alias("media_b"),
+        )
+        .distinct()
+    )
+    fa = fps.select(
+        F.col("media_id").alias("media_a"),
+        *[F.col(f"w{i}").alias(f"a{i}") for i in range(n_windows)],
+    )
+    fb = fps.select(
+        F.col("media_id").alias("media_b"),
+        *[F.col(f"w{i}").alias(f"b{i}") for i in range(n_windows)],
+    )
+    dev = F.greatest(
+        *[F.abs(F.col(f"a{i}") - F.col(f"b{i}")) for i in range(n_windows)]
+    )
+    return (
+        cand.join(fa, "media_a")
+        .join(fb, "media_b")
+        .select("media_a", "media_b", dev.alias("max_dev"))
+        .filter(F.col("max_dev") <= max_dev)
+    )
+
+
+def _fp_class_signatures() -> list[list[int]]:
+    """The 128 per-class fingerprints through the real synth->encode->
+    decode->fingerprint path."""
+    return [
+        codecs.audio_zc_fingerprint(codecs.synthesize_fp_tone(c))
+        for c in range(codecs.FP_TONE_CLASSES)
+    ]
+
+
+def audio_fingerprint_sql() -> str:
+    """FULL oracle for q_audio_fingerprint: per-class fingerprint VALUES
+    joined on doc_id % 128."""
+    sigs = _fp_class_signatures()
+    n_windows = codecs.FP_WINDOWS
+    values = ", ".join(
+        "(" + ", ".join([str(c)] + [str(v) for v in sigs[c]]) + ")"
+        for c in range(len(sigs))
+    )
+    cols = ", ".join(f"v.w{i}" for i in range(n_windows))
+    col_names = ", ".join(["c"] + [f"w{i}" for i in range(n_windows)])
+    return f"""
+    SELECT CAST(doc_id AS BIGINT) AS media_id, {cols}
+    FROM documents
+    JOIN (VALUES {values}) AS v({col_names})
+      ON CAST(doc_id AS BIGINT) % {codecs.FP_TONE_CLASSES} = v.c
+    """
+
+
+def audio_neardup_sql(max_dev: int = AUDIO_FP_MAX_DEV) -> str:
+    """FULL oracle for q_audio_neardup: confirmed class pairs precomputed
+    with the SAME two-grid candidate + max-dev verify semantics."""
+    sigs = _fp_class_signatures()
+
+    def candidate(x, y):
+        return any(
+            (x[w] + g) // 2 == (y[w] + g) // 2
+            for w in range(codecs.FP_WINDOWS)
+            for g in (0, 1)
+        )
+
+    def dev(x, y):
+        return max(abs(a - b) for a, b in zip(x, y))
+
+    rows = []
+    for ca in range(len(sigs)):
+        for cb in range(ca, len(sigs)):
+            if candidate(sigs[ca], sigs[cb]) and dev(sigs[ca], sigs[cb]) <= max_dev:
+                rows.append(f"({ca}, {cb}, {dev(sigs[ca], sigs[cb])})")
+    values = ", ".join(rows)
+    m = codecs.FP_TONE_CLASSES
+    return f"""
+    SELECT CAST(d1.doc_id AS BIGINT) AS media_a,
+           CAST(d2.doc_id AS BIGINT) AS media_b,
+           CAST(v.dv AS BIGINT) AS max_dev
+    FROM documents d1
+    JOIN documents d2 ON d1.doc_id < d2.doc_id
+    JOIN (VALUES {values}) AS v(ca, cb, dv)
+      ON least(CAST(d1.doc_id AS BIGINT) % {m}, CAST(d2.doc_id AS BIGINT) % {m}) = v.ca
+     AND greatest(CAST(d1.doc_id AS BIGINT) % {m}, CAST(d2.doc_id AS BIGINT) % {m}) = v.cb
+    """
+
+
 def sample_video_frames(
     media: DataFrame, every_n: int = 4, max_frames: int = 8
 ) -> DataFrame:

@@ -1046,6 +1046,28 @@ def _image_dedup_clusters_sql():
     """
 
 
+def q_audio_fingerprint(spark, sf_dir):
+    """Per-window zero-crossing fingerprint over really-decoded PCM
+    samples (round-8): the audio-dedup signature artifact; FULL oracle
+    via the 128-class precompute."""
+    from ..operators import multimodal
+
+    media = multimodal.attach_fp_tones(_docs(spark, sf_dir))
+    return multimodal.audio_fingerprints(media).orderBy("media_id")
+
+
+def q_audio_neardup(spark, sf_dir):
+    """Audio near-dup pairs (round-8): two-grid bucket candidates
+    (guaranteed recall for the confirmed set) verified with the exact max
+    per-window zero-crossing deviation; the corpus plants +2 Hz detune
+    pairs that measure max-dev <= 1 while adjacent tone groups sit >= 2.
+    FULL class-pair oracle."""
+    from ..operators import multimodal
+
+    media = multimodal.attach_fp_tones(_docs(spark, sf_dir))
+    return multimodal.audio_neardup_pairs(media).orderBy("media_a", "media_b")
+
+
 def _media_resize_sql():
     from ..operators import multimodal
 
@@ -1079,9 +1101,23 @@ def _image_neardup_sql():
 Q_MEDIA_RESIZE_SQL = _media_resize_sql()
 Q_AUDIO_FEATURES_SQL = _audio_features_sql()
 Q_MEDIA_DECODE_SQL = _media_decode_sql()
+def _audio_fingerprint_sql():
+    from ..operators import multimodal
+
+    return multimodal.audio_fingerprint_sql()
+
+
+def _audio_neardup_sql():
+    from ..operators import multimodal
+
+    return multimodal.audio_neardup_sql()
+
+
 Q_IMAGE_DHASH_SQL = _image_dhash_sql()
 Q_IMAGE_NEARDUP_SQL = _image_neardup_sql()
 Q_IMAGE_DEDUP_CLUSTERS_SQL = _image_dedup_clusters_sql()
+Q_AUDIO_FINGERPRINT_SQL = _audio_fingerprint_sql()
+Q_AUDIO_NEARDUP_SQL = _audio_neardup_sql()
 
 
 def q_repetition_signals(spark, sf_dir):

@@ -827,6 +827,30 @@ _register(
 )
 _register(
     QuerySpec(
+        name="audio_fingerprint",
+        fn=llmdata.q_audio_fingerprint,
+        oracle=llmdata.Q_AUDIO_FINGERPRINT_SQL,
+        description="Per-window zero-crossing fingerprint over really-"
+        "decoded PCM samples (round-8 audio-dedup signature); FULL oracle "
+        "via the 128-class synth->encode->decode precompute",
+        ops=("EXT-multimodal", "EXT-dedup"),
+    )
+)
+_register(
+    QuerySpec(
+        name="audio_neardup",
+        fn=llmdata.q_audio_neardup,
+        oracle=llmdata.Q_AUDIO_NEARDUP_SQL,
+        description="Audio near-dup pairs: two-offset-grid bucket "
+        "candidates (guaranteed recall for max-dev<=1) verified with the "
+        "exact max per-window zero-crossing deviation in column ops; "
+        "planted +2Hz detune pairs at max-dev<=1 vs >=2 for adjacent "
+        "tone groups; FULL class-pair oracle",
+        ops=("EXT-multimodal", "EXT-dedup"),
+    )
+)
+_register(
+    QuerySpec(
         name="audio_features",
         fn=llmdata.q_audio_features,
         oracle=llmdata.Q_AUDIO_FEATURES_SQL,
@@ -1818,6 +1842,8 @@ _DRIVER_SNAPSHOT = [
     "image_dhash",
     "image_neardup",
     "image_dedup_clusters",
+    "audio_fingerprint",
+    "audio_neardup",
     "big_orders",
     "top_parts_by_revenue",
     "distinct_counts",
@@ -1838,12 +1864,10 @@ _DRIVER_SNAPSHOT = [
     "dedup_ngram_jaccard",
     "simhash_fingerprints",
     "embedding_neardup",
-    "embedding_quantize",
-    "lang_id",
-    # (text_quality, token_counts, tf_idf displaced this round by the
-    # three new image-dedup queries — policy: new oracle-bearing queries
-    # outrank equally-stale rotation candidates; all three return next
-    # round as the stalest survivors)
+    # (embedding_quantize, lang_id, text_quality, token_counts, tf_idf
+    # displaced this round by the five new image/audio-dedup queries —
+    # policy: new oracle-bearing queries outrank equally-stale rotation
+    # candidates; all five return next round as the stalest survivors)
     # --- filler slots (13): permanent pins on the bench headliners and
     # the scale-critical dedup/curation paths, so the external gate keeps
     # exercising the code most likely to regress.

@@ -574,3 +574,74 @@ def test_codec_fuzz_hypothesis_roundtrip():
         assert dec.shape == img.shape
 
     prop()
+
+
+# --- audio fingerprint dedup (round-8 extension) ------------------------------
+
+
+def test_audio_fingerprint_matches_closed_form(spark):
+    docs = load_table(spark, SF_DIR, "documents").limit(40)
+    media = multimodal.attach_fp_tones(docs)
+    rows = multimodal.audio_fingerprints(media).collect()
+    assert rows
+    for r in rows:
+        fp = codecs.audio_zc_fingerprint(codecs.synthesize_fp_tone(r.media_id))
+        assert [getattr(r, f"w{i}") for i in range(codecs.FP_WINDOWS)] == fp
+
+
+def test_two_grid_bucketing_guarantees_recall():
+    """Property behind the candidate join: any pair of non-negative ints
+    with |a-b| <= 1 shares a bucket on at least one of the two offset
+    grids; any pair with |a-b| >= 2 shares neither."""
+    for a in range(0, 60):
+        for b in range(0, 60):
+            shares = any((a + g) // 2 == (b + g) // 2 for g in (0, 1))
+            assert shares == (abs(a - b) <= 1), (a, b)
+
+
+def test_audio_neardup_finds_planted_detunes(spark):
+    from procurement_system_bigdata_spark.queries import llmdata
+
+    pairs = {
+        (r.media_a, r.media_b): r.max_dev
+        for r in llmdata.q_audio_neardup(spark, SF_DIR).collect()
+    }
+    assert pairs
+    docs = load_table(spark, SF_DIR, "documents")
+    ids = [r.doc_id for r in docs.select("doc_id").collect()]
+    sigs = multimodal._fp_class_signatures()
+
+    def dev(x, y):
+        return max(abs(p - q) for p, q in zip(x, y))
+
+    # every same-base-frequency doc pair (same group: class and class+64)
+    # must be reported
+    by_group = {}
+    for i in ids:
+        by_group.setdefault((i % 128) % 64, []).append(i)
+    checked = 0
+    for group, members in by_group.items():
+        members.sort()
+        for x in range(len(members)):
+            for y in range(x + 1, len(members)):
+                a, b = members[x], members[y]
+                if dev(sigs[a % 128], sigs[b % 128]) <= multimodal.AUDIO_FP_MAX_DEV:
+                    assert (a, b) in pairs, (a, b, group)
+                    checked += 1
+    assert checked > 0
+    # and every reported pair's class deviation matches the closed form
+    for (a, b), d in pairs.items():
+        assert dev(sigs[a % 128], sigs[b % 128]) == d <= multimodal.AUDIO_FP_MAX_DEV
+
+
+def test_audio_neardup_oracle_green(spark, duck):
+    from procurement_system_bigdata_spark.queries import llmdata
+
+    assert_matches_oracle(
+        llmdata.q_audio_neardup(spark, SF_DIR), duck, llmdata.Q_AUDIO_NEARDUP_SQL
+    )
+    assert_matches_oracle(
+        llmdata.q_audio_fingerprint(spark, SF_DIR),
+        duck,
+        llmdata.Q_AUDIO_FINGERPRINT_SQL,
+    )
