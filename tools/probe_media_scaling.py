@@ -74,3 +74,23 @@ for label, sf_dir in (
         f"image_neardup {label:18s} wall={wall:7.2f}s  pairs={n_pairs}  "
         f"pairs/s={n_pairs / wall:9.0f}"
     )
+
+
+# --- audio-dedup family scaling (round-8 second wave) -------------------------
+
+for label, sf_dir in (
+    ("sf0.01 (500 docs)", "/root/testdata/sf0.01"),
+    ("sf0.1 (5k docs)", "/root/testdata/sf0.1"),
+    ("sf1 (50k docs)", "/root/repo/testdata_sf1"),
+):
+    docs = load_table(spark, sf_dir, "documents")
+    media = mm.attach_fp_tones(docs.selectExpr("doc_id"))
+    t0 = time.perf_counter()
+    pairs = mm.audio_neardup_pairs(media)
+    pairs.write.format("noop").mode("overwrite").save()
+    wall = time.perf_counter() - t0
+    n_pairs = pairs.count()
+    print(
+        f"audio_neardup {label:18s} wall={wall:7.2f}s  pairs={n_pairs}  "
+        f"pairs/s={n_pairs / wall:9.0f}"
+    )
