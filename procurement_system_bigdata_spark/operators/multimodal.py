@@ -739,12 +739,16 @@ def image_neardup_pairs(
 
 def _pattern_class_hashes() -> list[str]:
     """The 256 per-class dHashes through the real synth->encode->decode
-    path (lossless, so PPM/PNG classes share one table)."""
-    out = []
-    for c in range(256):
-        arr = codecs.decode_image(codecs.encode_png(codecs.pattern_pixels(c)))
-        out.append(codecs.dhash_hex(arr))
-    return out
+    path (lossless, so PPM/PNG classes share one table).  Memoized: three
+    oracle builders call it at registry import."""
+    if not _PATTERN_HASH_CACHE:
+        for c in range(256):
+            arr = codecs.decode_image(codecs.encode_png(codecs.pattern_pixels(c)))
+            _PATTERN_HASH_CACHE.append(codecs.dhash_hex(arr))
+    return _PATTERN_HASH_CACHE
+
+
+_PATTERN_HASH_CACHE: list[str] = []
 
 
 def image_dhash_sql() -> str:
