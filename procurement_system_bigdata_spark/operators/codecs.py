@@ -40,8 +40,13 @@ class UnsupportedMediaError(NotImplementedError):
 
 def _corrupt_guard(fn):
     """Convert the parse-failure zoo (short buffers -> ValueError /
-    struct.error, stdlib wave -> EOFError, bad reshape -> ValueError) into
-    UnsupportedMediaError so decoders have ONE failure type."""
+    struct.error, stdlib wave -> EOFError, bad reshape -> ValueError,
+    valid-CRC-but-invalid-IDAT PNGs -> zlib.error, oversized-header
+    allocations on a constrained worker -> MemoryError) into
+    UnsupportedMediaError so decoders have ONE failure type.  zlib.error
+    matters because PNG chunk CRCs are computed over the RAW chunk bytes:
+    a payload can pass every CRC check and still not be a valid zlib
+    stream, which must dead-letter, not crash the Spark task."""
     import functools
 
     @functools.wraps(fn)
@@ -50,12 +55,27 @@ def _corrupt_guard(fn):
             return fn(*args, **kwargs)
         except UnsupportedMediaError:
             raise
-        except (ValueError, struct.error, EOFError, IndexError, OverflowError) as e:
+        except (
+            ValueError,
+            struct.error,
+            EOFError,
+            IndexError,
+            OverflowError,
+            zlib.error,
+            MemoryError,
+        ) as e:
             raise UnsupportedMediaError(
                 f"corrupt {fn.__name__} payload: {type(e).__name__}: {e}"
             ) from e
 
     return wrapped
+
+
+#: Untrusted-payload allocation ceiling: reject any image whose header
+#: declares more pixels than this BEFORE allocating planes (a crafted
+#: 60000x60000 SOF would otherwise request ~86 GB) and cap zlib inflation
+#: at the exact expected output size (bombs expand ~1000:1).
+MAX_PIXELS = 64_000_000
 
 
 # ---------------------------------------------------------------------------
@@ -241,9 +261,15 @@ def decode_png(content: bytes) -> np.ndarray:
     n_ch = {0: 1, 2: 3, 6: 4}.get(ctype)
     if n_ch is None:
         raise UnsupportedMediaError(f"unsupported PNG color type {ctype}")
-    raw = zlib.decompress(b"".join(idat))
+    if w * h > MAX_PIXELS or w == 0 or h == 0:
+        raise UnsupportedMediaError(f"PNG dimensions out of bounds ({w}x{h})")
     stride = w * n_ch
-    if len(raw) != h * (stride + 1):
+    expected = h * (stride + 1)
+    # bounded inflate: never materialize more than the declared pixel
+    # buffer, whatever the (untrusted) zlib stream tries to expand to
+    dec = zlib.decompressobj()
+    raw = dec.decompress(b"".join(idat), expected)
+    if len(raw) != expected or dec.decompress(dec.unconsumed_tail, 1):
         raise UnsupportedMediaError("PNG pixel data length mismatch")
     out = np.empty((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int32)
@@ -663,6 +689,10 @@ def decode_jpeg(content: bytes) -> np.ndarray:
             precision, h, w, nc = struct.unpack_from(">BHHB", payload, 0)
             if precision != 8:
                 raise UnsupportedMediaError("only 8-bit JPEG supported")
+            if w * h > MAX_PIXELS or w == 0 or h == 0:
+                raise UnsupportedMediaError(
+                    f"JPEG dimensions out of bounds ({w}x{h})"
+                )
             comps = []
             for i in range(nc):  # component specs start after the 6-byte
                 cid, hv, tq = payload[6 + 3 * i : 9 + 3 * i]  # BHHB header
