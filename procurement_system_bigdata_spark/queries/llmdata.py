@@ -974,23 +974,25 @@ def q_image_neardup(spark, sf_dir):
 
 
 def q_image_dedup_clusters(spark, sf_dir):
-    """Full perceptual image-dedup pipeline (round-8): decoded-pixel dHash
-    -> banded Hamming near-dup pairs -> connected components (the same
-    DataFrame-Pregel operator the text stack uses) -> per-image component
-    + cluster size; keep/drop decision is media_id == component.  FULL
-    oracle: class-level components are union-find-precomputed from the
-    confirmed class-pair set, and the doc-level component is the MIN doc
-    id over the class-component partition (same-class docs are cliques,
-    so class components induce the doc components exactly)."""
+    """Full perceptual image-dedup pipeline: decoded-pixel dHash ->
+    STAR + BRIDGE edges (round-9: banded Hamming join over DISTINCT
+    signatures only, one star edge per duplicate-class member — edge count
+    linear in duplicate-class size where the round-8 clique feed was
+    quadratic, components provably identical; multimodal.image_dedup_edges)
+    -> connected components (the same DataFrame-Pregel operator the text
+    stack uses) -> per-image component + cluster size; keep/drop decision
+    is media_id == component.  FULL oracle: class-level components are
+    union-find-precomputed from the confirmed class-pair set, and the
+    doc-level component is the MIN doc id over the class-component
+    partition (same-class docs share a signature, so class components
+    induce the doc components exactly)."""
     from ..operators import clustering, multimodal
 
     media = multimodal.attach_pattern_images(_docs(spark, sf_dir))
-    pairs = multimodal.image_neardup_pairs(media).select(
-        F.col("media_a").alias("doc_a"), F.col("media_b").alias("doc_b")
-    )
+    edges = multimodal.image_dedup_edges(media)
     ids = media.select(F.col("media_id").alias("doc_id"))
     return (
-        clustering.dedup_clusters(ids, pairs)
+        clustering.dedup_clusters(ids, edges)
         .select(
             F.col("doc_id").alias("media_id"),
             F.col("component").alias("canonical_media_id"),
@@ -1068,6 +1070,82 @@ def q_audio_neardup(spark, sf_dir):
     return multimodal.audio_neardup_pairs(media).orderBy("media_a", "media_b")
 
 
+def q_audio_dedup_clusters(spark, sf_dir):
+    """Full audio-dedup pipeline (round-9): zero-crossing fingerprint ->
+    STAR + BRIDGE edges (two-grid bucket join over DISTINCT signatures,
+    one star edge per duplicate-class member — components identical to
+    the confirmed-pair graph's with linearly many edges;
+    multimodal.audio_dedup_edges) -> connected components -> per-clip
+    component + cluster size.  FULL oracle: 128-class union-find over the
+    confirmed class-pair set, doc-level component = MIN doc id per class
+    component (same-class clips share a fingerprint)."""
+    from ..operators import clustering, multimodal
+
+    media = multimodal.attach_fp_tones(_docs(spark, sf_dir))
+    edges = multimodal.audio_dedup_edges(media)
+    ids = media.select(F.col("media_id").alias("doc_id"))
+    return (
+        clustering.dedup_clusters(ids, edges)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            F.col("component").alias("canonical_media_id"),
+            "cluster_size",
+        )
+        .orderBy("media_id")
+    )
+
+
+def _audio_dedup_clusters_sql():
+    # The audio twin of _image_dedup_clusters_sql: union-find over the
+    # confirmed 128-class pair graph (two-grid candidacy + max-dev verify,
+    # both pure functions of the class), then MIN doc id / COUNT over the
+    # class-component partition.  Exact whenever every class has >=1 doc
+    # (all registry corpora: >=500 docs vs doc_id % 128 classes).
+    from ..operators import codecs, multimodal
+
+    sigs = multimodal._fp_class_signatures()
+    m = codecs.FP_TONE_CLASSES
+
+    def candidate(x, y):
+        return any(
+            (x[w] + g) // 2 == (y[w] + g) // 2
+            for w in range(codecs.FP_WINDOWS)
+            for g in (0, 1)
+        )
+
+    def dev(x, y):
+        return max(abs(a - b) for a, b in zip(x, y))
+
+    parent = list(range(m))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for ca in range(m):
+        for cb in range(ca + 1, m):
+            if (
+                candidate(sigs[ca], sigs[cb])
+                and dev(sigs[ca], sigs[cb]) <= multimodal.AUDIO_FP_MAX_DEV
+            ):
+                ra, rb = find(ca), find(cb)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    comp = {c: find(c) for c in range(m)}
+    values = ", ".join(f"({c}, {comp[c]})" for c in range(m))
+    return f"""
+    SELECT CAST(doc_id AS BIGINT) AS media_id,
+           MIN(CAST(doc_id AS BIGINT)) OVER (PARTITION BY v.comp)
+               AS canonical_media_id,
+           COUNT(*) OVER (PARTITION BY v.comp) AS cluster_size
+    FROM documents
+    JOIN (VALUES {values}) AS v(c, comp)
+      ON CAST(doc_id AS BIGINT) % {m} = v.c
+    """
+
+
 def _media_resize_sql():
     from ..operators import multimodal
 
@@ -1118,6 +1196,7 @@ Q_IMAGE_NEARDUP_SQL = _image_neardup_sql()
 Q_IMAGE_DEDUP_CLUSTERS_SQL = _image_dedup_clusters_sql()
 Q_AUDIO_FINGERPRINT_SQL = _audio_fingerprint_sql()
 Q_AUDIO_NEARDUP_SQL = _audio_neardup_sql()
+Q_AUDIO_DEDUP_CLUSTERS_SQL = _audio_dedup_clusters_sql()
 
 
 def q_repetition_signals(spark, sf_dir):

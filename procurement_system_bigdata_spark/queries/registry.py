@@ -817,11 +817,13 @@ _register(
         name="image_dedup_clusters",
         fn=llmdata.q_image_dedup_clusters,
         oracle=llmdata.Q_IMAGE_DEDUP_CLUSTERS_SQL,
-        description="Full perceptual image-dedup pipeline: dHash -> banded "
-        "Hamming pairs -> DataFrame-Pregel connected components -> "
-        "canonical per cluster; FULL oracle via union-find over the "
-        "confirmed class-pair graph (exact when every class is populated, "
-        "true at all registry SFs)",
+        description="Full perceptual image-dedup pipeline: dHash -> "
+        "star+bridge edges (round-9: banded Hamming join over DISTINCT "
+        "signatures, one star edge per duplicate-class member — Pregel "
+        "input linear in class size) -> DataFrame-Pregel connected "
+        "components -> canonical per cluster; FULL oracle via union-find "
+        "over the confirmed class-pair graph (exact when every class is "
+        "populated, true at all registry SFs)",
         ops=("EXT-multimodal", "EXT-dedup", "EXT-clustering"),
     )
 )
@@ -847,6 +849,19 @@ _register(
         "planted +2Hz detune pairs at max-dev<=1 vs >=2 for adjacent "
         "tone groups; FULL class-pair oracle",
         ops=("EXT-multimodal", "EXT-dedup"),
+    )
+)
+_register(
+    QuerySpec(
+        name="audio_dedup_clusters",
+        fn=llmdata.q_audio_dedup_clusters,
+        oracle=llmdata.Q_AUDIO_DEDUP_CLUSTERS_SQL,
+        description="Full audio-dedup pipeline (round-9): zero-crossing "
+        "fingerprint -> star+bridge edges (two-grid bucket join over "
+        "DISTINCT signatures, one star edge per duplicate-class member — "
+        "Pregel input linear in class size) -> connected components -> "
+        "canonical per cluster; FULL oracle via 128-class union-find",
+        ops=("EXT-multimodal", "EXT-dedup", "EXT-clustering"),
     )
 )
 _register(
