@@ -311,10 +311,13 @@ def decode_png(content: bytes) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# JPEG (round-8): real baseline encoder + decoder.  Profile: baseline
-# sequential DCT (SOF0), 8-bit, 4:4:4 (no chroma subsampling) or grayscale,
-# standard ITU T.81 Annex K quantization + Huffman tables (public spec).
-# Progressive (SOF2) and subsampled scans raise at the PIL/libjpeg seam.
+# JPEG (round-8, subsampling round-9): real baseline encoder + decoder.
+# Profile: baseline sequential DCT (SOF0), 8-bit, grayscale or 3-component
+# with per-axis sampling factors in {1, 2} — 4:4:4, 4:2:0 (the dominant
+# real-corpus profile), 4:2:2 and 4:4:0; standard ITU T.81 Annex K
+# quantization + Huffman tables (public spec).  Chroma upsampling is 2x
+# pixel replication (deterministic; libjpeg's fancy upsampling swaps in at
+# the seam).  Progressive (SOF2) raises at the PIL/libjpeg seam.
 # Everything is integer/float64 numpy — deterministic across platforms.
 # ---------------------------------------------------------------------------
 
@@ -510,23 +513,48 @@ def _blocks_of(plane: np.ndarray) -> np.ndarray:
     )
 
 
-def encode_jpeg(arr: np.ndarray, quality: int = 90) -> bytes:
-    """(h, w, 3) uint8 RGB -> baseline JFIF bytes (4:4:4, Annex K tables,
-    quality-scaled quantization).  Deterministic: integer/float64 math and
-    canonical Huffman only."""
+#: sampling-factor table for encode_jpeg: component (h, v) per subsampling
+_JPEG_SAMPLING = {
+    "444": ((1, 1), (1, 1), (1, 1)),
+    "420": ((2, 2), (1, 1), (1, 1)),
+    "422": ((2, 1), (1, 1), (1, 1)),
+}
+
+
+def encode_jpeg(
+    arr: np.ndarray, quality: int = 90, subsampling: str = "444"
+) -> bytes:
+    """(h, w, 3) uint8 RGB -> baseline JFIF bytes (Annex K tables,
+    quality-scaled quantization; ``subsampling`` in {'444', '420', '422'}
+    — '420' downsamples chroma by 2x2 mean, the dominant real-corpus
+    profile).  Deterministic: integer/float64 math and canonical Huffman
+    only."""
+    factors = _JPEG_SAMPLING.get(subsampling)
+    if factors is None:
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
     arr = np.ascontiguousarray(arr, dtype=np.uint8)
     h, w = arr.shape[:2]
     ql, qc = _jpeg_quant_tables(quality)
-    # RGB -> YCbCr (JFIF), pad to 8x8 multiples by edge replication
+    maxh = max(f[0] for f in factors)
+    maxv = max(f[1] for f in factors)
+    mcus_x = (w + 8 * maxh - 1) // (8 * maxh)
+    mcus_y = (h + 8 * maxv - 1) // (8 * maxv)
+    # RGB -> YCbCr (JFIF), pad to whole MCUs by edge replication, then
+    # downsample each component to its factor grid by box mean
     rgb = arr.astype(np.float64)
     r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
     y = 0.299 * r + 0.587 * g + 0.114 * b
     cb = -0.168735892 * r - 0.331264108 * g + 0.5 * b + 128.0
     cr = 0.5 * r - 0.418687589 * g - 0.081312411 * b + 128.0
-    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    ph, pw = mcus_y * 8 * maxv, mcus_x * 8 * maxh
     planes = []
-    for p in (y, cb, cr):
-        planes.append(np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge") - 128.0)
+    for p, (hf, vf) in zip((y, cb, cr), factors):
+        padded = np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
+        fy, fx = maxv // vf, maxh // hf
+        if fy > 1 or fx > 1:
+            th, tw = ph // fy, pw // fx
+            padded = padded.reshape(th, fy, tw, fx).mean(axis=(1, 3))
+        planes.append(padded - 128.0)
     dc_l, ac_l = _huff_encode_table(_DC_L_SPEC), _huff_encode_table(_AC_L_SPEC)
     dc_c, ac_c = _huff_encode_table(_DC_C_SPEC), _huff_encode_table(_AC_C_SPEC)
     zz = [
@@ -536,40 +564,48 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90) -> bytes:
     ]
     bw = _BitWriter()
     pred = [0, 0, 0]
-    n_blocks = zz[0].shape[0]
-    for bi in range(n_blocks):  # MCU order == block order at 4:4:4
-        for ci in range(3):
-            dct_tab = dc_l if ci == 0 else dc_c
-            act_tab = ac_l if ci == 0 else ac_c
-            blk = zz[ci][bi]
-            diff = int(blk[0]) - pred[ci]
-            pred[ci] = int(blk[0])
-            s, extra = _magnitude(diff)
-            code, ln = dct_tab[s]
+
+    def emit(ci: int, bi: int) -> None:
+        dct_tab = dc_l if ci == 0 else dc_c
+        act_tab = ac_l if ci == 0 else ac_c
+        blk = zz[ci][bi]
+        diff = int(blk[0]) - pred[ci]
+        pred[ci] = int(blk[0])
+        s, extra = _magnitude(diff)
+        code, ln = dct_tab[s]
+        bw.write(code, ln)
+        if s:
+            bw.write(extra, s)
+        run = 0
+        nz = np.nonzero(blk[1:])[0]
+        last_nz = (nz[-1] + 1) if len(nz) else 0
+        for k in range(1, last_nz + 1):
+            v = int(blk[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = act_tab[0xF0]  # ZRL
+                bw.write(code, ln)
+                run -= 16
+            s, extra = _magnitude(v)
+            code, ln = act_tab[(run << 4) | s]
             bw.write(code, ln)
-            if s:
-                bw.write(extra, s)
+            bw.write(extra, s)
             run = 0
-            last_nz = 0
-            nz = np.nonzero(blk[1:])[0]
-            last_nz = (nz[-1] + 1) if len(nz) else 0
-            for k in range(1, last_nz + 1):
-                v = int(blk[k])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, ln = act_tab[0xF0]  # ZRL
-                    bw.write(code, ln)
-                    run -= 16
-                s, extra = _magnitude(v)
-                code, ln = act_tab[(run << 4) | s]
-                bw.write(code, ln)
-                bw.write(extra, s)
-                run = 0
-            if last_nz < 63:
-                code, ln = act_tab[0x00]  # EOB
-                bw.write(code, ln)
+        if last_nz < 63:
+            code, ln = act_tab[0x00]  # EOB
+            bw.write(code, ln)
+
+    # interleaved MCU order per T.81 A.2.3: per MCU, each component
+    # contributes its h x v blocks in raster order
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, (hf, vf) in enumerate(factors):
+                bw_i = mcus_x * hf  # blocks per plane row
+                for by in range(vf):
+                    for bx in range(hf):
+                        emit(ci, (my * vf + by) * bw_i + (mx * hf + bx))
     scan = bw.flush()
 
     def seg(marker: int, payload: bytes) -> bytes:
@@ -581,12 +617,11 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90) -> bytes:
     )
     out.append(seg(0xFFDB, b"\x00" + bytes(int(v) for v in ql[_ZIGZAG])))
     out.append(seg(0xFFDB, b"\x01" + bytes(int(v) for v in qc[_ZIGZAG])))
+    comp_specs = []
+    for ci, (hf, vf) in enumerate(factors):
+        comp_specs += [ci + 1, (hf << 4) | vf, 0 if ci == 0 else 1]
     out.append(
-        seg(
-            0xFFC0,
-            struct.pack(">BHHB", 8, h, w, 3)
-            + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
-        )
+        seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 3) + bytes(comp_specs))
     )
     for tc_th, spec in (
         (0x00, _DC_L_SPEC),
@@ -644,10 +679,11 @@ def _extend(v: int, s: int) -> int:
 
 @_corrupt_guard
 def decode_jpeg(content: bytes) -> np.ndarray:
-    """Baseline JPEG -> (h, w, 3) uint8 RGB.  Supports SOF0 with 4:4:4
-    (all sampling factors 1x1) or single-component grayscale, any DQT/DHT
-    tables (not just Annex K), restart markers; progressive/subsampled
-    scans raise at the libjpeg seam."""
+    """Baseline JPEG -> (h, w, 3) uint8 RGB.  Supports SOF0 with per-axis
+    sampling factors in {1, 2} (4:4:4, 4:2:0, 4:2:2, 4:4:0) or
+    single-component grayscale, any DQT/DHT tables (not just Annex K),
+    restart markers; progressive scans raise at the libjpeg seam.
+    Subsampled chroma is upsampled by pixel replication (deterministic)."""
     buf = bytes(content)
     if buf[:2] != b"\xff\xd8":
         raise UnsupportedMediaError("not a JPEG payload")
@@ -696,11 +732,19 @@ def decode_jpeg(content: bytes) -> np.ndarray:
             comps = []
             for i in range(nc):  # component specs start after the 6-byte
                 cid, hv, tq = payload[6 + 3 * i : 9 + 3 * i]  # BHHB header
-                if hv != 0x11:
+                hf, vf = hv >> 4, hv & 0xF
+                if hf not in (1, 2) or vf not in (1, 2):
                     raise UnsupportedMediaError(
-                        "subsampled JPEG needs libjpeg at this seam"
+                        f"JPEG sampling factor {hf}x{vf} needs libjpeg at "
+                        "this seam (supported: 1-2 per axis — 4:4:4, "
+                        "4:2:0, 4:2:2, 4:4:0)"
                     )
-                comps.append((cid, tq))
+                if nc == 1:
+                    # single-component scans are non-interleaved per T.81
+                    # A.2.2: data is one 8x8 block per MCU regardless of
+                    # the declared factors
+                    hf = vf = 1
+                comps.append((cid, hf, vf, tq))
             sof = (h, w, comps)
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise UnsupportedMediaError(
@@ -729,13 +773,21 @@ def _decode_jpeg_scan(buf, pos, sof, scomp, qtabs, htabs, restart_interval):
     nc = len(comps)
     if len(scomp) != nc:
         raise UnsupportedMediaError("JPEG multi-scan files not supported")
-    bw_, bh_ = (w + 7) // 8, (h + 7) // 8
-    n_mcu = bw_ * bh_
-    # un-stuff the entropy bytes up to the next marker (handling RSTn)
-    planes = [np.zeros((bh_ * 8, bw_ * 8), dtype=np.float64) for _ in range(nc)]
+    maxh = max(c[1] for c in comps)
+    maxv = max(c[2] for c in comps)
+    mcus_x = (w + 8 * maxh - 1) // (8 * maxh)
+    mcus_y = (h + 8 * maxv - 1) // (8 * maxv)
+    n_mcu = mcus_x * mcus_y
+    # per-component planes at the component's SUBSAMPLED resolution,
+    # padded to whole MCUs; un-stuff the entropy bytes up to the next
+    # marker (handling RSTn)
+    planes = [
+        np.zeros((mcus_y * 8 * vf, mcus_x * 8 * hf), dtype=np.float64)
+        for (_, hf, vf, _) in comps
+    ]
     comp_q = []
     comp_dc, comp_ac = [], []
-    for i, (cid, tq) in enumerate(comps):
+    for i, (cid, _hf, _vf, tq) in enumerate(comps):
         scid, td, ta = scomp[i]
         if scid != cid:
             raise UnsupportedMediaError("JPEG scan/frame component mismatch")
@@ -774,35 +826,52 @@ def _decode_jpeg_scan(buf, pos, sof, scomp, qtabs, htabs, restart_interval):
                 pred = [0] * nc
             else:
                 raise UnsupportedMediaError("JPEG missing restart marker")
-        by, bx = divmod(mcu, bw_)
+        my, mx = divmod(mcu, mcus_x)
         for ci in range(nc):
-            s = _huff_read(br, comp_dc[ci])
-            if s > 15:  # DC category > 15 is impossible in a valid stream
-                raise UnsupportedMediaError("corrupt JPEG DC size symbol")
-            diff = _extend(br.bits(s), s) if s else 0
-            pred[ci] += diff
-            zz = np.zeros(64, dtype=np.int64)
-            zz[0] = pred[ci]
-            k = 1
-            while k < 64:
-                sym = _huff_read(br, comp_ac[ci])
-                if sym == 0x00:  # EOB
-                    break
-                run, size = sym >> 4, sym & 0xF
-                if size == 0:
-                    if run != 15:
-                        raise UnsupportedMediaError("bad JPEG AC symbol")
-                    k += 16
-                    continue
-                k += run
-                if k > 63:
-                    raise UnsupportedMediaError("JPEG AC index overflow")
-                zz[k] = _extend(br.bits(size), size)
-                k += 1
-            blk = np.zeros(64, dtype=np.float64)
-            blk[_ZIGZAG] = (zz * comp_q[ci]).astype(np.float64)
-            pixels = _DCT_M.T @ blk.reshape(8, 8) @ _DCT_M + 128.0
-            planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = pixels
+            _cid, hf, vf, _tq = comps[ci]
+            for by in range(vf):
+                for bx in range(hf):
+                    s = _huff_read(br, comp_dc[ci])
+                    if s > 15:  # DC category > 15 is impossible
+                        raise UnsupportedMediaError(
+                            "corrupt JPEG DC size symbol"
+                        )
+                    diff = _extend(br.bits(s), s) if s else 0
+                    pred[ci] += diff
+                    zz = np.zeros(64, dtype=np.int64)
+                    zz[0] = pred[ci]
+                    k = 1
+                    while k < 64:
+                        sym = _huff_read(br, comp_ac[ci])
+                        if sym == 0x00:  # EOB
+                            break
+                        run, size = sym >> 4, sym & 0xF
+                        if size == 0:
+                            if run != 15:
+                                raise UnsupportedMediaError("bad JPEG AC symbol")
+                            k += 16
+                            continue
+                        k += run
+                        if k > 63:
+                            raise UnsupportedMediaError("JPEG AC index overflow")
+                        zz[k] = _extend(br.bits(size), size)
+                        k += 1
+                    blk = np.zeros(64, dtype=np.float64)
+                    blk[_ZIGZAG] = (zz * comp_q[ci]).astype(np.float64)
+                    pixels = _DCT_M.T @ blk.reshape(8, 8) @ _DCT_M + 128.0
+                    py = (my * vf + by) * 8
+                    px = (mx * hf + bx) * 8
+                    planes[ci][py : py + 8, px : px + 8] = pixels
+    # upsample subsampled components to full resolution by pixel
+    # replication (2x2 nearest — deterministic, the documented contract;
+    # production libjpeg does fancy upsampling at this exact seam)
+    for ci in range(nc):
+        _cid, hf, vf, _tq = comps[ci]
+        fy, fx = maxv // vf, maxh // hf
+        if fy > 1:
+            planes[ci] = np.repeat(planes[ci], fy, axis=0)
+        if fx > 1:
+            planes[ci] = np.repeat(planes[ci], fx, axis=1)
     if nc == 1:
         yp = np.clip(np.round(planes[0][:h, :w]), 0, 255).astype(np.uint8)
         return np.repeat(yp[:, :, None], 3, axis=2)

@@ -790,6 +790,19 @@ _register(
 )
 _register(
     QuerySpec(
+        name="media_decode_subsampled",
+        fn=llmdata.q_media_decode_subsampled,
+        oracle=llmdata.Q_MEDIA_DECODE_SUBSAMPLED_SQL,
+        description="Chroma-subsampled JPEG decode audit (round-9): 4:2:0 "
+        "and 4:2:2 payloads — the dominant real-corpus profile — decoded "
+        "on the baseline DCT/Huffman path (2x2-mean downsample encode, "
+        "replication upsample decode); FULL oracle via two 256-class "
+        "pixel-digest precomputes",
+        ops=("EXT-multimodal",),
+    )
+)
+_register(
+    QuerySpec(
         name="image_dhash",
         fn=llmdata.q_image_dhash,
         oracle=llmdata.Q_IMAGE_DHASH_SQL,
