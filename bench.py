@@ -126,6 +126,49 @@ EXTRA_BENCH = {
 
 #: where --ab persists its medians block; plain runs embed it if present
 AB_LATEST = "bench_ab_latest.json"
+#: where --profile production persists its block; plain runs embed it
+PROD_LATEST = "bench_production_latest.json"
+
+
+def _git_head() -> str | None:
+    """Current HEAD commit, for stamping persisted evidence blocks — a
+    block recorded at one commit must not silently read as fresh evidence
+    for a later one (advisor round-8 finding)."""
+    import subprocess
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    try:
+        out = subprocess.run(
+            ["git", "-C", repo, "rev-parse", "HEAD"],
+            capture_output=True,
+            text=True,
+            timeout=10,
+        )
+        return out.stdout.strip() or None
+    except Exception:
+        return None
+
+
+def _load_evidence_block(path: str, current_head: str | None) -> dict | None:
+    """Load a persisted evidence block (A/B medians, production profile),
+    marking it STALE when it was recorded at a different commit than the
+    one this bench run measures."""
+    if not os.path.exists(path):
+        return None
+    try:
+        with open(path) as f:
+            block = json.load(f)
+    except (json.JSONDecodeError, OSError):
+        return None
+    recorded = block.get("head_commit")
+    if recorded is None or current_head is None or recorded != current_head:
+        block["stale"] = True
+        block["stale_reason"] = (
+            f"recorded at commit {recorded or 'unknown'}, this bench run is "
+            f"at {current_head or 'unknown'} — re-run to refresh; do not "
+            "read as same-session evidence for this code"
+        )
+    return block
 
 
 def main() -> None:
@@ -233,14 +276,12 @@ def main() -> None:
     # across code versions (cross-round raw deltas are host weather —
     # DESIGN.md "Benchmarking discipline"), so the per-round record carries
     # them alongside the raw timings.
-    ab_block = None
-    ab_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), AB_LATEST)
-    if os.path.exists(ab_path):
-        try:
-            with open(ab_path) as f:
-                ab_block = json.load(f)
-        except (json.JSONDecodeError, OSError):
-            ab_block = None
+    head_commit = _git_head()
+    here = os.path.dirname(os.path.abspath(__file__))
+    ab_block = _load_evidence_block(os.path.join(here, AB_LATEST), head_commit)
+    prod_block = _load_evidence_block(
+        os.path.join(here, PROD_LATEST), head_commit
+    )
     print(
         json.dumps(
             {
@@ -263,6 +304,7 @@ def main() -> None:
                     round(r02_subtotal * drift, 4) if drift else None
                 ),
                 **({"ab": ab_block} if ab_block else {}),
+                **({"production_profile": prod_block} if prod_block else {}),
             }
         )
     )
@@ -334,6 +376,7 @@ def main_ab(ref: str, runs: int) -> None:
             "unit": "sec",
             "ab": {
                 "ref": ref,
+                "head_commit": _git_head(),
                 "runs_per_side": runs,
                 "sf": results["head"][0].get("sf"),
                 "order": "interleaved head/ref, sequential solo "
@@ -367,8 +410,79 @@ def main_ab(ref: str, runs: int) -> None:
         )
 
 
+def main_production() -> None:
+    """Time the five documented production dials against their
+    oracle-default twins in ONE session (round-8 judge ask #6 follow-up:
+    the dials were timed at sf1 by hand — this is the repeatable
+    instrument).  Production vs default here IS a same-session comparison
+    by construction, so the per-dial speedup column is regression
+    evidence the way --ab medians are; the block persists (HEAD-stamped)
+    and plain bench runs embed it, marked stale if the commit moved."""
+    from procurement_system_bigdata_spark.queries.registry import (
+        PRODUCTION_DIALS,
+    )
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="bench-production")
+    spark.sparkContext.setLogLevel("ERROR")
+    BEST_OF = 3
+
+    def timed(fn):
+        best = float("inf")
+        for _ in range(BEST_OF):
+            spark._jvm.System.gc()
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 4)
+
+    # warm-up (JVM + file-listing caches)
+    next(iter(PRODUCTION_DIALS.values())).fn(spark, sf_dir).write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+    rows: dict[str, dict] = {}
+    for name, dial in PRODUCTION_DIALS.items():
+        prod_sec = timed(dial.fn)
+        default_sec = timed(REGISTRY[name].fn)
+        rows[name] = {
+            "dials": dial.dials,
+            "production_sec": prod_sec,
+            "oracle_default_sec": default_sec,
+            "speedup_vs_default": (
+                round(default_sec / prod_sec, 3) if prod_sec else None
+            ),
+        }
+    block = {
+        "metric": "production_profile",
+        "unit": "sec",
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "head_commit": _git_head(),
+        "best_of": BEST_OF,
+        "rows": rows,
+        "total_production": round(
+            sum(r["production_sec"] for r in rows.values()), 4
+        ),
+        "total_oracle_default": round(
+            sum(r["oracle_default_sec"] for r in rows.values()), 4
+        ),
+    }
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), PROD_LATEST),
+        "w",
+    ) as f:
+        json.dump(block, f, indent=1)
+    print(json.dumps(block))
+
+
 if __name__ == "__main__":
-    if "--ab" in sys.argv:
+    if "--profile" in sys.argv:
+        profile = sys.argv[sys.argv.index("--profile") + 1]
+        if profile != "production":
+            raise SystemExit(f"unknown profile {profile!r}")
+        main_production()
+    elif "--ab" in sys.argv:
         ref_arg = sys.argv[sys.argv.index("--ab") + 1]
         n_runs = (
             int(sys.argv[sys.argv.index("--runs") + 1])

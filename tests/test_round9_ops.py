@@ -282,3 +282,34 @@ def test_audio_dedup_clusters_oracle_green(spark, duck):
         duck,
         llmdata.Q_AUDIO_DEDUP_CLUSTERS_SQL,
     )
+
+
+# --- bench evidence-block staleness (advisor round-8 finding) ------------------
+
+
+def test_bench_evidence_block_staleness(tmp_path):
+    """A persisted A/B or production-profile block must be marked STALE
+    when it was recorded at a different commit than the current bench
+    run — otherwise a later round's BENCH record silently carries old
+    numbers that read as fresh regression evidence."""
+    import json as _json
+
+    import bench
+
+    cur = "a" * 40
+    fresh = tmp_path / "fresh.json"
+    fresh.write_text(_json.dumps({"head_commit": cur, "x": 1}))
+    blk = bench._load_evidence_block(str(fresh), cur)
+    assert "stale" not in blk
+
+    old = tmp_path / "old.json"
+    old.write_text(_json.dumps({"head_commit": "b" * 40, "x": 1}))
+    blk = bench._load_evidence_block(str(old), cur)
+    assert blk["stale"] is True and "b" * 40 in blk["stale_reason"]
+
+    unstamped = tmp_path / "unstamped.json"
+    unstamped.write_text(_json.dumps({"x": 1}))  # pre-round-9 block
+    blk = bench._load_evidence_block(str(unstamped), cur)
+    assert blk["stale"] is True
+
+    assert bench._load_evidence_block(str(tmp_path / "missing.json"), cur) is None
