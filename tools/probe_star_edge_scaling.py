@@ -1,0 +1,89 @@
+"""Star-edge cluster scaling probe (round-9 judge asks #1 and #4).
+
+Measures the perceptual/audio dedup CLUSTER pipelines under the round-9
+star-edge shape at 1x/10x/100x (sf0.01 / sf0.1 / sf1):
+
+- edge volume: star+bridge edges vs the round-8 clique pair feed, and
+  edges-per-item — the linearity claim, measured (clique edges grow with
+  duplicate-class size squared; star edges stay ~1 per item);
+- wall clock of the FULL cluster pipeline (decode -> signatures -> edges
+  -> DataFrame-Pregel components) at each SF;
+- a planted 1,000-duplicate class (ids = k*256, all one dHash class):
+  edges must be exactly n-1 where the clique listing is C(n,2) —
+  the shape that breaks a 100-TB duplicate-heavy corpus.
+
+Run solo:  python tools/probe_star_edge_scaling.py
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from procurement_system_bigdata_spark.catalog import load_table
+from procurement_system_bigdata_spark.operators import clustering
+from procurement_system_bigdata_spark.operators import multimodal as mm
+
+spark = (
+    SparkSession.builder.master("local[32]")
+    .config("spark.sql.shuffle.partitions", "32")
+    .config("spark.driver.memory", "48g")
+    .config("spark.sql.files.maxPartitionBytes", "2m")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+
+SFS = (
+    ("sf0.01 (500 docs)", "/root/testdata/sf0.01"),
+    ("sf0.1 (5k docs)", "/root/testdata/sf0.1"),
+    ("sf1 (50k docs)", "/root/repo/testdata_sf1"),
+)
+
+
+def cluster_pipeline(media, edges_fn):
+    edges = edges_fn(media)
+    ids = media.select(F.col("media_id").alias("doc_id"))
+    return clustering.dedup_clusters(ids, edges)
+
+
+for family, attach, star_fn, clique_fn in (
+    ("image", mm.attach_pattern_images, mm.image_dedup_edges,
+     lambda m: mm.image_neardup_pairs(m).select(
+         F.col("media_a").alias("doc_a"), F.col("media_b").alias("doc_b"))),
+    ("audio", mm.attach_fp_tones, mm.audio_dedup_edges,
+     lambda m: mm.audio_neardup_pairs(m).select(
+         F.col("media_a").alias("doc_a"), F.col("media_b").alias("doc_b"))),
+):
+    for label, sf_dir in SFS:
+        docs = load_table(spark, sf_dir, "documents")
+        n = docs.count()
+        media = attach(docs.selectExpr("doc_id"))
+        star_edges = star_fn(media).count()
+        clique_edges = clique_fn(media).count()
+        t0 = time.perf_counter()
+        cluster_pipeline(attach(docs.selectExpr("doc_id")), star_fn).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        wall = time.perf_counter() - t0
+        print(
+            f"{family}_clusters {label:18s} wall={wall:7.2f}s  items={n}  "
+            f"star_edges={star_edges} ({star_edges / n:.3f}/item)  "
+            f"clique_edges={clique_edges} ({clique_edges / n:.1f}/item)"
+        )
+
+# planted 1k-duplicate class: the quadratic-vs-linear witness
+n = 1000
+docs = spark.range(n).select((F.col("id") * 256).alias("doc_id"))
+media = mm.attach_pattern_images(docs)
+star = mm.image_dedup_edges(media).count()
+clique = mm.image_neardup_pairs(media).count()
+print(
+    f"planted 1k-duplicate class: star_edges={star} (expect {n - 1})  "
+    f"clique_pairs={clique} (expect {n * (n - 1) // 2})"
+)
+assert star == n - 1 and clique == n * (n - 1) // 2
