@@ -1855,47 +1855,48 @@ _DRIVER_SNAPSHOT = [
     "row_counts",
     "pricing_summary",
     "adhoc_sql",
-    # --- round-8 rotation: STALEST-FIRST steady-state policy (round-7
-    # judge ask #7).  The never-covered set has been empty since r07, so
-    # each round's 26 rotation slots go to (a) any newly-registered
-    # oracle-bearing query first (this round: media_decode), then (b) the
-    # queries whose most recent external hash-matched row is OLDEST —
-    # computed by unioning CORRECTNESS_r01..r{N-1}.json and taking
-    # max(round) per query, ties broken by registry order.  The 11-entry
-    # core above and the 13 bench/scale-critical pins below never rotate.
-    # This round's stalest: big_orders (last external row r02) and the
-    # r04 cohort.
+    # --- round-9 rotation, STALEST-FIRST steady-state policy (documented
+    # round 8).  The 26 rotation slots go to (a) newly-registered
+    # oracle-bearing queries (this round: media_decode_subsampled,
+    # audio_dedup_clusters), then (b) — policy clarification this round —
+    # queries whose IMPLEMENTATION changed since their last external row
+    # (media_decode: the shared JPEG decode path gained subsampling
+    # support and its oracle pins 4:4:4 digests; image_dedup_clusters:
+    # now rides the star-edge generator), then (c) the stalest by
+    # last-external-hash-matched round over the CORRECTNESS_r01..r08
+    # union — the r04 cohort (embedding_quantize .. doc_fingerprints,
+    # last row r04) and the oldest of the r05 cohort, ties broken by
+    # registry order.  The 11-entry core above and the 13 bench/scale
+    # pins below never rotate.  Rotated out (all externally covered in
+    # r08): image_dhash, image_neardup, audio_fingerprint, audio_neardup,
+    # big_orders .. embedding_neardup.
     # ---------------------------------------------------------------------
+    "media_decode_subsampled",
+    "audio_dedup_clusters",
     "media_decode",
-    "image_dhash",
-    "image_neardup",
     "image_dedup_clusters",
-    "audio_fingerprint",
-    "audio_neardup",
-    "big_orders",
-    "top_parts_by_revenue",
-    "distinct_counts",
-    "rollup_revenue",
-    "customers_without_orders",
-    "suppliers_with_returns",
-    "order_priority_counts",
-    "cube_revenue",
-    "customer_segments",
-    "price_band_join",
-    "value_quantiles",
-    "unpivot_order_measures",
-    "approx_distinct_users",
-    "approx_quantiles",
-    "window_frames",
-    "gap_fill_hourly",
-    "pivot_event_values",
-    "dedup_ngram_jaccard",
-    "simhash_fingerprints",
-    "embedding_neardup",
-    # (embedding_quantize, lang_id, text_quality, token_counts, tf_idf
-    # displaced this round by the five new image/audio-dedup queries —
-    # policy: new oracle-bearing queries outrank equally-stale rotation
-    # candidates; all five return next round as the stalest survivors)
+    "embedding_quantize",
+    "lang_id",
+    "text_quality",
+    "token_counts",
+    "tf_idf",
+    "doc_fingerprints",
+    "embedding_ann_lsh",
+    "embedding_ivf_topk",
+    "embedding_quantized_topk",
+    "exact_substring_pairs",
+    "source_mixture",
+    "unigram_logprob",
+    "embedding_dim_stats",
+    "value_histogram_by",
+    "cms_heavy_hitters",
+    "shipping_priority",
+    "stratified_sample",
+    "profile_orders",
+    "multi_grain_rollup",
+    "fk_integrity",
+    "repetition_signals",
+    "pii_scrub",
     # --- filler slots (13): permanent pins on the bench headliners and
     # the scale-critical dedup/curation paths, so the external gate keeps
     # exercising the code most likely to regress.
