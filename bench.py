@@ -131,9 +131,8 @@ PROD_LATEST = "bench_production_latest.json"
 
 
 def _git_head() -> str | None:
-    """Current HEAD commit, for stamping persisted evidence blocks — a
-    block recorded at one commit must not silently read as fresh evidence
-    for a later one (advisor round-8 finding)."""
+    """Current HEAD commit (recorded for provenance alongside the code
+    fingerprint)."""
     import subprocess
 
     repo = os.path.dirname(os.path.abspath(__file__))
@@ -149,10 +148,43 @@ def _git_head() -> str | None:
         return None
 
 
-def _load_evidence_block(path: str, current_head: str | None) -> dict | None:
+def _code_fingerprint() -> str | None:
+    """Fingerprint of the MEASURED code (engine tree + this harness), for
+    stamping persisted evidence blocks — a block recorded against one
+    version of the code must not silently read as fresh evidence for
+    another (advisor round-8 finding).  Deliberately NOT the repo HEAD:
+    committing the evidence file itself, or docs/tests, must not stale a
+    block whose measured surface is unchanged."""
+    import subprocess
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    try:
+        hashes = []
+        for ref in (
+            "HEAD:procurement_system_bigdata_spark",
+            "HEAD:bench.py",
+            "HEAD:__spark_entry__.py",
+        ):
+            out = subprocess.run(
+                ["git", "-C", repo, "rev-parse", ref],
+                capture_output=True,
+                text=True,
+                timeout=10,
+            )
+            if out.returncode != 0:
+                return None
+            hashes.append(out.stdout.strip())
+        import hashlib
+
+        return hashlib.sha1("\n".join(hashes).encode()).hexdigest()
+    except Exception:
+        return None
+
+
+def _load_evidence_block(path: str, current_fp: str | None) -> dict | None:
     """Load a persisted evidence block (A/B medians, production profile),
-    marking it STALE when it was recorded at a different commit than the
-    one this bench run measures."""
+    marking it STALE when it was recorded against a different version of
+    the measured code than this bench run's."""
     if not os.path.exists(path):
         return None
     try:
@@ -160,13 +192,13 @@ def _load_evidence_block(path: str, current_head: str | None) -> dict | None:
             block = json.load(f)
     except (json.JSONDecodeError, OSError):
         return None
-    recorded = block.get("head_commit")
-    if recorded is None or current_head is None or recorded != current_head:
+    recorded = block.get("code_fingerprint")
+    if recorded is None or current_fp is None or recorded != current_fp:
         block["stale"] = True
         block["stale_reason"] = (
-            f"recorded at commit {recorded or 'unknown'}, this bench run is "
-            f"at {current_head or 'unknown'} — re-run to refresh; do not "
-            "read as same-session evidence for this code"
+            f"recorded against code fingerprint {recorded or 'unknown'}, "
+            f"this bench run measures {current_fp or 'unknown'} — re-run "
+            "to refresh; do not read as same-session evidence for this code"
         )
     return block
 
@@ -276,11 +308,11 @@ def main() -> None:
     # across code versions (cross-round raw deltas are host weather —
     # DESIGN.md "Benchmarking discipline"), so the per-round record carries
     # them alongside the raw timings.
-    head_commit = _git_head()
+    code_fp = _code_fingerprint()
     here = os.path.dirname(os.path.abspath(__file__))
-    ab_block = _load_evidence_block(os.path.join(here, AB_LATEST), head_commit)
+    ab_block = _load_evidence_block(os.path.join(here, AB_LATEST), code_fp)
     prod_block = _load_evidence_block(
-        os.path.join(here, PROD_LATEST), head_commit
+        os.path.join(here, PROD_LATEST), code_fp
     )
     print(
         json.dumps(
@@ -377,6 +409,7 @@ def main_ab(ref: str, runs: int) -> None:
             "ab": {
                 "ref": ref,
                 "head_commit": _git_head(),
+                "code_fingerprint": _code_fingerprint(),
                 "runs_per_side": runs,
                 "sf": results["head"][0].get("sf"),
                 "order": "interleaved head/ref, sequential solo "
@@ -459,6 +492,7 @@ def main_production() -> None:
         "unit": "sec",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "head_commit": _git_head(),
+        "code_fingerprint": _code_fingerprint(),
         "best_of": BEST_OF,
         "rows": rows,
         "total_production": round(

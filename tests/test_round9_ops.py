@@ -298,12 +298,12 @@ def test_bench_evidence_block_staleness(tmp_path):
 
     cur = "a" * 40
     fresh = tmp_path / "fresh.json"
-    fresh.write_text(_json.dumps({"head_commit": cur, "x": 1}))
+    fresh.write_text(_json.dumps({"code_fingerprint": cur, "x": 1}))
     blk = bench._load_evidence_block(str(fresh), cur)
     assert "stale" not in blk
 
     old = tmp_path / "old.json"
-    old.write_text(_json.dumps({"head_commit": "b" * 40, "x": 1}))
+    old.write_text(_json.dumps({"code_fingerprint": "b" * 40, "x": 1}))
     blk = bench._load_evidence_block(str(old), cur)
     assert blk["stale"] is True and "b" * 40 in blk["stale_reason"]
 
@@ -313,6 +313,11 @@ def test_bench_evidence_block_staleness(tmp_path):
     assert blk["stale"] is True
 
     assert bench._load_evidence_block(str(tmp_path / "missing.json"), cur) is None
+
+    # the fingerprint tracks the MEASURED surface (engine tree + harness),
+    # not repo HEAD — committing docs/evidence must not stale a block
+    fp = bench._code_fingerprint()
+    assert fp is None or len(fp) == 40
 
 
 # --- banding recall second dial (round-9 judge ask #7) -------------------------
