@@ -3,14 +3,15 @@
 PIL / ffmpeg are not in this container, but that gates far less than it
 used to: P6 PPM and 24-bit BMP images parse with struct + numpy, PCM WAV
 parses with the stdlib ``wave`` module, and — since round 8 — PNG
-(stdlib zlib inflate + the five scanline filters) and baseline JPEG
-(numpy DCT + canonical Huffman over the public ITU T.81 Annex K tables)
-decode FOR REAL too, with matching deterministic encoders.  The
+(stdlib zlib inflate + the five scanline filters; Adam7 interlace since
+round 9) and baseline JPEG (numpy DCT + canonical Huffman over the
+public ITU T.81 Annex K tables; 4:2:0/4:2:2 chroma subsampling since
+round 9) decode FOR REAL too, with matching deterministic encoders.  The
 multimodal stages decode, resize (nearest-neighbor), and feature-extract
 actual pixels/samples for all of these; what remains gated behind
-``UnsupportedMediaError`` is the truly external tail (progressive /
-subsampled JPEG variants, MP4/H.264 video), with the production swap
-point documented (PIL.Image.open / ffmpeg).
+``UnsupportedMediaError`` is the truly external tail (progressive JPEG,
+MP4/H.264 video), with the production swap point documented
+(PIL.Image.open / ffmpeg).
 
 Everything here is deterministic pure-Python/numpy: safe inside Arrow
 mapInPandas workers, no native libs, no RNG.
@@ -212,13 +213,24 @@ def _png_chunk(tag: bytes, data: bytes) -> bytes:
     )
 
 
-def encode_png(arr: np.ndarray) -> bytes:
+def encode_png(arr: np.ndarray, interlaced: bool = False) -> bytes:
     """(h, w, 3) uint8 RGB -> PNG bytes (color type 2, filter 0 rows,
-    zlib level 6).  Deterministic: same pixels -> same bytes."""
+    zlib level 6; ``interlaced=True`` emits Adam7 pass order).
+    Deterministic: same pixels -> same bytes."""
     arr = np.ascontiguousarray(arr, dtype=np.uint8)
     h, w = arr.shape[:2]
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
-    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1 if interlaced else 0)
+    if not interlaced:
+        raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    else:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = arr[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            sub = np.ascontiguousarray(sub)
+            parts += [b"\x00" + sub[y].tobytes() for y in range(sub.shape[0])]
+        raw = b"".join(parts)
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
@@ -227,50 +239,23 @@ def encode_png(arr: np.ndarray) -> bytes:
     )
 
 
-@_corrupt_guard
-def decode_png(content: bytes) -> np.ndarray:
-    """PNG -> (h, w, 3) uint8 RGB.  8-bit gray/RGB/RGBA, filters 0-4,
-    chunk CRCs verified; interlaced or exotic-depth PNGs raise."""
-    buf = bytes(content)
-    if buf[:8] != _PNG_SIG:
-        raise UnsupportedMediaError("not a PNG payload")
-    pos, ihdr, idat = 8, None, []
-    while pos + 8 <= len(buf):
-        (length,) = struct.unpack_from(">I", buf, pos)
-        tag = buf[pos + 4 : pos + 8]
-        data = buf[pos + 8 : pos + 8 + length]
-        if len(data) != length or pos + 12 + length > len(buf):
-            raise UnsupportedMediaError("truncated PNG chunk")
-        (crc,) = struct.unpack_from(">I", buf, pos + 8 + length)
-        if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
-            raise UnsupportedMediaError("PNG chunk CRC mismatch")
-        pos += 12 + length
-        if tag == b"IHDR":
-            ihdr = data
-        elif tag == b"IDAT":
-            idat.append(data)
-        elif tag == b"IEND":
-            break
-    if ihdr is None or not idat:
-        raise UnsupportedMediaError("PNG missing IHDR/IDAT")
-    w, h, depth, ctype, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
-    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
-        raise UnsupportedMediaError(
-            f"unsupported PNG profile (depth={depth}, interlace={interlace})"
-        )
-    n_ch = {0: 1, 2: 3, 6: 4}.get(ctype)
-    if n_ch is None:
-        raise UnsupportedMediaError(f"unsupported PNG color type {ctype}")
-    if w * h > MAX_PIXELS or w == 0 or h == 0:
-        raise UnsupportedMediaError(f"PNG dimensions out of bounds ({w}x{h})")
-    stride = w * n_ch
-    expected = h * (stride + 1)
-    # bounded inflate: never materialize more than the declared pixel
-    # buffer, whatever the (untrusted) zlib stream tries to expand to
-    dec = zlib.decompressobj()
-    raw = dec.decompress(b"".join(idat), expected)
-    if len(raw) != expected or dec.decompress(dec.unconsumed_tail, 1):
-        raise UnsupportedMediaError("PNG pixel data length mismatch")
+#: Adam7 interlace grid (public PNG spec 8.2): per pass
+#: (x_start, y_start, x_step, y_step)
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _png_unfilter(raw: bytes, h: int, stride: int, n_ch: int) -> np.ndarray:
+    """Reverse the five PNG scanline filters over ``h`` rows of
+    ``stride`` bytes each (input rows are 1 filter byte + stride bytes).
+    Returns (h, stride) uint8."""
     out = np.empty((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int32)
     for y in range(h):
@@ -302,12 +287,90 @@ def decode_png(content: bytes) -> np.ndarray:
             raise UnsupportedMediaError(f"unknown PNG filter {ftype}")
         out[y] = rec.astype(np.uint8)
         prev = rec
-    px = out.reshape(h, w, n_ch)
+    return out
+
+
+def _adam7_pass_dims(w: int, h: int) -> list[tuple[int, int]]:
+    """(pass width, pass height) per Adam7 pass; empty passes are (0, _)."""
+    return [
+        (
+            (w - x0 + dx - 1) // dx if w > x0 else 0,
+            (h - y0 + dy - 1) // dy if h > y0 else 0,
+        )
+        for (x0, y0, dx, dy) in _ADAM7
+    ]
+
+
+@_corrupt_guard
+def decode_png(content: bytes) -> np.ndarray:
+    """PNG -> (h, w, 3) uint8 RGB.  8-bit gray/RGB/RGBA, filters 0-4,
+    chunk CRCs verified, both interlace methods (none and Adam7 — each
+    interlace pass is an independently filtered sub-image scattered onto
+    the output grid); exotic-depth PNGs raise."""
+    buf = bytes(content)
+    if buf[:8] != _PNG_SIG:
+        raise UnsupportedMediaError("not a PNG payload")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(buf):
+        (length,) = struct.unpack_from(">I", buf, pos)
+        tag = buf[pos + 4 : pos + 8]
+        data = buf[pos + 8 : pos + 8 + length]
+        if len(data) != length or pos + 12 + length > len(buf):
+            raise UnsupportedMediaError("truncated PNG chunk")
+        (crc,) = struct.unpack_from(">I", buf, pos + 8 + length)
+        if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
+            raise UnsupportedMediaError("PNG chunk CRC mismatch")
+        pos += 12 + length
+        if tag == b"IHDR":
+            ihdr = data
+        elif tag == b"IDAT":
+            idat.append(data)
+        elif tag == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise UnsupportedMediaError("PNG missing IHDR/IDAT")
+    w, h, depth, ctype, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
+    if depth != 8 or comp != 0 or filt != 0 or interlace not in (0, 1):
+        raise UnsupportedMediaError(
+            f"unsupported PNG profile (depth={depth}, interlace={interlace})"
+        )
+    n_ch = {0: 1, 2: 3, 6: 4}.get(ctype)
+    if n_ch is None:
+        raise UnsupportedMediaError(f"unsupported PNG color type {ctype}")
+    if w * h > MAX_PIXELS or w == 0 or h == 0:
+        raise UnsupportedMediaError(f"PNG dimensions out of bounds ({w}x{h})")
+    if interlace == 0:
+        stride = w * n_ch
+        expected = h * (stride + 1)
+    else:
+        expected = sum(
+            ph * (pw * n_ch + 1) for (pw, ph) in _adam7_pass_dims(w, h) if pw
+        )
+    # bounded inflate: never materialize more than the declared pixel
+    # buffer, whatever the (untrusted) zlib stream tries to expand to
+    dec = zlib.decompressobj()
+    raw = dec.decompress(b"".join(idat), expected)
+    if len(raw) != expected or dec.decompress(dec.unconsumed_tail, 1):
+        raise UnsupportedMediaError("PNG pixel data length mismatch")
+    if interlace == 0:
+        px = _png_unfilter(raw, h, w * n_ch, n_ch).reshape(h, w, n_ch)
+    else:
+        px = np.empty((h, w, n_ch), dtype=np.uint8)
+        off = 0
+        for (x0, y0, dx, dy), (pw, ph) in zip(_ADAM7, _adam7_pass_dims(w, h)):
+            if pw == 0 or ph == 0:
+                continue
+            stride = pw * n_ch
+            sub = _png_unfilter(
+                raw[off : off + ph * (stride + 1)], ph, stride, n_ch
+            ).reshape(ph, pw, n_ch)
+            off += ph * (stride + 1)
+            px[y0::dy, x0::dx] = sub
     if n_ch == 1:
         return np.repeat(px, 3, axis=2).copy()
     if n_ch == 4:
         return px[:, :, :3].copy()
-    return px.copy()
+    return np.ascontiguousarray(px)
 
 
 # ---------------------------------------------------------------------------

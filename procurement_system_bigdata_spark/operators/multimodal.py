@@ -3,11 +3,12 @@
 Images / audio / video ride through the engine as ``binary`` columns with a
 typed metadata struct; decode / resize / frame-sample are Arrow-batched
 ``mapInPandas`` stages.  P6 PPM, 24-bit BMP, PCM WAV, PNG (stdlib zlib +
-all five scanline filters) and baseline JPEG (numpy DCT + Huffman; 4:4:4,
-grayscale and — round 9 — 4:2:0/4:2:2 chroma-subsampled) all decode FOR
-REAL via the dependency-free codecs in ``operators/codecs.py``; what still
-raises ``UnsupportedMediaError`` at the documented PIL/ffmpeg swap seam is
-the truly external tail — progressive JPEG, interlaced PNG, MP4/H.264.
+all five scanline filters, both interlace methods — Adam7 since round 9)
+and baseline JPEG (numpy DCT + Huffman; 4:4:4, grayscale and — round 9 —
+4:2:0/4:2:2 chroma-subsampled) all decode FOR REAL via the
+dependency-free codecs in ``operators/codecs.py``; what still raises
+``UnsupportedMediaError`` at the documented PIL/ffmpeg swap seam is the
+truly external tail — progressive JPEG, MP4/H.264.
 
 Scale: mapInPandas streams Arrow record batches through one Python worker
 per core — the transfer is columnar and zero-copy on the JVM side; payloads
@@ -573,6 +574,63 @@ def media_decode_subsampled_sql() -> str:
       ON (CAST(doc_id AS BIGINT) * 37) % 256 = s420.cls
     JOIN (VALUES {v422}) AS s422(cls, digest)
       ON (CAST(doc_id AS BIGINT) * 37) % 256 = s422.cls
+    """
+
+
+def attach_interlaced_images(docs: DataFrame) -> DataFrame:
+    """Adam7-interlaced PNG corpus (round-9 second wave): the other
+    formerly-gated PNG profile, now decoded for real (each interlace pass
+    is an independently filtered sub-image scattered onto the output
+    grid — codecs._ADAM7).  Lossless, so decoded pixels must equal the
+    synthesis gradient bit-for-bit at any SF."""
+    ids = docs.select(F.col("doc_id").cast("long").alias("media_id")).repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, F.col("media_id")
+    )
+    w, h = DECODE_WIDTH, DECODE_HEIGHT
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            contents = []
+            for mid in pdf["media_id"]:
+                arr = codecs.decode_ppm(codecs.synthesize_image(int(mid), w, h))
+                contents.append(codecs.encode_png(arr, interlaced=True))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "content": contents,
+                    "media_type": "image/png",
+                    "n_bytes": [len(c) for c in contents],
+                }
+            )
+
+    return ids.mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
+def media_decode_interlaced_sql() -> str:
+    """FULL DuckDB oracle for q_media_decode_interlaced: the corpus is
+    lossless, so the decoded-pixel digest per class IS the gradient digest
+    (still precomputed through the real synth->decode path), and err_ok
+    pins exact-zero reconstruction."""
+    import hashlib as _hl
+
+    inv37 = pow(37, -1, 256)
+    rows = []
+    for b in range(256):
+        mid = (b * inv37) % 256
+        arr = _gradient_rgb(mid)
+        dec = codecs.decode_png(codecs.encode_png(arr, interlaced=True))
+        rows.append(f"({b}, '{_hl.md5(dec.tobytes()).hexdigest()}')")
+    values = ", ".join(rows)
+    return f"""
+    SELECT CAST(doc_id AS BIGINT) AS media_id,
+           'image/png' AS media_type,
+           {DECODE_WIDTH} AS width,
+           {DECODE_HEIGHT} AS height,
+           v.digest AS pixel_md5,
+           TRUE AS err_ok
+    FROM documents
+    JOIN (VALUES {values}) AS v(cls, digest)
+      ON (CAST(doc_id AS BIGINT) * 37) % 256 = v.cls
     """
 
 

@@ -971,6 +971,24 @@ def _media_decode_subsampled_sql():
     return multimodal.media_decode_subsampled_sql()
 
 
+def q_media_decode_interlaced(spark, sf_dir):
+    """Adam7-interlaced PNG decode audit (round-9 second wave): the other
+    formerly-gated PNG profile.  Lossless, so the oracle pins exact
+    gradient digests per class and err_ok requires exact-zero
+    reconstruction — any defect in the pass grid, per-pass unfiltering,
+    or the scatter flips the driver hash."""
+    from ..operators import multimodal
+
+    media = multimodal.attach_interlaced_images(_docs(spark, sf_dir))
+    return multimodal.decode_images_audit(media).orderBy("media_id")
+
+
+def _media_decode_interlaced_sql():
+    from ..operators import multimodal
+
+    return multimodal.media_decode_interlaced_sql()
+
+
 def q_image_dhash(spark, sf_dir):
     """Perceptual 64-bit difference hash over really-decoded PPM/PNG
     payloads (round-8): the per-image artifact the image-dedup join
@@ -1219,6 +1237,7 @@ Q_AUDIO_FINGERPRINT_SQL = _audio_fingerprint_sql()
 Q_AUDIO_NEARDUP_SQL = _audio_neardup_sql()
 Q_AUDIO_DEDUP_CLUSTERS_SQL = _audio_dedup_clusters_sql()
 Q_MEDIA_DECODE_SUBSAMPLED_SQL = _media_decode_subsampled_sql()
+Q_MEDIA_DECODE_INTERLACED_SQL = _media_decode_interlaced_sql()
 
 
 def q_repetition_signals(spark, sf_dir):

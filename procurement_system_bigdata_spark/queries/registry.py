@@ -803,6 +803,18 @@ _register(
 )
 _register(
     QuerySpec(
+        name="media_decode_interlaced",
+        fn=llmdata.q_media_decode_interlaced,
+        oracle=llmdata.Q_MEDIA_DECODE_INTERLACED_SQL,
+        description="Adam7-interlaced PNG decode audit (round-9): per-pass "
+        "unfilter + scatter onto the output grid, lossless — FULL oracle "
+        "pins exact gradient digests per class, err_ok requires "
+        "exact-zero reconstruction",
+        ops=("EXT-multimodal",),
+    )
+)
+_register(
+    QuerySpec(
         name="image_dhash",
         fn=llmdata.q_image_dhash,
         oracle=llmdata.Q_IMAGE_DHASH_SQL,
@@ -1858,7 +1870,8 @@ _DRIVER_SNAPSHOT = [
     # --- round-9 rotation, STALEST-FIRST steady-state policy (documented
     # round 8).  The 26 rotation slots go to (a) newly-registered
     # oracle-bearing queries (this round: media_decode_subsampled,
-    # audio_dedup_clusters), then (b) — policy clarification this round —
+    # media_decode_interlaced, audio_dedup_clusters), then (b) — policy
+    # clarification this round —
     # queries whose IMPLEMENTATION changed since their last external row
     # (media_decode: the shared JPEG decode path gained subsampling
     # support and its oracle pins 4:4:4 digests; image_dedup_clusters:
@@ -1872,6 +1885,7 @@ _DRIVER_SNAPSHOT = [
     # big_orders .. embedding_neardup.
     # ---------------------------------------------------------------------
     "media_decode_subsampled",
+    "media_decode_interlaced",
     "audio_dedup_clusters",
     "media_decode",
     "image_dedup_clusters",
@@ -1896,7 +1910,6 @@ _DRIVER_SNAPSHOT = [
     "multi_grain_rollup",
     "fk_integrity",
     "repetition_signals",
-    "pii_scrub",
     # --- filler slots (13): permanent pins on the bench headliners and
     # the scale-critical dedup/curation paths, so the external gate keeps
     # exercising the code most likely to regress.

@@ -535,7 +535,11 @@ def test_media_decode_plan_is_joinless_arrow(spark):
     pipelines over executor-born payloads: no join of any kind, no
     row-at-a-time Python, and exactly the one repartition exchange that
     spreads the CPU-dense codec work."""
-    for name in ("media_decode", "media_decode_subsampled"):
+    for name in (
+        "media_decode",
+        "media_decode_subsampled",
+        "media_decode_interlaced",
+    ):
         stats = plan_stats(REGISTRY[name].fn(spark, SF_DIR))
         plan = stats["plan"]
         for node in (

@@ -351,3 +351,73 @@ def test_banding_recall_probe_dials():
     assert syn["recall_by_hamming"][3]["measured"] == 1.0
     audio = probe.audio_dial()  # asserts the two-grid guarantee
     assert audio["recall_by_max_dev"][1]["recall"] == 1.0
+
+
+# --- Adam7 interlaced PNG (round-9 second wave) --------------------------------
+
+
+def test_png_adam7_roundtrip_exact():
+    rng = np.random.default_rng(31)
+    for shape in [(24, 32, 3), (7, 5, 3), (1, 1, 3), (2, 2, 3), (9, 17, 3),
+                  (16, 1, 3), (1, 16, 3), (8, 8, 3)]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        enc = codecs.encode_png(img, interlaced=True)
+        assert enc == codecs.encode_png(img, interlaced=True)
+        assert np.array_equal(codecs.decode_png(enc), img)
+
+
+def test_png_adam7_pass_layout_hand_checked():
+    """2x2 image: Adam7 stream must be pass1 = (0,0), pass6 = (1,0),
+    pass7 = row y=1 — the spec grid, verified against hand-computed
+    bytes (guards a wrong pass table that a round-trip test would
+    never catch)."""
+    img = np.arange(12, dtype=np.uint8).reshape(2, 2, 3)
+    enc = codecs.encode_png(img, interlaced=True)
+    pos, idat = 8, b""
+    while pos + 8 <= len(enc):
+        (ln,) = struct.unpack_from(">I", enc, pos)
+        if enc[pos + 4 : pos + 8] == b"IDAT":
+            idat += enc[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+    raw = zlib.decompress(idat)
+    expect = (
+        b"\x00" + img[0, 0].tobytes()
+        + b"\x00" + img[0, 1].tobytes()
+        + b"\x00" + img[1].tobytes()
+    )
+    assert raw == expect
+
+
+def test_png_adam7_fuzz_never_crashes():
+    import random
+
+    rng = random.Random(41)
+    base = codecs.decode_ppm(codecs.synthesize_image(5))
+    payload = codecs.encode_png(base, interlaced=True)
+
+    def try_decode(p):
+        try:
+            out = codecs.decode_image(p)
+            assert out.ndim == 3 and out.shape[2] == 3
+        except codecs.UnsupportedMediaError:
+            pass
+
+    for cut in range(0, len(payload), max(1, len(payload) // 40)):
+        try_decode(payload[:cut])
+    buf = bytearray(payload)
+    for _ in range(120):
+        i = rng.randrange(len(buf))
+        old = buf[i]
+        buf[i] = rng.randrange(256)
+        try_decode(bytes(buf))
+        buf[i] = old
+
+
+def test_media_decode_interlaced_oracle_green(spark, duck):
+    from procurement_system_bigdata_spark.queries import llmdata
+
+    assert_matches_oracle(
+        llmdata.q_media_decode_interlaced(spark, SF_DIR),
+        duck,
+        llmdata.Q_MEDIA_DECODE_INTERLACED_SQL,
+    )

@@ -28,6 +28,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 PLAN_EXTRA = [
     "media_decode",
     "media_decode_subsampled",
+    "media_decode_interlaced",
     "image_neardup",
     "image_dedup_clusters",
     "audio_neardup",
