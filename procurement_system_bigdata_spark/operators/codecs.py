@@ -1188,3 +1188,27 @@ def synthesize_video(
     base = decode_ppm(synthesize_image(media_id, width, height))
     frames = [((base.astype(np.uint16) + 7 * k) % 256).astype(np.uint8) for k in range(n_frames)]
     return encode_rawv(frames)
+
+
+#: video-dedup corpus contract (round 9): frames per clip, sample stride,
+#: and the per-frame pattern-class step.  The step is EVEN so the planted
+#: image-pair parity is preserved at every frame: clips of consecutive
+#: classes 2g / 2g+1 are one-block perturbations of each other at EVERY
+#: sampled position, while any other class pair diverges at some position.
+VIDEO_FRAMES = 8
+VIDEO_SAMPLE_STEP = 2
+VIDEO_CLASS_STEP = 16
+VIDEO_POSITIONS = VIDEO_FRAMES // VIDEO_SAMPLE_STEP  # sampled positions
+
+
+def synthesize_pattern_video(media_id: int, n_frames: int = VIDEO_FRAMES) -> bytes:
+    """Video-dedup corpus clip: frame f is the block pattern of class
+    (media_id + VIDEO_CLASS_STEP*f) % 256, RAWV-encoded.  Depends on
+    media_id only through media_id % 256 (frame classes are mod-256 and
+    the step is constant), so signatures admit the 256-class oracle
+    precompute."""
+    c = media_id % 256
+    frames = [
+        pattern_pixels((c + VIDEO_CLASS_STEP * f) % 256) for f in range(n_frames)
+    ]
+    return encode_rawv(frames)

@@ -1258,6 +1258,210 @@ def audio_neardup_sql(max_dev: int = AUDIO_FP_MAX_DEV) -> str:
     """
 
 
+# ---------------------------------------------------------------------------
+# Video near-dup (round-9): the third modality of the dedup stack.
+# Signature = the SEQUENCE of dHashes of sampled frames (positions
+# 0, step, 2*step, ... — random-access via the RAWV container, skipped
+# frames never materialize); candidates share a 16-bit band of the SAME
+# position's hash (pigeonhole per position: any pair whose max
+# per-position hamming <= 3 is GUARANTEED a candidate through position 0
+# alone); verify = exact MAX per-position 64-bit Hamming in column ops.
+# Position-sensitivity is the point: two clips sharing frame CONTENT at
+# different positions are different videos and must verify apart.
+# ---------------------------------------------------------------------------
+
+VIDEO_FP_SCHEMA = StructType(
+    [StructField("media_id", LongType())]
+    + [StructField(f"f{p}", StringType()) for p in range(codecs.VIDEO_POSITIONS)]
+)
+
+#: confirmed threshold: planted consecutive-class clips measure 0-2 bits
+#: at every position; any other class pair diverges >= 11 bits somewhere
+VIDEO_MAX_HAMMING = DHASH_MAX_HAMMING
+
+
+def attach_pattern_videos(docs: DataFrame) -> DataFrame:
+    """Video-dedup corpus: RAWV clips whose frame f carries the block
+    pattern of class (media_id + 16*f) % 256 — clips of consecutive
+    classes 2g/2g+1 are planted near-dups at EVERY sampled position."""
+    ids = docs.select(F.col("doc_id").cast("long").alias("media_id")).repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, F.col("media_id")
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            contents = [
+                codecs.synthesize_pattern_video(int(m)) for m in pdf["media_id"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "content": contents,
+                    "media_type": "video/x-rawv",
+                    "n_bytes": [len(c) for c in contents],
+                }
+            )
+
+    return ids.mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
+def video_fingerprints(media: DataFrame) -> DataFrame:
+    """(media_id, f0..f{P-1}): dHash of every VIDEO_SAMPLE_STEP-th frame,
+    random-accessed from the RAWV container (skipped frames never
+    materialize — the sampling-beats-decoding property).  Arrow
+    mapInPandas, 1:1 over decodable rows, dead-letter convention."""
+    n_pos, step = codecs.VIDEO_POSITIONS, codecs.VIDEO_SAMPLE_STEP
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {"media_id": []}
+            for p in range(n_pos):
+                rows[f"f{p}"] = []
+            for mid, b in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    _w, _h, n = codecs.decode_rawv(b)
+                    hs = [
+                        codecs.dhash_hex(codecs.rawv_frame(b, p * step))
+                        for p in range(n_pos)
+                        if p * step < n
+                    ]
+                except codecs.UnsupportedMediaError:
+                    continue
+                if len(hs) != n_pos:  # too-short clip: dead-letter
+                    continue
+                rows["media_id"].append(mid)
+                for p in range(n_pos):
+                    rows[f"f{p}"].append(hs[p])
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(batches, schema=VIDEO_FP_SCHEMA)
+
+
+def video_neardup_pairs(
+    media: DataFrame, max_hamming: int = VIDEO_MAX_HAMMING
+) -> DataFrame:
+    """(media_a, media_b, max_hamming_at): confirmed video near-dup pairs
+    — candidates share a 16-bit band of the same POSITION's frame hash,
+    verified with the exact maximum per-position 64-bit Hamming distance.
+    Same banded single-shuffle engineering shape as image_neardup_pairs;
+    the explode emits P*4 band rows per clip."""
+    n_pos = codecs.VIDEO_POSITIONS
+    fps = video_fingerprints(media).localCheckpoint(eager=False)
+    stacked = fps.select(
+        "media_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(p * 4 + i).alias("band"),
+                        F.substring(f"f{p}", 4 * i + 1, 4).alias("key"),
+                    )
+                    for p in range(n_pos)
+                    for i in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("media_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a, b = stacked.alias("a"), stacked.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("media_a"),
+            F.col("b.media_id").alias("media_b"),
+        )
+        .distinct()
+    )
+    fa = fps.select(
+        F.col("media_id").alias("media_a"),
+        *[F.col(f"f{p}").alias(f"a{p}") for p in range(n_pos)],
+    )
+    fb = fps.select(
+        F.col("media_id").alias("media_b"),
+        *[F.col(f"f{p}").alias(f"b{p}") for p in range(n_pos)],
+    )
+    maxham = F.greatest(
+        *[_hamming64(f"a{p}", f"b{p}") for p in range(n_pos)]
+    )
+    return (
+        cand.join(fa, "media_a")
+        .join(fb, "media_b")
+        .select("media_a", "media_b", maxham.alias("max_hamming"))
+        .filter(F.col("max_hamming") <= max_hamming)
+    )
+
+
+def _video_class_signatures() -> list[list[str]]:
+    """Per-class sampled-position dHash signatures through the real
+    synth->container->frame->hash path: position p of class c is the
+    pattern class (c + VIDEO_CLASS_STEP*VIDEO_SAMPLE_STEP*p) % 256, so
+    the table derives from _pattern_class_hashes."""
+    hs = _pattern_class_hashes()
+    stride = codecs.VIDEO_CLASS_STEP * codecs.VIDEO_SAMPLE_STEP
+    return [
+        [hs[(c + stride * p) % 256] for p in range(codecs.VIDEO_POSITIONS)]
+        for c in range(256)
+    ]
+
+
+def video_fingerprint_sql() -> str:
+    """FULL oracle for q_video_fingerprint: 256-class signature VALUES."""
+    sigs = _video_class_signatures()
+    n_pos = codecs.VIDEO_POSITIONS
+    values = ", ".join(
+        "(" + ", ".join([str(c)] + [f"'{h}'" for h in sigs[c]]) + ")"
+        for c in range(256)
+    )
+    cols = ", ".join(f"v.f{p}" for p in range(n_pos))
+    names = ", ".join(["c"] + [f"f{p}" for p in range(n_pos)])
+    return f"""
+    SELECT CAST(doc_id AS BIGINT) AS media_id, {cols}
+    FROM documents
+    JOIN (VALUES {values}) AS v({names})
+      ON CAST(doc_id AS BIGINT) % 256 = v.c
+    """
+
+
+def video_neardup_sql(max_hamming: int = VIDEO_MAX_HAMMING) -> str:
+    """FULL oracle for q_video_neardup: confirmed class pairs precomputed
+    with the SAME per-position banding candidacy + max-hamming verify."""
+    sigs = _video_class_signatures()
+    n_pos = codecs.VIDEO_POSITIONS
+
+    def hamming(x: str, y: str) -> int:
+        return bin(int(x, 16) ^ int(y, 16)).count("1")
+
+    def candidate(sa, sb) -> bool:
+        return any(
+            sa[p][4 * i : 4 * i + 4] == sb[p][4 * i : 4 * i + 4]
+            for p in range(n_pos)
+            for i in range(4)
+        )
+
+    rows = []
+    for ca in range(256):
+        for cb in range(ca, 256):
+            if candidate(sigs[ca], sigs[cb]):
+                mh = max(hamming(sigs[ca][p], sigs[cb][p]) for p in range(n_pos))
+                if mh <= max_hamming:
+                    rows.append(f"({ca}, {cb}, {mh})")
+    values = ", ".join(rows)
+    return f"""
+    SELECT CAST(d1.doc_id AS BIGINT) AS media_a,
+           CAST(d2.doc_id AS BIGINT) AS media_b,
+           CAST(v.mh AS BIGINT) AS max_hamming
+    FROM documents d1
+    JOIN documents d2 ON d1.doc_id < d2.doc_id
+    JOIN (VALUES {values}) AS v(ca, cb, mh)
+      ON least(CAST(d1.doc_id AS BIGINT) % 256, CAST(d2.doc_id AS BIGINT) % 256) = v.ca
+     AND greatest(CAST(d1.doc_id AS BIGINT) % 256, CAST(d2.doc_id AS BIGINT) % 256) = v.cb
+    """
+
+
 def sample_video_frames(
     media: DataFrame, every_n: int = 4, max_frames: int = 8
 ) -> DataFrame:

@@ -1185,6 +1185,43 @@ def _audio_dedup_clusters_sql():
     """
 
 
+def q_video_fingerprint(spark, sf_dir):
+    """Per-clip sampled-frame dHash sequence (round-9): frames are
+    random-accessed from the RAWV container (skipped frames never
+    materialize), hashed with the image family's dHash; FULL oracle via
+    the 256-class precompute derived from the pattern-hash table."""
+    from ..operators import multimodal
+
+    media = multimodal.attach_pattern_videos(_docs(spark, sf_dir))
+    return multimodal.video_fingerprints(media).orderBy("media_id")
+
+
+def q_video_neardup(spark, sf_dir):
+    """Video near-dup pairs (round-9): candidates share a 16-bit band of
+    the SAME position's frame hash (per-position pigeonhole: max
+    per-position hamming <= 3 is guaranteed a candidate), verified with
+    the exact MAX per-position 64-bit Hamming; the corpus plants
+    consecutive-class clips at max-hamming 1-2 vs >= 16 for any other
+    pair.  Position-sensitive by construction: shared frame content at
+    different positions verifies apart.  FULL class-pair oracle."""
+    from ..operators import multimodal
+
+    media = multimodal.attach_pattern_videos(_docs(spark, sf_dir))
+    return multimodal.video_neardup_pairs(media).orderBy("media_a", "media_b")
+
+
+def _video_fingerprint_sql():
+    from ..operators import multimodal
+
+    return multimodal.video_fingerprint_sql()
+
+
+def _video_neardup_sql():
+    from ..operators import multimodal
+
+    return multimodal.video_neardup_sql()
+
+
 def _media_resize_sql():
     from ..operators import multimodal
 
@@ -1238,6 +1275,8 @@ Q_AUDIO_NEARDUP_SQL = _audio_neardup_sql()
 Q_AUDIO_DEDUP_CLUSTERS_SQL = _audio_dedup_clusters_sql()
 Q_MEDIA_DECODE_SUBSAMPLED_SQL = _media_decode_subsampled_sql()
 Q_MEDIA_DECODE_INTERLACED_SQL = _media_decode_interlaced_sql()
+Q_VIDEO_FINGERPRINT_SQL = _video_fingerprint_sql()
+Q_VIDEO_NEARDUP_SQL = _video_neardup_sql()
 
 
 def q_repetition_signals(spark, sf_dir):

@@ -878,6 +878,30 @@ _register(
 )
 _register(
     QuerySpec(
+        name="video_fingerprint",
+        fn=llmdata.q_video_fingerprint,
+        oracle=llmdata.Q_VIDEO_FINGERPRINT_SQL,
+        description="Per-clip sampled-frame dHash sequence over the RAWV "
+        "container (round-9 video-dedup signature; skipped frames never "
+        "materialize); FULL oracle via the 256-class precompute",
+        ops=("EXT-multimodal", "EXT-dedup"),
+    )
+)
+_register(
+    QuerySpec(
+        name="video_neardup",
+        fn=llmdata.q_video_neardup,
+        oracle=llmdata.Q_VIDEO_NEARDUP_SQL,
+        description="Video near-dup pairs (round-9): per-position banded "
+        "frame-hash candidates (pigeonhole guarantee at max-hamming<=3) "
+        "verified with the exact MAX per-position 64-bit Hamming in "
+        "column ops; planted consecutive-class clips at 1-2 bits vs >=16 "
+        "for any other pair; FULL class-pair oracle",
+        ops=("EXT-multimodal", "EXT-dedup"),
+    )
+)
+_register(
+    QuerySpec(
         name="audio_dedup_clusters",
         fn=llmdata.q_audio_dedup_clusters,
         oracle=llmdata.Q_AUDIO_DEDUP_CLUSTERS_SQL,
@@ -1870,8 +1894,8 @@ _DRIVER_SNAPSHOT = [
     # --- round-9 rotation, STALEST-FIRST steady-state policy (documented
     # round 8).  The 26 rotation slots go to (a) newly-registered
     # oracle-bearing queries (this round: media_decode_subsampled,
-    # media_decode_interlaced, audio_dedup_clusters), then (b) — policy
-    # clarification this round —
+    # media_decode_interlaced, audio_dedup_clusters, video_fingerprint,
+    # video_neardup), then (b) — policy clarification this round —
     # queries whose IMPLEMENTATION changed since their last external row
     # (media_decode: the shared JPEG decode path gained subsampling
     # support and its oracle pins 4:4:4 digests; image_dedup_clusters:
@@ -1887,6 +1911,8 @@ _DRIVER_SNAPSHOT = [
     "media_decode_subsampled",
     "media_decode_interlaced",
     "audio_dedup_clusters",
+    "video_fingerprint",
+    "video_neardup",
     "media_decode",
     "image_dedup_clusters",
     "embedding_quantize",
@@ -1908,8 +1934,6 @@ _DRIVER_SNAPSHOT = [
     "stratified_sample",
     "profile_orders",
     "multi_grain_rollup",
-    "fk_integrity",
-    "repetition_signals",
     # --- filler slots (13): permanent pins on the bench headliners and
     # the scale-critical dedup/curation paths, so the external gate keeps
     # exercising the code most likely to regress.

@@ -507,6 +507,7 @@ def test_media_family_band_join_shape(spark):
     for name in (
         "image_neardup",
         "audio_neardup",
+        "video_neardup",
         "image_dedup_clusters",
         "audio_dedup_clusters",
     ):

@@ -421,3 +421,87 @@ def test_media_decode_interlaced_oracle_green(spark, duck):
         duck,
         llmdata.Q_MEDIA_DECODE_INTERLACED_SQL,
     )
+
+
+# --- video dedup family (round-9 second wave) ----------------------------------
+
+
+def test_video_fingerprint_matches_closed_form(spark):
+    docs = load_table(spark, SF_DIR, "documents").limit(40)
+    media = multimodal.attach_pattern_videos(docs)
+    sigs = multimodal._video_class_signatures()
+    for r in multimodal.video_fingerprints(media).collect():
+        expect = sigs[r.media_id % 256]
+        assert [r.f0, r.f1, r.f2, r.f3] == expect
+
+
+def test_video_neardup_finds_planted_pairs(spark):
+    """Clips of classes 2g/2g+1 are near-dups at EVERY position (even
+    class step preserves the planted-pair parity); any other class pair
+    diverges >= 16 bits at some position."""
+    docs = spark.range(8).select((F.col("id") * 1).alias("doc_id"))
+    media = multimodal.attach_pattern_videos(docs)
+    pairs = {
+        (r.media_a, r.media_b): r.max_hamming
+        for r in multimodal.video_neardup_pairs(media).collect()
+    }
+    assert set(pairs) == {(0, 1), (2, 3), (4, 5), (6, 7)}
+    assert all(v <= 2 for v in pairs.values())
+
+
+def test_video_neardup_position_sensitive():
+    """Two clips sharing frame CONTENT at different positions must NOT
+    confirm — the sequence signature is the contract, not the bag of
+    frames.  Classes c and c+32 share 3 of 4 sampled frame classes but
+    at shifted positions."""
+    sigs = multimodal._video_class_signatures()
+
+    def ham(x, y):
+        return bin(int(x, 16) ^ int(y, 16)).count("1")
+
+    shared = set(sigs[0]) & set(sigs[32])
+    assert len(shared) >= 3  # content overlap is real...
+    mh = max(ham(sigs[0][p], sigs[32][p]) for p in range(4))
+    assert mh > multimodal.VIDEO_MAX_HAMMING  # ...but positions differ
+
+
+def test_video_fingerprint_oracle_green(spark, duck):
+    from procurement_system_bigdata_spark.queries import llmdata
+
+    assert_matches_oracle(
+        llmdata.q_video_fingerprint(spark, SF_DIR),
+        duck,
+        llmdata.Q_VIDEO_FINGERPRINT_SQL,
+    )
+
+
+def test_video_neardup_oracle_green(spark, duck):
+    from procurement_system_bigdata_spark.queries import llmdata
+
+    assert_matches_oracle(
+        llmdata.q_video_neardup(spark, SF_DIR),
+        duck,
+        llmdata.Q_VIDEO_NEARDUP_SQL,
+    )
+
+
+def test_video_short_clip_dead_letters(spark):
+    """A clip with fewer frames than the sampling grid drops out 1:1
+    (dead-letter convention), never crashes the signature stage."""
+    import pandas as pd
+
+    short = codecs.encode_rawv(
+        [codecs.pattern_pixels(1)] * 3  # 3 frames < positions*step
+    )
+    good = codecs.synthesize_pattern_video(2)
+    pdf = pd.DataFrame(
+        {
+            "media_id": [1, 2],
+            "content": [short, good],
+            "media_type": ["video/x-rawv"] * 2,
+            "n_bytes": [len(short), len(good)],
+        }
+    )
+    media = spark.createDataFrame(pdf, schema=multimodal.MEDIA_SCHEMA)
+    rows = multimodal.video_fingerprints(media).collect()
+    assert [r.media_id for r in rows] == [2]

@@ -33,6 +33,7 @@ PLAN_EXTRA = [
     "image_dedup_clusters",
     "audio_neardup",
     "audio_dedup_clusters",
+    "video_neardup",
 ]
 
 # Per-query audit notes for plan features that LOOK like scale hazards but
