@@ -148,23 +148,33 @@ def _git_head() -> str | None:
         return None
 
 
+#: the paths whose content IS the measured code (round-8/10 advisor fixes)
+_FINGERPRINT_PATHS = (
+    "procurement_system_bigdata_spark",
+    "bench.py",
+    "__spark_entry__.py",
+)
+
+
 def _code_fingerprint() -> str | None:
     """Fingerprint of the MEASURED code (engine tree + this harness), for
     stamping persisted evidence blocks — a block recorded against one
     version of the code must not silently read as fresh evidence for
     another (advisor round-8 finding).  Deliberately NOT the repo HEAD:
     committing the evidence file itself, or docs/tests, must not stale a
-    block whose measured surface is unchanged."""
+    block whose measured surface is unchanged.
+
+    Round-10 advisor fix: a DIRTY working tree over the fingerprinted
+    paths no longer stamps the committed code's fingerprint (which would
+    let dirty-tree evidence later read as fresh for HEAD) — the
+    uncommitted diff content is hashed INTO the fingerprint, so evidence
+    is tied to exactly the code that ran, committed or not."""
     import subprocess
 
     repo = os.path.dirname(os.path.abspath(__file__))
     try:
         hashes = []
-        for ref in (
-            "HEAD:procurement_system_bigdata_spark",
-            "HEAD:bench.py",
-            "HEAD:__spark_entry__.py",
-        ):
+        for ref in (f"HEAD:{p}" for p in _FINGERPRINT_PATHS):
             out = subprocess.run(
                 ["git", "-C", repo, "rev-parse", ref],
                 capture_output=True,
@@ -174,9 +184,32 @@ def _code_fingerprint() -> str | None:
             if out.returncode != 0:
                 return None
             hashes.append(out.stdout.strip())
+        # working-tree delta over the measured paths: empty diff -> the
+        # committed fingerprint (unchanged vs round-9 stamps); any
+        # uncommitted change -> a distinct fingerprint per diff CONTENT
+        diff = subprocess.run(
+            ["git", "-C", repo, "diff", "HEAD", "--", *_FINGERPRINT_PATHS],
+            capture_output=True,
+            timeout=10,
+        )
+        untracked = subprocess.run(
+            [
+                "git", "-C", repo, "status", "--porcelain",
+                "--untracked-files=all", "--", *_FINGERPRINT_PATHS,
+            ],
+            capture_output=True,
+            text=True,
+            timeout=10,
+        )
+        if diff.returncode != 0 or untracked.returncode != 0:
+            return None
         import hashlib
 
-        return hashlib.sha1("\n".join(hashes).encode()).hexdigest()
+        fp = hashlib.sha1("\n".join(hashes).encode()).hexdigest()
+        dirty = diff.stdout + untracked.stdout.encode()
+        if dirty.strip():
+            fp = fp + "-dirty-" + hashlib.sha1(dirty).hexdigest()[:12]
+        return fp
     except Exception:
         return None
 

@@ -42,12 +42,21 @@ class UnsupportedMediaError(NotImplementedError):
 def _corrupt_guard(fn):
     """Convert the parse-failure zoo (short buffers -> ValueError /
     struct.error, stdlib wave -> EOFError, bad reshape -> ValueError,
-    valid-CRC-but-invalid-IDAT PNGs -> zlib.error, oversized-header
-    allocations on a constrained worker -> MemoryError) into
+    valid-CRC-but-invalid-IDAT PNGs -> zlib.error) into
     UnsupportedMediaError so decoders have ONE failure type.  zlib.error
     matters because PNG chunk CRCs are computed over the RAW chunk bytes:
     a payload can pass every CRC check and still not be a valid zlib
-    stream, which must dead-letter, not crash the Spark task."""
+    stream, which must dead-letter, not crash the Spark task.
+
+    MemoryError is deliberately NOT caught (round-10 advisor fix): every
+    decoder bounds its allocations BEFORE allocating — the MAX_PIXELS
+    header ceiling rejects declared-huge planes, the bounded
+    ``decompressobj`` inflate never materializes more than the declared
+    pixel buffer, and the raw-format readers only view the actual payload
+    bytes — so a MemoryError reaching this guard is genuine worker
+    resource exhaustion, which must FAIL the task (and be retried /
+    surfaced), not silently dead-letter the row as if the data were
+    corrupt."""
     import functools
 
     @functools.wraps(fn)
@@ -63,7 +72,6 @@ def _corrupt_guard(fn):
             IndexError,
             OverflowError,
             zlib.error,
-            MemoryError,
         ) as e:
             raise UnsupportedMediaError(
                 f"corrupt {fn.__name__} payload: {type(e).__name__}: {e}"

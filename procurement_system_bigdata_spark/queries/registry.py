@@ -896,7 +896,16 @@ _register(
         "frame-hash candidates (pigeonhole guarantee at max-hamming<=3) "
         "verified with the exact MAX per-position 64-bit Hamming in "
         "column ops; planted consecutive-class clips at 1-2 bits vs >=16 "
-        "for any other pair; FULL class-pair oracle",
+        "for any other pair; FULL class-pair oracle.  Recall note "
+        "(round-10 advisor): the confirm threshold 6 exceeds the "
+        "per-position pigeonhole guarantee 3, so 4-6-bit pairs whose "
+        "differing bits touch all four bands at EVERY sampled position "
+        "are unguaranteed — same geometry as the image family, where "
+        "tools/probe_media_banding_recall.py measures the real-corpus "
+        "4-7-bit region at recall 1.0 (clustered-bit pairs, e.g. planted "
+        "h=6/7: 380/380) with misses only at h>=8, beyond the confirm "
+        "threshold; the oracle mirrors the same candidacy so the gate "
+        "checks agreement, and the probe is the recall dial",
         ops=("EXT-multimodal", "EXT-dedup"),
     )
 )

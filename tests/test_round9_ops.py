@@ -107,12 +107,17 @@ def test_jpeg_oversized_sof_rejected_before_alloc():
         codecs.decode_jpeg(payload)
 
 
-def test_corrupt_guard_converts_memoryerror():
+def test_corrupt_guard_propagates_memoryerror():
+    """Round-10 advisor fix: with every allocation header-bounded BEFORE
+    it happens (MAX_PIXELS, bounded inflate), a MemoryError is worker
+    resource exhaustion — it must FAIL the task, not dead-letter the row
+    as corrupt data (a silent nondeterministic data drop)."""
+
     @codecs._corrupt_guard
     def boom():
-        raise MemoryError("np.zeros on a constrained worker")
+        raise MemoryError("genuine executor memory pressure")
 
-    with pytest.raises(codecs.UnsupportedMediaError):
+    with pytest.raises(MemoryError):
         boom()
 
 
