@@ -1210,6 +1210,85 @@ def q_video_neardup(spark, sf_dir):
     return multimodal.video_neardup_pairs(media).orderBy("media_a", "media_b")
 
 
+def q_video_dedup_clusters(spark, sf_dir):
+    """Full video-dedup pipeline (round-10): sampled-frame dHash sequence
+    -> STAR + BRIDGE edges (per-position band join over DISTINCT
+    signatures, one star edge per duplicate-class member — components
+    identical to the confirmed-pair graph's with linearly many edges;
+    multimodal.video_dedup_edges) -> connected components -> per-clip
+    component + cluster size.  Completes the third modality's pipeline
+    symmetry with the image/audio families.  FULL oracle: 256-class
+    union-find over the confirmed class-pair set (per-position banding
+    candidacy + MAX-Hamming verify, both pure functions of the class),
+    doc-level component = MIN doc id per class component (same-class
+    clips share a signature)."""
+    from ..operators import clustering, multimodal
+
+    media = multimodal.attach_pattern_videos(_docs(spark, sf_dir))
+    edges = multimodal.video_dedup_edges(media)
+    ids = media.select(F.col("media_id").alias("doc_id"))
+    return (
+        clustering.dedup_clusters(ids, edges)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            F.col("component").alias("canonical_media_id"),
+            "cluster_size",
+        )
+        .orderBy("media_id")
+    )
+
+
+def _video_dedup_clusters_sql():
+    # The video twin of _image_dedup_clusters_sql: union-find over the
+    # confirmed 256-class pair graph (per-position band candidacy +
+    # max-hamming verify, both pure functions of the class), then MIN doc
+    # id / COUNT over the class-component partition.  Exact whenever every
+    # class has >=1 doc (all registry corpora: >=500 docs vs doc_id % 256).
+    from ..operators import multimodal
+
+    sigs = multimodal._video_class_signatures()
+    n_pos = len(sigs[0])
+
+    def hamming(x, y):
+        return bin(int(x, 16) ^ int(y, 16)).count("1")
+
+    def candidate(sa, sb):
+        return any(
+            sa[p][4 * i : 4 * i + 4] == sb[p][4 * i : 4 * i + 4]
+            for p in range(n_pos)
+            for i in range(4)
+        )
+
+    parent = list(range(256))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for ca in range(256):
+        for cb in range(ca + 1, 256):
+            if candidate(sigs[ca], sigs[cb]) and (
+                max(hamming(sigs[ca][p], sigs[cb][p]) for p in range(n_pos))
+                <= multimodal.VIDEO_MAX_HAMMING
+            ):
+                ra, rb = find(ca), find(cb)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    comp = {c: find(c) for c in range(256)}
+    values = ", ".join(f"({c}, {comp[c]})" for c in range(256))
+    return f"""
+    SELECT CAST(doc_id AS BIGINT) AS media_id,
+           MIN(CAST(doc_id AS BIGINT)) OVER (PARTITION BY v.comp)
+               AS canonical_media_id,
+           COUNT(*) OVER (PARTITION BY v.comp) AS cluster_size
+    FROM documents
+    JOIN (VALUES {values}) AS v(c, comp)
+      ON CAST(doc_id AS BIGINT) % 256 = v.c
+    """
+
+
 def _video_fingerprint_sql():
     from ..operators import multimodal
 
@@ -1277,6 +1356,7 @@ Q_MEDIA_DECODE_SUBSAMPLED_SQL = _media_decode_subsampled_sql()
 Q_MEDIA_DECODE_INTERLACED_SQL = _media_decode_interlaced_sql()
 Q_VIDEO_FINGERPRINT_SQL = _video_fingerprint_sql()
 Q_VIDEO_NEARDUP_SQL = _video_neardup_sql()
+Q_VIDEO_DEDUP_CLUSTERS_SQL = _video_dedup_clusters_sql()
 
 
 def q_repetition_signals(spark, sf_dir):

@@ -911,6 +911,20 @@ _register(
 )
 _register(
     QuerySpec(
+        name="video_dedup_clusters",
+        fn=llmdata.q_video_dedup_clusters,
+        oracle=llmdata.Q_VIDEO_DEDUP_CLUSTERS_SQL,
+        description="Full video-dedup pipeline (round-10): sampled-frame "
+        "dHash sequence -> star+bridge edges (per-position band join over "
+        "DISTINCT signatures, one star edge per duplicate-class member — "
+        "Pregel input linear in class size) -> connected components -> "
+        "canonical per clip; completes the image/audio/video pipeline "
+        "symmetry; FULL oracle via 256-class union-find",
+        ops=("EXT-multimodal", "EXT-dedup", "EXT-clustering"),
+    )
+)
+_register(
+    QuerySpec(
         name="audio_dedup_clusters",
         fn=llmdata.q_audio_dedup_clusters,
         oracle=llmdata.Q_AUDIO_DEDUP_CLUSTERS_SQL,

@@ -510,6 +510,7 @@ def test_media_family_band_join_shape(spark):
         "video_neardup",
         "image_dedup_clusters",
         "audio_dedup_clusters",
+        "video_dedup_clusters",
     ):
         stats = plan_stats(REGISTRY[name].fn(spark, SF_DIR))
         plan = stats["plan"]
@@ -524,7 +525,16 @@ def test_media_family_band_join_shape(spark):
         )
         assert equi >= 1, f"{name}: no equi-join in plan"
         assert stats["python_udfs"] == 0, f"{name}: row-at-a-time Python"
-        if name.endswith("neardup"):
+        if name == "video_neardup":
+            # round-10 pre-grouped shape: band join + distinct over
+            # DISTINCT signatures, plus the member-expansion equi-joins
+            # (confirmed sig pairs x members x2, intra-class self-join) —
+            # all keyed on rep/signature, bounded by near-dup volume
+            assert stats["shuffles"] <= 8, (
+                f"{name}: {stats['shuffles']} shuffles (pre-grouped band "
+                "join + expansion is the contract)"
+            )
+        elif name.endswith("neardup"):
             assert stats["shuffles"] <= 2, (
                 f"{name}: {stats['shuffles']} shuffles (band join + distinct "
                 "is the contract)"

@@ -320,9 +320,14 @@ def test_bench_evidence_block_staleness(tmp_path):
     assert bench._load_evidence_block(str(tmp_path / "missing.json"), cur) is None
 
     # the fingerprint tracks the MEASURED surface (engine tree + harness),
-    # not repo HEAD — committing docs/evidence must not stale a block
+    # not repo HEAD — committing docs/evidence must not stale a block.
+    # Round-10 advisor fix: a dirty working tree over the measured paths
+    # appends a content-hashed '-dirty-<sha>' suffix so dirty-tree
+    # evidence can never read as fresh for HEAD.
     fp = bench._code_fingerprint()
-    assert fp is None or len(fp) == 40
+    assert fp is None or len(fp) == 40 or (
+        len(fp) == 59 and fp[40:47] == "-dirty-"
+    )
 
 
 # --- banding recall second dial (round-9 judge ask #7) -------------------------
