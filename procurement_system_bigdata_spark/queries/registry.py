@@ -524,6 +524,23 @@ _register(
 )
 _register(
     QuerySpec(
+        name="dedup_clusters_star",
+        fn=llmdata.q_dedup_clusters_star,
+        oracle=llmdata.Q_DEDUP_CLUSTERS_STAR_SQL,
+        description="Near-dup clusters over the STAR-EDGE feed (round-10: "
+        "the text twin of the media star-edge fix): docs group by exact "
+        "token-set signature (md5 of the sorted wide-key set), banded "
+        "minhash + exact-Jaccard confirm over DISTINCT token sets only, "
+        "star edge per duplicate-class member + bridge per confirmed "
+        "class pair -> connected components — Pregel input linear in "
+        "class size, components identical to the pair-graph feed's "
+        "(proof in dedup.minhash_star_edges); closure-free certificate "
+        "oracle recomputes star-graph degree from the mirrored edge SQL",
+        ops=("EXT-clustering", "EXT-dedup"),
+    )
+)
+_register(
+    QuerySpec(
         name="train_test_split",
         fn=llmdata.q_train_test_split,
         oracle=llmdata.Q_TRAIN_TEST_SPLIT_SQL,
