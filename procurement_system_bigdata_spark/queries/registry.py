@@ -820,6 +820,20 @@ _register(
 )
 _register(
     QuerySpec(
+        name="media_decode_progressive",
+        fn=llmdata.q_media_decode_progressive,
+        oracle=llmdata.Q_MEDIA_DECODE_PROGRESSIVE_SQL,
+        description="Progressive (SOF2) JPEG decode audit (round-10): "
+        "4:4:4 and 4:2:0 progressive payloads decoded with the real "
+        "spectral-selection + successive-approximation scan loop (full "
+        "EOBn semantics; T.81 G.2) — the last frequent real-corpus JPEG "
+        "profile opens; FULL oracle via two 256-class pixel-digest "
+        "precomputes, pinned equal to the baseline digests in tests",
+        ops=("EXT-multimodal",),
+    )
+)
+_register(
+    QuerySpec(
         name="media_decode_interlaced",
         fn=llmdata.q_media_decode_interlaced,
         oracle=llmdata.Q_MEDIA_DECODE_INTERLACED_SQL,

@@ -550,6 +550,7 @@ def test_media_decode_plan_is_joinless_arrow(spark):
         "media_decode",
         "media_decode_subsampled",
         "media_decode_interlaced",
+        "media_decode_progressive",
     ):
         stats = plan_stats(REGISTRY[name].fn(spark, SF_DIR))
         plan = stats["plan"]

