@@ -1035,7 +1035,7 @@ def _entropy_segment(buf: bytes, p: int) -> tuple[bytes, int]:
 
 
 @_corrupt_guard
-def decode_jpeg(content: bytes) -> np.ndarray:
+def decode_jpeg(content: bytes, fancy_upsampling: bool = False) -> np.ndarray:
     """JPEG -> (h, w, 3) uint8 RGB.  Supports baseline SOF0/1 AND
     progressive SOF2 (spectral selection + successive approximation,
     round-10) with per-axis sampling factors in {1, 2} (4:4:4, 4:2:0,
@@ -1103,7 +1103,8 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                 raise UnsupportedMediaError("JPEG SOS before SOF")
             if progressive:
                 return _decode_jpeg_progressive(
-                    buf, pos, sof, qtabs, htabs, restart_interval
+                    buf, pos, sof, qtabs, htabs, restart_interval,
+                    fancy_upsampling,
                 )
             ns = payload[0]
             scomp = []
@@ -1112,13 +1113,14 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                 scomp.append((cs, tdta >> 4, tdta & 0xF))
             scan_start = pos + 2 + length
             return _decode_jpeg_scan(
-                buf, scan_start, sof, scomp, qtabs, htabs, restart_interval
+                buf, scan_start, sof, scomp, qtabs, htabs, restart_interval,
+                fancy_upsampling,
             )
         pos += 2 + length
     raise UnsupportedMediaError("JPEG has no scan")
 
 
-def _decode_jpeg_scan(buf, pos, sof, scomp, qtabs, htabs, restart_interval):
+def _decode_jpeg_scan(buf, pos, sof, scomp, qtabs, htabs, restart_interval, fancy=False):
     h, w, comps = sof
     nc = len(comps)
     if len(scomp) != nc:
@@ -1212,22 +1214,43 @@ def _decode_jpeg_scan(buf, pos, sof, scomp, qtabs, htabs, restart_interval):
                     py = (my * vf + by) * 8
                     px = (mx * hf + bx) * 8
                     planes[ci][py : py + 8, px : px + 8] = pixels
-    return _jpeg_planes_to_rgb(planes, comps, h, w, maxh, maxv)
+    return _jpeg_planes_to_rgb(planes, comps, h, w, maxh, maxv, fancy)
 
 
-def _jpeg_planes_to_rgb(planes, comps, h, w, maxh, maxv) -> np.ndarray:
+def _fancy_upsample_axis(p: np.ndarray, axis: int) -> np.ndarray:
+    """2x upsample along ``axis`` with the triangular (bilinear) filter
+    libjpeg calls fancy upsampling: each output sample is 3/4 the nearest
+    chroma sample + 1/4 the next-nearest, edges clamped.  Deterministic
+    float64 — the round-10 decode dial at the documented replication swap
+    point (codecs.decode_jpeg fancy_upsampling=True)."""
+    p = np.moveaxis(p, axis, 0)
+    prev = np.concatenate([p[:1], p[:-1]], axis=0)
+    nxt = np.concatenate([p[1:], p[-1:]], axis=0)
+    out = np.empty((2 * p.shape[0],) + p.shape[1:], dtype=np.float64)
+    out[0::2] = 0.75 * p + 0.25 * prev
+    out[1::2] = 0.75 * p + 0.25 * nxt
+    return np.moveaxis(out, 0, axis)
+
+
+def _jpeg_planes_to_rgb(planes, comps, h, w, maxh, maxv, fancy=False) -> np.ndarray:
     """Shared decode tail (baseline + progressive): upsample subsampled
-    components to full resolution by pixel replication (2x2 nearest —
-    deterministic, the documented contract; production libjpeg does fancy
-    upsampling at this exact seam), then YCbCr -> RGB."""
+    components to full resolution — by pixel replication (2x2 nearest,
+    the default contract every pinned digest depends on) or, with
+    ``fancy=True``, by the triangular filter libjpeg uses — then
+    YCbCr -> RGB."""
     nc = len(comps)
+    up = _fancy_upsample_axis if fancy else None
     for ci in range(nc):
         _cid, hf, vf, _tq = comps[ci]
         fy, fx = maxv // vf, maxh // hf
         if fy > 1:
-            planes[ci] = np.repeat(planes[ci], fy, axis=0)
+            planes[ci] = (
+                up(planes[ci], 0) if fancy else np.repeat(planes[ci], fy, axis=0)
+            )
         if fx > 1:
-            planes[ci] = np.repeat(planes[ci], fx, axis=1)
+            planes[ci] = (
+                up(planes[ci], 1) if fancy else np.repeat(planes[ci], fx, axis=1)
+            )
     if nc == 1:
         yp = np.clip(np.round(planes[0][:h, :w]), 0, 255).astype(np.uint8)
         return np.repeat(yp[:, :, None], 3, axis=2)
@@ -1252,7 +1275,7 @@ def _refine_band(br: _BitReader, blk, k: int, se: int, p1: int) -> None:
             blk[j] = v + (p1 if v > 0 else -p1)
 
 
-def _decode_jpeg_progressive(buf, pos, sof, qtabs, htabs, restart_interval):
+def _decode_jpeg_progressive(buf, pos, sof, qtabs, htabs, restart_interval, fancy=False):
     """Progressive scan loop (T.81 G.2): accumulate per-component zigzag
     coefficient grids across every scan (DC first/refine, AC first with
     full EOBn run semantics, AC refine with correction bits), then
@@ -1329,7 +1352,7 @@ def _decode_jpeg_progressive(buf, pos, sof, qtabs, htabs, restart_interval):
                 nby * 8, nbx * 8
             )
         )
-    return _jpeg_planes_to_rgb(planes, comps, h, w, maxh, maxv)
+    return _jpeg_planes_to_rgb(planes, comps, h, w, maxh, maxv, fancy)
 
 
 def _decode_prog_scan(
