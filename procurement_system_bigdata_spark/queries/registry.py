@@ -1945,49 +1945,52 @@ _DRIVER_SNAPSHOT = [
     "row_counts",
     "pricing_summary",
     "adhoc_sql",
-    # --- round-9 rotation, STALEST-FIRST steady-state policy (documented
+    # --- round-10 rotation, STALEST-FIRST steady-state policy (documented
     # round 8).  The 26 rotation slots go to (a) newly-registered
-    # oracle-bearing queries (this round: media_decode_subsampled,
-    # media_decode_interlaced, audio_dedup_clusters, video_fingerprint,
-    # video_neardup), then (b) — policy clarification this round —
-    # queries whose IMPLEMENTATION changed since their last external row
-    # (media_decode: the shared JPEG decode path gained subsampling
-    # support and its oracle pins 4:4:4 digests; image_dedup_clusters:
-    # now rides the star-edge generator), then (c) the stalest by
-    # last-external-hash-matched round over the CORRECTNESS_r01..r08
-    # union — the r04 cohort (embedding_quantize .. doc_fingerprints,
-    # last row r04) and the oldest of the r05 cohort, ties broken by
-    # registry order.  The 11-entry core above and the 13 bench/scale
+    # oracle-bearing queries (this round: dedup_clusters_star,
+    # video_dedup_clusters, media_decode_progressive), then (b) queries
+    # whose IMPLEMENTATION changed since their last external row
+    # (video_neardup: rewritten over distinct-signature pre-grouping;
+    # media_decode + media_decode_subsampled: the shared decode tail was
+    # refactored for the progressive path and grew the fancy-upsampling
+    # dial — their oracles pin the default-path digests), then (c) the
+    # stalest by last-external-hash-matched round over the
+    # CORRECTNESS_r01..r09 union — the first 20 of the 24-entry r05
+    # cohort (fk_integrity .. edit_distance_pairs), ties broken by
+    # registry order; the remaining four r05 rows (containment_pairs,
+    # basket_pairs, scd2_customer_segments, robust_outliers) lead the
+    # next rotation.  The 11-entry core above and the 13 bench/scale
     # pins below never rotate.  Rotated out (all externally covered in
-    # r08): image_dhash, image_neardup, audio_fingerprint, audio_neardup,
-    # big_orders .. embedding_neardup.
+    # r09): media_decode_interlaced, audio_dedup_clusters,
+    # video_fingerprint, image_dedup_clusters, embedding_quantize,
+    # lang_id .. multi_grain_rollup.
     # ---------------------------------------------------------------------
-    "media_decode_subsampled",
-    "media_decode_interlaced",
-    "audio_dedup_clusters",
-    "video_fingerprint",
+    "dedup_clusters_star",
+    "video_dedup_clusters",
+    "media_decode_progressive",
     "video_neardup",
     "media_decode",
-    "image_dedup_clusters",
-    "embedding_quantize",
-    "lang_id",
-    "text_quality",
-    "token_counts",
-    "tf_idf",
-    "doc_fingerprints",
-    "embedding_ann_lsh",
-    "embedding_ivf_topk",
-    "embedding_quantized_topk",
-    "exact_substring_pairs",
-    "source_mixture",
-    "unigram_logprob",
-    "embedding_dim_stats",
-    "value_histogram_by",
-    "cms_heavy_hitters",
-    "shipping_priority",
-    "stratified_sample",
-    "profile_orders",
-    "multi_grain_rollup",
+    "media_decode_subsampled",
+    "fk_integrity",
+    "repetition_signals",
+    "pii_scrub",
+    "boilerplate_ngrams",
+    "bm25_search",
+    "hll_mergeable_users",
+    "funnel_conversion",
+    "doc_chunks",
+    "quality_classifier",
+    "source_quality_report",
+    "dedup_ngram_jaccard_capped",
+    "semantic_decontamination",
+    "temperature_mixture",
+    "training_shards",
+    "vocab_coverage",
+    "bpe_top_pairs",
+    "retention_cohorts",
+    "rolling_active_users",
+    "daily_anomalies",
+    "edit_distance_pairs",
     # --- filler slots (13): permanent pins on the bench headliners and
     # the scale-critical dedup/curation paths, so the external gate keeps
     # exercising the code most likely to regress.
