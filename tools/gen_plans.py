@@ -29,11 +29,14 @@ PLAN_EXTRA = [
     "media_decode",
     "media_decode_subsampled",
     "media_decode_interlaced",
+    "media_decode_progressive",
     "image_neardup",
     "image_dedup_clusters",
     "audio_neardup",
     "audio_dedup_clusters",
     "video_neardup",
+    "video_dedup_clusters",
+    "dedup_clusters_star",
 ]
 
 # Per-query audit notes for plan features that LOOK like scale hazards but
