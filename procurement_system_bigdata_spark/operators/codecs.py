@@ -108,6 +108,8 @@ def sniff_media_type(content: bytes) -> str:
         return "audio/wav"
     if head[:4] == b"RAWV":
         return "video/x-rawv"
+    if head[4:8] == b"ftyp":
+        return "video/mp4"
     return "application/octet-stream"
 
 
@@ -1733,3 +1735,323 @@ def synthesize_pattern_video(media_id: int, n_frames: int = VIDEO_FRAMES) -> byt
         pattern_pixels((c + VIDEO_CLASS_STEP * f) % 256) for f in range(n_frames)
     ]
     return encode_rawv(frames)
+
+
+# ---------------------------------------------------------------------------
+# MP4 / ISO base media file format (ISO/IEC 14496-12) — round 10.
+#
+# The container layer of the "MP4 tail" opened for real: a from-spec box
+# writer + hardened parser + sample-table random access.  With an MJPEG
+# ('jpeg' VisualSampleEntry) video track every sample is a baseline JPEG
+# this module already decodes, so MP4 clips flow through the same sampled-
+# frame pipeline as RAWV — fully decoded, no external codec.  Compressed
+# inter-frame codecs ('avc1' H.264, 'hvc1' HEVC) stay gated at the ffmpeg
+# seam: parse_mp4 reads their geometry and sample tables fine, mp4_frame
+# raises UnsupportedMediaError at the decode dispatch.
+#
+# Reference parity note: the reference system (isMarouaneBen/
+# procurement-system-BigData) has no media layer at all; this section is
+# an extension for training-data pipelines, derived only from the public
+# ISO/IEC 14496-12 box grammar.
+# ---------------------------------------------------------------------------
+
+#: Untrusted sample-table ceiling: a crafted stsz can declare 2^32 samples
+#: (16 GB of size entries) — reject before allocating, same philosophy as
+#: MAX_PIXELS.
+MP4_MAX_SAMPLES = 1_000_000
+
+MP4_TIMESCALE = 600  # classic media timescale: exact for 24/25/30 fps
+
+
+def _box(tag: bytes, *payload: bytes) -> bytes:
+    data = b"".join(payload)
+    return struct.pack(">I", 8 + len(data)) + tag + data
+
+
+def _fullbox(tag: bytes, version: int, flags: int, *payload: bytes) -> bytes:
+    return _box(tag, struct.pack(">I", (version << 24) | flags), *payload)
+
+
+_MP4_MATRIX = struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+
+
+def _mp4_moov(
+    w: int, h: int, sizes: list[int], delta: int, chunk_offset: int
+) -> bytes:
+    n = len(sizes)
+    duration = n * delta
+    mvhd = _fullbox(
+        b"mvhd", 0, 0,
+        struct.pack(">IIII", 0, 0, MP4_TIMESCALE, duration),
+        struct.pack(">iH", 0x00010000, 0x0100),  # rate 1.0, volume 1.0
+        b"\x00" * 10,
+        _MP4_MATRIX,
+        b"\x00" * 24,
+        struct.pack(">I", 2),  # next_track_ID
+    )
+    tkhd = _fullbox(
+        b"tkhd", 0, 0x7,  # enabled | in_movie | in_preview
+        struct.pack(">IIIII", 0, 0, 1, 0, duration),
+        b"\x00" * 8,
+        struct.pack(">hhhH", 0, 0, 0, 0),  # layer, alt_group, volume, rsvd
+        _MP4_MATRIX,
+        struct.pack(">II", w << 16, h << 16),
+    )
+    mdhd = _fullbox(
+        b"mdhd", 0, 0,
+        struct.pack(">IIII", 0, 0, MP4_TIMESCALE, duration),
+        struct.pack(">HH", 0x55C4, 0),  # language 'und'
+    )
+    hdlr = _fullbox(
+        b"hdlr", 0, 0,
+        struct.pack(">I", 0), b"vide", b"\x00" * 12, b"VideoHandler\x00",
+    )
+    # VisualSampleEntry 'jpeg' (Motion JPEG, one coded image per sample)
+    stsd = _fullbox(
+        b"stsd", 0, 0,
+        struct.pack(">I", 1),
+        _box(
+            b"jpeg",
+            b"\x00" * 6,
+            struct.pack(">H", 1),  # data_reference_index
+            b"\x00" * 16,  # pre_defined / reserved
+            struct.pack(">HH", w, h),
+            struct.pack(">II", 0x00480000, 0x00480000),  # 72 dpi
+            struct.pack(">I", 0),
+            struct.pack(">H", 1),  # frame_count
+            b"\x00" * 32,  # compressorname
+            struct.pack(">Hh", 0x0018, -1),  # depth, pre_defined
+        ),
+    )
+    stts = _fullbox(b"stts", 0, 0, struct.pack(">III", 1, n, delta))
+    stsc = _fullbox(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, n, 1))
+    stsz = _fullbox(
+        b"stsz", 0, 0,
+        struct.pack(">II", 0, n),
+        struct.pack(f">{n}I", *sizes),
+    )
+    stco = _fullbox(b"stco", 0, 0, struct.pack(">II", 1, chunk_offset))
+    stbl = _box(b"stbl", stsd, stts, stsc, stsz, stco)
+    vmhd = _fullbox(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+    dref = _fullbox(b"dref", 0, 0, struct.pack(">I", 1), _fullbox(b"url ", 0, 1))
+    minf = _box(b"minf", vmhd, _box(b"dinf", dref), stbl)
+    mdia = _box(b"mdia", mdhd, hdlr, minf)
+    trak = _box(b"trak", tkhd, mdia)
+    return _box(b"moov", mvhd, trak)
+
+
+def encode_mp4_mjpeg(
+    frames: list[np.ndarray],
+    quality: int = 90,
+    fps: int = 4,
+    subsampling: str = "444",
+) -> bytes:
+    """Minimal valid single-track MJPEG MP4: ftyp + moov + mdat, one chunk
+    holding every sample, one JPEG coded image per sample.  Layout is
+    two-pass: moov's byte length is independent of the stco offset value
+    (a fixed uint32), so build once with a placeholder to learn the mdat
+    payload position, then rebuild with the real offset."""
+    if not frames:
+        raise ValueError("MP4 needs at least one frame")
+    h, w = frames[0].shape[:2]
+    samples = [encode_jpeg(f, quality, subsampling=subsampling) for f in frames]
+    sizes = [len(s) for s in samples]
+    delta = MP4_TIMESCALE // fps
+    ftyp = _box(b"ftyp", b"isom", struct.pack(">I", 512), b"isom", b"mp41")
+    moov_len = len(_mp4_moov(w, h, sizes, delta, 0))
+    chunk_offset = len(ftyp) + moov_len + 8  # + mdat header
+    moov = _mp4_moov(w, h, sizes, delta, chunk_offset)
+    mdat = _box(b"mdat", *samples)
+    return ftyp + moov + mdat
+
+
+def _mp4_boxes(buf: bytes, start: int, end: int):
+    """Yield (tag, payload_start, payload_end) for each box in
+    buf[start:end], bounds-checked; malformed sizes -> UnsupportedMediaError
+    (64-bit largesize and size==0 'to EOF' are accepted per the spec)."""
+    p = start
+    while p < end:
+        if p + 8 > end:
+            raise UnsupportedMediaError("truncated MP4 box header")
+        size = struct.unpack_from(">I", buf, p)[0]
+        tag = buf[p + 4 : p + 8]
+        body = p + 8
+        if size == 1:
+            if p + 16 > end:
+                raise UnsupportedMediaError("truncated MP4 largesize header")
+            size = struct.unpack_from(">Q", buf, p + 8)[0]
+            body = p + 16
+        elif size == 0:
+            size = end - p
+        if size < body - p or p + size > end:
+            raise UnsupportedMediaError(f"MP4 box {tag!r} size out of bounds")
+        yield tag, body, p + size
+        p += size
+
+
+def _mp4_child(buf: bytes, start: int, end: int, tag: bytes):
+    for t, b, e in _mp4_boxes(buf, start, end):
+        if t == tag:
+            return b, e
+    return None
+
+
+@_corrupt_guard
+def parse_mp4(content: bytes) -> dict:
+    """Parse the container: brand, movie timescale/duration, the first
+    video track's geometry + codec fourcc, and the resolved per-sample
+    (offset, size) table from stsc/stsz/stco|co64.  Every read is
+    bounds-checked; declared sample counts are capped at MP4_MAX_SAMPLES
+    BEFORE allocating; every resolved sample extent must lie inside the
+    payload.  No decode happens here — this is the pure 14496-12 layer."""
+    buf = bytes(content)
+    if len(buf) < 12 or buf[4:8] != b"ftyp":
+        raise UnsupportedMediaError(
+            "not an ISO-BMFF payload (no leading ftyp box)"
+        )
+    brand = buf[8:12].decode("latin-1")
+    moov = _mp4_child(buf, 0, len(buf), b"moov")
+    if moov is None:
+        raise UnsupportedMediaError("MP4 without a moov box")
+    mvhd = _mp4_child(buf, *moov, b"mvhd")
+    if mvhd is None:
+        raise UnsupportedMediaError("MP4 moov without mvhd")
+    ver = buf[mvhd[0]]
+    if ver == 1:
+        timescale, duration = struct.unpack_from(">IQ", buf, mvhd[0] + 4 + 16)
+    else:
+        timescale, duration = struct.unpack_from(">II", buf, mvhd[0] + 4 + 8)
+    for t, b, e in _mp4_boxes(buf, *moov):
+        if t != b"trak":
+            continue
+        mdia = _mp4_child(buf, b, e, b"mdia")
+        if mdia is None:
+            continue
+        hdlr = _mp4_child(buf, *mdia, b"hdlr")
+        if hdlr is None or buf[hdlr[0] + 8 : hdlr[0] + 12] != b"vide":
+            continue
+        tkhd = _mp4_child(buf, b, e, b"tkhd")
+        minf = _mp4_child(buf, *mdia, b"minf")
+        if tkhd is None or minf is None:
+            raise UnsupportedMediaError("MP4 video trak missing tkhd/minf")
+        tv = buf[tkhd[0]]
+        geom_off = tkhd[0] + 4 + (32 if tv == 1 else 20) + 8 + 8 + 36
+        tw, th = struct.unpack_from(">II", buf, geom_off)
+        stbl = _mp4_child(buf, *minf, b"stbl")
+        if stbl is None:
+            raise UnsupportedMediaError("MP4 video trak without stbl")
+        stsd = _mp4_child(buf, *stbl, b"stsd")
+        if stsd is None or struct.unpack_from(">I", buf, stsd[0] + 4)[0] < 1:
+            raise UnsupportedMediaError("MP4 stbl without a sample entry")
+        codec = buf[stsd[0] + 12 : stsd[0] + 16].decode("latin-1")
+        stsz = _mp4_child(buf, *stbl, b"stsz")
+        stsc = _mp4_child(buf, *stbl, b"stsc")
+        stco = _mp4_child(buf, *stbl, b"stco")
+        co64 = _mp4_child(buf, *stbl, b"co64")
+        if stsz is None or stsc is None or (stco is None and co64 is None):
+            raise UnsupportedMediaError("MP4 stbl missing stsz/stsc/stco")
+        fixed, n = struct.unpack_from(">II", buf, stsz[0] + 4)
+        if n > MP4_MAX_SAMPLES:
+            raise UnsupportedMediaError(
+                f"MP4 declares {n} samples (> {MP4_MAX_SAMPLES} ceiling)"
+            )
+        if fixed:
+            sizes = [fixed] * n
+        else:
+            if stsz[0] + 12 + 4 * n > stsz[1]:
+                raise UnsupportedMediaError("truncated stsz table")
+            sizes = list(struct.unpack_from(f">{n}I", buf, stsz[0] + 12))
+        if stco is not None:
+            n_chunks = struct.unpack_from(">I", buf, stco[0] + 4)[0]
+            if stco[0] + 8 + 4 * n_chunks > stco[1] or n_chunks > MP4_MAX_SAMPLES:
+                raise UnsupportedMediaError("truncated stco table")
+            chunk_offs = struct.unpack_from(f">{n_chunks}I", buf, stco[0] + 8)
+        else:
+            n_chunks = struct.unpack_from(">I", buf, co64[0] + 4)[0]
+            if co64[0] + 8 + 8 * n_chunks > co64[1] or n_chunks > MP4_MAX_SAMPLES:
+                raise UnsupportedMediaError("truncated co64 table")
+            chunk_offs = struct.unpack_from(f">{n_chunks}Q", buf, co64[0] + 8)
+        n_runs = struct.unpack_from(">I", buf, stsc[0] + 4)[0]
+        if stsc[0] + 8 + 12 * n_runs > stsc[1] or n_runs > MP4_MAX_SAMPLES:
+            raise UnsupportedMediaError("truncated stsc table")
+        runs = [
+            struct.unpack_from(">III", buf, stsc[0] + 8 + 12 * i)
+            for i in range(n_runs)
+        ]
+        offsets: list[int] = []
+        si = 0
+        for ri, (first_chunk, per_chunk, _desc) in enumerate(runs):
+            last_chunk = (
+                runs[ri + 1][0] - 1 if ri + 1 < len(runs) else n_chunks
+            )
+            for ci in range(first_chunk - 1, last_chunk):
+                if ci >= n_chunks or si >= n:
+                    break
+                pos = chunk_offs[ci]
+                for _ in range(per_chunk):
+                    if si >= n:
+                        break
+                    offsets.append(pos)
+                    pos += sizes[si]
+                    si += 1
+        if si < n:
+            raise UnsupportedMediaError("stsc/stco cover fewer samples than stsz")
+        for off, sz in zip(offsets, sizes):
+            if off + sz > len(buf):
+                raise UnsupportedMediaError("MP4 sample extends past payload end")
+        return {
+            "brand": brand,
+            "timescale": int(timescale),
+            "duration": int(duration),
+            "codec": codec,
+            "width": int(tw >> 16),
+            "height": int(th >> 16),
+            "n_samples": n,
+            "sample_sizes": sizes,
+            "sample_offsets": offsets,
+        }
+    raise UnsupportedMediaError("MP4 without a video track")
+
+
+def mp4_frame(content: bytes, idx: int) -> np.ndarray:
+    """Random access to coded sample ``idx`` via the resolved sample
+    table, decoded through the in-repo JPEG path when the track is MJPEG.
+    Same error contract as rawv_frame: parse failures are
+    UnsupportedMediaError (guarded inside parse_mp4); an out-of-range
+    ``idx`` is a CALLER bug and raises IndexError unguarded.  Inter-frame
+    codecs dead-letter at this dispatch — the documented ffmpeg seam."""
+    info = parse_mp4(content)
+    if not 0 <= idx < info["n_samples"]:
+        raise IndexError(f"sample {idx} of {info['n_samples']}")
+    if info["codec"] != "jpeg":
+        raise UnsupportedMediaError(
+            f"MP4 codec {info['codec']!r} needs ffmpeg at this seam"
+        )
+    off, sz = info["sample_offsets"][idx], info["sample_sizes"][idx]
+    return decode_jpeg(bytes(content[off : off + sz]))
+
+
+#: MJPEG corpus contract: clip frame count varies with the id (so the
+#: metadata oracle is a non-trivial closed form) and frame f carries the
+#: gradient of class ((media_id + f) * 37) % 256 — the same 256-class
+#: precompute admissibility argument as synthesize_image.
+MP4_MIN_FRAMES = 6
+MP4_FRAME_MOD = 4
+MP4_FPS = 4
+MP4_SAMPLE_STEP = 2
+
+
+def mp4_frame_count(media_id: int) -> int:
+    return MP4_MIN_FRAMES + 2 * (media_id % MP4_FRAME_MOD)
+
+
+def synthesize_mjpeg_video(
+    media_id: int, width: int = 32, height: int = 24, quality: int = 90
+) -> bytes:
+    """Deterministic MJPEG MP4 clip: frame f is the synthesis gradient of
+    id (media_id + f), JPEG-coded; frame count per mp4_frame_count."""
+    frames = [
+        decode_ppm(synthesize_image(media_id + f, width, height))
+        for f in range(mp4_frame_count(media_id))
+    ]
+    return encode_mp4_mjpeg(frames, quality, fps=MP4_FPS)

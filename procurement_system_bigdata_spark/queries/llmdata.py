@@ -1418,6 +1418,50 @@ Q_VIDEO_NEARDUP_SQL = _video_neardup_sql()
 Q_VIDEO_DEDUP_CLUSTERS_SQL = _video_dedup_clusters_sql()
 
 
+def q_video_mp4_meta(spark, sf_dir):
+    """MP4 container survey (round-10): parse each MJPEG-MP4 clip's
+    ISO/IEC 14496-12 box tree — brand, codec fourcc, track geometry,
+    sample count, duration — WITHOUT decoding any frame (the sample
+    table is a few KB regardless of mdat size, the property that makes
+    a 100-TB corpus survey cheap).  FULL closed-form oracle."""
+    from ..operators import multimodal
+
+    media = multimodal.attach_mjpeg_videos(_docs(spark, sf_dir))
+    return multimodal.video_container_meta(media).orderBy("media_id")
+
+
+def q_media_decode_mp4(spark, sf_dir):
+    """Sampled-frame MJPEG-in-MP4 decode audit (round-10): every second
+    coded sample is random-accessed through the resolved stsc/stsz/stco
+    table (skipped samples never decoded) and decoded through the in-repo
+    baseline-JPEG path; per-frame pixel digests pinned by the 256-class
+    quantized-gradient precompute.  The container layer of the former
+    'MP4 tail', opened for real — only inter-frame codecs (H.264/HEVC)
+    remain gated at the ffmpeg seam."""
+    from ..operators import multimodal
+
+    media = multimodal.attach_mjpeg_videos(_docs(spark, sf_dir))
+    return multimodal.decode_mp4_frames_audit(media).orderBy(
+        "media_id", "frame_idx"
+    )
+
+
+def _video_mp4_meta_sql():
+    from ..operators import multimodal
+
+    return multimodal.video_mp4_meta_sql()
+
+
+def _media_decode_mp4_sql():
+    from ..operators import multimodal
+
+    return multimodal.media_decode_mp4_sql()
+
+
+Q_VIDEO_MP4_META_SQL = _video_mp4_meta_sql()
+Q_MEDIA_DECODE_MP4_SQL = _media_decode_mp4_sql()
+
+
 def q_repetition_signals(spark, sf_dir):
     from ..operators import text as text_ops
 

@@ -956,6 +956,36 @@ _register(
 )
 _register(
     QuerySpec(
+        name="video_mp4_meta",
+        fn=llmdata.q_video_mp4_meta,
+        oracle=llmdata.Q_VIDEO_MP4_META_SQL,
+        description="MP4 container survey (round-10): from-spec ISO/IEC "
+        "14496-12 box parse of each MJPEG-MP4 clip — brand, codec fourcc, "
+        "track geometry, sample count, duration — with NO frame decode "
+        "(the sample table is KBs regardless of mdat size); hostile "
+        "payloads (bogus box sizes, sample extents past EOF, crafted "
+        "2^32-sample stsz) dead-letter before any allocation; FULL "
+        "closed-form oracle",
+        ops=("EXT-multimodal",),
+    )
+)
+_register(
+    QuerySpec(
+        name="media_decode_mp4",
+        fn=llmdata.q_media_decode_mp4,
+        oracle=llmdata.Q_MEDIA_DECODE_MP4_SQL,
+        description="Sampled-frame MJPEG-in-MP4 decode audit (round-10): "
+        "every second coded sample random-accessed via the resolved "
+        "stsc/stsz/stco table (skipped samples never decoded), decoded "
+        "through the in-repo baseline-JPEG path; per-frame digests pinned "
+        "by the 256-class quantized-gradient precompute — the container "
+        "layer of the former 'MP4 tail' opened for real, with only "
+        "inter-frame codecs (H.264/HEVC) left at the ffmpeg seam",
+        ops=("EXT-multimodal",),
+    )
+)
+_register(
+    QuerySpec(
         name="audio_dedup_clusters",
         fn=llmdata.q_audio_dedup_clusters,
         oracle=llmdata.Q_AUDIO_DEDUP_CLUSTERS_SQL,

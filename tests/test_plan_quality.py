@@ -525,19 +525,15 @@ def test_media_family_band_join_shape(spark):
         )
         assert equi >= 1, f"{name}: no equi-join in plan"
         assert stats["python_udfs"] == 0, f"{name}: row-at-a-time Python"
-        if name == "video_neardup":
-            # round-10 pre-grouped shape: band join + distinct over
-            # DISTINCT signatures, plus the member-expansion equi-joins
-            # (confirmed sig pairs x members x2, intra-class self-join) —
-            # all keyed on rep/signature, bounded by near-dup volume
+        if name.endswith("neardup"):
+            # round-10 pre-grouped shape (all three modalities): band
+            # join + distinct over DISTINCT signatures, plus the
+            # member-expansion equi-joins (confirmed sig pairs x members
+            # x2, intra-class self-join) — all keyed on rep/signature,
+            # bounded by near-dup volume
             assert stats["shuffles"] <= 8, (
                 f"{name}: {stats['shuffles']} shuffles (pre-grouped band "
                 "join + expansion is the contract)"
-            )
-        elif name.endswith("neardup"):
-            assert stats["shuffles"] <= 2, (
-                f"{name}: {stats['shuffles']} shuffles (band join + distinct "
-                "is the contract)"
             )
 
 
@@ -551,6 +547,8 @@ def test_media_decode_plan_is_joinless_arrow(spark):
         "media_decode_subsampled",
         "media_decode_interlaced",
         "media_decode_progressive",
+        "media_decode_mp4",
+        "video_mp4_meta",
     ):
         stats = plan_stats(REGISTRY[name].fn(spark, SF_DIR))
         plan = stats["plan"]

@@ -464,3 +464,160 @@ def test_media_decode_progressive_oracle_green(spark, duck):
         duck,
         llmdata.Q_MEDIA_DECODE_PROGRESSIVE_SQL,
     )
+
+
+# --- MP4 / ISO-BMFF container + MJPEG decode (round-10 second wave) ----------
+
+
+def test_mp4_roundtrip_metadata_and_frames():
+    """encode_mp4_mjpeg -> parse_mp4 round-trips the container contract,
+    and every sample decodes to EXACTLY the bytes the direct JPEG
+    encode->decode path produces (the mdat slicing adds no loss)."""
+    frames = [
+        codecs.decode_ppm(codecs.synthesize_image(11 + f, 32, 24))
+        for f in range(5)
+    ]
+    b = codecs.encode_mp4_mjpeg(frames, 90, fps=4)
+    info = codecs.parse_mp4(b)
+    assert info["brand"] == "isom"
+    assert info["codec"] == "jpeg"
+    assert (info["width"], info["height"]) == (32, 24)
+    assert info["n_samples"] == 5
+    assert info["duration"] * 1000 // info["timescale"] == 5 * 250
+    for i, f in enumerate(frames):
+        direct = codecs.decode_jpeg(codecs.encode_jpeg(f, 90))
+        assert np.array_equal(codecs.mp4_frame(b, i), direct)
+    assert codecs.sniff_media_type(b) == "video/mp4"
+
+
+def test_mp4_hostile_payloads_dead_letter():
+    """Crafted containers must dead-letter (UnsupportedMediaError) BEFORE
+    any large allocation — same philosophy as the image MAX_PIXELS
+    ceiling — while caller bugs stay IndexError."""
+    import struct as _s
+
+    E = codecs.UnsupportedMediaError
+    b = codecs.synthesize_mjpeg_video(7)
+    for bad, what in [
+        (b[:40], "truncated mid-box"),
+        (b"1234abcd" + b[8:], "no leading ftyp"),
+        (b[: len(b) - 200], "sample extent past EOF"),
+    ]:
+        with pytest.raises(E):
+            codecs.parse_mp4(bad)
+    crafted = bytearray(b)
+    _s.pack_into(">I", crafted, 0, 2**31)  # bogus ftyp size
+    with pytest.raises(E):
+        codecs.parse_mp4(bytes(crafted))
+    crafted = bytearray(b)
+    _s.pack_into(">I", crafted, b.find(b"stsz") + 12, 2**31)  # 2^31 samples
+    with pytest.raises(E):
+        codecs.parse_mp4(bytes(crafted))
+    with pytest.raises(IndexError):  # caller bug, NOT a corrupt payload
+        codecs.mp4_frame(b, 99)
+
+
+def test_mp4_interframe_codec_gated_at_decode_not_parse():
+    """An 'avc1' (H.264) track parses fine — metadata survey works on any
+    ISO-BMFF payload — but frame decode dead-letters at the documented
+    ffmpeg seam."""
+    b = bytearray(codecs.synthesize_mjpeg_video(3))
+    i = b.find(b"jpeg")  # the stsd VisualSampleEntry fourcc (inside moov)
+    b[i : i + 4] = b"avc1"
+    info = codecs.parse_mp4(bytes(b))
+    assert info["codec"] == "avc1"
+    assert info["n_samples"] == codecs.mp4_frame_count(3)
+    with pytest.raises(codecs.UnsupportedMediaError, match="ffmpeg"):
+        codecs.mp4_frame(bytes(b), 0)
+
+
+def test_mp4_parser_handles_co64_fixed_stsz_and_multichunk_stsc():
+    """The parser paths the in-repo writer never emits — 64-bit chunk
+    offsets, fixed-size stsz, multiple chunks with distinct stsc runs —
+    resolved against a hand-built container."""
+    import struct as _s
+
+    frame = codecs.decode_ppm(codecs.synthesize_image(5, 32, 24))
+    sample = codecs.encode_jpeg(frame, 90)
+    sz = len(sample)
+    # 3 samples in 2 chunks: chunk1 = 2 samples, chunk2 = 1 (two stsc runs)
+    ftyp = codecs._box(b"ftyp", b"isom", _s.pack(">I", 512), b"isom")
+
+    def moov(off1, off2):
+        n, delta = 3, 150
+        stsd = codecs._fullbox(
+            b"stsd", 0, 0, _s.pack(">I", 1),
+            codecs._box(
+                b"jpeg", b"\x00" * 6, _s.pack(">H", 1), b"\x00" * 16,
+                _s.pack(">HH", 32, 24), _s.pack(">II", 0x480000, 0x480000),
+                _s.pack(">I", 0), _s.pack(">H", 1), b"\x00" * 32,
+                _s.pack(">Hh", 0x18, -1),
+            ),
+        )
+        stts = codecs._fullbox(b"stts", 0, 0, _s.pack(">III", 1, n, delta))
+        stsc = codecs._fullbox(
+            b"stsc", 0, 0,
+            _s.pack(">I", 2),
+            _s.pack(">III", 1, 2, 1),  # chunk 1: 2 samples
+            _s.pack(">III", 2, 1, 1),  # chunks 2..: 1 sample
+        )
+        stsz = codecs._fullbox(b"stsz", 0, 0, _s.pack(">II", sz, n))  # FIXED
+        co64 = codecs._fullbox(b"co64", 0, 0, _s.pack(">IQQ", 2, off1, off2))
+        stbl = codecs._box(b"stbl", stsd, stts, stsc, stsz, co64)
+        vmhd = codecs._fullbox(b"vmhd", 0, 1, _s.pack(">HHHH", 0, 0, 0, 0))
+        dref = codecs._fullbox(
+            b"dref", 0, 0, _s.pack(">I", 1), codecs._fullbox(b"url ", 0, 1)
+        )
+        minf = codecs._box(b"minf", vmhd, codecs._box(b"dinf", dref), stbl)
+        mdhd = codecs._fullbox(
+            b"mdhd", 0, 0, _s.pack(">IIII", 0, 0, 600, n * delta),
+            _s.pack(">HH", 0x55C4, 0),
+        )
+        hdlr = codecs._fullbox(
+            b"hdlr", 0, 0, _s.pack(">I", 0), b"vide", b"\x00" * 12, b"V\x00"
+        )
+        mdia = codecs._box(b"mdia", mdhd, hdlr, minf)
+        tkhd = codecs._fullbox(
+            b"tkhd", 0, 7, _s.pack(">IIIII", 0, 0, 1, 0, n * delta),
+            b"\x00" * 8, _s.pack(">hhhH", 0, 0, 0, 0), codecs._MP4_MATRIX,
+            _s.pack(">II", 32 << 16, 24 << 16),
+        )
+        mvhd = codecs._fullbox(
+            b"mvhd", 0, 0, _s.pack(">IIII", 0, 0, 600, n * delta),
+            _s.pack(">iH", 0x10000, 0x100), b"\x00" * 10, codecs._MP4_MATRIX,
+            b"\x00" * 24, _s.pack(">I", 2),
+        )
+        return codecs._box(b"moov", mvhd, codecs._box(b"trak", tkhd, mdia))
+
+    probe = moov(0, 0)
+    base = len(ftyp) + len(probe) + 8
+    body = ftyp + moov(base, base + 2 * sz) + codecs._box(
+        b"mdat", sample, sample, sample
+    )
+    info = codecs.parse_mp4(body)
+    assert info["n_samples"] == 3
+    assert info["sample_sizes"] == [sz, sz, sz]
+    assert info["sample_offsets"] == [base, base + sz, base + 2 * sz]
+    direct = codecs.decode_jpeg(sample)
+    for i in range(3):
+        assert np.array_equal(codecs.mp4_frame(body, i), direct)
+
+
+def test_video_mp4_meta_oracle_green(spark, duck):
+    from procurement_system_bigdata_spark.queries import llmdata
+
+    assert_matches_oracle(
+        llmdata.q_video_mp4_meta(spark, SF_DIR),
+        duck,
+        llmdata.Q_VIDEO_MP4_META_SQL,
+    )
+
+
+def test_media_decode_mp4_oracle_green(spark, duck):
+    from procurement_system_bigdata_spark.queries import llmdata
+
+    assert_matches_oracle(
+        llmdata.q_media_decode_mp4(spark, SF_DIR),
+        duck,
+        llmdata.Q_MEDIA_DECODE_MP4_SQL,
+    )

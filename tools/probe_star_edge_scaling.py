@@ -131,3 +131,33 @@ print(
     f"{n_members / n_sigs:.0f}x shrink on this corpus)"
 )
 assert n_sigs == 200 and n_members == n
+
+# round-10 second wave: the SAME distinct-signature pre-grouping now
+# backs the image and audio pair listings (multimodal._image_sig_classes
+# / _audio_sig_classes) — measure the candidate band-join input shrink
+# on the same 5x-duplicated corpus shape
+docs = spark.range(n).select(
+    ((F.col("id") % 200) + 256 * F.floor(F.col("id") / 200)).alias("doc_id")
+)
+hashes = mm.image_dhash(mm.attach_pattern_images(docs)).localCheckpoint()
+sigs, members = mm._image_sig_classes(hashes)
+n_sigs, n_members = sigs.count(), members.count()
+print(
+    f"image band-join input: {n_sigs} distinct signatures x 4 band rows "
+    f"(was {n_members} images x 4 before round-10 pre-grouping: "
+    f"{n_members / n_sigs:.1f}x shrink on this corpus)"
+)
+assert 100 <= n_sigs <= 200 and n_members == n
+
+docs = spark.range(n).select(
+    ((F.col("id") % 100) + 128 * F.floor(F.col("id") / 100)).alias("doc_id")
+)
+fps2 = mm.audio_fingerprints(mm.attach_fp_tones(docs)).localCheckpoint()
+sigs, members = mm._audio_sig_classes(fps2)
+n_sigs, n_members = sigs.count(), members.count()
+print(
+    f"audio band-join input: {n_sigs} distinct signatures x "
+    f"{mm.codecs.FP_WINDOWS * 2} grid rows (was {n_members} clips before "
+    f"round-10 pre-grouping: {n_members / n_sigs:.1f}x shrink)"
+)
+assert n_sigs <= 100 and n_members == n
