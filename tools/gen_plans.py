@@ -37,6 +37,8 @@ PLAN_EXTRA = [
     "video_neardup",
     "video_dedup_clusters",
     "dedup_clusters_star",
+    "video_mp4_meta",
+    "media_decode_mp4",
 ]
 
 # Per-query audit notes for plan features that LOOK like scale hazards but
