@@ -6,14 +6,16 @@ parses with the stdlib ``wave`` module, and — since round 8 — PNG
 (stdlib zlib inflate + the five scanline filters; Adam7 interlace since
 round 9) and JPEG (numpy DCT + canonical Huffman over the public ITU
 T.81 Annex K tables; 4:2:0/4:2:2 chroma subsampling since round 9;
-progressive SOF2 with spectral selection + successive approximation
-since round 10) decode FOR REAL too, with matching deterministic
-encoders.  The multimodal stages decode, resize (nearest-neighbor), and
+progressive SOF2 with spectral selection + successive approximation,
+with or without restart-marker framing, since round 10) decode FOR REAL
+too, with matching deterministic encoders; MP4 containers parse via a
+from-spec ISO/IEC 14496-12 layer with MJPEG tracks fully decoded.  The
+multimodal stages decode, resize (nearest-neighbor), and
 feature-extract actual pixels/samples for all of these; what remains
 gated behind ``UnsupportedMediaError`` is the truly external tail
-(arithmetic-coded/lossless/hierarchical JPEG, progressive scans with
-restart intervals, MP4/H.264 video), with the production swap point
-documented (PIL.Image.open / ffmpeg).
+(arithmetic-coded/lossless/hierarchical JPEG, inter-frame video codecs
+H.264/HEVC), with the production swap point documented
+(PIL.Image.open / ffmpeg).
 
 Everything here is deterministic pure-Python/numpy: safe inside Arrow
 mapInPandas workers, no native libs, no RNG.
@@ -893,13 +895,22 @@ def _scan_block_order(sel_cis, factors_of, mcus_x, mcus_y, h, w, maxh, maxv):
 
 
 def encode_jpeg_progressive(
-    arr: np.ndarray, quality: int = 90, subsampling: str = "444"
+    arr: np.ndarray,
+    quality: int = 90,
+    subsampling: str = "444",
+    restart_interval: int = 0,
 ) -> bytes:
     """(h, w, 3) uint8 RGB -> progressive (SOF2) JFIF bytes: the standard
     10-scan spectral-selection + successive-approximation script over the
     same quantized coefficients the baseline encoder produces, so a full
     decode reconstructs pixels IDENTICAL to the baseline bitstream's
-    (pinned by test).  Deterministic like encode_jpeg."""
+    (pinned by test).  Deterministic like encode_jpeg.
+
+    ``restart_interval`` > 0 emits a DRI segment and splits EVERY scan's
+    entropy stream with RST0-7 markers each R MCUs (non-interleaved
+    scans: R blocks, per A.2.2), resetting DC predictors and the byte
+    phase per interval — the resync layout real encoders write for
+    error resilience and parallel decode."""
     h, w, factors, ql, qc, zz, mcus_x, mcus_y = _jpeg_prepare(
         arr, quality, subsampling
     )
@@ -916,34 +927,52 @@ def encode_jpeg_progressive(
         return struct.pack(">HH", marker, len(payload) + 2) + payload
 
     out = _jpeg_headers(h, w, factors, ql, qc, 0xFFC2)
+    if restart_interval:
+        out.append(seg(0xFFDD, struct.pack(">H", restart_interval)))
+    rst = 0
     for comps, ss, se, ah, al in _PROGRESSIVE_SCRIPT:
-        bw = _BitWriter()
-        order = _scan_block_order(
-            comps, lambda ci: factors[ci], mcus_x, mcus_y, h, w, maxh, maxv
+        order = list(
+            _scan_block_order(
+                comps, lambda ci: factors[ci], mcus_x, mcus_y, h, w, maxh, maxv
+            )
         )
-        if ss == 0:  # DC scan
-            pred = {ci: 0 for ci in comps}
-            for ci, by, bx in order:
-                v = int(grids[ci][by, bx, 0]) >> al  # arithmetic shift (G.1.2.1)
-                if ah == 0:
-                    diff = v - pred[ci]
-                    pred[ci] = v
-                    s, extra = _magnitude(diff)
-                    code, ln = dc_tabs[0 if ci == 0 else 1][s]
-                    bw.write(code, ln)
-                    if s:
-                        bw.write(extra, s)
-                else:
-                    bw.write(v & 1, 1)
-        else:  # AC scan: exactly one component, non-interleaved
-            (ci,) = comps
-            act = ac_tabs[0 if ci == 0 else 1]
-            for _ci, by, bx in order:
-                blk = grids[ci][by, bx]
-                if ah == 0:
-                    _enc_ac_first(bw, blk, ss, se, al, act)
-                else:
-                    _enc_ac_refine(bw, blk, ss, se, ah, al, act)
+        if restart_interval:
+            bpm = (
+                sum(hf * vf for hf, vf in (factors[ci] for ci in comps))
+                if len(comps) > 1
+                else 1
+            )
+            step = restart_interval * bpm
+            chunks = [order[i : i + step] for i in range(0, len(order), step)]
+        else:
+            chunks = [order]
+        entropy = []
+        for chunk in chunks:
+            bw = _BitWriter()
+            if ss == 0:  # DC scan (predictors reset per restart interval)
+                pred = {ci: 0 for ci in comps}
+                for ci, by, bx in chunk:
+                    v = int(grids[ci][by, bx, 0]) >> al  # arith shift (G.1.2.1)
+                    if ah == 0:
+                        diff = v - pred[ci]
+                        pred[ci] = v
+                        s, extra = _magnitude(diff)
+                        code, ln = dc_tabs[0 if ci == 0 else 1][s]
+                        bw.write(code, ln)
+                        if s:
+                            bw.write(extra, s)
+                    else:
+                        bw.write(v & 1, 1)
+            else:  # AC scan: exactly one component, non-interleaved
+                (ci,) = comps
+                act = ac_tabs[0 if ci == 0 else 1]
+                for _ci, by, bx in chunk:
+                    blk = grids[ci][by, bx]
+                    if ah == 0:
+                        _enc_ac_first(bw, blk, ss, se, al, act)
+                    else:
+                        _enc_ac_refine(bw, blk, ss, se, ah, al, act)
+            entropy.append(bw.flush())
         comp_spec = []
         for ci in comps:
             t = 0 if ci == 0 else 1
@@ -951,7 +980,11 @@ def encode_jpeg_progressive(
         out.append(
             seg(0xFFDA, bytes([len(comps), *comp_spec, ss, se, (ah << 4) | al]))
         )
-        out.append(bw.flush())
+        for i, e in enumerate(entropy):
+            if i:
+                out.append(struct.pack(">H", 0xFFD0 + rst))
+                rst = (rst + 1) % 8
+            out.append(e)
     out.append(struct.pack(">H", 0xFFD9))  # EOI
     return b"".join(out)
 
@@ -1043,9 +1076,10 @@ def decode_jpeg(content: bytes, fancy_upsampling: bool = False) -> np.ndarray:
     round-10) with per-axis sampling factors in {1, 2} (4:4:4, 4:2:0,
     4:2:2, 4:4:0) or single-component grayscale, any DQT/DHT tables (not
     just Annex K, including tables redefined between progressive scans),
-    restart markers in baseline scans; arithmetic-coded/lossless/
-    hierarchical JPEG still raises at the libjpeg seam.  Subsampled
-    chroma is upsampled by pixel replication (deterministic)."""
+    restart markers in baseline AND progressive scans (round-10);
+    arithmetic-coded/lossless/hierarchical JPEG still raises at the
+    libjpeg seam.  Subsampled chroma is upsampled by pixel replication
+    (deterministic)."""
     buf = bytes(content)
     if buf[:2] != b"\xff\xd8":
         raise UnsupportedMediaError("not a JPEG payload")
@@ -1282,13 +1316,9 @@ def _decode_jpeg_progressive(buf, pos, sof, qtabs, htabs, restart_interval, fanc
     coefficient grids across every scan (DC first/refine, AC first with
     full EOBn run semantics, AC refine with correction bits), then
     dequantize + IDCT + assemble through the shared tail.  Tables may be
-    redefined between scans (real-corpus layout).  Restart markers inside
-    progressive scans are the remaining seam."""
-    if restart_interval:
-        raise UnsupportedMediaError(
-            "progressive JPEG with restart intervals needs libjpeg at "
-            "this seam"
-        )
+    redefined between scans and DRI may redefine the restart interval
+    between scans (real-corpus layouts); restart markers chunk each
+    scan's entropy stream with per-interval DC/EOB-run reset."""
     h, w, comps = sof
     nc = len(comps)
     maxh = max(c[1] for c in comps)
@@ -1313,11 +1343,8 @@ def _decode_jpeg_progressive(buf, pos, sof, qtabs, htabs, restart_interval, fanc
             _parse_dht(payload, htabs)
         elif marker == 0xDB:
             _parse_dqt(payload, qtabs)
-        elif marker == 0xDD:
-            raise UnsupportedMediaError(
-                "progressive JPEG with restart intervals needs libjpeg at "
-                "this seam"
-            )
+        elif marker == 0xDD:  # DRI may redefine the interval between scans
+            (restart_interval,) = struct.unpack_from(">H", payload, 0)
         elif marker == 0xDA:
             ns = payload[0]
             scomp = [
@@ -1327,9 +1354,19 @@ def _decode_jpeg_progressive(buf, pos, sof, qtabs, htabs, restart_interval, fanc
             ss, se, ahal = payload[1 + 2 * ns : 4 + 2 * ns]
             ah, al = ahal >> 4, ahal & 0xF
             data, pos = _entropy_segment(buf, pos + 2 + length)
+            segments = [data]
+            # restart markers split the scan's entropy stream; collect
+            # every interval segment (RST0-RST7 have no length field)
+            while (
+                pos + 1 < len(buf)
+                and buf[pos] == 0xFF
+                and 0xD0 <= buf[pos + 1] <= 0xD7
+            ):
+                data, pos = _entropy_segment(buf, pos + 2)
+                segments.append(data)
             _decode_prog_scan(
-                data, grids, comps, cid_to_ci, scomp, ss, se, ah, al,
-                htabs, mcus_x, mcus_y, h, w, maxh, maxv,
+                segments, grids, comps, cid_to_ci, scomp, ss, se, ah, al,
+                htabs, mcus_x, mcus_y, h, w, maxh, maxv, restart_interval,
             )
             saw_scan = True
             continue
@@ -1358,11 +1395,17 @@ def _decode_jpeg_progressive(buf, pos, sof, qtabs, htabs, restart_interval, fanc
 
 
 def _decode_prog_scan(
-    data, grids, comps, cid_to_ci, scomp, ss, se, ah, al,
-    htabs, mcus_x, mcus_y, h, w, maxh, maxv,
+    segments, grids, comps, cid_to_ci, scomp, ss, se, ah, al,
+    htabs, mcus_x, mcus_y, h, w, maxh, maxv, restart_interval=0,
 ):
-    """One progressive scan over the coefficient grids."""
-    br = _BitReader(data)
+    """One progressive scan over the coefficient grids.
+
+    ``segments`` is the scan's entropy stream split at restart markers
+    (one element when the stream has none).  With a restart interval R
+    the block order is chunked R MCUs at a time and each chunk decodes
+    from its own byte-aligned segment with DC predictors and the EOB run
+    reset (T.81 F.2.1.3.1 applied to the progressive scan kinds); a
+    segment/chunk count mismatch is a corrupt stream and dead-letters."""
     sel = []
     for cs, td, ta in scomp:
         ci = cid_to_ci.get(cs)
@@ -1375,9 +1418,27 @@ def _decode_prog_scan(
         _, hf, vf, _ = comps[ci]
         return hf, vf
 
-    order = _scan_block_order(
-        sel_cis, factors_of, mcus_x, mcus_y, h, w, maxh, maxv
+    order = list(
+        _scan_block_order(sel_cis, factors_of, mcus_x, mcus_y, h, w, maxh, maxv)
     )
+    if restart_interval:
+        # blocks per MCU: every selected component's hf*vf blocks when
+        # interleaved; a non-interleaved scan's MCU is ONE block (A.2.2)
+        bpm = (
+            sum(hf * vf for hf, vf in map(factors_of, sel_cis))
+            if len(sel) > 1
+            else 1
+        )
+        step = restart_interval * bpm
+        chunks = [order[i : i + step] for i in range(0, len(order), step)]
+    else:
+        chunks = [order]
+    if len(segments) != len(chunks):
+        raise UnsupportedMediaError(
+            f"JPEG restart segment count {len(segments)} != "
+            f"{len(chunks)} intervals"
+        )
+
     if ss == 0:  # DC scan (se must be 0 per G.1.1.1)
         if se != 0:
             raise UnsupportedMediaError("bad progressive DC spectral band")
@@ -1387,18 +1448,26 @@ def _decode_prog_scan(
                 if (0, td) not in htabs:
                     raise UnsupportedMediaError("JPEG missing huffman table")
                 dctab[ci] = htabs[(0, td)]
-            pred = {ci: 0 for ci in sel_cis}
-            for ci, by, bx in order:
-                s = _huff_read(br, dctab[ci])
-                if s > 15:
-                    raise UnsupportedMediaError("corrupt JPEG DC size symbol")
-                diff = _extend(br.bits(s), s) if s else 0
-                pred[ci] += diff
-                grids[ci][by, bx, 0] = pred[ci] << al
+            for seg_data, chunk in zip(segments, chunks):
+                br = _BitReader(seg_data)
+                pred = {ci: 0 for ci in sel_cis}
+                for ci, by, bx in chunk:
+                    s = _huff_read(br, dctab[ci])
+                    if s > 15:
+                        raise UnsupportedMediaError(
+                            "corrupt JPEG DC size symbol"
+                        )
+                    diff = _extend(br.bits(s), s) if s else 0
+                    pred[ci] += diff
+                    grids[ci][by, bx, 0] = pred[ci] << al
         else:  # DC refinement: one raw bit per block, no huffman table
-            for ci, by, bx in order:
-                if br.bit():
-                    grids[ci][by, bx, 0] = int(grids[ci][by, bx, 0]) | (1 << al)
+            for seg_data, chunk in zip(segments, chunks):
+                br = _BitReader(seg_data)
+                for ci, by, bx in chunk:
+                    if br.bit():
+                        grids[ci][by, bx, 0] = int(grids[ci][by, bx, 0]) | (
+                            1 << al
+                        )
         return
     # AC scans: exactly one component, non-interleaved (G.1.1.1)
     if len(sel) != 1:
@@ -1407,70 +1476,75 @@ def _decode_prog_scan(
     if (1, ta) not in htabs:
         raise UnsupportedMediaError("JPEG missing huffman table")
     tab = htabs[(1, ta)]
-    eobrun = 0
     if ah == 0:  # first AC scan for this band
-        for _ci, by, bx in order:
+        for seg_data, chunk in zip(segments, chunks):
+            br = _BitReader(seg_data)
+            eobrun = 0
+            for _ci, by, bx in chunk:
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                blk = grids[ci][by, bx]
+                k = ss
+                while k <= se:
+                    sym = _huff_read(br, tab)
+                    run, size = sym >> 4, sym & 0xF
+                    if size == 0:
+                        if run == 15:  # ZRL
+                            k += 16
+                            continue
+                        eobrun = (1 << run) - 1  # EOBn: 2^n - 1 more blocks
+                        if run:
+                            eobrun += br.bits(run)
+                        break
+                    k += run
+                    if k > se:
+                        raise UnsupportedMediaError("JPEG AC index overflow")
+                    blk[k] = _extend(br.bits(size), size) << al
+                    k += 1
+        return
+    # AC refinement scan (G.2, successive approximation)
+    p1 = 1 << al
+    for seg_data, chunk in zip(segments, chunks):
+        br = _BitReader(seg_data)
+        eobrun = 0
+        for _ci, by, bx in chunk:
+            blk = grids[ci][by, bx]
             if eobrun > 0:
                 eobrun -= 1
+                _refine_band(br, blk, ss, se, p1)
                 continue
-            blk = grids[ci][by, bx]
             k = ss
             while k <= se:
                 sym = _huff_read(br, tab)
                 run, size = sym >> 4, sym & 0xF
+                newval = 0
                 if size == 0:
-                    if run == 15:  # ZRL
-                        k += 16
-                        continue
-                    eobrun = (1 << run) - 1  # EOBn: 2^n - 1 more blocks
-                    if run:
-                        eobrun += br.bits(run)
-                    break
-                k += run
-                if k > se:
-                    raise UnsupportedMediaError("JPEG AC index overflow")
-                blk[k] = _extend(br.bits(size), size) << al
-                k += 1
-        return
-    # AC refinement scan (G.2, successive approximation)
-    p1 = 1 << al
-    for _ci, by, bx in order:
-        blk = grids[ci][by, bx]
-        if eobrun > 0:
-            eobrun -= 1
-            _refine_band(br, blk, ss, se, p1)
-            continue
-        k = ss
-        while k <= se:
-            sym = _huff_read(br, tab)
-            run, size = sym >> 4, sym & 0xF
-            newval = 0
-            if size == 0:
-                if run != 15:  # EOBn: corrections for the band tail, then
-                    eobrun = 1 << run  # 2^n + bits more blocks (incl. this)
-                    if run:
-                        eobrun += br.bits(run)
-                    eobrun -= 1
-                    _refine_band(br, blk, k, se, p1)
-                    break
-                # ZRL: skip 16 zero-history coefficients, newval stays 0
-            else:
-                if size != 1:
-                    raise UnsupportedMediaError("bad JPEG refinement symbol")
-                newval = p1 if br.bit() else -p1
-            while k <= se:
-                v = int(blk[k])
-                if v != 0:
-                    if br.bit() and (v & p1) == 0:
-                        blk[k] = v + (p1 if v > 0 else -p1)
-                else:
-                    if run == 0:
+                    if run != 15:  # EOBn: corrections for the band tail, then
+                        eobrun = 1 << run  # 2^n + bits more blocks (incl. this)
+                        if run:
+                            eobrun += br.bits(run)
+                        eobrun -= 1
+                        _refine_band(br, blk, k, se, p1)
                         break
-                    run -= 1
+                    # ZRL: skip 16 zero-history coefficients, newval stays 0
+                else:
+                    if size != 1:
+                        raise UnsupportedMediaError("bad JPEG refinement symbol")
+                    newval = p1 if br.bit() else -p1
+                while k <= se:
+                    v = int(blk[k])
+                    if v != 0:
+                        if br.bit() and (v & p1) == 0:
+                            blk[k] = v + (p1 if v > 0 else -p1)
+                    else:
+                        if run == 0:
+                            break
+                        run -= 1
+                    k += 1
+                if newval != 0 and k <= se:
+                    blk[k] = newval
                 k += 1
-            if newval != 0 and k <= se:
-                blk[k] = newval
-            k += 1
 
 
 def resize_nearest(arr: np.ndarray, width: int, height: int) -> np.ndarray:

@@ -11,8 +11,8 @@ dependency-free codecs in ``operators/codecs.py``; MP4 containers parse
 for real too (from-spec ISO/IEC 14496-12 box + sample-table layer, with
 MJPEG tracks fully decoded through the JPEG path).  What still raises
 ``UnsupportedMediaError`` at the documented PIL/ffmpeg swap seam is the
-truly external tail — arithmetic/lossless JPEG, progressive scans with
-restart intervals, inter-frame video codecs (H.264/HEVC inside MP4).
+truly external tail — arithmetic/lossless/hierarchical JPEG and
+inter-frame video codecs (H.264/HEVC inside MP4).
 
 Scale: mapInPandas streams Arrow record batches through one Python worker
 per core — the transfer is columnar and zero-copy on the JVM side; payloads
@@ -632,6 +632,88 @@ def media_decode_progressive_sql() -> str:
         for ss, rows in (("444", rows_444), ("420", rows_420)):
             dec = codecs.decode_jpeg(
                 codecs.encode_jpeg_progressive(arr, JPEG_QUALITY, subsampling=ss)
+            )
+            rows.append(f"({b}, '{_hl.md5(dec.tobytes()).hexdigest()}')")
+    v444 = ", ".join(rows_444)
+    v420 = ", ".join(rows_420)
+    return f"""
+    SELECT CAST(doc_id AS BIGINT) AS media_id,
+           'image/jpeg' AS media_type,
+           {DECODE_WIDTH} AS width,
+           {DECODE_HEIGHT} AS height,
+           CASE WHEN CAST(doc_id AS BIGINT) % 2 = 0 THEN s444.digest
+                ELSE s420.digest END AS pixel_md5,
+           TRUE AS err_ok
+    FROM documents
+    JOIN (VALUES {v444}) AS s444(cls, digest)
+      ON (CAST(doc_id AS BIGINT) * 37) % 256 = s444.cls
+    JOIN (VALUES {v420}) AS s420(cls, digest)
+      ON (CAST(doc_id AS BIGINT) * 37) % 256 = s420.cls
+    """
+
+
+def attach_restart_images(docs: DataFrame) -> DataFrame:
+    """Progressive-JPEG-with-restart-markers corpus (round-10): the same
+    deterministic gradient, SOF2-coded with a DRI segment and RST0-7
+    markers splitting every scan (interval 1 + id%3 MCUs, 4:4:4/4:2:0 by
+    id%2) — the error-resilience layout real encoders emit, previously
+    the last progressive profile gated at the UnsupportedMediaError
+    seam.  Same executor-side synthesis shape as
+    attach_progressive_images."""
+    ids = docs.select(F.col("doc_id").cast("long").alias("media_id")).repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, F.col("media_id")
+    )
+    w, h, q = DECODE_WIDTH, DECODE_HEIGHT, JPEG_QUALITY
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            contents = []
+            for mid in pdf["media_id"]:
+                arr = codecs.decode_ppm(codecs.synthesize_image(int(mid), w, h))
+                ss = "444" if mid % 2 == 0 else "420"
+                contents.append(
+                    codecs.encode_jpeg_progressive(
+                        arr, q, subsampling=ss,
+                        restart_interval=1 + int(mid) % 3,
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "content": contents,
+                    "media_type": "image/jpeg",
+                    "n_bytes": [len(c) for c in contents],
+                }
+            )
+
+    return ids.mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
+def media_decode_restart_sql() -> str:
+    """FULL DuckDB oracle for q_media_decode_restart.  Restart framing is
+    LOSSLESS — the interval only chunks the entropy stream, so the
+    decoded pixels are functions of (gradient class, subsampling) alone,
+    independent of the per-id interval.  The precompute still encodes
+    WITH each id's actual interval and decodes through the real restart
+    path (so the oracle cannot drift from the code), then asserts the
+    invariant by construction: per (class, ss) the digest is computed at
+    interval (1 + inv_id%3) for the representative id, and the
+    distributed run must reproduce it for every id of that class — ids
+    of one class cycle through all three intervals across the corpus, so
+    a restart-dependent decode would hash-mismatch."""
+    import hashlib as _hl
+
+    inv37 = pow(37, -1, 256)
+    rows_444, rows_420 = [], []
+    for b in range(256):
+        mid = (b * inv37) % 256
+        arr = _gradient_rgb(mid)
+        for ss, rows in (("444", rows_444), ("420", rows_420)):
+            dec = codecs.decode_jpeg(
+                codecs.encode_jpeg_progressive(
+                    arr, JPEG_QUALITY, subsampling=ss,
+                    restart_interval=1 + mid % 3,
+                )
             )
             rows.append(f"({b}, '{_hl.md5(dec.tobytes()).hexdigest()}')")
     v444 = ", ".join(rows_444)

@@ -1418,6 +1418,31 @@ Q_VIDEO_NEARDUP_SQL = _video_neardup_sql()
 Q_VIDEO_DEDUP_CLUSTERS_SQL = _video_dedup_clusters_sql()
 
 
+def q_media_decode_restart(spark, sf_dir):
+    """Progressive-JPEG-with-restart-markers decode audit (round-10):
+    DRI + RST0-7 resync framing over the SOF2 scan loop — the last
+    progressive profile that was gated at the seam — with per-id restart
+    intervals (1 + id%3) and per-interval DC/EOB-run reset; digests
+    pinned by the 256-class precompute, which encodes with each class's
+    actual interval so the lossless-framing invariant is checked, not
+    assumed."""
+    from ..operators import multimodal
+
+    media = multimodal.attach_restart_images(_docs(spark, sf_dir))
+    return multimodal.decode_images_audit(
+        media, jpeg_tol=multimodal.SUBSAMPLED_ERR_TOL
+    ).orderBy("media_id")
+
+
+def _media_decode_restart_sql():
+    from ..operators import multimodal
+
+    return multimodal.media_decode_restart_sql()
+
+
+Q_MEDIA_DECODE_RESTART_SQL = _media_decode_restart_sql()
+
+
 def q_video_mp4_meta(spark, sf_dir):
     """MP4 container survey (round-10): parse each MJPEG-MP4 clip's
     ISO/IEC 14496-12 box tree — brand, codec fourcc, track geometry,

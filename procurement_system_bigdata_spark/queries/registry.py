@@ -956,6 +956,21 @@ _register(
 )
 _register(
     QuerySpec(
+        name="media_decode_restart",
+        fn=llmdata.q_media_decode_restart,
+        oracle=llmdata.Q_MEDIA_DECODE_RESTART_SQL,
+        description="Progressive JPEG with restart markers (round-10): "
+        "DRI + RST0-7 resync framing over the SOF2 scan loop, per-id "
+        "intervals, per-interval DC-predictor/EOB-run reset and "
+        "byte-realign; FULL 256-class digest oracle whose precompute "
+        "encodes with each class's actual interval — closes the last "
+        "progressive profile behind the seam (remaining JPEG tail: "
+        "arithmetic/lossless/hierarchical)",
+        ops=("EXT-multimodal",),
+    )
+)
+_register(
+    QuerySpec(
         name="video_mp4_meta",
         fn=llmdata.q_video_mp4_meta,
         oracle=llmdata.Q_VIDEO_MP4_META_SQL,

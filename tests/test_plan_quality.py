@@ -547,6 +547,7 @@ def test_media_decode_plan_is_joinless_arrow(spark):
         "media_decode_subsampled",
         "media_decode_interlaced",
         "media_decode_progressive",
+        "media_decode_restart",
         "media_decode_mp4",
         "video_mp4_meta",
     ):

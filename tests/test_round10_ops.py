@@ -621,3 +621,73 @@ def test_media_decode_mp4_oracle_green(spark, duck):
         duck,
         llmdata.Q_MEDIA_DECODE_MP4_SQL,
     )
+
+
+# --- progressive JPEG + restart intervals (round-10 second wave) -------------
+
+
+def test_progressive_restart_equals_baseline_pixels():
+    """Restart framing is lossless: a fully-refined progressive stream
+    with ANY restart interval reconstructs the baseline coefficients, so
+    pixels match the baseline bitstream's exactly — across subsamplings,
+    intervals, and odd (non-MCU-multiple) dims."""
+    for mid in (0, 7, 255):
+        img = codecs.decode_ppm(codecs.synthesize_image(mid, 32, 24))
+        for ss in ("444", "420", "422"):
+            baseline = codecs.decode_jpeg(
+                codecs.encode_jpeg(img, 90, subsampling=ss)
+            )
+            for ri in (1, 2, 5):
+                p = codecs.encode_jpeg_progressive(
+                    img, 90, subsampling=ss, restart_interval=ri
+                )
+                assert np.array_equal(codecs.decode_jpeg(p), baseline)
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (33, 25, 3), dtype=np.uint8)
+    for ss in ("444", "420"):
+        baseline = codecs.decode_jpeg(codecs.encode_jpeg(img, 90, subsampling=ss))
+        p = codecs.encode_jpeg_progressive(
+            img, 90, subsampling=ss, restart_interval=1
+        )
+        assert np.array_equal(codecs.decode_jpeg(p), baseline)
+
+
+def test_progressive_restart_stream_shape_and_corruption():
+    """The bitstream carries a DRI segment and RST0-7 markers; a DRI
+    that lies about the interval (segment/chunk count mismatch) and a
+    truncated stream both dead-letter."""
+    import struct as _s
+
+    img = codecs.decode_ppm(codecs.synthesize_image(3, 32, 24))
+    b = codecs.encode_jpeg_progressive(img, 90, restart_interval=2)
+    assert b.find(b"\xff\xdd") > 0  # DRI present
+    assert any(bytes([0xFF, 0xD0 + m]) in b for m in range(8))
+    crafted = bytearray(b)
+    _s.pack_into(">H", crafted, crafted.find(b"\xff\xdd") + 4, 5)
+    with pytest.raises(codecs.UnsupportedMediaError):
+        codecs.decode_jpeg(bytes(crafted))
+    with pytest.raises(codecs.UnsupportedMediaError):
+        codecs.decode_jpeg(b[: len(b) // 2])
+
+
+def test_progressive_restart_resets_dc_predictors():
+    """Interval boundaries must reset DC predictors and the EOB run: a
+    high-contrast image whose DC varies block-to-block decodes wrong if
+    predictors leak across an interval — compare interval 1 (reset at
+    every MCU) against the no-restart stream."""
+    img = codecs.pattern_pixels(5, 32, 24)  # block pattern, strong DC swings
+    ref = codecs.decode_jpeg(codecs.encode_jpeg_progressive(img, 90))
+    got = codecs.decode_jpeg(
+        codecs.encode_jpeg_progressive(img, 90, restart_interval=1)
+    )
+    assert np.array_equal(got, ref)
+
+
+def test_media_decode_restart_oracle_green(spark, duck):
+    from procurement_system_bigdata_spark.queries import llmdata
+
+    assert_matches_oracle(
+        llmdata.q_media_decode_restart(spark, SF_DIR),
+        duck,
+        llmdata.Q_MEDIA_DECODE_RESTART_SQL,
+    )

@@ -39,6 +39,7 @@ PLAN_EXTRA = [
     "dedup_clusters_star",
     "video_mp4_meta",
     "media_decode_mp4",
+    "media_decode_restart",
 ]
 
 # Per-query audit notes for plan features that LOOK like scale hazards but
