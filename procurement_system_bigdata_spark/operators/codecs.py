@@ -1,8 +1,10 @@
 """Dependency-free media codecs for the multimodal stages.
 
 PIL / ffmpeg are not in this container, but that gates far less than it
-used to: P6 PPM and 24-bit BMP images parse with struct + numpy, PCM WAV
-parses with the stdlib ``wave`` module, and — since round 8 — PNG
+used to: P6 PPM and 24-bit BMP images parse with struct + numpy, WAV
+parses with the stdlib ``wave`` module for PCM plus in-repo G.711
+mu-law/A-law and IMA ADPCM expanders (round 10), and — since round 8 —
+PNG
 (stdlib zlib inflate + the five scanline filters; Adam7 interlace since
 round 9) and JPEG (numpy DCT + canonical Huffman over the public ITU
 T.81 Annex K tables; 4:2:0/4:2:2 chroma subsampling since round 9;
@@ -14,8 +16,8 @@ multimodal stages decode, resize (nearest-neighbor), and
 feature-extract actual pixels/samples for all of these; what remains
 gated behind ``UnsupportedMediaError`` is the truly external tail
 (arithmetic-coded/lossless/hierarchical JPEG, inter-frame video codecs
-H.264/HEVC), with the production swap point documented
-(PIL.Image.open / ffmpeg).
+H.264/HEVC, perceptual audio codecs MP3/AAC), with the production swap
+point documented (PIL.Image.open / ffmpeg).
 
 Everything here is deterministic pure-Python/numpy: safe inside Arrow
 mapInPandas workers, no native libs, no RNG.
@@ -1564,18 +1566,20 @@ def resize_nearest(arr: np.ndarray, width: int, height: int) -> np.ndarray:
 
 @_corrupt_guard
 def decode_wav(content: bytes) -> tuple[np.ndarray, int]:
-    """PCM WAV -> (samples float64 in [-1, 1] mono-mixed, sample_rate).
+    """WAV -> (samples float64 in [-1, 1] mono-mixed, sample_rate).
 
-    8/16/32-bit integer PCM via stdlib ``wave``; float/compressed WAVs raise
-    (ffmpeg swap point)."""
+    8/16/32-bit integer PCM via stdlib ``wave``; G.711 mu-law/A-law and
+    IMA ADPCM (round-10) via the in-repo expanders; perceptual codecs
+    (MP3/AAC inside other containers) raise (ffmpeg swap point)."""
     try:
         with wave.open(io.BytesIO(bytes(content))) as f:
             rate = f.getframerate()
             n_ch = f.getnchannels()
             width = f.getsampwidth()
             raw = f.readframes(f.getnframes())
-    except wave.Error as e:
-        raise UnsupportedMediaError(f"not a PCM WAV: {e}") from e
+    except wave.Error:
+        # stdlib only reads PCM; dispatch the compressed format tags
+        return _decode_wav_compressed(bytes(content))
     if width == 1:  # unsigned 8-bit
         x = np.frombuffer(raw, dtype=np.uint8).astype(np.float64)
         x = (x - 128.0) / 128.0
@@ -1588,6 +1592,251 @@ def decode_wav(content: bytes) -> tuple[np.ndarray, int]:
     if n_ch > 1:
         x = x.reshape(-1, n_ch).mean(axis=1)
     return x, rate
+
+
+# --- G.711 mu-law / A-law + IMA ADPCM (round 10) ---------------------------
+#
+# The compressed-audio half of the WAV seam, from the public specs: ITU-T
+# G.711 logarithmic companding (format tags 7 / 6) and the IMA/DVI 4-bit
+# ADPCM algorithm (format tag 0x11, block layout per the public
+# Microsoft/IMA WAV conventions).  Everything integer-exact and
+# deterministic, so decoded-sample digests admit the same cross-engine
+# oracle precompute as the image codecs.  Remaining audio tail: perceptual
+# codecs (MP3/AAC/Vorbis) at the ffmpeg seam.
+
+_MULAW_BIAS = 0x84
+_MULAW_CLIP = 32635
+
+
+def mulaw_encode(pcm: np.ndarray) -> bytes:
+    """int16 samples -> G.711 mu-law bytes (segmented companding)."""
+    x = np.asarray(pcm, dtype=np.int64)
+    sign = np.where(x < 0, 0x80, 0)
+    mag = np.minimum(np.abs(x), _MULAW_CLIP) + _MULAW_BIAS
+    exp = (np.floor(np.log2(mag)) - 7).astype(np.int64)  # mag >= 0x84 -> >= 7
+    mant = (mag >> (exp + 3)) & 0x0F
+    return (~(sign | (exp << 4) | mant) & 0xFF).astype(np.uint8).tobytes()
+
+
+def mulaw_decode(data: bytes) -> np.ndarray:
+    """G.711 mu-law bytes -> int16 samples (exact integer expansion)."""
+    u = ~np.frombuffer(bytes(data), dtype=np.uint8) & 0xFF
+    exp = (u >> 4) & 7
+    mant = u & 0x0F
+    mag = (((mant.astype(np.int64) << 3) + _MULAW_BIAS) << exp) - _MULAW_BIAS
+    return np.where(u & 0x80, -mag, mag).astype(np.int16)
+
+
+_ALAW_SEG_END = np.array(
+    [0x1F, 0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF], dtype=np.int64
+)
+
+
+def alaw_encode(pcm: np.ndarray) -> bytes:
+    """int16 samples -> G.711 A-law bytes (13-bit segmented companding,
+    the standard segment-search formulation)."""
+    x13 = np.asarray(pcm, dtype=np.int64) >> 3  # arithmetic shift to 13 bits
+    mask = np.where(x13 >= 0, 0xD5, 0x55)
+    val = np.where(x13 >= 0, x13, -x13 - 1)
+    seg = np.searchsorted(_ALAW_SEG_END, val)  # first seg with val <= end
+    shift = np.where(seg < 2, 1, np.minimum(seg, 7))
+    aval = (np.minimum(seg, 7) << 4) | ((val >> shift) & 0x0F)
+    out = np.where(seg >= 8, 0x7F, aval) ^ mask
+    return out.astype(np.uint8).tobytes()
+
+
+def alaw_decode(data: bytes) -> np.ndarray:
+    """G.711 A-law bytes -> int16 samples (exact integer expansion)."""
+    a = (np.frombuffer(bytes(data), dtype=np.uint8) ^ 0x55).astype(np.int64)
+    mant = (a & 0x0F) << 4
+    seg = (a >> 4) & 7
+    t = np.where(
+        seg == 0, mant + 8, (mant + 0x108) << np.maximum(seg - 1, 0)
+    )
+    return np.where(a & 0x80, t, -t).astype(np.int16)
+
+
+_IMA_STEPS = np.array(
+    [
+        7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+        37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+        157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+        544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+        1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+        4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+        12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+        29794, 32767,
+    ],
+    dtype=np.int64,
+)
+_IMA_INDEX = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int64)
+
+
+def _ima_step(pred: int, index: int, nib: int) -> tuple[int, int]:
+    step = int(_IMA_STEPS[index])
+    diff = step >> 3
+    if nib & 1:
+        diff += step >> 2
+    if nib & 2:
+        diff += step >> 1
+    if nib & 4:
+        diff += step
+    pred = pred - diff if nib & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    index = max(0, min(88, index + int(_IMA_INDEX[nib & 7])))
+    return pred, index
+
+
+def ima_adpcm_encode_block(pcm: np.ndarray) -> bytes:
+    """Mono int16 samples -> one IMA ADPCM block: 4-byte header
+    (predictor = first sample, index 0) + one 4-bit code per remaining
+    sample, little-nibble-first.  len(pcm) must be odd so the nibble
+    payload is whole bytes (standard samples_per_block parity)."""
+    x = np.asarray(pcm, dtype=np.int64)
+    if len(x) % 2 == 0:
+        raise ValueError("IMA block wants an odd sample count (1 + 2k)")
+    pred, index = int(x[0]), 0
+    out = bytearray(struct.pack("<hBB", pred, index, 0))
+    nibs = []
+    for s in x[1:]:
+        step = int(_IMA_STEPS[index])
+        diff = int(s) - pred
+        nib = 8 if diff < 0 else 0
+        diff = abs(diff)
+        if diff >= step:
+            nib |= 4
+            diff -= step
+        if diff >= step >> 1:
+            nib |= 2
+            diff -= step >> 1
+        if diff >= step >> 2:
+            nib |= 1
+        pred, index = _ima_step(pred, index, nib)
+        nibs.append(nib)
+    for i in range(0, len(nibs), 2):
+        out.append(nibs[i] | (nibs[i + 1] << 4))
+    return bytes(out)
+
+
+def ima_adpcm_decode_block(block: bytes, n_samples: int) -> np.ndarray:
+    """One IMA ADPCM block -> mono int16 samples (exact per the public
+    IMA step/index tables)."""
+    if len(block) < 4:
+        raise UnsupportedMediaError("truncated ADPCM block header")
+    pred, index, _rsvd = struct.unpack_from("<hBB", block, 0)
+    if index > 88:
+        raise UnsupportedMediaError("ADPCM step index out of range")
+    out = [pred]
+    for i in range(n_samples - 1):
+        byte = block[4 + (i >> 1)]
+        nib = (byte >> 4) if i & 1 else (byte & 0x0F)
+        pred, index = _ima_step(pred, index, nib)
+        out.append(pred)
+    return np.array(out, dtype=np.int16)
+
+
+#: WAV format tags this module understands (beyond stdlib PCM)
+WAV_FMT_PCM = 0x0001
+WAV_FMT_ALAW = 0x0006
+WAV_FMT_MULAW = 0x0007
+WAV_FMT_IMA_ADPCM = 0x0011
+
+#: mono IMA block layout used by the writer: 4-byte header + 252 nibble
+#: bytes -> 505 samples per 256-byte block (the canonical mono layout)
+ADPCM_BLOCK_ALIGN = 256
+ADPCM_SAMPLES_PER_BLOCK = (ADPCM_BLOCK_ALIGN - 4) * 2 + 1
+
+
+def _riff_chunks(buf: bytes):
+    if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise UnsupportedMediaError("not a RIFF/WAVE payload")
+    p = 12
+    while p + 8 <= len(buf):
+        tag = buf[p : p + 4]
+        (size,) = struct.unpack_from("<I", buf, p + 4)
+        if p + 8 + size > len(buf):
+            raise UnsupportedMediaError(f"truncated WAV chunk {tag!r}")
+        yield tag, p + 8, size
+        p += 8 + size + (size & 1)  # chunks are word-aligned
+
+
+def encode_wav_compressed(samples: np.ndarray, rate: int, codec: str) -> bytes:
+    """Mono float64 [-1, 1] -> compressed WAV bytes ('mulaw', 'alaw', or
+    'adpcm').  Deterministic; used for corpus synthesis and tests."""
+    pcm = np.clip(np.asarray(samples) * 32767.0, -32768, 32767).astype(np.int16)
+    if codec == "adpcm":
+        spb = ADPCM_SAMPLES_PER_BLOCK
+        blocks = []
+        for i in range(0, len(pcm), spb):
+            chunk = pcm[i : i + spb]
+            if len(chunk) % 2 == 0:  # pad to odd with a repeat of the tail
+                chunk = np.append(chunk, chunk[-1])
+            blocks.append(ima_adpcm_encode_block(chunk))
+        data = b"".join(blocks)
+        n_samples = sum(
+            min(spb, len(pcm) - i) + ((min(spb, len(pcm) - i) + 1) % 2)
+            for i in range(0, len(pcm), spb)
+        )
+        fmt = struct.pack(
+            "<HHIIHHHH",
+            WAV_FMT_IMA_ADPCM, 1, rate,
+            rate * ADPCM_BLOCK_ALIGN // spb, ADPCM_BLOCK_ALIGN, 4,
+            2, spb,
+        )
+    else:
+        tag = WAV_FMT_MULAW if codec == "mulaw" else WAV_FMT_ALAW
+        data = mulaw_encode(pcm) if codec == "mulaw" else alaw_encode(pcm)
+        n_samples = len(pcm)
+        fmt = struct.pack("<HHIIHH", tag, 1, rate, rate, 1, 8)
+    fact = struct.pack("<I", n_samples)
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        pad = b"\x00" if len(payload) & 1 else b""
+        return tag + struct.pack("<I", len(payload)) + payload + pad
+
+    body = chunk(b"fmt ", fmt) + chunk(b"fact", fact) + chunk(b"data", data)
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def _decode_wav_compressed(buf: bytes) -> tuple[np.ndarray, int]:
+    """RIFF parse + G.711/ADPCM expansion for the non-PCM format tags."""
+    fmt = data = fact_n = None
+    for tag, off, size in _riff_chunks(buf):
+        if tag == b"fmt ":
+            fmt = buf[off : off + size]
+        elif tag == b"fact" and size >= 4:
+            (fact_n,) = struct.unpack_from("<I", buf, off)
+        elif tag == b"data":
+            data = buf[off : off + size]
+    if fmt is None or data is None or len(fmt) < 16:
+        raise UnsupportedMediaError("WAV missing fmt/data chunk")
+    wtag, n_ch, rate, _br, block_align, _bits = struct.unpack_from(
+        "<HHIIHH", fmt, 0
+    )
+    if n_ch != 1:
+        raise UnsupportedMediaError("compressed WAV: only mono supported")
+    if wtag in (WAV_FMT_MULAW, WAV_FMT_ALAW):
+        pcm = mulaw_decode(data) if wtag == WAV_FMT_MULAW else alaw_decode(data)
+    elif wtag == WAV_FMT_IMA_ADPCM:
+        if len(fmt) >= 20:
+            (spb,) = struct.unpack_from("<H", fmt, 18)
+        else:
+            spb = (block_align - 4) * 2 + 1
+        if block_align < 5 or spb < 2:
+            raise UnsupportedMediaError("bad ADPCM block geometry")
+        parts = []
+        for i in range(0, len(data), block_align):
+            block = data[i : i + block_align]
+            n = min(spb, (len(block) - 4) * 2 + 1)
+            parts.append(ima_adpcm_decode_block(block, n))
+        pcm = np.concatenate(parts) if parts else np.zeros(0, dtype=np.int16)
+        if fact_n is not None:
+            pcm = pcm[:fact_n]
+    else:
+        raise UnsupportedMediaError(
+            f"WAV format tag {wtag:#x} needs ffmpeg at this seam"
+        )
+    return pcm.astype(np.float64) / 32768.0, rate
 
 
 def encode_wav(samples: np.ndarray, rate: int) -> bytes:
@@ -1709,6 +1958,21 @@ def synthesize_fp_tone(media_id: int, rate: int = 8000, n: int = 1600) -> bytes:
     """Deterministic PCM WAV for the audio-dedup corpus (0.2 s, 8 kHz)."""
     t = np.arange(n, dtype=np.float64) / rate
     return encode_wav(0.5 * np.sin(2 * np.pi * fp_tone_freq(media_id) * t), rate)
+
+
+#: compressed-audio corpus codec cycle (keep order stable: the oracle
+#: keys on media_id % 3)
+AUDIO_CODEC_CYCLE = ("mulaw", "alaw", "adpcm")
+
+
+def synthesize_compressed_tone(media_id: int, rate: int = 8000, n: int = 1600) -> bytes:
+    """Deterministic compressed-WAV clip: the fp-tone sine of class
+    media_id % FP_TONE_CLASSES, companded with codec media_id % 3 — every
+    derived audit column is a function of media_id % 384 (lcm of the two
+    cycles), admitting a VALUES-table oracle precompute."""
+    t = np.arange(n, dtype=np.float64) / rate
+    x = 0.5 * np.sin(2 * np.pi * fp_tone_freq(media_id) * t)
+    return encode_wav_compressed(x, rate, AUDIO_CODEC_CYCLE[media_id % 3])
 
 
 def audio_zc_fingerprint(content: bytes, n_windows: int = FP_WINDOWS) -> list[int]:

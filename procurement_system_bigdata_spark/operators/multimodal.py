@@ -2,7 +2,8 @@
 
 Images / audio / video ride through the engine as ``binary`` columns with a
 typed metadata struct; decode / resize / frame-sample are Arrow-batched
-``mapInPandas`` stages.  P6 PPM, 24-bit BMP, PCM WAV, PNG (stdlib zlib +
+``mapInPandas`` stages.  P6 PPM, 24-bit BMP, WAV (PCM + G.711
+mu-law/A-law + IMA ADPCM since round 10), PNG (stdlib zlib +
 all five scanline filters, both interlace methods — Adam7 since round 9)
 and JPEG (numpy DCT + Huffman; 4:4:4, grayscale, round-9 4:2:0/4:2:2
 chroma-subsampled, and — round 10 — progressive SOF2 with spectral
@@ -2012,4 +2013,133 @@ def media_decode_mp4_sql() -> str:
       ON pos.f < {codecs.MP4_MIN_FRAMES} + 2 * (CAST(doc_id AS BIGINT) % {codecs.MP4_FRAME_MOD})
     JOIN (VALUES {digests}) AS j(b, digest)
       ON ((CAST(doc_id AS BIGINT) + pos.f) * 37) % 256 = j.b
+    """
+
+
+# ---------------------------------------------------------------------------
+# Compressed audio (round 10): G.711 mu-law / A-law + IMA ADPCM WAVs decode
+# through the in-repo expanders (codecs.decode_wav dispatches on the RIFF
+# format tag) — the compressed half of the audio seam, from public specs
+# only; perceptual codecs (MP3/AAC) stay at the ffmpeg seam.
+# ---------------------------------------------------------------------------
+
+AUDIO_DECODE_AUDIT_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("codec", StringType()),
+        StructField("rate", IntegerType()),
+        StructField("n_samples", IntegerType()),
+        StructField("sample_md5", StringType()),
+        StructField("err_ok", BooleanType()),
+    ]
+)
+
+#: mean-abs reconstruction error ceilings vs the closed-form sine, measured
+#: worst-case over all 384 (tone x codec) classes: G.711 0.0052 (logarithmic
+#: quantization), IMA ADPCM 0.066 (slew-rate lag on tones near Nyquist —
+#: the top fp-tone class is 3.67 kHz at 8 kHz sampling, and the 4-bit
+#: differential coder tracks such a carrier with real distortion); each
+#: ceiling gives >2x headroom over its codec's measured worst case
+AUDIO_G711_ERR_TOL = 0.02
+AUDIO_ADPCM_ERR_TOL = 0.15
+
+def attach_compressed_tones(docs: DataFrame) -> DataFrame:
+    """Compressed-audio corpus: one G.711/ADPCM WAV per doc (codec by
+    id%3, tone class by id%128).  Same executor-side synthesis shape as
+    the other attach_* helpers."""
+    ids = docs.select(F.col("doc_id").cast("long").alias("media_id")).repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, F.col("media_id")
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            contents = [
+                codecs.synthesize_compressed_tone(int(m))
+                for m in pdf["media_id"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "content": contents,
+                    "media_type": "audio/wav",
+                    "n_bytes": [len(c) for c in contents],
+                }
+            )
+
+    return ids.mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
+def decode_audio_audit(
+    media: DataFrame,
+    g711_tol: float = AUDIO_G711_ERR_TOL,
+    adpcm_tol: float = AUDIO_ADPCM_ERR_TOL,
+) -> DataFrame:
+    """Decode every compressed payload through the codecs.decode_wav
+    format-tag dispatch and emit exact decoded-sample digests (md5 of
+    the int16 expansion — companding is integer-exact, so the
+    distributed run must reproduce the oracle precompute
+    byte-for-byte) plus a closed-form signal check (mean abs err vs the
+    pure synthesis sine under the codec's measured ceiling: the decoder
+    recovers the SIGNAL, not merely something self-consistent).
+    Undecodable rows dropped."""
+    tols = {"mulaw": g711_tol, "alaw": g711_tol, "adpcm": adpcm_tol}
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in (
+                "media_id", "codec", "rate", "n_samples", "sample_md5",
+                "err_ok",
+            )}
+            for mid, b in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    x, rate = codecs.decode_wav(b)
+                except codecs.UnsupportedMediaError:
+                    continue
+                t = np.arange(len(x), dtype=np.float64) / rate
+                ref = 0.5 * np.sin(
+                    2 * np.pi * codecs.fp_tone_freq(int(mid)) * t
+                )
+                pcm = (x * 32768.0).astype("<i2")
+                codec = codecs.AUDIO_CODEC_CYCLE[int(mid) % 3]
+                rows["media_id"].append(mid)
+                rows["codec"].append(codec)
+                rows["rate"].append(rate)
+                rows["n_samples"].append(len(x))
+                rows["sample_md5"].append(
+                    hashlib.md5(pcm.tobytes()).hexdigest()
+                )
+                rows["err_ok"].append(
+                    float(np.abs(x - ref).mean()) <= tols[codec]
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(batches, schema=AUDIO_DECODE_AUDIT_SCHEMA)
+
+
+def media_decode_audio_sql() -> str:
+    """FULL DuckDB oracle for q_media_decode_audio: every column is a
+    function of doc_id % 384 (tone class % 128 x codec % 3), so one
+    384-row VALUES table — precomputed through the real compress->expand
+    path — pins the decoded samples exactly."""
+    import hashlib as _hl
+
+    rows = []
+    for m in range(384):
+        x, _rate = codecs.decode_wav(codecs.synthesize_compressed_tone(m))
+        pcm = (x * 32768.0).astype("<i2")
+        rows.append(
+            f"({m}, '{codecs.AUDIO_CODEC_CYCLE[m % 3]}', {len(x)}, "
+            f"'{_hl.md5(pcm.tobytes()).hexdigest()}')"
+        )
+    values = ", ".join(rows)
+    return f"""
+    SELECT CAST(doc_id AS BIGINT) AS media_id,
+           v.codec AS codec,
+           8000 AS rate,
+           v.n_samples AS n_samples,
+           v.digest AS sample_md5,
+           TRUE AS err_ok
+    FROM documents
+    JOIN (VALUES {values}) AS v(cls, codec, n_samples, digest)
+      ON CAST(doc_id AS BIGINT) % 384 = v.cls
     """

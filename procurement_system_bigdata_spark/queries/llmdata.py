@@ -1443,6 +1443,28 @@ def _media_decode_restart_sql():
 Q_MEDIA_DECODE_RESTART_SQL = _media_decode_restart_sql()
 
 
+def q_media_decode_audio(spark, sf_dir):
+    """Compressed-audio decode audit (round-10): G.711 mu-law/A-law and
+    IMA ADPCM WAVs expanded through the in-repo decoders (RIFF
+    format-tag dispatch inside codecs.decode_wav); exact int16 digests
+    pinned by a 384-class precompute plus a closed-form signal check —
+    the compressed half of the audio seam, leaving only perceptual
+    codecs (MP3/AAC) at the ffmpeg swap point."""
+    from ..operators import multimodal
+
+    media = multimodal.attach_compressed_tones(_docs(spark, sf_dir))
+    return multimodal.decode_audio_audit(media).orderBy("media_id")
+
+
+def _media_decode_audio_sql():
+    from ..operators import multimodal
+
+    return multimodal.media_decode_audio_sql()
+
+
+Q_MEDIA_DECODE_AUDIO_SQL = _media_decode_audio_sql()
+
+
 def q_video_mp4_meta(spark, sf_dir):
     """MP4 container survey (round-10): parse each MJPEG-MP4 clip's
     ISO/IEC 14496-12 box tree — brand, codec fourcc, track geometry,

@@ -956,6 +956,20 @@ _register(
 )
 _register(
     QuerySpec(
+        name="media_decode_audio",
+        fn=llmdata.q_media_decode_audio,
+        oracle=llmdata.Q_MEDIA_DECODE_AUDIO_SQL,
+        description="Compressed-audio decode audit (round-10): G.711 "
+        "mu-law/A-law (involution-exact companding) and IMA ADPCM WAVs "
+        "expanded via the in-repo RIFF format-tag dispatch; int16 "
+        "digests pinned by a 384-class (tone x codec) precompute plus a "
+        "closed-form mean-abs-err signal check; unknown format tags "
+        "dead-letter at the ffmpeg seam",
+        ops=("EXT-multimodal",),
+    )
+)
+_register(
+    QuerySpec(
         name="media_decode_restart",
         fn=llmdata.q_media_decode_restart,
         oracle=llmdata.Q_MEDIA_DECODE_RESTART_SQL,

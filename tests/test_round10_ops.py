@@ -691,3 +691,76 @@ def test_media_decode_restart_oracle_green(spark, duck):
         duck,
         llmdata.Q_MEDIA_DECODE_RESTART_SQL,
     )
+
+
+# --- compressed audio: G.711 + IMA ADPCM (round-10 second wave) --------------
+
+
+def test_g711_involution_and_error_bounds():
+    """encode(decode(code)) == code for every A-law byte and all mu-law
+    bytes except the +-0 pair (0x7F/0xFF both decode to 0 — the
+    documented G.711 degeneracy); companding error stays within the
+    logarithmic-quantization envelope."""
+    codes = bytes(range(256))
+    a_rt = codecs.alaw_encode(codecs.alaw_decode(codes))
+    assert a_rt == codes
+    u_rt = codecs.mulaw_encode(codecs.mulaw_decode(codes))
+    mismatch = [c for c, r in zip(codes, u_rt) if c != r]
+    assert mismatch == [0x7F]  # -0 code re-encodes as +0
+    x = np.arange(-32768, 32768, 7, dtype=np.int16)
+    for enc, dec in (
+        (codecs.mulaw_encode, codecs.mulaw_decode),
+        (codecs.alaw_encode, codecs.alaw_decode),
+    ):
+        y = dec(enc(x)).astype(np.int64)
+        rel = np.abs(y - x) / np.maximum(np.abs(x.astype(np.int64)), 256)
+        assert rel.max() < 0.05
+
+
+def test_ima_adpcm_roundtrip_and_hostile_blocks():
+    t = np.arange(1601) / 8000.0
+    pcm = (0.5 * np.sin(2 * np.pi * 440 * t) * 32767).astype(np.int16)
+    blk = codecs.ima_adpcm_encode_block(pcm)
+    dec = codecs.ima_adpcm_decode_block(blk, len(pcm))
+    assert len(dec) == len(pcm)
+    assert dec[0] == pcm[0]  # header carries the first sample exactly
+    assert np.abs(dec.astype(np.int64) - pcm.astype(np.int64)).mean() < 600
+    with pytest.raises(codecs.UnsupportedMediaError):
+        codecs.ima_adpcm_decode_block(b"\x00\x00", 5)  # truncated header
+    bad = bytearray(blk)
+    bad[2] = 99  # step index > 88
+    with pytest.raises(codecs.UnsupportedMediaError):
+        codecs.ima_adpcm_decode_block(bytes(bad), len(pcm))
+
+
+def test_compressed_wav_dispatch_and_fingerprint_robustness():
+    """decode_wav dispatches on the RIFF format tag: PCM unchanged,
+    G.711/ADPCM expand for real (zero-crossing fingerprints within 1 of
+    the clean signal's), unknown tags dead-letter at the ffmpeg seam."""
+    import struct as _s
+
+    t = np.arange(1600) / 8000.0
+    x = 0.5 * np.sin(2 * np.pi * 310 * t)
+    fp_ref = codecs.audio_zc_fingerprint(codecs.encode_wav(x, 8000))
+    for codec in ("mulaw", "alaw", "adpcm"):
+        b = codecs.encode_wav_compressed(x, 8000, codec)
+        assert codecs.sniff_media_type(b) == "audio/wav"
+        y, rate = codecs.decode_wav(b)
+        assert rate == 8000 and len(y) == 1600
+        assert np.abs(y - x).mean() < 0.02
+        fp = codecs.audio_zc_fingerprint(b)
+        assert max(abs(a - g) for a, g in zip(fp_ref, fp)) <= 1
+    bad = bytearray(codecs.encode_wav_compressed(x, 8000, "mulaw"))
+    _s.pack_into("<H", bad, bad.find(b"fmt ") + 8, 0x55)
+    with pytest.raises(codecs.UnsupportedMediaError, match="ffmpeg"):
+        codecs.decode_wav(bytes(bad))
+
+
+def test_media_decode_audio_oracle_green(spark, duck):
+    from procurement_system_bigdata_spark.queries import llmdata
+
+    assert_matches_oracle(
+        llmdata.q_media_decode_audio(spark, SF_DIR),
+        duck,
+        llmdata.Q_MEDIA_DECODE_AUDIO_SQL,
+    )

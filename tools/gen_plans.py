@@ -40,6 +40,7 @@ PLAN_EXTRA = [
     "video_mp4_meta",
     "media_decode_mp4",
     "media_decode_restart",
+    "media_decode_audio",
 ]
 
 # Per-query audit notes for plan features that LOOK like scale hazards but
