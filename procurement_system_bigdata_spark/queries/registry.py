@@ -2007,27 +2007,37 @@ _DRIVER_SNAPSHOT = [
     # --- round-10 rotation, STALEST-FIRST steady-state policy (documented
     # round 8).  The 26 rotation slots go to (a) newly-registered
     # oracle-bearing queries (this round: dedup_clusters_star,
-    # video_dedup_clusters, media_decode_progressive), then (b) queries
-    # whose IMPLEMENTATION changed since their last external row
-    # (video_neardup: rewritten over distinct-signature pre-grouping;
+    # video_dedup_clusters, media_decode_progressive, and the second-wave
+    # four — media_decode_restart, media_decode_audio, video_mp4_meta,
+    # media_decode_mp4), then (b) queries whose IMPLEMENTATION changed
+    # since their last external row (video_neardup + image_neardup +
+    # audio_neardup: rewritten over distinct-signature pre-grouping;
     # media_decode + media_decode_subsampled: the shared decode tail was
     # refactored for the progressive path and grew the fancy-upsampling
     # dial — their oracles pin the default-path digests), then (c) the
     # stalest by last-external-hash-matched round over the
-    # CORRECTNESS_r01..r09 union — the first 20 of the 24-entry r05
-    # cohort (fk_integrity .. edit_distance_pairs), ties broken by
-    # registry order; the remaining four r05 rows (containment_pairs,
+    # CORRECTNESS_r01..r09 union — the first 14 of the 24-entry r05
+    # cohort (fk_integrity .. training_shards), ties broken by
+    # registry order; the remaining ten r05 rows (vocab_coverage,
+    # bpe_top_pairs, retention_cohorts, rolling_active_users,
+    # daily_anomalies, edit_distance_pairs, containment_pairs,
     # basket_pairs, scd2_customer_segments, robust_outliers) lead the
-    # next rotation.  The 11-entry core above and the 13 bench/scale
-    # pins below never rotate.  Rotated out (all externally covered in
-    # r09): media_decode_interlaced, audio_dedup_clusters,
-    # video_fingerprint, image_dedup_clusters, embedding_quantize,
-    # lang_id .. multi_grain_rollup.
+    # next rotation.  The 11-entry core above
+    # and the 13 bench/scale pins below never rotate.  Rotated out (all
+    # externally covered in r09): media_decode_interlaced,
+    # audio_dedup_clusters, video_fingerprint, image_dedup_clusters,
+    # embedding_quantize, lang_id .. multi_grain_rollup.
     # ---------------------------------------------------------------------
     "dedup_clusters_star",
     "video_dedup_clusters",
     "media_decode_progressive",
+    "media_decode_restart",
+    "media_decode_audio",
+    "video_mp4_meta",
+    "media_decode_mp4",
     "video_neardup",
+    "image_neardup",
+    "audio_neardup",
     "media_decode",
     "media_decode_subsampled",
     "fk_integrity",
@@ -2044,12 +2054,6 @@ _DRIVER_SNAPSHOT = [
     "semantic_decontamination",
     "temperature_mixture",
     "training_shards",
-    "vocab_coverage",
-    "bpe_top_pairs",
-    "retention_cohorts",
-    "rolling_active_users",
-    "daily_anomalies",
-    "edit_distance_pairs",
     # --- filler slots (13): permanent pins on the bench headliners and
     # the scale-critical dedup/curation paths, so the external gate keeps
     # exercising the code most likely to regress.
