@@ -9,13 +9,14 @@ PNG
 round 9) and JPEG (numpy DCT + canonical Huffman over the public ITU
 T.81 Annex K tables; 4:2:0/4:2:2 chroma subsampling since round 9;
 progressive SOF2 with spectral selection + successive approximation,
-with or without restart-marker framing, since round 10) decode FOR REAL
+with or without restart-marker framing, plus lossless SOF3, since
+round 10) decode FOR REAL
 too, with matching deterministic encoders; MP4 containers parse via a
 from-spec ISO/IEC 14496-12 layer with MJPEG tracks fully decoded.  The
 multimodal stages decode, resize (nearest-neighbor), and
 feature-extract actual pixels/samples for all of these; what remains
 gated behind ``UnsupportedMediaError`` is the truly external tail
-(arithmetic-coded/lossless/hierarchical JPEG, inter-frame video codecs
+(arithmetic-coded/hierarchical JPEG, inter-frame video codecs
 H.264/HEVC, perceptual audio codecs MP3/AAC), with the production swap
 point documented (PIL.Image.open / ffmpeg).
 
@@ -1090,6 +1091,7 @@ def decode_jpeg(content: bytes, fancy_upsampling: bool = False) -> np.ndarray:
     htabs: dict[tuple[int, int], dict] = {}
     sof = None
     progressive = False
+    lossless = False
     restart_interval = 0
     while pos + 4 <= len(buf):
         if buf[pos] != 0xFF:
@@ -1103,8 +1105,9 @@ def decode_jpeg(content: bytes, fancy_upsampling: bool = False) -> np.ndarray:
             _parse_dqt(payload, qtabs)
         elif marker == 0xC4:  # DHT (possibly several)
             _parse_dht(payload, htabs)
-        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3):  # SOF0/1/2 DCT, SOF3 lossless
             progressive = marker == 0xC2
+            lossless = marker == 0xC3
             precision, h, w, nc = struct.unpack_from(">BHHB", payload, 0)
             if precision != 8:
                 raise UnsupportedMediaError("only 8-bit JPEG supported")
@@ -1116,22 +1119,26 @@ def decode_jpeg(content: bytes, fancy_upsampling: bool = False) -> np.ndarray:
             for i in range(nc):  # component specs start after the 6-byte
                 cid, hv, tq = payload[6 + 3 * i : 9 + 3 * i]  # BHHB header
                 hf, vf = hv >> 4, hv & 0xF
+                if lossless and (hf != 1 or vf != 1):
+                    raise UnsupportedMediaError(
+                        "subsampled lossless JPEG needs libjpeg at this seam"
+                    )
                 if hf not in (1, 2) or vf not in (1, 2):
                     raise UnsupportedMediaError(
                         f"JPEG sampling factor {hf}x{vf} needs libjpeg at "
                         "this seam (supported: 1-2 per axis — 4:4:4, "
                         "4:2:0, 4:2:2, 4:4:0)"
                     )
-                if nc == 1:
+                if nc == 1 and not lossless:
                     # single-component scans are non-interleaved per T.81
                     # A.2.2: data is one 8x8 block per MCU regardless of
                     # the declared factors
                     hf = vf = 1
                 comps.append((cid, hf, vf, tq))
             sof = (h, w, comps)
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise UnsupportedMediaError(
-                "arithmetic/lossless/hierarchical JPEG needs libjpeg at "
+                "arithmetic-coded/hierarchical JPEG needs libjpeg at "
                 "this seam"
             )
         elif marker == 0xDD:  # DRI
@@ -1139,6 +1146,10 @@ def decode_jpeg(content: bytes, fancy_upsampling: bool = False) -> np.ndarray:
         elif marker == 0xDA:  # SOS — scan follows
             if sof is None:
                 raise UnsupportedMediaError("JPEG SOS before SOF")
+            if lossless:
+                return _decode_jpeg_lossless(
+                    buf, pos, sof, htabs, restart_interval
+                )
             if progressive:
                 return _decode_jpeg_progressive(
                     buf, pos, sof, qtabs, htabs, restart_interval,
@@ -1156,6 +1167,157 @@ def decode_jpeg(content: bytes, fancy_upsampling: bool = False) -> np.ndarray:
             )
         pos += 2 + length
     raise UnsupportedMediaError("JPEG has no scan")
+
+
+def _lossless_predict(plane, y: int, x: int, sel: int) -> int:
+    """T.81 H.1.2 sample prediction: the scan's first sample uses the
+    midpoint (handled by the caller), the rest of the first line predict
+    from the left neighbor, the first column from the sample above, and
+    interior samples from the selected predictor 1-7."""
+    if y == 0:
+        return int(plane[0, x - 1])
+    if x == 0:
+        return int(plane[y - 1, 0])
+    a, b, c = int(plane[y, x - 1]), int(plane[y - 1, x]), int(plane[y - 1, x - 1])
+    if sel == 1:
+        return a
+    if sel == 2:
+        return b
+    if sel == 3:
+        return c
+    if sel == 4:
+        return a + b - c
+    if sel == 5:
+        return a + ((b - c) >> 1)
+    if sel == 6:
+        return b + ((a - c) >> 1)
+    if sel == 7:
+        return (a + b) >> 1
+    raise UnsupportedMediaError(f"bad lossless predictor {sel}")
+
+
+def _decode_jpeg_lossless(buf, pos, sof, htabs, restart_interval):
+    """Lossless (SOF3) scan loop per T.81 Annex H: per-component
+    non-interleaved scans, DC-style Huffman difference categories
+    (SSSS=16 codes diff 32768 with no extra bits), predictor selected by
+    the scan header's Ss, reconstruction modulo 2^16.  No DCT, no
+    quantization, no color transform — components are coded literally,
+    so decode output equals the encoder's input EXACTLY."""
+    if restart_interval:
+        raise UnsupportedMediaError(
+            "lossless JPEG with restart intervals needs libjpeg at this seam"
+        )
+    h, w, comps = sof
+    cid_to_ci = {cid: i for i, (cid, _, _, _) in enumerate(comps)}
+    planes = [None] * len(comps)
+    while pos + 4 <= len(buf):
+        if buf[pos] != 0xFF:
+            raise UnsupportedMediaError("JPEG marker sync lost")
+        marker = buf[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (length,) = struct.unpack_from(">H", buf, pos + 2)
+        payload = buf[pos + 4 : pos + 2 + length]
+        if marker == 0xC4:
+            _parse_dht(payload, htabs)
+        elif marker == 0xDD:
+            raise UnsupportedMediaError(
+                "lossless JPEG with restart intervals needs libjpeg at "
+                "this seam"
+            )
+        elif marker == 0xDA:
+            ns = payload[0]
+            if ns != 1:
+                raise UnsupportedMediaError(
+                    "interleaved lossless JPEG scan needs libjpeg at this seam"
+                )
+            cs, tdta = payload[1], payload[2]
+            sel = payload[3]  # Ss = predictor selection
+            pt = payload[5] & 0x0F  # Al = point transform
+            ci = cid_to_ci.get(cs)
+            if ci is None:
+                raise UnsupportedMediaError("JPEG scan/frame component mismatch")
+            if (0, tdta >> 4) not in htabs:
+                raise UnsupportedMediaError("JPEG missing huffman table")
+            tab = htabs[(0, tdta >> 4)]
+            data, pos = _entropy_segment(buf, pos + 2 + length)
+            br = _BitReader(data)
+            plane = np.zeros((h, w), dtype=np.int64)
+            midpoint = 1 << (8 - pt - 1)
+            for y in range(h):
+                for x in range(w):
+                    s = _huff_read(br, tab)
+                    if s > 16:
+                        raise UnsupportedMediaError("corrupt lossless SSSS")
+                    if s == 16:
+                        diff = 32768
+                    elif s:
+                        diff = _extend(br.bits(s), s)
+                    else:
+                        diff = 0
+                    pred = (
+                        midpoint
+                        if (y == 0 and x == 0)
+                        else _lossless_predict(plane, y, x, sel)
+                    )
+                    plane[y, x] = (pred + diff) & 0xFFFF
+            planes[ci] = plane << pt
+            continue
+        pos += 2 + length
+    if any(p is None for p in planes):
+        raise UnsupportedMediaError("lossless JPEG missing component scan")
+    out = np.stack(planes, axis=-1)
+    if len(comps) == 1:
+        out = np.repeat(out, 3, axis=-1)
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
+def encode_jpeg_lossless(arr: np.ndarray, predictor: int = 4) -> bytes:
+    """(h, w, 3) uint8 RGB -> lossless (SOF3) JPEG bytes: one
+    non-interleaved scan per component coded LITERALLY (no color
+    transform, no DCT) with Annex K DC tables over the H.1.2 predictor
+    differences — decode reproduces the input array bit-for-bit."""
+    if not 1 <= predictor <= 7:
+        raise ValueError(f"lossless predictor {predictor} out of range")
+    a = np.asarray(arr, dtype=np.int64)
+    h, w = a.shape[:2]
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = [struct.pack(">H", 0xFFD8)]
+    out.append(
+        seg(0xFFE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HHBB", 1, 1, 0, 0))
+    )
+    comp_specs = []
+    for ci in range(3):
+        comp_specs += [ci + 1, 0x11, 0]  # 1x1 factors; Tq unused in lossless
+    out.append(seg(0xFFC3, struct.pack(">BHHB", 8, h, w, 3) + bytes(comp_specs)))
+    for tc_th, spec in ((0x00, _DC_L_SPEC), (0x01, _DC_C_SPEC)):
+        bits, vals = spec
+        out.append(seg(0xFFC4, bytes([tc_th]) + bytes(bits) + bytes(vals)))
+    dc_tabs = (_huff_encode_table(_DC_L_SPEC), _huff_encode_table(_DC_C_SPEC))
+    for ci in range(3):
+        td = 0 if ci == 0 else 1
+        tab = dc_tabs[td]
+        out.append(seg(0xFFDA, bytes([1, ci + 1, td << 4, predictor, 0, 0])))
+        bw = _BitWriter()
+        plane = a[:, :, ci]
+        for y in range(h):
+            for x in range(w):
+                pred = (
+                    128
+                    if (y == 0 and x == 0)
+                    else _lossless_predict(plane, y, x, predictor)
+                )
+                s, extra = _magnitude(int(plane[y, x]) - pred)
+                code, ln = tab[s]
+                bw.write(code, ln)
+                if s:
+                    bw.write(extra, s)
+        out.append(bw.flush())
+    out.append(struct.pack(">H", 0xFFD9))
+    return b"".join(out)
 
 
 def _decode_jpeg_scan(buf, pos, sof, scomp, qtabs, htabs, restart_interval, fancy=False):

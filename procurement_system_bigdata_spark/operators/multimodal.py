@@ -12,8 +12,8 @@ dependency-free codecs in ``operators/codecs.py``; MP4 containers parse
 for real too (from-spec ISO/IEC 14496-12 box + sample-table layer, with
 MJPEG tracks fully decoded through the JPEG path).  What still raises
 ``UnsupportedMediaError`` at the documented PIL/ffmpeg swap seam is the
-truly external tail — arithmetic/lossless/hierarchical JPEG and
-inter-frame video codecs (H.264/HEVC inside MP4).
+truly external tail — arithmetic-coded/hierarchical JPEG, inter-frame
+video codecs (H.264/HEVC inside MP4), and perceptual audio (MP3/AAC).
 
 Scale: mapInPandas streams Arrow record batches through one Python worker
 per core — the transfer is columnar and zero-copy on the JVM side; payloads
@@ -650,6 +650,70 @@ def media_decode_progressive_sql() -> str:
       ON (CAST(doc_id AS BIGINT) * 37) % 256 = s444.cls
     JOIN (VALUES {v420}) AS s420(cls, digest)
       ON (CAST(doc_id AS BIGINT) * 37) % 256 = s420.cls
+    """
+
+
+def attach_lossless_images(docs: DataFrame) -> DataFrame:
+    """Lossless (SOF3) JPEG corpus (round-10): the deterministic gradient
+    coded LITERALLY (no DCT, no color transform) with predictor
+    1 + id%7 — every T.81 Annex H predictor exercised across the corpus.
+    Decode must reproduce the gradient BIT-FOR-BIT, so the oracle pins
+    the exact lossless digest with a zero error tolerance."""
+    ids = docs.select(F.col("doc_id").cast("long").alias("media_id")).repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, F.col("media_id")
+    )
+    w, h = DECODE_WIDTH, DECODE_HEIGHT
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            contents = []
+            for mid in pdf["media_id"]:
+                arr = codecs.decode_ppm(codecs.synthesize_image(int(mid), w, h))
+                contents.append(
+                    codecs.encode_jpeg_lossless(arr, 1 + int(mid) % 7)
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "content": contents,
+                    "media_type": "image/jpeg",
+                    "n_bytes": [len(c) for c in contents],
+                }
+            )
+
+    return ids.mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
+def media_decode_lossless_sql() -> str:
+    """FULL DuckDB oracle for q_media_decode_lossless: decode is
+    BIT-EXACT, so the digest is the plain gradient digest (one 256-class
+    VALUES table, independent of the per-id predictor — ids of one class
+    cycle through all 7 predictors across the corpus, so a
+    predictor-dependent decode would hash-mismatch) and err_ok is pinned
+    TRUE at zero tolerance."""
+    import hashlib as _hl
+
+    inv37 = pow(37, -1, 256)
+    rows = []
+    for b in range(256):
+        mid = (b * inv37) % 256
+        arr = _gradient_rgb(mid)
+        dec = codecs.decode_jpeg(codecs.encode_jpeg_lossless(arr, 1 + mid % 7))
+        assert _hl.md5(dec.tobytes()).hexdigest() == _hl.md5(
+            arr.tobytes()
+        ).hexdigest()
+        rows.append(f"({b}, '{_hl.md5(arr.tobytes()).hexdigest()}')")
+    values = ", ".join(rows)
+    return f"""
+    SELECT CAST(doc_id AS BIGINT) AS media_id,
+           'image/jpeg' AS media_type,
+           {DECODE_WIDTH} AS width,
+           {DECODE_HEIGHT} AS height,
+           g.digest AS pixel_md5,
+           TRUE AS err_ok
+    FROM documents
+    JOIN (VALUES {values}) AS g(cls, digest)
+      ON (CAST(doc_id AS BIGINT) * 37) % 256 = g.cls
     """
 
 

@@ -1418,6 +1418,29 @@ Q_VIDEO_NEARDUP_SQL = _video_neardup_sql()
 Q_VIDEO_DEDUP_CLUSTERS_SQL = _video_dedup_clusters_sql()
 
 
+def q_media_decode_lossless(spark, sf_dir):
+    """Lossless (SOF3) JPEG decode audit (round-10): literal-component
+    predictor coding per T.81 Annex H, every predictor 1-7 exercised
+    across the corpus, decode BIT-EXACT (zero error tolerance — the
+    digest is the plain gradient digest).  With this the only JPEG
+    profiles left at the seam are arithmetic-coded and hierarchical."""
+    from ..operators import multimodal
+
+    media = multimodal.attach_lossless_images(_docs(spark, sf_dir))
+    return multimodal.decode_images_audit(media, jpeg_tol=0.0).orderBy(
+        "media_id"
+    )
+
+
+def _media_decode_lossless_sql():
+    from ..operators import multimodal
+
+    return multimodal.media_decode_lossless_sql()
+
+
+Q_MEDIA_DECODE_LOSSLESS_SQL = _media_decode_lossless_sql()
+
+
 def q_media_decode_restart(spark, sf_dir):
     """Progressive-JPEG-with-restart-markers decode audit (round-10):
     DRI + RST0-7 resync framing over the SOF2 scan loop — the last

@@ -956,6 +956,20 @@ _register(
 )
 _register(
     QuerySpec(
+        name="media_decode_lossless",
+        fn=llmdata.q_media_decode_lossless,
+        oracle=llmdata.Q_MEDIA_DECODE_LOSSLESS_SQL,
+        description="Lossless (SOF3) JPEG decode audit (round-10): "
+        "literal-component predictor coding per T.81 Annex H (all 7 "
+        "predictors cycled across the corpus), reconstruction modulo "
+        "2^16, BIT-EXACT decode pinned at zero tolerance against the "
+        "plain gradient digest — leaves only arithmetic-coded and "
+        "hierarchical JPEG at the libjpeg seam",
+        ops=("EXT-multimodal",),
+    )
+)
+_register(
+    QuerySpec(
         name="media_decode_audio",
         fn=llmdata.q_media_decode_audio,
         oracle=llmdata.Q_MEDIA_DECODE_AUDIO_SQL,
@@ -2008,21 +2022,21 @@ _DRIVER_SNAPSHOT = [
     # round 8).  The 26 rotation slots go to (a) newly-registered
     # oracle-bearing queries (this round: dedup_clusters_star,
     # video_dedup_clusters, media_decode_progressive, and the second-wave
-    # four — media_decode_restart, media_decode_audio, video_mp4_meta,
-    # media_decode_mp4), then (b) queries whose IMPLEMENTATION changed
+    # five — media_decode_restart, media_decode_audio, media_decode_lossless,
+    # video_mp4_meta, media_decode_mp4), then (b) queries whose IMPLEMENTATION changed
     # since their last external row (video_neardup + image_neardup +
     # audio_neardup: rewritten over distinct-signature pre-grouping;
     # media_decode + media_decode_subsampled: the shared decode tail was
     # refactored for the progressive path and grew the fancy-upsampling
     # dial — their oracles pin the default-path digests), then (c) the
     # stalest by last-external-hash-matched round over the
-    # CORRECTNESS_r01..r09 union — the first 14 of the 24-entry r05
-    # cohort (fk_integrity .. training_shards), ties broken by
-    # registry order; the remaining ten r05 rows (vocab_coverage,
-    # bpe_top_pairs, retention_cohorts, rolling_active_users,
-    # daily_anomalies, edit_distance_pairs, containment_pairs,
-    # basket_pairs, scd2_customer_segments, robust_outliers) lead the
-    # next rotation.  The 11-entry core above
+    # CORRECTNESS_r01..r09 union — the first 13 of the 24-entry r05
+    # cohort (fk_integrity .. temperature_mixture), ties broken by
+    # registry order; the remaining eleven r05 rows (training_shards,
+    # vocab_coverage, bpe_top_pairs, retention_cohorts,
+    # rolling_active_users, daily_anomalies, edit_distance_pairs,
+    # containment_pairs, basket_pairs, scd2_customer_segments,
+    # robust_outliers) lead the next rotation.  The 11-entry core above
     # and the 13 bench/scale pins below never rotate.  Rotated out (all
     # externally covered in r09): media_decode_interlaced,
     # audio_dedup_clusters, video_fingerprint, image_dedup_clusters,
@@ -2033,6 +2047,7 @@ _DRIVER_SNAPSHOT = [
     "media_decode_progressive",
     "media_decode_restart",
     "media_decode_audio",
+    "media_decode_lossless",
     "video_mp4_meta",
     "media_decode_mp4",
     "video_neardup",
@@ -2053,7 +2068,6 @@ _DRIVER_SNAPSHOT = [
     "dedup_ngram_jaccard_capped",
     "semantic_decontamination",
     "temperature_mixture",
-    "training_shards",
     # --- filler slots (13): permanent pins on the bench headliners and
     # the scale-critical dedup/curation paths, so the external gate keeps
     # exercising the code most likely to regress.

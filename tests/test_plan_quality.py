@@ -548,6 +548,7 @@ def test_media_decode_plan_is_joinless_arrow(spark):
         "media_decode_interlaced",
         "media_decode_progressive",
         "media_decode_restart",
+        "media_decode_lossless",
         "media_decode_mp4",
         "media_decode_audio",
         "video_mp4_meta",

@@ -764,3 +764,53 @@ def test_media_decode_audio_oracle_green(spark, duck):
         duck,
         llmdata.Q_MEDIA_DECODE_AUDIO_SQL,
     )
+
+
+# --- lossless JPEG (SOF3, round-10 second wave) ------------------------------
+
+
+def test_lossless_jpeg_bit_exact_all_predictors():
+    """encode_jpeg_lossless -> decode_jpeg reproduces the input array
+    BIT-FOR-BIT for every T.81 Annex H predictor, on noise and gradient
+    content, including non-block-aligned dims (lossless coding has no
+    8x8 structure)."""
+    rng = np.random.default_rng(3)
+    for pred in range(1, 8):
+        img = rng.integers(0, 256, (24, 32, 3), dtype=np.uint8)
+        assert np.array_equal(
+            codecs.decode_jpeg(codecs.encode_jpeg_lossless(img, pred)), img
+        )
+    odd = rng.integers(0, 256, (7, 5, 3), dtype=np.uint8)
+    assert np.array_equal(
+        codecs.decode_jpeg(codecs.encode_jpeg_lossless(odd, 7)), odd
+    )
+    g = codecs.decode_ppm(codecs.synthesize_image(5, 32, 24))
+    b = codecs.encode_jpeg_lossless(g)
+    assert codecs.sniff_media_type(b) == "image/jpeg"
+    assert np.array_equal(codecs.decode_jpeg(b), g)
+    assert len(b) < g.size  # predictor coding actually compresses
+
+
+def test_lossless_jpeg_hostile_and_gated_profiles():
+    g = codecs.decode_ppm(codecs.synthesize_image(5, 32, 24))
+    b = codecs.encode_jpeg_lossless(g, 4)
+    with pytest.raises(codecs.UnsupportedMediaError):
+        codecs.decode_jpeg(b[: len(b) // 2])  # truncated entropy stream
+    with pytest.raises(ValueError):
+        codecs.encode_jpeg_lossless(g, 9)  # caller bug, not a payload error
+    # arithmetic-coded SOF9 stays gated with the narrowed message
+    crafted = bytearray(b)
+    i = crafted.find(b"\xff\xc3")
+    crafted[i + 1] = 0xC9
+    with pytest.raises(codecs.UnsupportedMediaError, match="arithmetic"):
+        codecs.decode_jpeg(bytes(crafted))
+
+
+def test_media_decode_lossless_oracle_green(spark, duck):
+    from procurement_system_bigdata_spark.queries import llmdata
+
+    assert_matches_oracle(
+        llmdata.q_media_decode_lossless(spark, SF_DIR),
+        duck,
+        llmdata.Q_MEDIA_DECODE_LOSSLESS_SQL,
+    )

@@ -41,6 +41,7 @@ PLAN_EXTRA = [
     "media_decode_mp4",
     "media_decode_restart",
     "media_decode_audio",
+    "media_decode_lossless",
 ]
 
 # Per-query audit notes for plan features that LOOK like scale hazards but
