@@ -32,6 +32,28 @@ from pyspark.sql.window import Window
 from ..functions import portable as P
 
 
+def _spread_small_scan(docs: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Parallelize a CPU-dense per-row stage whose input arrives in fewer
+    splits than the session has cores (guide §2.5 "input skew: one huge
+    unsplittable file ... repartition immediately after the read").
+
+    The harness testdata is one parquet file with ONE row group —
+    unsplittable, so tokenize/hash stages otherwise serialize on a single
+    task regardless of configuration (DESIGN.md input-layout caveat).  The
+    guard makes this scale-adaptive, not local-tuned: a real corpus
+    arrives in thousands of splits, the partition count meets the session
+    parallelism, and this is a NO-OP — no shuffle is added at 100 TB.
+    The repartition key is the stable doc key (deterministic under task
+    retry, SPARK-38388-safe), and every consumer aggregates with
+    partition-order-insensitive functions (min/sum-of-int/collect_set),
+    so results are identical."""
+    sc = docs.sparkSession.sparkContext
+    parallelism = sc.defaultParallelism
+    if docs.rdd.getNumPartitions() >= parallelism:
+        return docs
+    return docs.repartition(parallelism, F.col(key))
+
+
 # ---------------------------------------------------------------------------
 # Exact + fingerprint dedup
 # ---------------------------------------------------------------------------
@@ -91,7 +113,11 @@ def fingerprint_dedup_sql(table: str = "documents") -> str:
 
 
 def _doc_token_hashes(
-    docs: DataFrame, shingle_n: int, fast_hash: bool = False, wide: bool = False
+    docs: DataFrame,
+    shingle_n: int,
+    fast_hash: bool = False,
+    wide: bool = False,
+    distinct: bool = True,
 ) -> DataFrame:
     """(doc_id, h): distinct hashes of word n-gram shingles (n=1 -> word
     set).
@@ -128,12 +154,17 @@ def _doc_token_hashes(
         h = F.pmod(F.xxhash64(F.col("t")), F.lit(P.HASH_P))
     else:
         h = P.spark_str_hash(F.col("t"))
-    return (
+    out = (
         docs.select(F.col("doc_id").cast("long").alias("doc_id"), tokens.alias("tok"))
         .select("doc_id", F.explode("tok").alias("t"))
         .select("doc_id", h.alias("h"))
-        .distinct()
     )
+    # ``distinct=False`` (round-10 optimization) is for consumers whose
+    # aggregates are duplicate-insensitive (min() signature aggregates):
+    # results are identical and the dedup Exchange disappears (guide
+    # §2.4).  Consumers that COUNT rows (Jaccard set sizes, posting-list
+    # caps) must keep the default.
+    return out.distinct() if distinct else out
 
 
 def _duck_doc_token_hashes(table: str, shingle_n: int, wide: bool = False) -> str:
@@ -263,8 +294,12 @@ def minhash_signatures(
     ``k`` is the signature width: the default is the production dial
     (k=128; with 32 bands of r=4 the candidate-probability knee sits at
     Jaccard ~(1/32)^(1/4) = 0.42); the oracle-mirrored registry query
-    passes the small P.MINHASH_K_ORACLE dial explicitly."""
-    tok = _doc_token_hashes(docs, shingle_n, fast_hash)
+    passes the small P.MINHASH_K_ORACLE dial explicitly.
+
+    distinct=False: min() over the affine transforms is duplicate-
+    insensitive, so signatures are identical without the token-dedup
+    Exchange (round-10; one shuffle instead of two)."""
+    tok = _doc_token_hashes(docs, shingle_n, fast_hash, distinct=False)
     return tok.groupBy("doc_id").agg(*_signature_aggs(k))
 
 
@@ -297,11 +332,19 @@ def _doc_token_hashes_both(
         h = F.pmod(F.xxhash64(F.col("t")), F.lit(P.HASH_P))
     else:
         h = P.spark_str_hash(F.col("t"))
+    # NO .distinct() here (round-10 optimization): every consumer of this
+    # table aggregates with duplicate-INSENSITIVE functions only — min()
+    # for the K signature aggregates and collect_set() for the confirm
+    # sets (minhash_lsh_pairs, minhash_star_edges, incremental_neardup,
+    # streaming _sig_rows) — so deduplicating first cost a full
+    # token-volume Exchange + hash-dedup pass for nothing.  Outputs are
+    # bit-identical with or without it (guide §2.4: remove shuffles whose
+    # work the next operator redoes); tests/test_round10_opt.py pins the
+    # equivalence.
     return (
         docs.select(F.col("doc_id").cast("long").alias("doc_id"), tokens.alias("tok"))
         .select("doc_id", F.explode("tok").alias("t"))
         .select("doc_id", h.alias("h"), F.md5(F.col("t")).alias("hw"))
-        .distinct()
     )
 
 
@@ -396,9 +439,13 @@ def minhash_lsh_pairs(
     # corpus scale (same defect class as the round-7 exact_substring fix),
     # making "estimates are confirmed downstream" circular.  Narrow stays
     # only where signatures need it (the aggregates above).
+    # no sort_array (round-10): the only consumers are size() and
+    # array_intersect(), both order-insensitive — jaccard values are
+    # identical without the per-doc O(s log s) sort.  (minhash_star_edges
+    # KEEPS its sort: there the sorted array feeds an md5 class signature.)
     doc_sets = (
         tok2.groupBy("doc_id")
-        .agg(F.sort_array(F.collect_set("hw")).alias("hs"))
+        .agg(F.collect_set("hw").alias("hs"))
         .localCheckpoint(eager=False)
     )
     sa = doc_sets.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
@@ -648,11 +695,12 @@ def _sim_bit_term(j: int):
 
     Bit 63 is the two's-complement sign bit: its term is -2^63 (the partial
     sums never overflow — bits 0..62 total at most 2^63-1, and adding -2^63
-    lands in range)."""
+    lands in range).  The sign test reads the round-10 bit-count columns:
+    s_j > 0  ⟺  2*c_j > n (s_j = ones − zeros = 2*c_j − n, exact)."""
     weight = _I64_MIN if j == 63 else (1 << j)
-    return F.when(F.col(f"s{j}") > 0, F.lit(weight).cast("long")).otherwise(
-        F.lit(0).cast("long")
-    )
+    return F.when(
+        F.col(f"c{j}") * 2 > F.col("_n"), F.lit(weight).cast("long")
+    ).otherwise(F.lit(0).cast("long"))
 
 
 def simhash_fingerprints(docs: DataFrame) -> DataFrame:
@@ -666,7 +714,8 @@ def simhash_fingerprints(docs: DataFrame) -> DataFrame:
     """
     words = P.spark_words(P.spark_norm_text(F.col("text")))
     exploded = (
-        docs.select(F.col("doc_id").cast("long").alias("doc_id"), words.alias("ws"))
+        _spread_small_scan(docs)
+        .select(F.col("doc_id").cast("long").alias("doc_id"), words.alias("ws"))
         .select("doc_id", F.explode("ws").alias("w"))
         .select("doc_id", P.spark_str_hash(F.col("w")).alias("h"))
         .select(
@@ -677,18 +726,23 @@ def simhash_fingerprints(docs: DataFrame) -> DataFrame:
             ],
         )
     )
+    # Round-10 reformulation (identical outputs, leaner aggregate): the
+    # per-bit balance s_j = (#ones - #zeros) only ever feeds the SIGN test
+    # s_j > 0, and with c_j = #ones over n tokens, s_j = 2*c_j - n — so
+    # summing the raw extracted bit (no per-row CASE) plus ONE shared
+    # count gives the same sign via 2*c_j > n, exactly, in integers.
+    # Halves the per-row expression work of the 64-way aggregate.
     bit_sums = [
         F.sum(
-            F.when(
-                F.shiftright(F.col(f"g{j // P.SIMHASH_CHUNK_BITS}"), j % P.SIMHASH_CHUNK_BITS)
-                .bitwiseAND(F.lit(1))
-                == 1,
-                1,
-            ).otherwise(-1)
-        ).alias(f"s{j}")
+            F.shiftright(
+                F.col(f"g{j // P.SIMHASH_CHUNK_BITS}"), j % P.SIMHASH_CHUNK_BITS
+            ).bitwiseAND(F.lit(1))
+        ).alias(f"c{j}")
         for j in range(P.SIMHASH_BITS)
     ]
-    agg = exploded.groupBy("doc_id").agg(*bit_sums)
+    agg = exploded.groupBy("doc_id").agg(
+        *bit_sums, F.count(F.lit(1)).alias("_n")
+    )
     sim = None
     for j in range(P.SIMHASH_BITS):
         term = _sim_bit_term(j)
@@ -993,10 +1047,11 @@ def incremental_neardup_pairs(
 
     def _sets(tok2: DataFrame, out_id: str, out_hs: str) -> DataFrame:
         # wide column: confirm keys never feed affine transforms (round-8,
-        # same rationale as minhash_lsh_pairs)
+        # same rationale as minhash_lsh_pairs); unsorted (round-10) — only
+        # size()/array_intersect() consume these arrays
         return (
             tok2.groupBy("doc_id")
-            .agg(F.sort_array(F.collect_set("hw")).alias(out_hs))
+            .agg(F.collect_set("hw").alias(out_hs))
             .withColumnRenamed("doc_id", out_id)
         )
 

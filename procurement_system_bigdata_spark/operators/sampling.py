@@ -24,6 +24,22 @@ TRAIN_PCT = 80
 VAL_PCT = 10  # test gets the remaining 10
 
 
+def split_cols(
+    train_pct: int = TRAIN_PCT, val_pct: int = VAL_PCT
+) -> tuple:
+    """(bucket, split) expressions over a ``doc_id`` column, exposed so
+    compositions (llmdata.curate_corpus) can fuse the split into their own
+    projection instead of re-attaching it through a doc_id join (round-10,
+    guide §2.4).  Same expression trees as ``train_val_test_split``."""
+    bucket = P.spark_str_hash(F.col("doc_id").cast("string")) % 100
+    split = (
+        F.when(bucket < train_pct, F.lit("train"))
+        .when(bucket < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return bucket, split
+
+
 def train_val_test_split(
     docs: DataFrame, train_pct: int = TRAIN_PCT, val_pct: int = VAL_PCT
 ) -> DataFrame:
@@ -34,15 +50,12 @@ def train_val_test_split(
     stratification-friendly: downstream per-``source`` counts stay
     proportional because the hash is independent of ``source``.
     """
-    bucket = P.spark_str_hash(F.col("doc_id").cast("string")) % 100
+    bucket, split = split_cols(train_pct, val_pct)
     return docs.select(
         "doc_id",
         "source",
         bucket.alias("bucket"),
-        F.when(bucket < train_pct, F.lit("train"))
-        .when(bucket < train_pct + val_pct, F.lit("val"))
-        .otherwise(F.lit("test"))
-        .alias("split"),
+        split.alias("split"),
     )
 
 

@@ -48,9 +48,33 @@ def cosine(a: Column, b: Column) -> Column:
     # list while ranking last in Spark.  Explicit NULL on both engines
     # (both default to NULLS LAST) keeps undefined cosines out of every
     # ranking identically.
+    #
+    # PERF NOTE (round-10): this form evaluates FIVE interpreted dot
+    # products per call (a·a twice, b·b twice, a·b) because Catalyst
+    # higher-order functions get no common-subexpression elimination.  In
+    # any PAIR frame the norms are per-ROW quantities: project
+    # ``norm2(embedding)`` on each side BEFORE the join and use
+    # ``cosine_prenorm`` — bit-identical values, 1 dot per pair.
     return F.when(
         (_dot(a, a) > 0) & (_dot(b, b) > 0), _dot(a, b) / (_norm(a) * _norm(b))
     )
+
+
+def norm2(a: Column) -> Column:
+    """Squared L2 norm (the exact ``_dot(a, a)`` subtree of ``cosine``) —
+    project this per row before a join so pairs don't recompute it."""
+    return _dot(a, a)
+
+
+def cosine_prenorm(a: Column, b: Column, na2: Column, nb2: Column) -> Column:
+    """``cosine(a, b)`` with the squared norms precomputed per row.
+
+    Bit-identical to ``cosine``: the guard compares the same ``_dot(x, x)``
+    values, and the result divides the same ``_dot(a, b)`` by
+    ``sqrt(na2) * sqrt(nb2)`` — the identical expression trees, merely
+    evaluated once per row instead of once per pair (round-10, guide
+    §8: decide with small per-row values, not per-pair recomputation)."""
+    return F.when((na2 > 0) & (nb2 > 0), _dot(a, b) / (F.sqrt(na2) * F.sqrt(nb2)))
 
 
 def _duck_dot(a: str, b: str) -> str:
@@ -105,15 +129,20 @@ def cosine_topk(emb: DataFrame, k: int = TOP_K, n_queries: int = N_QUERY_VECS) -
     rows — at scale swap the window for TakeOrdered per query or the LSH
     variant below."""
     q = emb.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        norm2(F.col("embedding")).alias("_qn2"),
     )
     pairs = (
-        emb.crossJoin(F.broadcast(q))
+        emb.select("vec_id", "embedding", norm2(F.col("embedding")).alias("_en2"))
+        .crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            cosine(F.col("qv"), F.col("embedding")).alias("cos_sim"),
+            cosine_prenorm(
+                F.col("qv"), F.col("embedding"), F.col("_qn2"), F.col("_en2")
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
@@ -147,11 +176,25 @@ def cosine_neardup_pairs(emb: DataFrame, tau: float = NEARDUP_TAU) -> DataFrame:
 
     Quadratic by construction — the oracle-exact baseline.  The scale path
     is lsh_ann_candidates below (bucketed, approximate)."""
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        norm2(F.col("embedding")).alias("na2"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        norm2(F.col("embedding")).alias("nb2"),
+    )
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", cosine(F.col("ea"), F.col("eb")).alias("cos_sim"))
+        .select(
+            "vec_a",
+            "vec_b",
+            cosine_prenorm(
+                F.col("ea"), F.col("eb"), F.col("na2"), F.col("nb2")
+            ).alias("cos_sim"),
+        )
         .filter(F.col("cos_sim") >= tau)
     )
 
@@ -445,28 +488,35 @@ def ivf_topk(
     # collected once this frame is unreferenced
     assigned = assigned.localCheckpoint(eager=False)
     q = assigned.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        norm2(F.col("embedding")).alias("_qn2"),
     )
     # per-query n_probe nearest clusters: broadcast-join centroids, rank
     spark = emb.sparkSession
     cent_df = spark.createDataFrame(list(centroids), ["cluster", "centroid"])
     qd = q.crossJoin(F.broadcast(cent_df)).select(
-        "query_id", "qv", "cluster",
+        "query_id", "qv", "_qn2", "cluster",
         _sq_dist(F.col("qv"), F.col("centroid")).alias("cd"),
     )
     pw = Window.partitionBy("query_id").orderBy("cd", "cluster")
+    # prenorm (round-10): the per-query norm2 rides along through the probe
+    # ranking, per-vector norm2 is projected on the member side — pairs
+    # evaluate ONE interpreted dot instead of five
     q_probed = (
         qd.withColumn("prank", F.row_number().over(pw))
         .filter(F.col("prank") <= n_probe)
-        .select("query_id", "qv", "cluster")
+        .select("query_id", "qv", "_qn2", "cluster")
     )
-    cand = q_probed.join(assigned, "cluster").filter(
-        F.col("vec_id") != F.col("query_id")
-    )
+    cand = q_probed.join(
+        assigned.withColumn("_en2", norm2(F.col("embedding"))), "cluster"
+    ).filter(F.col("vec_id") != F.col("query_id"))
     qscore = (
         pair_cosine_arrow()(F.col("qv"), F.col("embedding"))
         if use_arrow
-        else cosine(F.col("qv"), F.col("embedding"))
+        else cosine_prenorm(
+            F.col("qv"), F.col("embedding"), F.col("_qn2"), F.col("_en2")
+        )
     )
     scored = cand.select(
         "query_id",
@@ -647,16 +697,26 @@ def lsh_ann_candidates(
         with_bucket = emb.select(
             "vec_id", "embedding", F.explode(buckets).alias("tb")
         ).select("vec_id", "embedding", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+    # prenorm (round-10): per-vector norm2 projected before the bucket
+    # self-join — candidate pairs verify with ONE interpreted dot, not five
     a = with_bucket.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), "tbl", "bucket"
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        norm2(F.col("embedding")).alias("na2"),
+        "tbl",
+        "bucket",
     )
     b = with_bucket.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), "tbl", "bucket"
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        norm2(F.col("embedding")).alias("nb2"),
+        "tbl",
+        "bucket",
     )
     score = (
         pair_cosine_arrow()(F.col("ea"), F.col("eb"))
         if use_arrow
-        else cosine(F.col("ea"), F.col("eb"))
+        else cosine_prenorm(F.col("ea"), F.col("eb"), F.col("na2"), F.col("nb2"))
     )
     return (
         a.join(b, ["tbl", "bucket"])
@@ -858,16 +918,23 @@ def semantic_dedup(
             [], "vec_id long, cluster long, is_semantic_dup boolean, canonical_id long"
         )
     assigned = assigned.localCheckpoint(eager=False)
+    # prenorm (round-10): norm2 per cluster-member row, ONE dot per pair
     a = assigned.select(
-        "cluster", F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")
+        "cluster",
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        norm2(F.col("embedding")).alias("na2"),
     )
     b = assigned.select(
-        "cluster", F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb")
+        "cluster",
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        norm2(F.col("embedding")).alias("nb2"),
     )
     pscore = (
         pair_cosine_arrow()(F.col("ea"), F.col("eb"))
         if use_arrow
-        else cosine(F.col("ea"), F.col("eb"))
+        else cosine_prenorm(F.col("ea"), F.col("eb"), F.col("na2"), F.col("nb2"))
     )
     canon = (
         a.join(b, "cluster")
@@ -908,14 +975,23 @@ def semantic_decontamination(
     aggregation for the hit stats.  Non-iterative exact math (left-fold
     doubles) -> fully DuckDB-oracle-checkable, unlike the k-means-seeded
     semantic_dedup."""
+    # prenorm (round-10): bench norms ride the broadcast, corpus norms are
+    # computed once per corpus row — ONE dot per (corpus, bench) pair
     b = bench.select(
-        F.col("vec_id").alias("bench_id"), F.col("embedding").alias("be")
+        F.col("vec_id").alias("bench_id"),
+        F.col("embedding").alias("be"),
+        norm2(F.col("embedding")).alias("_bn2"),
     )
     hits = (
-        corpus.crossJoin(F.broadcast(b))
+        corpus.select(
+            "vec_id", "embedding", norm2(F.col("embedding")).alias("_cn2")
+        )
+        .crossJoin(F.broadcast(b))
         .select(
             "vec_id",
-            cosine(F.col("embedding"), F.col("be")).alias("cos_sim"),
+            cosine_prenorm(
+                F.col("embedding"), F.col("be"), F.col("_cn2"), F.col("_bn2")
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= tau)
     )
@@ -1081,11 +1157,20 @@ def _topk_report(
         ),
     )
     hit = exact.select("query_id", "neighbor_id", F.lit(True).alias("_hit"))
-    qv = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qv"))
-    nv = emb.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("_nv")
+    # prenorm (round-10): norms per vector row, one dot per rescored pair
+    qv = emb.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("_qv"),
+        norm2(F.col("embedding")).alias("_qvn2"),
     )
-    rescored = cosine(F.col("_qv"), F.col("_nv"))
+    nv = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("_nv"),
+        norm2(F.col("embedding")).alias("_nvn2"),
+    )
+    rescored = cosine_prenorm(
+        F.col("_qv"), F.col("_nv"), F.col("_qvn2"), F.col("_nvn2")
+    )
     score_ok = (
         F.col("cos_sim") == rescored
         if cos_eps is None
@@ -1365,15 +1450,22 @@ def hard_negatives(
     q = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),
+        norm2(F.col("embedding")).alias("_qn2"),
         F.col("label").alias("qlabel"),
     )
+    # prenorm (round-10): one dot per (query, candidate) pair
     pairs = (
-        emb.crossJoin(F.broadcast(q))
+        emb.select(
+            "vec_id", "embedding", "label", norm2(F.col("embedding")).alias("_en2")
+        )
+        .crossJoin(F.broadcast(q))
         .filter(F.col("label") != F.col("qlabel"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            cosine(F.col("qv"), F.col("embedding")).alias("cos_sim"),
+            cosine_prenorm(
+                F.col("qv"), F.col("embedding"), F.col("_qn2"), F.col("_en2")
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -1501,13 +1593,20 @@ def semantic_dedup_audit(
         )
         .select("vec_id", (g_d <= b_d + F.lit(eps)).alias("assignment_ok"))
     )
+    # prenorm (round-10): one dot per within-cluster pair
     a = assigned.select(
-        "cluster", F.col("vec_id").alias("va"), F.col("embedding").alias("ea")
+        "cluster",
+        F.col("vec_id").alias("va"),
+        F.col("embedding").alias("ea"),
+        norm2(F.col("embedding")).alias("_na2"),
     )
     b = assigned.select(
-        "cluster", F.col("vec_id").alias("vb"), F.col("embedding").alias("eb")
+        "cluster",
+        F.col("vec_id").alias("vb"),
+        F.col("embedding").alias("eb"),
+        norm2(F.col("embedding")).alias("_nb2"),
     )
-    plain = cosine(F.col("ea"), F.col("eb"))
+    plain = cosine_prenorm(F.col("ea"), F.col("eb"), F.col("_na2"), F.col("_nb2"))
     strict = (
         a.join(b, "cluster")
         .filter(F.col("va") < F.col("vb"))
@@ -1518,16 +1617,20 @@ def semantic_dedup_audit(
     ev = emb.select(
         F.col("vec_id").cast("long").alias("vec_id"),
         F.col("embedding").alias("_ve"),
+        norm2(F.col("embedding")).alias("_ven2"),
     )
     ec = emb.select(
         F.col("vec_id").cast("long").alias("canonical_id"),
         F.col("embedding").alias("_ce"),
+        norm2(F.col("embedding")).alias("_cen2"),
     )
     ca = assigned.select(
         F.col("vec_id").alias("canonical_id"),
         F.col("cluster").alias("canon_cluster"),
     )
-    canon_cos = cosine(F.col("_ve"), F.col("_ce"))
+    canon_cos = cosine_prenorm(
+        F.col("_ve"), F.col("_ce"), F.col("_ven2"), F.col("_cen2")
+    )
     audited = (
         out.join(ev, "vec_id")
         .join(ec, "canonical_id")

@@ -91,10 +91,14 @@ def lang_id_sql(table: str = "documents") -> str:
     """
 
 
-def quality_scores(docs: DataFrame) -> DataFrame:
-    """Heuristic quality signals: length, word stats, punctuation and
-    stopword ratios, composite score.  All per-row double math with
-    identical expression trees in the oracle."""
+def quality_score_cols() -> dict:
+    """The per-row quality expressions over a ``text`` column, exposed so
+    compositions (llmdata.curate_corpus) can FUSE them into their main
+    projection instead of computing them in a separate frame and paying a
+    doc_id-keyed shuffle join to re-attach per-row values (round-10, guide
+    §2.4: two operations keyed the same way share one pass).  The
+    expression trees are exactly ``quality_scores``'s — outputs are
+    bit-identical either way."""
     text = F.col("text")
     norm = P.spark_norm_text(text)
     words = P.spark_words(norm)
@@ -116,14 +120,24 @@ def quality_scores(docs: DataFrame) -> DataFrame:
         + stop_ratio * 0.3
         + (1.0 - punct_ratio) * 0.2
     )
+    return {
+        "n_chars": n_chars,
+        "n_words": n_words,
+        "avg_word_len": avg_word_len,
+        "punct_ratio": punct_ratio,
+        "stopword_ratio": stop_ratio,
+        "quality_score": score,
+    }
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """Heuristic quality signals: length, word stats, punctuation and
+    stopword ratios, composite score.  All per-row double math with
+    identical expression trees in the oracle."""
+    cols = quality_score_cols()
     return docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
-        n_chars.alias("n_chars"),
-        n_words.alias("n_words"),
-        avg_word_len.alias("avg_word_len"),
-        punct_ratio.alias("punct_ratio"),
-        stop_ratio.alias("stopword_ratio"),
-        score.alias("quality_score"),
+        *[expr.alias(name) for name, expr in cols.items()],
     )
 
 
@@ -167,28 +181,12 @@ QC_WEIGHTS = {
 }
 
 
-def quality_classifier(
-    docs: DataFrame, weights: dict = QC_WEIGHTS, keep: tuple[str, ...] = ()
-) -> DataFrame:
-    """(doc_id, quality_logit, passes): classifier-based quality filtering —
-    the linear-model stage (fasttext/logistic over interpretable features)
-    that large pretraining pipelines run after heuristic gates; documents
-    with ``passes`` survive, the logit is the ranking/bucketing signal.
-
-    Emits the LOGIT, not the sigmoid: z is a fixed-order sum of products
-    of exactly-representable feature rationals and literal weights — all
-    IEEE-exactly-rounded ops, bit-identical in Spark and DuckDB — while
-    exp() differs in the last ulp between JVM and libm (same reason tf_idf
-    is log-free).  The decision passes = z >= 0 is therefore also exact,
-    and sigmoid is monotone in z so no ranking information is lost.
-
-    Features (each in [0,1], map-side only, no shuffle): capped length
-    min(n_words/100, 1); stopword ratio; 1 - punct_ratio; capped mean word
-    length min(avg_word_len/8, 1); lexical diversity distinct_words /
-    n_words.  Scale shape: pure column expressions over one scan —
-    classifier scoring at 100 TB is embarrassingly parallel and this stays
-    entirely inside whole-stage codegen.
-    """
+def quality_logit_col(weights: dict = QC_WEIGHTS):
+    """The classifier logit as a bare Column over ``text``, exposed so
+    compositions (llmdata.semantic_curate) can fuse the classifier into
+    their main projection instead of re-attaching it through a doc_id
+    shuffle join (round-10, guide §2.4).  Exactly ``quality_classifier``'s
+    expression tree — bit-identical outputs."""
     w = weights
     text = F.col("text")
     norm = P.spark_norm_text(text)
@@ -216,7 +214,32 @@ def quality_classifier(
     # would NULL-poison f_clean via 0/0).  Such docs get the bare intercept
     # (< 0 for any sane model) — deterministically FAILING, never NULL.
     empty = F.coalesce(F.length(norm), F.lit(0)) == 0
-    z = F.when(empty, F.lit(float(w["intercept"]))).otherwise(z)
+    return F.when(empty, F.lit(float(w["intercept"]))).otherwise(z)
+
+
+def quality_classifier(
+    docs: DataFrame, weights: dict = QC_WEIGHTS, keep: tuple[str, ...] = ()
+) -> DataFrame:
+    """(doc_id, quality_logit, passes): classifier-based quality filtering —
+    the linear-model stage (fasttext/logistic over interpretable features)
+    that large pretraining pipelines run after heuristic gates; documents
+    with ``passes`` survive, the logit is the ranking/bucketing signal.
+
+    Emits the LOGIT, not the sigmoid: z is a fixed-order sum of products
+    of exactly-representable feature rationals and literal weights — all
+    IEEE-exactly-rounded ops, bit-identical in Spark and DuckDB — while
+    exp() differs in the last ulp between JVM and libm (same reason tf_idf
+    is log-free).  The decision passes = z >= 0 is therefore also exact,
+    and sigmoid is monotone in z so no ranking information is lost.
+
+    Features (each in [0,1], map-side only, no shuffle): capped length
+    min(n_words/100, 1); stopword ratio; 1 - punct_ratio; capped mean word
+    length min(avg_word_len/8, 1); lexical diversity distinct_words /
+    n_words.  Scale shape: pure column expressions over one scan —
+    classifier scoring at 100 TB is embarrassingly parallel and this stays
+    entirely inside whole-stage codegen.
+    """
+    z = quality_logit_col(weights)
     return docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         *[F.col(c) for c in keep],  # passthrough: keeps consumers single-scan

@@ -463,7 +463,6 @@ def curate_corpus(
     the coarse oracle dial.
     """
     meta_cols = [c for c in ("lang", "source") if c in docs.columns]
-    q = text.quality_scores(docs).select("doc_id", "n_words", "quality_score")
     if clusters is None:
         # callers that already hold the cluster table (e.g. the certified
         # audit queries, which also need its labels for the closure-free
@@ -475,12 +474,24 @@ def curate_corpus(
     canon = clusters.filter(F.col("doc_id") == F.col("component")).select(
         "doc_id", "cluster_size"
     )
-    split = sampling.train_val_test_split(docs).select("doc_id", "split")
-    return (
-        docs.select(F.col("doc_id").cast("long").alias("doc_id"), *meta_cols)
-        .join(q.filter(F.col("quality_score") >= min_quality), "doc_id")
-        .join(canon, "doc_id")
-        .join(split, "doc_id")
+    # Round-10 fusion (guide §2.4): quality and split are PER-ROW functions
+    # of the corpus row, so computing them in separate frames and
+    # re-attaching through doc_id joins paid two corpus-sized shuffle
+    # joins for values the main projection can evaluate in place.  The
+    # expression trees are the operators' own (text.quality_score_cols /
+    # sampling.split_cols), so output rows are bit-identical; only the
+    # canonical-keep join (a genuine cross-frame dependency) remains.
+    qc = text.quality_score_cols()
+    _, split_expr = sampling.split_cols()
+    base = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        *meta_cols,
+        qc["n_words"].alias("n_words"),
+        qc["quality_score"].alias("quality_score"),
+        split_expr.alias("split"),
+    ).filter(F.col("quality_score") >= min_quality)
+    return base.join(canon, "doc_id").select(
+        "doc_id", *meta_cols, "n_words", "quality_score", "cluster_size", "split"
     )
 
 
@@ -514,18 +525,20 @@ def _certified_curation_parts(docs):
         n_bands=P.MINHASH_BANDS_ORACLE,
         clusters=clusters,
     )
+    # fused per-row quality + split (round-10, same rationale and identical
+    # expression trees as curate_corpus — two doc_id shuffle joins removed)
+    qc = text.quality_score_cols()
+    _, split_expr = sampling.split_cols()
     base = (
-        docs.select(F.col("doc_id").cast("long").alias("doc_id"), "lang", "source")
-        .join(
-            text.quality_scores(docs)
-            .select("doc_id", "n_words", "quality_score")
-            .filter(F.col("quality_score") >= CURATION_MIN_QUALITY),
-            "doc_id",
+        docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "lang",
+            "source",
+            qc["n_words"].alias("n_words"),
+            qc["quality_score"].alias("quality_score"),
+            split_expr.alias("split"),
         )
-        .join(
-            sampling.train_val_test_split(docs).select("doc_id", "split"),
-            "doc_id",
-        )
+        .filter(F.col("quality_score") >= CURATION_MIN_QUALITY)
         .join(labels.select(F.col("node").alias("doc_id"), "component"), "doc_id")
         .join(
             cert.select(
@@ -640,11 +653,6 @@ def semantic_curate(
     from ..operators import similarity as sim
     from ..operators import text as text_ops
 
-    qc = (
-        text_ops.quality_classifier(docs)
-        .filter(F.col("passes"))
-        .select("doc_id", "quality_logit")
-    )
     if sem is None:
         # the audited registry query passes the semantic-dedup table in so
         # the k-means loop runs once for the composition AND its audit
@@ -654,13 +662,23 @@ def semantic_curate(
     canon = sem.filter(~F.col("is_semantic_dup")).select(
         F.col("vec_id").alias("doc_id"), "cluster"
     )
-    split = sampling.train_val_test_split(docs).select("doc_id", "split")
     meta_cols = [c for c in ("lang", "source") if c in docs.columns]
-    return (
-        docs.select(F.col("doc_id").cast("long").alias("doc_id"), *meta_cols)
-        .join(qc, "doc_id")
-        .join(canon, "doc_id")
-        .join(split, "doc_id")
+    # Round-10 fusion (guide §2.4): the classifier logit and the split are
+    # per-row expressions (text.quality_logit_col / sampling.split_cols),
+    # so they fuse into the main projection — two doc_id shuffle joins
+    # removed; only the semantic-canonical join (a genuine cross-frame
+    # dependency on the embedding table) remains.  Bit-identical rows.
+    z = text_ops.quality_logit_col()
+    _, split_expr = sampling.split_cols()
+    base = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        *meta_cols,
+        z.alias("quality_logit"),
+        (z >= 0).alias("passes"),
+        split_expr.alias("split"),
+    ).filter(F.col("passes"))
+    return base.join(canon, "doc_id").select(
+        "doc_id", *meta_cols, "quality_logit", "cluster", "split"
     )
 
 
@@ -682,24 +700,24 @@ def q_semantic_curation(spark, sf_dir):
         F.col("split").alias("curated_split"),
         F.lit(True).alias("in_curated"),
     )
+    # fused classifier + split (round-10, same expression trees — the only
+    # remaining join is the semantic-dedup attach, a genuine dependency)
+    z = text_ops.quality_logit_col()
+    _, split_expr = sampling.split_cols()
     base = (
         docs.select(
-            F.col("doc_id").cast("long").alias("doc_id"), "lang", "source"
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "lang",
+            "source",
+            z.alias("quality_logit"),
+            (z >= 0).alias("passes"),
+            split_expr.alias("split"),
         )
-        .join(
-            text_ops.quality_classifier(docs)
-            .filter(F.col("passes"))
-            .select("doc_id", "quality_logit"),
-            "doc_id",
-        )
+        .filter(F.col("passes"))
         .join(
             sem.select(
                 F.col("vec_id").alias("doc_id"), "is_semantic_dup"
             ),
-            "doc_id",
-        )
-        .join(
-            sampling.train_val_test_split(docs).select("doc_id", "split"),
             "doc_id",
         )
     )
