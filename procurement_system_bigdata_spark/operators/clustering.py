@@ -62,9 +62,37 @@ def connected_components(
     """
     import warnings
 
-    sym = edges.select("src", "dst").unionAll(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint()
+    from pyspark import StorageLevel
+
+    spark = edges.sparkSession
+    # partition count for the loop frames: the session's core count, NOT
+    # spark.sql.shuffle.partitions — the loop's frames are near-dup-volume
+    # sized (small relative to the corpus), and a vanilla session's default
+    # of 200 would schedule 200 tasks per round over tiny data; on a real
+    # cluster defaultParallelism is the executor-core total, the right
+    # order for an iterated cached frame
+    n_shuffle = spark.sparkContext.defaultParallelism
+    # Round-10 loop-shape optimization (guide §2.4: remove the shuffles
+    # the next operator redoes).  The static edge table is joined on
+    # ``dst`` EVERY round, but the old eager localCheckpoint degraded it
+    # to an UnknownPartitioning ExistingRDD, so every round re-shuffled
+    # the edges — the largest frame in the loop.  Hash-partitioning sym by
+    # dst ONCE and persisting it lets each round's join consume the cached
+    # partitioning (InMemoryTableScan preserves outputPartitioning) with
+    # no per-round edge exchange.  Labels keep the per-round
+    # localCheckpoint — persist would NOT truncate lineage, and the
+    # round-over-round plan (labels referenced twice per round) regrows
+    # exponentially without a hard cut.  Within one round's plan the
+    # label exchange is reused across both joins (ReusedExchange), so the
+    # per-round shuffle count drops 3 → 2.  Labels and hops unchanged —
+    # same algorithm, same per-round math; sym is released before return
+    # (the returned frame depends only on checkpointed data).
+    sym = (
+        edges.select("src", "dst")
+        .unionAll(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .repartition(n_shuffle, "dst")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     # Iterate ONLY the edge-touched subgraph: a node with no edges is its
     # own component by definition and can never change, yet the loop used
     # to carry every corpus node through every round.  At 100 TB the
@@ -119,6 +147,11 @@ def connected_components(
         )
         if changed == 0:
             break
+    # every consumer of the loop's output reads CHECKPOINTED frames
+    # (labels, touched), so the partitioned edge cache can be released —
+    # a long-lived session (sweeps, tests) must not accumulate one pinned
+    # edge table per components call
+    sym.unpersist()
     if changed != 0:
         msg = (
             f"connected_components did not converge within {max_rounds} rounds "
