@@ -341,6 +341,13 @@ def _doc_token_hashes_both(
     # bit-identical with or without it (guide §2.4: remove shuffles whose
     # work the next operator redoes); tests/test_round10_opt.py pins the
     # equivalence.
+    # hw stays the 32-char HEX md5 string: a 16-byte unhex(md5) BINARY
+    # encoding was tried in round 10 (half the bytes) and measured ~65%
+    # SLOWER end-to-end (26.2 s vs 15.7 s median, same-session alternating
+    # A/B on dedup_minhash_lsh at sf0.1) — Spark's array_intersect /
+    # collect_set hash UTF8String natively but fall to slow generic paths
+    # for BinaryType elements.  Negative result recorded in
+    # OPTIMIZATION_r10.md; do not retry without re-measuring.
     return (
         docs.select(F.col("doc_id").cast("long").alias("doc_id"), tokens.alias("tok"))
         .select("doc_id", F.explode("tok").alias("t"))
