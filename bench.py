@@ -236,6 +236,57 @@ def _load_evidence_block(path: str, current_fp: str | None) -> dict | None:
     return block
 
 
+def _summarize_ab(block: dict | None) -> dict | None:
+    """Compact totals-only view of the persisted A/B block for the bench
+    stdout line.  Round-11 (VERDICT r10 #3): embedding the FULL ab +
+    production blocks grew the one-line JSON contract past what the
+    driver's record recovered intact (BENCH_r09.json parsed: null — an
+    evidence outage).  The full blocks stay in bench_ab_latest.json /
+    bench_production_latest.json; the stdout line carries only their
+    totals + provenance so it stays small and parseable."""
+    if not block:
+        return None
+    keep = (
+        "ref",
+        "head_commit",
+        "code_fingerprint",
+        "runs_per_side",
+        "sf",
+        "total_head",
+        "total_ref",
+        "stale",
+    )
+    out = {k: block[k] for k in keep if k in block}
+    ratios = [v for v in (block.get("ratio_head_over_ref") or {}).values() if v]
+    if ratios:
+        import math
+
+        out["per_query_geomean"] = round(
+            math.exp(sum(math.log(r) for r in ratios) / len(ratios)), 4
+        )
+    out["detail_file"] = AB_LATEST
+    return out
+
+
+def _summarize_production(block: dict | None) -> dict | None:
+    """Compact totals-only view of the production-profile block (see
+    ``_summarize_ab``)."""
+    if not block:
+        return None
+    keep = (
+        "sf",
+        "head_commit",
+        "code_fingerprint",
+        "best_of",
+        "total_production",
+        "total_oracle_default",
+        "stale",
+    )
+    out = {k: block[k] for k in keep if k in block}
+    out["detail_file"] = PROD_LATEST
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -368,8 +419,14 @@ def main() -> None:
                 "r02_set_subtotal_normalized": (
                     round(r02_subtotal * drift, 4) if drift else None
                 ),
-                **({"ab": ab_block} if ab_block else {}),
-                **({"production_profile": prod_block} if prod_block else {}),
+                **(
+                    {"ab": _summarize_ab(ab_block)} if ab_block else {}
+                ),
+                **(
+                    {"production_profile": _summarize_production(prod_block)}
+                    if prod_block
+                    else {}
+                ),
             }
         )
     )

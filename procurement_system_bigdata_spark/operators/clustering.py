@@ -115,43 +115,46 @@ def connected_components(
     )
     labels = labels.localCheckpoint()
     changed = 0
-    for rnd in range(1, max_rounds + 1):
-        nbr_min = (
-            sym.join(labels, sym.dst == labels.node)
-            .groupBy("src")
-            .agg(F.min("component").alias("nbr_component"))
-        )
-        proposed = (
-            labels.join(nbr_min, labels.node == nbr_min.src, "left")
-            .select(
-                "node",
-                "component",
-                F.least(
-                    F.col("component"),
-                    F.coalesce(F.col("nbr_component"), F.col("component")),
-                ).alias("new_component"),
-                F.when(
-                    F.coalesce(F.col("nbr_component"), F.col("component"))
-                    < F.col("component"),
-                    F.lit(rnd).cast("int"),
-                )
-                .otherwise(F.col("hop"))
-                .alias("hop"),
+    # try/finally (ADVICE r10): a Spark job failing mid-loop must release
+    # the persisted edge table too — a long-lived session (sweeps, tests)
+    # must not accumulate one pinned edge table per failed components call
+    try:
+        for rnd in range(1, max_rounds + 1):
+            nbr_min = (
+                sym.join(labels, sym.dst == labels.node)
+                .groupBy("src")
+                .agg(F.min("component").alias("nbr_component"))
             )
-        ).localCheckpoint()
-        changed = proposed.filter(
-            F.col("new_component") < F.col("component")
-        ).count()
-        labels = proposed.select(
-            "node", F.col("new_component").alias("component"), "hop"
-        )
-        if changed == 0:
-            break
-    # every consumer of the loop's output reads CHECKPOINTED frames
-    # (labels, touched), so the partitioned edge cache can be released —
-    # a long-lived session (sweeps, tests) must not accumulate one pinned
-    # edge table per components call
-    sym.unpersist()
+            proposed = (
+                labels.join(nbr_min, labels.node == nbr_min.src, "left")
+                .select(
+                    "node",
+                    "component",
+                    F.least(
+                        F.col("component"),
+                        F.coalesce(F.col("nbr_component"), F.col("component")),
+                    ).alias("new_component"),
+                    F.when(
+                        F.coalesce(F.col("nbr_component"), F.col("component"))
+                        < F.col("component"),
+                        F.lit(rnd).cast("int"),
+                    )
+                    .otherwise(F.col("hop"))
+                    .alias("hop"),
+                )
+            ).localCheckpoint()
+            changed = proposed.filter(
+                F.col("new_component") < F.col("component")
+            ).count()
+            labels = proposed.select(
+                "node", F.col("new_component").alias("component"), "hop"
+            )
+            if changed == 0:
+                break
+    finally:
+        # every consumer of the loop's output reads CHECKPOINTED frames
+        # (labels, touched), so the partitioned edge cache can be released
+        sym.unpersist()
     if changed != 0:
         msg = (
             f"connected_components did not converge within {max_rounds} rounds "
@@ -234,42 +237,70 @@ def pagerank(
     nodes are AQE skew-split; the dangling-mass aggregate is one scalar
     collect per iteration (O(1) rows).
     """
-    out_deg = edges.groupBy(F.col("src").alias("node")).agg(
-        F.count(F.lit(1)).alias("out_deg")
+    from pyspark import StorageLevel
+
+    # Round-11 loop-shape fix (guide §2.4; the components treatment from
+    # round 10, which VERDICT r10 #4 asked to apply here): the STATIC edge
+    # table is joined on ``src`` every iteration, but as a plain lineage
+    # frame it was re-computed AND re-shuffled per round (for doc_pagerank
+    # that lineage is the whole SimHash pair pipeline — executed once per
+    # iteration plus once for out_deg).  Hash-partition it by the join key
+    # ONCE and persist; cached scans preserve outputPartitioning, so each
+    # round's contrib join consumes the cache with no edge exchange.
+    # Ranks keep the per-round localCheckpoint (lineage truncation — see
+    # connected_components).  Released in ``finally`` (ADVICE r10: a
+    # mid-loop failure must not leave the cache pinned for the session).
+    n_shuffle = edges.sparkSession.sparkContext.defaultParallelism
+    e = (
+        edges.select("src", "dst")
+        .repartition(n_shuffle, "src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    base = nodes.select("node").join(out_deg, "node", "left").select(
-        "node", F.coalesce("out_deg", F.lit(0)).alias("out_deg")
-    )
-    n_nodes = base.count()
-    if n_nodes == 0:
-        # empty graph -> empty result (not a ZeroDivisionError in the
-        # dangling-mass term below)
-        return nodes.select("node", F.lit(0.0).alias("rank"))
-    ranks = base.select("node", "out_deg", F.lit(1.0).alias("rank"))
-    ranks = ranks.localCheckpoint(eager=False)
-    for _ in range(iters):
-        dangling = (
-            ranks.filter(F.col("out_deg") == 0).agg(F.sum("rank")).first()[0] or 0.0
+    try:
+        out_deg = e.groupBy(F.col("src").alias("node")).agg(
+            F.count(F.lit(1)).alias("out_deg")
         )
-        contrib = (
-            edges.join(ranks, edges.src == ranks.node)
-            .select(F.col("dst").alias("node"), (F.col("rank") / F.col("out_deg")).alias("c"))
-            .groupBy("node")
-            .agg(F.sum("c").alias("in_sum"))
+        base = nodes.select("node").join(out_deg, "node", "left").select(
+            "node", F.coalesce("out_deg", F.lit(0)).alias("out_deg")
         )
-        ranks = (
-            ranks.select("node", "out_deg")
-            .join(contrib, "node", "left")
-            .select(
-                "node",
-                "out_deg",
-                (
-                    F.lit(1.0 - damping)
-                    + F.lit(damping)
-                    * (F.coalesce(F.col("in_sum"), F.lit(0.0)) + F.lit(dangling / n_nodes))
-                ).alias("rank"),
+        n_nodes = base.count()
+        if n_nodes == 0:
+            # empty graph -> empty result (not a ZeroDivisionError in the
+            # dangling-mass term below)
+            return nodes.select("node", F.lit(0.0).alias("rank"))
+        ranks = base.select("node", "out_deg", F.lit(1.0).alias("rank"))
+        ranks = ranks.localCheckpoint(eager=False)
+        for _ in range(iters):
+            dangling = (
+                ranks.filter(F.col("out_deg") == 0).agg(F.sum("rank")).first()[0]
+                or 0.0
             )
-        ).localCheckpoint(eager=False)
+            contrib = (
+                e.join(ranks, e.src == ranks.node)
+                .select(F.col("dst").alias("node"), (F.col("rank") / F.col("out_deg")).alias("c"))
+                .groupBy("node")
+                .agg(F.sum("c").alias("in_sum"))
+            )
+            ranks = (
+                ranks.select("node", "out_deg")
+                .join(contrib, "node", "left")
+                .select(
+                    "node",
+                    "out_deg",
+                    (
+                        F.lit(1.0 - damping)
+                        + F.lit(damping)
+                        * (F.coalesce(F.col("in_sum"), F.lit(0.0)) + F.lit(dangling / n_nodes))
+                    ).alias("rank"),
+                )
+            ).localCheckpoint(eager=False)
+        # materialize the FINAL iteration before the edge cache is
+        # released: the last checkpoint is lazy, and a consumer action
+        # after unpersist would otherwise recompute the whole edge
+        # lineage for that one round
+        ranks = ranks.localCheckpoint()
+    finally:
+        e.unpersist()
     return ranks.select("node", "rank")
 
 

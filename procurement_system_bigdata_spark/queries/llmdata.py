@@ -483,7 +483,11 @@ def curate_corpus(
     # canonical-keep join (a genuine cross-frame dependency) remains.
     qc = text.quality_score_cols()
     _, split_expr = sampling.split_cols()
-    base = docs.select(
+    # round-11 (VERDICT r10 #8): the fused quality/split projection is a
+    # CPU-dense per-row stage; spread it when the corpus arrives in fewer
+    # splits than the session has cores (guarded no-op on real layouts —
+    # and on the bench's already-repartitioned derived corpus)
+    base = dedup._spread_small_scan(docs).select(
         F.col("doc_id").cast("long").alias("doc_id"),
         *meta_cols,
         qc["n_words"].alias("n_words"),
@@ -1630,9 +1634,14 @@ def q_doc_pagerank(spark, sf_dir):
 
     docs = _docs(spark, sf_dir)
     nodes = docs.select(F.col("doc_id").cast("long").alias("node"))
+    # Round-11: checkpoint the SimHash pair table — it feeds the rank
+    # loop's edge cache AND the degree report below, and without the pin
+    # the whole SimHash pipeline re-executed once per consumer (guide §5:
+    # materialize computed intermediates with multiple consumers; pair
+    # volume is tiny next to the fingerprint pass that derives it)
     pairs = dedup.simhash_neardup_pairs(docs).select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    )
+    ).localCheckpoint(eager=False)
     edges = pairs.unionAll(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )

@@ -647,20 +647,13 @@ def neardup_ingest_batch_fn(
         )
 
     def _confirmed(cand: DataFrame, left: DataFrame, right: DataFrame):
+        # fused single-intersect confirm (round-11) — the shared batch
+        # operator shape; see dedup._confirm_jaccard
         la = left.select(F.col("doc_id").alias("new_id"), F.col("hs").alias("hs_a"))
         rb = right.select(
             F.col("doc_id").alias("other_id"), F.col("hs").alias("hs_b")
         )
-        n_common = F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b")))
-        jac = n_common.cast("double") / (
-            F.size(F.col("hs_a")) + F.size(F.col("hs_b")) - n_common
-        )
-        return (
-            cand.join(la, "new_id")
-            .join(rb, "other_id")
-            .select("new_id", "other_id", jac.alias("jaccard"))
-            .filter(F.col("jaccard") >= threshold)
-        )
+        return dd._confirm_jaccard(cand, la, rb, "new_id", "other_id", threshold)
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession

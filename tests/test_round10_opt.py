@@ -36,11 +36,14 @@ def test_minhash_signatures_identical_without_token_dedup(spark):
 def test_minhash_signatures_plan_has_single_exchange(spark):
     """The signature path is tokenize -> ONE doc_id-keyed Exchange ->
     K-agg: the round-10 removal of the token-dedup Exchange is pinned
-    (regression = a second Exchange reappearing)."""
+    (regression = a second Exchange reappearing).  Pinned as an UPPER
+    bound (ADVICE r10): an engine upgrade that plans FEWER exchanges is
+    not a regression; the value-equivalence test above stays the primary
+    guard."""
     docs = load_table(spark, SF_DIR, "documents")
     stats = plan_stats(dedup.minhash_signatures(docs, fast_hash=True))
-    assert stats["shuffles"] == 1, (
-        f"expected 1 Exchange (doc_id agg), got {stats['shuffles']}:\n"
+    assert stats["shuffles"] <= 1, (
+        f"expected at most 1 Exchange (doc_id agg), got {stats['shuffles']}:\n"
         + stats["plan"][:2000]
     )
 
