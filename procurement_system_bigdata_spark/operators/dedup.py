@@ -392,18 +392,23 @@ def _confirm_jaccard(
     expression twice, each copy holding two intersects).  Here the
     intersect size is computed ONCE in a projection and the filter runs on
     the projected integer.  The barrier that keeps the optimizer from
-    collapsing the projection back into the predicate is ``F.shuffle`` on
-    one input array: a nondeterministic expression may not be duplicated
-    or have predicates pushed through it (Catalyst's PushPredicateThroughNonJoin
-    / CollapseProject both require deterministic projections), and
-    ``size(array_intersect(...))`` is order-insensitive, so a permuted
-    input array changes nothing about the value — the per-row Fisher-Yates
-    permutation is O(set size), far below one intersect's hash-set build.
+    collapsing the projection back into the predicate is a
+    nondeterministic no-op term, ``+ size(shuffle(array()))`` (always
+    +0): a nondeterministic expression may not be duplicated or have
+    predicates pushed through it (Catalyst's PushPredicateThroughNonJoin /
+    CollapseProject both require deterministic projections).  ``shuffle``
+    of an EMPTY literal array costs O(1) per row — shuffling one of the
+    real token arrays also works but pays a Fisher-Yates pass over the
+    set per pair, measurable on large-vocabulary corpora; rand()-based
+    guards do NOT work (the optimizer strips them — plan probe in
+    tools/probe_r11_confirm_fusion.py shows 3 intersect copies).
 
     Values are bit-identical to the naive shape: the same integer
     ``n_common`` / set sizes feed the same double division.
     """
-    n_common = F.size(F.array_intersect(F.shuffle(F.col("hs_a")), F.col("hs_b")))
+    n_common = F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b"))) + F.size(
+        F.shuffle(F.array())
+    )
     scored = (
         cand.join(sets_a, id_a)
         .join(sets_b, id_b)

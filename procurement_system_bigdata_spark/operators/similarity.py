@@ -91,6 +91,24 @@ def duck_cosine(a: str, b: str) -> str:
     )
 
 
+def _spread_emb(emb: DataFrame) -> DataFrame:
+    """Guarded parallelism spread for CPU-dense per-row/per-pair stages
+    over the embeddings table (round-11, VERDICT r10 #8): repartition by
+    vec_id ONLY when the input arrives in fewer splits than the session
+    has cores — the testdata parquet is one row group, which serialized
+    every nested-loop pair scan and bucketing projection on a single task
+    regardless of core count.  A real corpus arrives in thousands of
+    splits, making this a NO-OP (no Exchange added at 100 TB).  Only
+    applied where downstream math is partition-order-insensitive (exact
+    per-pair scores, deterministic-tiebreak windows, integer micro sums);
+    the k-means/centroid paths are deliberately NOT spread — their float
+    mean is summation-order-sensitive and the oracle pins its exact
+    value."""
+    from .dedup import _spread_small_scan
+
+    return _spread_small_scan(emb, "vec_id")
+
+
 def cosine_pandas_udf(query_vec: list):
     """Arrow-batched vectorized cosine against a fixed query vector — the
     measured fast path for vector math (tools/bench_udf.py: ~3x faster than
@@ -133,8 +151,14 @@ def cosine_topk(emb: DataFrame, k: int = TOP_K, n_queries: int = N_QUERY_VECS) -
         F.col("embedding").alias("qv"),
         norm2(F.col("embedding")).alias("_qn2"),
     )
+    # round-11 (VERDICT r10 #8, guide §2.5): the broadcast-nested-loop
+    # STREAM side is the raw embeddings scan — one row group in the
+    # testdata, so the whole n_queries*N interpreted-dot pass ran on ONE
+    # task at any core count (the r10 scaling block's 1.00 ratio).
+    # _spread_small_scan is a guarded no-op on real many-split corpora.
     pairs = (
-        emb.select("vec_id", "embedding", norm2(F.col("embedding")).alias("_en2"))
+        _spread_emb(emb)
+        .select("vec_id", "embedding", norm2(F.col("embedding")).alias("_en2"))
         .crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
@@ -176,7 +200,12 @@ def cosine_neardup_pairs(emb: DataFrame, tau: float = NEARDUP_TAU) -> DataFrame:
 
     Quadratic by construction — the oracle-exact baseline.  The scale path
     is lsh_ann_candidates below (bucketed, approximate)."""
-    a = emb.select(
+    # round-11: spread the STREAM side of the nested-loop join — the N^2/2
+    # per-pair dots otherwise all run on the single scan task of a
+    # one-row-group input (guarded no-op at real split counts); the other
+    # side is explicitly broadcast so the planner cannot flip the build
+    # side and re-serialize the stream
+    a = _spread_emb(emb).select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("ea"),
         norm2(F.col("embedding")).alias("na2"),
@@ -187,7 +216,7 @@ def cosine_neardup_pairs(emb: DataFrame, tau: float = NEARDUP_TAU) -> DataFrame:
         norm2(F.col("embedding")).alias("nb2"),
     )
     return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
         .select(
             "vec_a",
             "vec_b",
@@ -675,11 +704,16 @@ def lsh_ann_candidates(
     # to amortize it across calls on the same corpus snapshot
     if center is None:
         center = corpus_center(emb)
+    # round-11: spread AFTER corpus_center (the centroid's float mean is
+    # summation-order-sensitive; only the bucketing/scoring stages below
+    # are order-insensitive) — the per-row bucket projection otherwise
+    # runs on the single scan task of a one-row-group input
+    emb_s = _spread_emb(emb)
     if use_arrow:
         # production path: one GEMM for all tables' keys (see
         # lsh_buckets_arrow); posexplode index IS the table id
         bfn = lsh_buckets_arrow(n_planes, n_tables, center)
-        with_bucket = emb.select(
+        with_bucket = emb_s.select(
             "vec_id",
             "embedding",
             F.posexplode(bfn(F.col("embedding"))).alias("tbl", "bucket"),
@@ -694,7 +728,7 @@ def lsh_ann_candidates(
                 for t in range(n_tables)
             ]
         )
-        with_bucket = emb.select(
+        with_bucket = emb_s.select(
             "vec_id", "embedding", F.explode(buckets).alias("tb")
         ).select("vec_id", "embedding", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
     # prenorm (round-10): per-vector norm2 projected before the bucket
@@ -860,7 +894,8 @@ def quantized_topk(
         )
 
     pairs = (
-        qt.crossJoin(F.broadcast(q))
+        _spread_emb(qt)
+        .crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
@@ -983,7 +1018,8 @@ def semantic_decontamination(
         norm2(F.col("embedding")).alias("_bn2"),
     )
     hits = (
-        corpus.select(
+        _spread_emb(corpus)
+        .select(
             "vec_id", "embedding", norm2(F.col("embedding")).alias("_cn2")
         )
         .crossJoin(F.broadcast(b))
@@ -1465,7 +1501,8 @@ def hard_negatives(
     )
     # prenorm (round-10): one dot per (query, candidate) pair
     pairs = (
-        emb.select(
+        _spread_emb(emb)
+        .select(
             "vec_id", "embedding", "label", norm2(F.col("embedding")).alias("_en2")
         )
         .crossJoin(F.broadcast(q))
